@@ -1,0 +1,94 @@
+"""Hashing expressions for dedup: MD5 ids, word shingles, MinHash signatures.
+
+All JVM-side SQL expressions.  The MinHash family is engine-defined on MD5
+(portable across Spark / DuckDB / Python):
+
+    h_i(s) = int(md5(i || ':' || s)[:15 hex], 16)     (60-bit, fits BIGINT)
+    minhash_i(doc) = min over shingles s of h_i(s)
+
+Banding for LSH: the signature is split into ``bands`` groups of ``rows``
+hashes; each band's group is md5-hashed into a bucket key; documents sharing
+any (band, bucket) pair are candidate duplicates (classic MinHash-LSH,
+Broder 1997 / MMDS ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_expr(col: Column) -> Column:
+    """F14: hex MD5 digest (vector ids, cache keys, exact-dup keys)."""
+    return F.md5(col)
+
+
+def _hash60(prefix: Column, value: Column) -> Column:
+    digest = F.md5(F.concat(prefix, F.lit(":"), value))
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles_expr(tokens: Column, n: int) -> Column:
+    """n-word shingles of an array<string> column (space-joined, distinct).
+
+    Shorter-than-n documents produce their full token join as one shingle so
+    no document hashes to an empty set.
+    """
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    shingle = lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def minhash_expr(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature (array<bigint> of length num_hashes)."""
+    def one_hash(i: Column) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: _hash60(i.cast("string"), s))
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), one_hash)
+
+
+def band_keys_expr(signature: Column, bands: int, rows: int) -> Column:
+    """LSH band bucket keys: array of ``bands`` strings 'band_i:md5(slice)'."""
+    def one_band(b: Column) -> Column:
+        chunk = F.slice(signature, b * F.lit(rows) + 1, rows)
+        joined = F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string")))
+        return F.concat(b.cast("string"), F.lit(":"), F.md5(joined))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), one_band)
+
+
+def simhash_expr(tokens: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint over token 60-bit hashes (bit-majority vote).
+
+    For each bit position, sum +1/−1 votes across tokens; the fingerprint
+    sets bits with positive vote.  Returned as bigint.
+    """
+    bit_range = F.sequence(F.lit(0), F.lit(bits - 1))
+    pow2 = lambda b: F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+
+    def tok_votes(t: Column) -> Column:
+        # bit b of h tested as (h % 2^(b+1)) >= 2^b — pure bigint arithmetic,
+        # bit-identical across engines (no float division involved)
+        h = _hash60(F.lit("sim"), t)
+        return F.transform(
+            bit_range,
+            lambda b: F.when(
+                (h % pow2(b + F.lit(1))) >= pow2(b), F.lit(1).cast("bigint")
+            ).otherwise(F.lit(-1).cast("bigint")),
+        )
+
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    votes = F.aggregate(
+        tokens, zero, lambda acc, t: F.zip_with(acc, tok_votes(t), lambda a, v: a + v)
+    )
+    bit_values = F.zip_with(
+        votes,
+        bit_range,
+        lambda v, b: F.when(v > 0, pow2(b)).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        bit_values, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )

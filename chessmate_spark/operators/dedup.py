@@ -1,0 +1,154 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-aware:
+  * exact:   md5(normalized text) → groupBy hash, keep the min-id canonical
+             row.  One shuffle on the 32-hex digest (uniformly distributed —
+             no skew).
+  * MinHash+LSH: shingle → minhash signature → band buckets → self-join per
+             bucket → exact Jaccard verify on candidates only (Broder 1997).
+             The self-join shuffles on band-bucket keys, never all-pairs.
+  * SimHash: 32/64-bit bit-majority fingerprint; near-dups share fingerprints
+             (or low Hamming distance).
+  * n-gram Jaccard: exact pairwise Jaccard within a blocking key (use on
+             small blocks / as the oracle baseline).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    band_keys_expr,
+    md5_expr,
+    minhash_expr,
+    simhash_expr,
+    word_shingles_expr,
+)
+from ..functions.text import tokenize_expr
+
+
+def _norm_tokens(text: Column) -> Column:
+    return tokenize_expr(F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Exact-duplicate groups: (dup_hash, canonical_id, dup_count, ids)."""
+    key = (
+        md5_expr(F.concat_ws(" ", _norm_tokens(F.col(text_col))))
+        if normalized
+        else md5_expr(F.col(text_col))
+    )
+    hashed = df.select(F.col(id_col), key.alias("dup_hash"))
+    return (
+        hashed.groupBy("dup_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash-LSH.
+
+    rows-per-band = num_hashes / bands; collision threshold ≈
+    (1/bands)^(1/rows).  Candidates are verified with exact shingle Jaccard.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles_expr(_norm_tokens(F.col(text_col)), shingle_n).alias("_shingles"),
+    )
+    sig = shingled.withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+    banded = sig.select(
+        "_id",
+        "_shingles",
+        F.explode(band_keys_expr(F.col("_sig"), bands, rows)).alias("_band"),
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"),
+        F.col("_shingles").alias("_sh_a"),
+        F.col("_band"),
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"),
+        F.col("_shingles").alias("_sh_b"),
+        F.col("_band"),
+    )
+    pairs = (
+        left.join(right, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = pairs.withColumn("jaccard", _jaccard(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        verified.filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    block_col: Optional[str] = None,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs; all-pairs within a blocking key.
+
+    Without LSH this is quadratic per block — keep blocks small (oracle
+    baseline / final verify of LSH candidates).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_block")] if block_col else [] ),
+        word_shingles_expr(_norm_tokens(F.col(text_col)), shingle_n).alias("_shingles"),
+    )
+    join_keys = ["_block"] if block_col else []
+    left = shingled.select(
+        *join_keys, F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
+    )
+    right = shingled.select(
+        *join_keys, F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")
+    )
+    pairs = (
+        left.join(right, join_keys) if join_keys else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard", _jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash) fingerprints; equal fingerprints ⇒ near-duplicates."""
+    return df.select(
+        F.col(id_col),
+        simhash_expr(_norm_tokens(F.col(text_col)), bits).alias("simhash"),
+    )

@@ -1,0 +1,167 @@
+"""Similarity search operators: exact cosine top-k, k-NN join, LSH scale path.
+
+V2 (reference: repo_qdrant.ml:132-170) re-expressed as a batch DataFrame
+program: optional payload pre-filter (V3) → cosine expression → top-k.
+
+Scale design:
+  * ``brute_force_topk``: one query vector as a literal — the similarity is a
+    per-row expression (codegen), top-k is TakeOrderedAndProject.  Scales
+    linearly with corpus size across executors; this is the exactness
+    baseline and the oracle path.
+  * ``cosine_knn_join``: many queries × big corpus.  The query side is
+    broadcast (dimension-table pattern); corpus stays partition-parallel, so
+    no shuffle of the big side.  Grouped top-k shuffles only the
+    (query_id, candidate) pairs that survive ``pre_filter``.
+  * ``lsh_bucketed_topk``: random-hyperplane LSH (Charikar 2002).  Signatures
+    are computed JVM-side from literal hyperplanes (deterministic seed);
+    corpus and queries bucket-join on (table, signature) so only colliding
+    pairs are scored — the 100 TB path when brute force is too wide.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, query_vector_lit
+from .topk import topk, topk_per_group
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_cols: List[str],
+    vec_col: str = "embedding",
+    pre_filter: Optional[Column] = None,
+    sim_col: str = "score",
+) -> DataFrame:
+    """Exact cosine top-k of one query against the corpus (V2+V3)."""
+    if pre_filter is not None:
+        vectors = vectors.filter(pre_filter)
+    scored = vectors.withColumn(
+        sim_col, cosine_similarity(F.col(vec_col), query_vector_lit(query_vec))
+    )
+    order = [F.col(sim_col).desc()] + [F.col(c).asc() for c in id_cols]
+    return topk(scored.select(*id_cols, sim_col), order, k)
+
+
+def cosine_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    sim_col: str = "score",
+) -> DataFrame:
+    """Top-k corpus neighbors per query row (broadcast the query side)."""
+    q = queries.select(
+        F.col(query_id).alias("_q_id"), F.col(query_vec).alias("_q_vec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    scored = joined.withColumn(
+        sim_col, cosine_similarity(F.col(corpus_vec), F.col("_q_vec"))
+    )
+    ranked = topk_per_group(
+        scored.select(F.col("_q_id").alias(query_id), F.col(corpus_id), F.col(sim_col)),
+        [query_id],
+        [F.col(sim_col).desc(), F.col(corpus_id).asc()],
+        k,
+    )
+    return ranked.drop("rank")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+def _signature_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature as a compact string, e.g. '1011...'."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    query_vector_lit(plane.tolist()),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    sim_col: str = "score",
+) -> DataFrame:
+    """Approximate k-NN join: candidates from LSH bucket collisions across
+    ``n_tables`` hash tables, exact cosine re-rank within candidates.
+
+    Recall grows with n_tables; cost grows with bucket collision width.
+    Both sides shuffle only on (table, signature) — never a cross join.
+    """
+    c_parts = []
+    q_parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        c_parts.append(
+            corpus.select(
+                F.col(corpus_id).alias("_c_id"),
+                F.col(corpus_vec).alias("_c_vec"),
+                F.lit(t).alias("_table"),
+                _signature_expr(F.col(corpus_vec), planes).alias("_sig"),
+            )
+        )
+        q_parts.append(
+            queries.select(
+                F.col(query_id).alias("_q_id"),
+                F.col(query_vec).alias("_q_vec"),
+                F.lit(t).alias("_table"),
+                _signature_expr(F.col(query_vec), planes).alias("_sig"),
+            )
+        )
+    c_all = c_parts[0]
+    for part in c_parts[1:]:
+        c_all = c_all.unionByName(part)
+    q_all = q_parts[0]
+    for part in q_parts[1:]:
+        q_all = q_all.unionByName(part)
+    candidates = (
+        c_all.join(q_all, ["_table", "_sig"])
+        .select("_q_id", "_c_id", "_q_vec", "_c_vec")
+        .dropDuplicates(["_q_id", "_c_id"])
+    )
+    scored = candidates.withColumn(
+        sim_col, cosine_similarity(F.col("_c_vec"), F.col("_q_vec"))
+    )
+    ranked = topk_per_group(
+        scored.select(
+            F.col("_q_id").alias(query_id), F.col("_c_id").alias(corpus_id), F.col(sim_col)
+        ),
+        [query_id],
+        [F.col(sim_col).desc(), F.col(corpus_id).asc()],
+        k,
+    )
+    return ranked.drop("rank")

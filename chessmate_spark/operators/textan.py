@@ -1,0 +1,117 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All JVM-side expressions over the documents table —
+no Python in the hot path.
+
+These generalize the reference's text functions (F1/F2/F12/F13) into the
+operators a training-data pipeline needs (SURVEY §7.2 step 10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_expr, minhash_expr
+from ..functions.scoring import portable_round
+from ..functions.text import tokenize_expr
+
+# Tiny deterministic stopword lists per language (n-gram heuristic seeds).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "una", "por", "con"],
+}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _ws_tokens(text: Column) -> Column:
+    return tokenize_expr(F.trim(text))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.size(_ws_tokens(text)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: length band + punctuation ratio + stopword
+    ratio + mean word length, composited to [0,1]."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    tokens = _ws_tokens(F.lower(text))
+    n_tokens = F.greatest(F.size(tokens), F.lit(1)).cast("double")
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    stopwords = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_hits = F.size(
+        F.filter(tokens, lambda t: F.array_contains(stopwords, t))
+    ).cast("double")
+    punct_chars = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).cast("double")
+    mean_word_len = n_chars / n_tokens
+    length_score = F.least(F.size(tokens).cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / n_tokens * F.lit(4.0), F.lit(1.0))
+    punct_penalty = F.least(punct_chars / n_chars * F.lit(4.0), F.lit(1.0))
+    word_len_score = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * stop_score
+        + F.lit(0.2) * word_len_score
+        + F.lit(0.1) * (F.lit(1.0) - punct_penalty)
+    )
+    return df.select(
+        F.col(id_col),
+        portable_round(length_score, 6).alias("length_score"),
+        portable_round(stop_score, 6).alias("stopword_score"),
+        portable_round(punct_penalty, 6).alias("punct_ratio_penalty"),
+        portable_round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language ID: argmax marker-hit ratio, 'und' if zero."""
+    tokens = _ws_tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    n_tokens = F.greatest(F.size(tokens), F.lit(1)).cast("double")
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(w) for w in markers])
+        hits = F.size(F.filter(tokens, lambda t: F.array_contains(marker_arr, t)))
+        scores.append(F.struct((hits.cast("double") / n_tokens).alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("detected_lang"),
+        portable_round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4
+) -> DataFrame:
+    """Rolling-hash-style fingerprint: minhash over character 8-grams, hex.
+
+    Robust to small edits (winnowing-style), cheap equality key for
+    clustering shards of near-identical documents.
+    """
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.greatest(F.length(text) - F.lit(7), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, 8))
+    )
+    sig = minhash_expr(grams, num_hashes)
+    return df.select(
+        F.col(id_col),
+        md5_expr(F.concat_ws(",", F.transform(sig, lambda x: x.cast("string")))).alias(
+            "fingerprint"
+        ),
+    )

@@ -1,0 +1,1159 @@
+"""Declared query inventory: every operator from SURVEY.md §2 as a
+(spark_builder, duckdb_oracle_sql) pair over the driver's synthetic tables.
+
+Determinism conventions (SURVEY §7.3):
+  * money aggregates go through exact DECIMAL arithmetic, then CAST AS DOUBLE
+    — bit-identical across Spark and DuckDB regardless of accumulation order;
+  * float scores (cosine, overlap, blends) are ROUND(x, 6);
+  * timestamps are formatted to strings at the output boundary;
+  * every ordering carries a unique tiebreak column;
+  * DuckDB ``sum(int)`` returns HUGEINT → always CAST AS BIGINT in oracles.
+
+Each Spark builder takes (spark, sf_dir) and reads the parquet tables the
+driver provides; the oracle SQL runs on DuckDB views of the same files.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.embedding import deterministic_embedding
+from ..functions.scoring import blend_scores, keyword_overlap, portable_round
+from ..functions.text import tokenize_sources
+from ..functions.vector import cosine_similarity, query_vector_lit
+from ..operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from ..operators.relational import paginate
+from ..operators.similarity import brute_force_topk, cosine_knn_join
+from ..operators.textan import language_id, quality_score, token_counts
+from ..operators.topk import topk_per_group
+
+SparkBuilder = Callable[[SparkSession, str], DataFrame]
+Entry = Tuple[SparkBuilder, Optional[str]]
+
+QUERIES: Dict[str, Entry] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the TIMESTAMP(NANOS) column restored to a timestamp.
+
+    Requires spark.sql.legacy.parquet.nanosAsLong=true (set by
+    chessmate_spark.session.get_spark); ns → µs truncation is exact for the
+    whole-second boundaries used by the windowed-count operators.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
+def _register(name: str, oracle: Optional[str]):
+    def wrap(fn: SparkBuilder) -> SparkBuilder:
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return wrap
+
+
+def _dsum(col, scale="decimal(20,4)"):
+    """Exact decimal sum cast to double (order-independent, oracle-exact)."""
+    return F.sum(F.col(col).cast(scale)).cast("double")
+
+
+_REVENUE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)"
+)
+
+
+def _revenue_expr():
+    return (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+        )
+    ).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A6, A7) + classic analytics shapes
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+           """ + _REVENUE + """ AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy partial+final aggregation (A1/A6 class)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _revenue_expr().alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           """ + _REVENUE + """ AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped top-k.
+    customer is broadcast; lineitem never shuffles before the filter."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_expr().alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, """ + _REVENUE + """ AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake joins; all dims broadcast, one fact shuffle."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_revenue_expr().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@_register(
+    "a1_count_filtered",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice >= 50000
+    """,
+)
+def a1_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: pagination COUNT(*) sharing the search predicate."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") >= 50000))
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+
+
+@_register(
+    "a6_status_histogram",
+    """
+    WITH totals AS (
+      SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_orderstatus)
+    SELECT status, cnt FROM totals
+    UNION ALL
+    SELECT 'TOTAL' AS status, CAST(sum(cnt) AS BIGINT) AS cnt FROM totals
+    ORDER BY status
+    """,
+)
+def a6_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/U3: per-status counts + grand-total row via UNION ALL."""
+    totals = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grand = totals.agg(
+        F.lit("TOTAL").alias("status"), F.sum("cnt").alias("cnt")
+    )
+    return totals.unionByName(grand).orderBy("status")
+
+
+@_register(
+    "a7_windowed_counts",
+    """
+    SELECT CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_1d,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_7d,
+           CAST(count(*) AS BIGINT) AS cnt_all
+    FROM events
+    """,
+)
+def a7_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: windowed throughput counts against a fixed reference 'now'."""
+    ev = _events(spark, sf_dir)
+    day = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    week = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    one = F.lit(1)
+    zero = F.lit(0)
+    return ev.agg(
+        F.sum(F.when(F.col("ts") >= day, one).otherwise(zero)).alias("cnt_1d"),
+        F.sum(F.when(F.col("ts") >= week, one).otherwise(zero)).alias("cnt_7d"),
+        F.count(one).alias("cnt_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / joins / pagination (P*, J*, O*)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "o1_pagination",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderstatus
+    FROM orders
+    ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC
+    LIMIT 20 OFFSET 10
+    """,
+)
+def o1_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: deterministic page sort + offset page (TakeOrderedAndProject)."""
+    orders = _t(spark, sf_dir, "orders")
+    page = paginate(
+        orders,
+        [F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc()],
+        limit=20,
+        offset=10,
+    )
+    return page.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderstatus",
+    )
+
+
+@_register(
+    "p6_range_filter",
+    """
+    SELECT p_partkey, p_brand, p_type
+    FROM part
+    WHERE upper(p_brand) BETWEEN 'BRAND#20' AND 'BRAND#29' AND p_size >= 25
+    ORDER BY p_partkey
+    """,
+)
+def p6_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: lexicographic string-range filter (ECO-range semantics)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.upper(F.col("p_brand")).between("BRAND#20", "BRAND#29")
+            & (F.col("p_size") >= 25)
+        )
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@_register(
+    "p10_rating_delta",
+    """
+    SELECT c_custkey, s_suppkey, round(abs(c_acctbal - s_acctbal), 2) AS bal_delta
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    WHERE c_acctbal IS NOT NULL AND s_acctbal IS NOT NULL
+      AND abs(c_acctbal - s_acctbal) <= 100
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def p10_rating_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: |a-b| <= delta with null guards (max_rating_delta semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        cust.join(F.broadcast(supp), cust["c_nationkey"] == supp["s_nationkey"])
+        .filter(
+            F.col("c_acctbal").isNotNull()
+            & F.col("s_acctbal").isNotNull()
+            & (F.abs(F.col("c_acctbal") - F.col("s_acctbal")) <= 100)
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            portable_round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("bal_delta"),
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+@_register(
+    "j1_left_join_summaries",
+    """
+    SELECT o_orderkey, coalesce(c_name, '') AS customer_name, o_orderstatus
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice >= 100000
+    ORDER BY o_orderkey
+    """,
+)
+def j1_left_join_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⟕ broadcast dim with COALESCE'd display name (F15)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 100000)
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_name"), F.lit("")).alias("customer_name"),
+            "o_orderstatus",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "j3_semi_join",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: semi-join by id set (id = ANY(...) semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "j6_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """,
+)
+def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: anti-join (player-upsert 'not yet present' semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "o4_topk_per_group",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    ORDER BY o_orderstatus, rank
+    """,
+)
+def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: top-k per group via window (vector over-fetch collapse shape)."""
+    ranked = topk_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return ranked.select("o_orderstatus", "o_orderkey", "o_totalprice", "rank").orderBy(
+        "o_orderstatus", "rank"
+    )
+
+
+@_register(
+    "u1_distinct_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    ORDER BY user_id, event_type
+    """,
+)
+def u1_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U4: dedup via distinct."""
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
+@_register(
+    "f16_json_extraction",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def f16_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: JSON tag extraction with scalar coercion."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k_bucket")
+    )
+
+# ---------------------------------------------------------------------------
+# Vector / similarity operators (V2-V5) over the embeddings table
+# ---------------------------------------------------------------------------
+
+_QUERY_TOKENS = ["spark", "join", "merge"]
+_EMBED_DIM = 64
+
+
+def _query_vec() -> list:
+    return deterministic_embedding(_QUERY_TOKENS, _EMBED_DIM)
+
+
+def _duck_vec_literal() -> str:
+    return "[" + ", ".join(repr(v) for v in _query_vec()) + "]"
+
+
+def _duck_cosine(vec_expr: str, q_expr: str) -> str:
+    """Explicit cosine in DuckDB mirroring the Spark zip_with/aggregate form."""
+    return (
+        f"(CASE WHEN sqrt(list_sum(list_transform({vec_expr}, x -> CAST(x AS DOUBLE) * x)))"
+        f" * sqrt(list_sum(list_transform({q_expr}, x -> CAST(x AS DOUBLE) * x))) = 0 THEN 0.0"
+        f" ELSE list_sum(list_transform(list_zip({vec_expr}, {q_expr}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({vec_expr}, x -> CAST(x AS DOUBLE) * x)))"
+        f" * sqrt(list_sum(list_transform({q_expr}, x -> CAST(x AS DOUBLE) * x)))) END)"
+    )
+
+
+def _v2_oracle() -> str:
+    cos = _duck_cosine("embedding", _duck_vec_literal())
+    return f"""
+    SELECT vec_id, label, round({cos}, 6) AS score
+    FROM embeddings
+    WHERE label <> 7
+    ORDER BY score DESC, vec_id
+    LIMIT 15
+    """
+
+
+@_register("v2_cosine_topk", None)  # oracle attached below after definition
+def v2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2+V3: payload pre-filter → exact cosine top-k, deterministic order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = brute_force_topk(
+        emb,
+        _query_vec(),
+        k=15,
+        id_cols=["vec_id", "label"],
+        vec_col="embedding",
+        pre_filter=F.col("label") != 7,
+    )
+    return hits.select("vec_id", "label", portable_round(F.col("score"), 6).alias("score"))
+
+
+QUERIES["v2_cosine_topk"] = (v2_cosine_topk, _v2_oracle())
+
+
+def _v4_oracle() -> str:
+    cos = _duck_cosine("embedding", _duck_vec_literal())
+    return f"""
+    WITH hits AS (
+      SELECT label, round({cos}, 6) AS score, vec_id
+      FROM embeddings
+      ORDER BY score DESC, vec_id
+      LIMIT 50)
+    SELECT label, max(score) AS best_score, CAST(count(*) AS BIGINT) AS hit_count
+    FROM hits GROUP BY label ORDER BY label
+    """
+
+
+@_register("v4_hit_collapse", None)
+def v4_hit_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/V4: over-fetched hits collapsed per group key (max score + count)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = brute_force_topk(
+        emb, _query_vec(), k=50, id_cols=["vec_id", "label"], vec_col="embedding"
+    ).select("label", portable_round(F.col("score"), 6).alias("score"))
+    return (
+        hits.groupBy("label")
+        .agg(F.max("score").alias("best_score"), F.count(F.lit(1)).alias("hit_count"))
+        .orderBy("label")
+    )
+
+
+QUERIES["v4_hit_collapse"] = (v4_hit_collapse, _v4_oracle())
+
+
+def _knn_oracle() -> str:
+    cos = _duck_cosine("c.embedding", "q.embedding")
+    return f"""
+    SELECT query_id, neighbor_id, score FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({cos}, 6) AS score,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({cos}, 6) DESC, c.vec_id) AS rn
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id >= 5)
+    WHERE rn <= 3
+    ORDER BY query_id, score DESC, neighbor_id
+    """
+
+
+def _v2_knn_join_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 5
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 5
+    )
+    knn = cosine_knn_join(
+        queries,
+        corpus,
+        k=3,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+    )
+    return knn.select(
+        "query_id", "neighbor_id", portable_round(F.col("score"), 6).alias("score")
+    ).orderBy("query_id", F.col("score").desc(), "neighbor_id")
+
+
+QUERIES["v2_knn_join"] = (_v2_knn_join_fixed, _knn_oracle())
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents (F1/F2/F12/F13 generalized + pipeline ops)
+# ---------------------------------------------------------------------------
+
+_DUCK_WS_TOKENS = (
+    "list_filter(string_split_regex(trim(coalesce({col}, '')), '\\s+'),"
+    " t -> t <> '')"
+)
+_DUCK_NORM_TOKENS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(coalesce({col}, ''))"
+    ", '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+
+@_register(
+    "t1_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(""" + _DUCK_WS_TOKENS.format(col="text") + """) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+           CAST(length(coalesce(text, '')) AS INTEGER) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex + chars."""
+    docs = _t(spark, sf_dir, "documents")
+    out = token_counts(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("int").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("int").alias("bpe_tokens"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    toks = _DUCK_WS_TOKENS.format(col="lower(text)")
+    stop = "['the','and','of','to','is','in','that','for','with','was']"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             {toks} AS tokens,
+             greatest(length(coalesce(text, '')), 1) AS n_chars,
+             length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9\\s]', '', 'g')) AS punct_chars
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             least(CAST(len(tokens) AS DOUBLE) / 100.0, 1.0) AS length_score,
+             least(CAST(len(list_filter(tokens, t -> list_contains({stop}, t))) AS DOUBLE)
+                   / greatest(len(tokens), 1) * 4.0, 1.0) AS stop_score,
+             least(CAST(punct_chars AS DOUBLE) / n_chars * 4.0, 1.0) AS punct_penalty,
+             CAST(n_chars AS DOUBLE) / greatest(len(tokens), 1) AS mean_word_len
+      FROM t)
+    SELECT doc_id,
+           round(length_score, 6) AS length_score,
+           round(stop_score, 6) AS stopword_score,
+           round(punct_penalty, 6) AS punct_ratio_penalty,
+           round(0.4 * length_score + 0.3 * stop_score
+                 + 0.2 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                 + 0.1 * (1.0 - punct_penalty), 6) AS quality
+    FROM s ORDER BY doc_id
+    """
+
+
+@_register("t2_quality_score", None)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (length/punct/stopword ratios)."""
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["t2_quality_score"] = (t2_quality_score, _quality_oracle())
+
+
+def _langid_oracle() -> str:
+    toks = _DUCK_WS_TOKENS.format(col="lower(text)")
+    markers = {
+        "en": "['the','and','of','to','is','in','that','for','with','was']",
+        "de": "['der','die','und','das','ist','nicht','ein','mit','von','zu']",
+        "fr": "['le','la','et','les','des','est','une','dans','que','pour']",
+        "es": "['el','la','los','que','de','en','es','una','por','con']",
+    }
+    score = lambda lang: (
+        f"CAST(len(list_filter(tokens, t -> list_contains({markers[lang]}, t))) AS DOUBLE)"
+        f" / greatest(len(tokens), 1)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tokens FROM documents),
+    s AS (SELECT doc_id,
+                 {score('de')} AS s_de, {score('en')} AS s_en,
+                 {score('es')} AS s_es, {score('fr')} AS s_fr
+          FROM t),
+    m AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+                 greatest(s_de, s_en, s_es, s_fr) AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN best = s_fr THEN 'fr'
+                WHEN best = s_es THEN 'es'
+                WHEN best = s_en THEN 'en'
+                ELSE 'de' END AS detected_lang,
+           round(best, 6) AS lang_score
+    FROM m ORDER BY doc_id
+    """
+
+
+@_register("t3_language_id", None)
+def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (argmax, ties -> later language code)."""
+    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["t3_language_id"] = (t3_language_id, _langid_oracle())
+
+
+@_register(
+    "f13_tokenize_sources",
+    """
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(coalesce(text, '') || ' ' || coalesce(source, '')),
+                                            '[^a-z0-9]+'),
+                         t -> length(t) >= 3))), ' ') AS tokens_str
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f13_tokenize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: sorted deduped >=3-char tokens across several source columns."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_sources(F.col("text"), F.col("source"))
+    return docs.select(
+        "doc_id", F.concat_ws(" ", toks).alias("tokens_str")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "a4_keyword_overlap",
+    """
+    SELECT doc_id,
+           round(CAST(len(list_intersect(['spark','join','merge'],
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+               t -> length(t) >= 3))))) AS DOUBLE) / 3.0, 6) AS overlap
+    FROM documents ORDER BY doc_id
+    """,
+)
+def a4_keyword_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: |plan.keywords ∩ doc tokens| / |plan.keywords|."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_sources(F.col("text"))
+    return docs.select(
+        "doc_id",
+        portable_round(keyword_overlap(toks, _QUERY_TOKENS), 6).alias("overlap"),
+    ).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# Deduplication family (exact, MinHash-LSH, SimHash, n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES3 = """
+list_distinct([array_to_string(list_slice(tokens, i, i + 2), ' ')
+               FOR i IN range(1, greatest(len(tokens) - 2, 1) + 1)])
+"""
+
+
+@_register(
+    "d1_exact_dedup_groups",
+    """
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(substring(coalesce(text, ''), 1, 40)) AS dup_hash
+      FROM documents)
+    SELECT dup_hash, min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS dup_count
+    FROM hashed GROUP BY dup_hash
+    ORDER BY dup_hash
+    """,
+)
+def d1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group documents by content prefix digest."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)).alias(
+            "dup_hash"
+        ),
+    )
+    return (
+        hashed.groupBy("dup_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("dup_hash")
+    )
+
+
+def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, min_j: float = 0.1) -> str:
+    rows = num_hashes // bands
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    h60 = (
+        "('0x' || substring(md5(CAST({i} AS VARCHAR) || ':' || {s}), 1, 15))::BIGINT"
+    )
+    minhash = h60.format(i="i", s="s")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS tokens FROM documents),
+    sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES3} AS shingles FROM toks),
+    sig AS (
+      SELECT doc_id, shingles,
+             [list_min(list_transform(shingles, s -> {minhash}))
+              FOR i IN range({num_hashes})] AS signature
+      FROM sh),
+    bands AS (
+      SELECT doc_id, shingles, unnest(
+        [CAST(b AS VARCHAR) || ':' ||
+         md5(array_to_string(list_transform(
+             list_slice(signature, b * {rows} + 1, b * {rows} + {rows}),
+             x -> CAST(x AS VARCHAR)), ','))
+         FOR b IN range({bands})]) AS band
+      FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.shingles AS sh_a, b.shingles AS sh_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / len(list_distinct(list_concat(sh_a, sh_b))) >= {min_j}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("d2_minhash_lsh_pairs", None)
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with exact Jaccard verify."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        min_jaccard=0.1,
+    )
+    return pairs.select(
+        "id_a", "id_b", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES["d2_minhash_lsh_pairs"] = (d2_minhash_lsh_pairs, _minhash_lsh_oracle())
+
+
+def _ngram_jaccard_oracle(min_j: float = 0.15) -> str:
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {toks} AS tokens FROM documents),
+    sh AS (
+      SELECT doc_id, source, {_DUCK_SHINGLES3} AS shingles FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {min_j}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("d3_ngram_jaccard_pairs", None)
+def d3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within a blocking key (source)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, block_col="source", min_jaccard=0.15
+    )
+    return pairs.select(
+        "id_a", "id_b", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES["d3_ngram_jaccard_pairs"] = (d3_ngram_jaccard_pairs, _ngram_jaccard_oracle())
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    h60 = "('0x' || substring(md5('sim:' || t), 1, 15))::BIGINT"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tokens FROM documents),
+    votes AS (
+      SELECT doc_id,
+             [list_sum(list_transform(tokens,
+                t -> CASE WHEN ({h60} % CAST(pow(2, b + 1) AS BIGINT))
+                               >= CAST(pow(2, b) AS BIGINT)
+                          THEN 1 ELSE -1 END))
+              FOR b IN range({bits})] AS v
+      FROM t)
+    SELECT doc_id,
+           CAST(coalesce(list_sum([CASE WHEN v[b + 1] > 0
+                       THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END
+                  FOR b IN range({bits})]), 0) AS BIGINT) AS simhash
+    FROM votes ORDER BY doc_id
+    """
+
+
+@_register("d4_simhash", None)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit for the oracle; bits configurable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+QUERIES["d4_simhash"] = (d4_simhash, _simhash_oracle())
+
+# ---------------------------------------------------------------------------
+# Hybrid search flagship (the reference's /query pipeline on documents)
+# ---------------------------------------------------------------------------
+
+def _hybrid_oracle() -> str:
+    cos = _duck_cosine("e.embedding", _duck_vec_literal())
+    toks = (
+        "list_sort(list_distinct(list_filter("
+        "string_split_regex(lower(coalesce(d.text, '')), '[^a-z0-9]+'),"
+        " t -> length(t) >= 3)))"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT d.doc_id,
+             least(greatest({cos}, 0.0), 1.0) AS v_raw,
+             CAST(len(list_intersect(['spark','join','merge'], {toks})) AS DOUBLE) / 3.0 AS k_raw
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en')
+    SELECT doc_id,
+           round(0.75 * v_raw + 0.25 * k_raw, 6) AS total_score,
+           round(v_raw, 6) AS vector_score,
+           round(k_raw, 6) AS keyword_score
+    FROM scored
+    ORDER BY total_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@_register("hybrid_search_documents", None)
+def hybrid_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hybrid /query pipeline re-expressed on the documents
+    corpus: metadata filter (P*) → embedding join (J4) → clamped cosine (V2,
+    F20) → keyword overlap (A4, F13) → 0.75/0.25 blend (F21) → top-k (O2).
+
+    One broadcast-free equi-join + per-row codegen expressions + TakeOrdered.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    cos = cosine_similarity(F.col("embedding"), query_vector_lit(_query_vec()))
+    v_raw = F.least(F.greatest(cos, F.lit(0.0)), F.lit(1.0))
+    k_raw = keyword_overlap(tokenize_sources(F.col("text")), _QUERY_TOKENS)
+    scored = joined.select(
+        "doc_id",
+        portable_round(blend_scores(v_raw, k_raw), 6).alias("total_score"),
+        portable_round(v_raw, 6).alias("vector_score"),
+        portable_round(k_raw, 6).alias("keyword_score"),
+    )
+    return scored.orderBy(F.col("total_score").desc(), F.col("doc_id")).limit(10)
+
+
+QUERIES["hybrid_search_documents"] = (hybrid_search_documents, _hybrid_oracle())
+
+
+def _v5_oracle(dim: int = 8) -> str:
+    toks = (
+        "list_sort(list_distinct(list_filter("
+        "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),"
+        " t -> length(t) >= 3)))"
+    )
+    bucket = (
+        "(('0x' || substring(md5(t || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT"
+        " % 10000)"
+    )
+    dims = ", ".join(
+        f"round(CASE WHEN len(tokens) = 0 THEN 0.0 ELSE "
+        f"least(greatest(CAST(list_sum(list_transform(tokens, t -> "
+        + bucket.replace("CAST(i AS VARCHAR)", f"'{i}'")
+        + f")) AS DOUBLE) / 10000.0 / len(tokens), 0.0), 1.0) END, 6) AS e{i}"
+        for i in range(dim)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tokens FROM documents)
+    SELECT doc_id, {dims} FROM t ORDER BY doc_id
+    """
+
+
+@_register("v5_deterministic_embedding", None)
+def v5_deterministic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5: the engine-defined deterministic embedding of document tokens
+    (dim 8 shown column-wise for the oracle)."""
+    from ..functions.embedding import deterministic_embedding_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_sources(F.col("text"))
+    emb = deterministic_embedding_expr(toks, 8)
+    cols = [
+        portable_round(F.element_at(emb, i + 1), 6).alias(f"e{i}") for i in range(8)
+    ]
+    return docs.select("doc_id", *cols).orderBy("doc_id")
+
+
+QUERIES["v5_deterministic_embedding"] = (v5_deterministic_embedding, _v5_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function packs over inline VALUES (F3, F4, F7, F19)
+# ---------------------------------------------------------------------------
+
+_DATE_VALUES = [
+    "1994.09.11", "1994.9.1", "1994.??.??", "1994.??.15", "????.??.??",
+    "  ", "1994", "2001.12.31", "1994.01.123", "1999.7.04",
+]
+
+
+@_register(
+    "f4_date_normalization",
+    """
+    WITH raw(id, d) AS (VALUES """
+    + ", ".join(f"({i}, '{v}')" for i, v in enumerate(_DATE_VALUES))
+    + """),
+    parts AS (
+      SELECT id, d, trim(d) AS t, string_split(trim(d), '.') AS p FROM raw)
+    SELECT id,
+      CASE
+        WHEN t = '' THEN NULL
+        WHEN len(p) <> 3 THEN t
+        WHEN NOT regexp_matches(trim(p[1]), '^[0-9]+$') THEN NULL
+        ELSE trim(p[1]) || '-' ||
+          (CASE WHEN regexp_matches(trim(p[2]), '^[0-9]{1,2}$')
+                THEN lpad(trim(p[2]), 2, '0') ELSE '01' END) || '-' ||
+          (CASE WHEN regexp_matches(trim(p[3]), '^[0-9]{1,2}$')
+                THEN lpad(trim(p[3]), 2, '0') ELSE '01' END)
+      END AS normalized
+    FROM parts ORDER BY id
+    """,
+)
+def f4_date_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: PGN date wildcards → ISO dates, as a pure Column expression."""
+    rows = [(i, v) for i, v in enumerate(_DATE_VALUES)]
+    df = spark.createDataFrame(rows, "id int, d string")
+    t = F.trim(F.col("d"))
+    p = F.split(t, "\\.")
+    comp = lambda c: F.when(
+        c.rlike("^[0-9]{1,2}$"), F.lpad(c, 2, "0")
+    ).otherwise(F.lit("01"))
+    normalized = (
+        F.when(t == "", F.lit(None).cast("string"))
+        .when(F.size(p) != 3, t)
+        .when(~F.trim(F.element_at(p, 1)).rlike("^[0-9]+$"), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(
+                "-",
+                F.trim(F.element_at(p, 1)),
+                comp(F.trim(F.element_at(p, 2))),
+                comp(F.trim(F.element_at(p, 3))),
+            )
+        )
+    )
+    return df.select("id", normalized.alias("normalized")).orderBy("id")
+
+
+_SLUG_VALUES = [
+    "King's Indian Defense", "Caro-Kann Defense", "  A  B  C ",
+    "1.d4 Nf6 2.c4 e6: Indian systems with ...e6", "Grunfeld Defense", "",
+]
+
+
+@_register(
+    "f3_slugify",
+    """
+    WITH raw(id, name) AS (VALUES """
+    + ", ".join(f"({i}, '{v}')".replace("'s", "''s") for i, v in enumerate(_SLUG_VALUES))
+    + """)
+    SELECT id,
+           trim(regexp_replace(regexp_replace(lower(name), '''', '', 'g'),
+                               '[^a-z0-9]+', '_', 'g'), '_') AS slug
+    FROM raw ORDER BY id
+    """,
+)
+def f3_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: slugify as a Column expression."""
+    from ..functions.text import slugify_expr
+
+    rows = [(i, v) for i, v in enumerate(_SLUG_VALUES)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    return df.select("id", slugify_expr(F.col("name")).alias("slug")).orderBy("id")
+
+
+_ECO_VALUES = ["E60", "E99", "B20", "C05", "A80", "D70", "Z99", "b21", " e75 "]
+
+
+def _f7_oracle() -> str:
+    from ..chess.openings import ALL
+
+    catalogue_rows = ", ".join(
+        "('" + e.eco_start + "', '" + e.eco_end + "', '"
+        + e.canonical.replace("'", "''") + "', '" + e.slug + "')"
+        for e in ALL
+    )
+    eco_rows = ", ".join(f"({i}, '{v}')" for i, v in enumerate(_ECO_VALUES))
+    return f"""
+    WITH cat(eco_start, eco_end, canonical, slug) AS (VALUES {catalogue_rows}),
+    raw(id, eco) AS (VALUES {eco_rows})
+    SELECT r.id, upper(trim(r.eco)) AS eco, c.canonical, c.slug
+    FROM raw r LEFT JOIN cat c
+      ON upper(trim(r.eco)) BETWEEN c.eco_start AND c.eco_end
+    ORDER BY r.id
+    """
+
+
+@_register("f7_eco_catalogue", None)
+def f7_eco_catalogue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: ECO → opening catalogue broadcast range join."""
+    from ..chess.openings import ALL
+
+    cat = spark.createDataFrame(
+        [(e.eco_start, e.eco_end, e.canonical, e.slug) for e in ALL],
+        "eco_start string, eco_end string, canonical string, slug string",
+    )
+    raw = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_ECO_VALUES)], "id int, eco string"
+    )
+    eco_norm = F.upper(F.trim(raw["eco"]))
+    joined = raw.join(
+        F.broadcast(cat),
+        eco_norm.between(cat["eco_start"], cat["eco_end"]),
+        "left",
+    )
+    return joined.select(
+        "id", eco_norm.alias("eco"), "canonical", "slug"
+    ).orderBy("id")
+
+
+QUERIES["f7_eco_catalogue"] = (f7_eco_catalogue, _f7_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Registry accessors (the __spark_entry__ contract)
+# ---------------------------------------------------------------------------
+
+def query_map() -> Dict[str, SparkBuilder]:
+    return {name: fn for name, (fn, _oracle) in QUERIES.items()}
+
+
+def oracle_sql_map() -> Dict[str, str]:
+    return {
+        name: oracle for name, (_fn, oracle) in QUERIES.items() if oracle is not None
+    }
