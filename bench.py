@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Per-query time = logical plan build + full execution (collect), measured
+after one warm-up action so JVM/codegen startup isn't charged to query 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chessmate_spark.session import get_spark  # noqa: E402
+from chessmate_spark.plans.queries import QUERIES  # noqa: E402
+
+# Headline set: the scan/join/agg-heavy and operator-representative queries.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "o1_pagination",
+    "o4_topk_per_group",
+    "j1_left_join_summaries",
+    "j3_semi_join",
+    "j6_anti_join",
+    "a6_status_histogram",
+    "a7_windowed_counts",
+    "u1_distinct_pairs",
+    "f16_json_extraction",
+    "v2_cosine_topk",
+    "v2_knn_join",
+    "v4_hit_collapse",
+    "v5_deterministic_embedding",
+    "hybrid_search_documents",
+    "t1_token_counts",
+    "t2_quality_score",
+    "t3_language_id",
+    "f13_tokenize_sources",
+    "a4_keyword_overlap",
+    "d1_exact_dedup_groups",
+    "d2_minhash_lsh_pairs",
+    "d3_ngram_jaccard_pairs",
+    "d4_simhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(sf_match.group(1)) if sf_match else -1.0
+
+    spark = get_spark(app_name="chessmate_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch the biggest table so JVM startup isn't charged to q1
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings = {}
+    for name in HEADLINE:
+        builder, _oracle = QUERIES[name]
+        start = time.perf_counter()
+        df = builder(spark, sf_dir)
+        rows = df.collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+        del rows
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

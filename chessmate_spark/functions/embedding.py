@@ -3,15 +3,20 @@
 The reference's fallback embedder (query_embedding_provider.ml:19-42) maps
 each dimension i to the mean over tokens of ``(|hash (token, i)| mod 10_000)
 / 10_000`` clamped to [0,1].  OCaml's ``Hashtbl.hash`` is not portable
-(SURVEY §7.3), so this engine *defines* its stable hash:
+(SURVEY §7.3), so this engine *defines* its stable hash family:
 
-    bucket(token, i) = (int(md5(token || ':' || i)[:8 hex], 16) % 10000) / 10000.0
+    base(token)      = int(md5('v5:' || token)[:15 hex], 16) mod P      (P = 2^31-1)
+    bucket(token, i) = ((a_i * base(token) + b_i) mod P) mod 10_000
+    dim_i            = clamp01( Σ_tokens bucket(token, i) / 10_000 / n )
 
-MD5 is available identically in Python (hashlib), Spark (``md5``/``conv``) and
-DuckDB (``md5``/hex cast), which makes the entire vector path reproducible and
-oracle-checkable without any external service.  Three equivalent forms are
-provided: pure Python (driver-side query vectors), a Spark Column expression
-(distributed, JVM-side — no Python UDF), and a DuckDB SQL fragment (oracle).
+with (a_i, b_i) the deterministic universal-hash constants of
+``hashing.universal_constants(dim, "v5dim")``.  One md5 per token (not per
+token×dimension) keeps the 1536-dim production path tractable; the per-dim
+work is two integer mulmods.  The per-dimension sum runs over integers —
+exact in any engine and accumulation order — so Spark, DuckDB, and Python
+produce bit-identical vectors.  Three equivalent forms are provided: pure
+Python (driver-side query vectors), a Spark Column expression (JVM-side, no
+Python UDF), and a DuckDB SQL fragment (the correctness oracle).
 """
 
 from __future__ import annotations
@@ -22,12 +27,25 @@ from typing import List, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .hashing import MINHASH_PRIME as _P
+from .hashing import universal_constants
+
 DEFAULT_DIM = 16  # test dimension per FIXTURES.md; production uses 1536
 
 
-def hash_bucket_int(token: str, index: int) -> int:
-    digest = hashlib.md5(f"{token}:{index}".encode("utf-8")).hexdigest()
-    return int(digest[:8], 16) % 10_000
+def _v5_constants(dim: int):
+    return universal_constants(dim, "v5dim")
+
+
+def v5_base(token: str) -> int:
+    digest = hashlib.md5(f"v5:{token}".encode("utf-8")).hexdigest()
+    return int(digest[:15], 16) % _P
+
+
+def hash_bucket_int(token: str, index: int, _consts_cache={}) -> int:
+    consts = _consts_cache.setdefault(index + 1, _v5_constants(index + 1))
+    a, b = consts[index]
+    return ((a * v5_base(token) + b) % _P) % 10_000
 
 
 def hash_bucket(token: str, index: int) -> float:
@@ -35,26 +53,23 @@ def hash_bucket(token: str, index: int) -> float:
 
 
 def deterministic_embedding(tokens: Sequence[str], dim: int = DEFAULT_DIM) -> List[float]:
-    """Driver-side V5: mean of hash buckets per dimension, clamped [0,1].
-
-    The per-dimension sum runs over *integer* buckets (exact in any engine /
-    accumulation order); only the final division is floating-point — this
-    keeps Spark, DuckDB and Python bit-identical.
-    """
+    """Driver-side V5: mean of hash buckets per dimension, clamped [0,1]."""
     toks = list(tokens)
     if not toks:
         return [0.0] * dim
     n = float(len(toks))
+    consts = _v5_constants(dim)
+    bases = [v5_base(t) for t in toks]
     out: List[float] = []
-    for i in range(dim):
-        total = sum(hash_bucket_int(t, i) for t in toks)
+    for a, b in consts:
+        total = sum(((a * h + b) % _P) % 10_000 for h in bases)
         out.append(min(1.0, max(0.0, total / 10_000.0 / n)))
     return out
 
 
-def _bucket_int_expr(token: Column, index: Column) -> Column:
-    digest = F.md5(F.concat(token, F.lit(":"), index.cast("string")))
-    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % 10_000
+def v5_base_expr(token: Column) -> Column:
+    digest = F.md5(F.concat(F.lit("v5:"), token))
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % _P
 
 
 def deterministic_embedding_expr(tokens: Column, dim: int = DEFAULT_DIM) -> Column:
@@ -63,36 +78,42 @@ def deterministic_embedding_expr(tokens: Column, dim: int = DEFAULT_DIM) -> Colu
     Pure SQL expressions (md5/conv/aggregate/transform) — stays JVM-side.
     Empty/null token arrays embed to the zero vector.
     """
-    def one_dim(i: Column) -> Column:
+    hashed = F.transform(tokens, v5_base_expr)
+
+    def one_dim(a: int, b: int) -> Column:
         total = F.aggregate(
-            tokens,
+            hashed,
             F.lit(0).cast("bigint"),
-            lambda acc, t: acc + _bucket_int_expr(t, i),
+            lambda acc, h: acc + ((F.lit(a) * h + F.lit(b)) % _P) % 10_000,
         )
         mean = total.cast("double") / F.lit(10_000.0) / F.size(tokens).cast("double")
         return F.least(F.greatest(mean, F.lit(0.0)), F.lit(1.0))
 
-    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), one_dim)
+    vec = F.array(*[one_dim(a, b) for a, b in _v5_constants(dim)])
     zero = F.array(*[F.lit(0.0) for _ in range(dim)])
     return F.when(tokens.isNull() | (F.size(tokens) == 0), zero).otherwise(vec)
+
+
+def duckdb_bucket_sql(a: int, b: int, base_sql: str = None) -> str:
+    base = base_sql or (
+        f"(('0x' || substring(md5('v5:' || t), 1, 15))::BIGINT % {_P})"
+    )
+    return f"((({a} * {base} + {b}) % {_P}) % 10000)"
 
 
 def deterministic_embedding_duckdb_sql(tokens_sql: str, dim: int = DEFAULT_DIM) -> str:
     """DuckDB SQL fragment computing the same embedding from a LIST(VARCHAR)
     expression ``tokens_sql`` — used by the correctness oracle."""
-    bucket = (
-        "(('0x' || substring(md5(t || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT"
-        " % 10000)"
+    dims = ", ".join(
+        "least(greatest(CAST(list_sum(list_transform("
+        + tokens_sql
+        + f", t -> {duckdb_bucket_sql(a, b)})) AS DOUBLE)"
+        f" / 10000.0 / len({tokens_sql}), 0.0), 1.0)"
+        for a, b in _v5_constants(dim)
     )
     return f"""
     CASE WHEN {tokens_sql} IS NULL OR len({tokens_sql}) = 0
          THEN [0.0 FOR i IN range({dim})]
-         ELSE [
-            least(greatest(
-              CAST(list_sum(list_transform({tokens_sql}, t -> {bucket})) AS DOUBLE)
-                / 10000.0 / len({tokens_sql}),
-              0.0), 1.0)
-            FOR i IN range({dim})
-         ]
+         ELSE [{dims}]
     END
     """

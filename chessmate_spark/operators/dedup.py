@@ -77,35 +77,57 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
+    # shingle sets are computed ONCE and persisted — the pipeline references
+    # them four times (signatures, sizes, and both sides of the intersection
+    # join); without the persist Spark would recompute the md5 minhash work
+    # per reference.
     shingled = df.select(
         F.col(id_col).alias("_id"),
         word_shingles_expr(_norm_tokens(F.col(text_col)), shingle_n).alias("_shingles"),
-    )
+    ).persist()
     sig = shingled.withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+    # candidates carry ONLY (id, band) — never the shingle arrays.  The
+    # band self-join therefore shuffles a few bytes per row; this is what
+    # keeps the operator viable when the corpus is 10^9 documents.
     banded = sig.select(
-        "_id",
-        "_shingles",
-        F.explode(band_keys_expr(F.col("_sig"), bands, rows)).alias("_band"),
-    )
-    left = banded.select(
-        F.col("_id").alias("id_a"),
-        F.col("_shingles").alias("_sh_a"),
-        F.col("_band"),
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"),
-        F.col("_shingles").alias("_sh_b"),
-        F.col("_band"),
-    )
+        "_id", F.explode(band_keys_expr(F.col("_sig"), bands, rows)).alias("_band")
+    ).persist()
     pairs = (
-        left.join(right, "_band")
+        banded.select(F.col("_id").alias("id_a"), "_band")
+        .join(banded.select(F.col("_id").alias("id_b"), "_band"), "_band")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = pairs.withColumn("jaccard", _jaccard(F.col("_sh_a"), F.col("_sh_b")))
-    return (
-        verified.filter(F.col("jaccard") >= F.lit(min_jaccard))
-        .select("id_a", "id_b", "jaccard")
+    # exact-Jaccard verify on candidates only: join each pair side to the
+    # exploded shingle table keyed on (id, shingle) — set intersection as a
+    # groupBy count, set union via |A| + |B| − |A∩B|.
+    sizes = shingled.select("_id", F.size("_shingles").alias("_sz"))
+    exploded = shingled.select("_id", F.explode("_shingles").alias("_sh"))
+    with_a = pairs.join(exploded, pairs["id_a"] == exploded["_id"]).select(
+        "id_a", "id_b", "_sh"
+    )
+    inter = (
+        with_a.join(
+            exploded.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb")),
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sh") == F.col("_shb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    verified = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= F.lit(min_jaccard)).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -122,23 +144,42 @@ def ngram_jaccard_pairs(
     Without LSH this is quadratic per block — keep blocks small (oracle
     baseline / final verify of LSH candidates).
     """
+    # Exploded token-join: |A∩B| falls out of a self-join on (block, shingle)
+    # — pairs sharing no shingle never materialize, and no arrays travel
+    # through shuffles.  This is the classic exact set-similarity join; for
+    # thresholded workloads a prefix filter (PPJoin) can prune further.
+    block = [F.col(block_col).alias("_block")] if block_col else []
     shingled = df.select(
         F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_block")] if block_col else [] ),
+        *block,
         word_shingles_expr(_norm_tokens(F.col(text_col)), shingle_n).alias("_shingles"),
+    ).persist()
+    block_keys = ["_block"] if block_col else []
+    sizes = shingled.select(*block_keys, "_id", F.size("_shingles").alias("_sz"))
+    exploded = shingled.select(
+        *block_keys, "_id", F.explode("_shingles").alias("_sh")
     )
-    join_keys = ["_block"] if block_col else []
-    left = shingled.select(
-        *join_keys, F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
+    right = exploded.select(
+        *[F.col(k) for k in block_keys],
+        F.col("_id").alias("_idb"),
+        F.col("_sh"),
     )
-    right = shingled.select(
-        *join_keys, F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")
+    inter = (
+        exploded.join(right, block_keys + ["_sh"])
+        .filter(F.col("_id") < F.col("_idb"))
+        .groupBy(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    pairs = (
-        left.join(right, join_keys) if join_keys else left.crossJoin(right)
-    ).filter(F.col("id_a") < F.col("id_b"))
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
     return (
-        pairs.withColumn("jaccard", _jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
+        )
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
         .select("id_a", "id_b", "jaccard")
     )

@@ -60,6 +60,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-but-compute-heavy table across all cores.
+
+    documents/embeddings arrive as one tiny parquet file (single split), but
+    per-row cost is dominated by expression work (md5 loops, 64-dim cosines,
+    shingle intersections) — parallelism must follow compute cost, not input
+    bytes.  The shuffle moves a few MB; the win is every core working.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(_t(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(_t(spark, sf_dir, "embeddings"))
+
+
 def _register(name: str, oracle: Optional[str]):
     def wrap(fn: SparkBuilder) -> SparkBuilder:
         QUERIES[name] = (fn, oracle)
@@ -515,7 +535,7 @@ def _v2_oracle() -> str:
 @_register("v2_cosine_topk", None)  # oracle attached below after definition
 def v2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2+V3: payload pre-filter → exact cosine top-k, deterministic order."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     hits = brute_force_topk(
         emb,
         _query_vec(),
@@ -546,7 +566,7 @@ def _v4_oracle() -> str:
 @_register("v4_hit_collapse", None)
 def v4_hit_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/V4: over-fetched hits collapsed per group key (max score + count)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     hits = brute_force_topk(
         emb, _query_vec(), k=50, id_cols=["vec_id", "label"], vec_col="embedding"
     ).select("label", portable_round(F.col("score"), 6).alias("score"))
@@ -576,7 +596,7 @@ def _knn_oracle() -> str:
 
 
 def _v2_knn_join_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
         F.col("query_id") < 5
     )
@@ -623,7 +643,7 @@ _DUCK_NORM_TOKENS = (
 )
 def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex + chars."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = token_counts(docs, "doc_id", "text")
     return out.select(
         "doc_id",
@@ -665,7 +685,7 @@ def _quality_oracle() -> str:
 @_register("t2_quality_score", None)
 def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics (length/punct/stopword ratios)."""
-    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+    return quality_score(_docs(spark, sf_dir), "doc_id", "text").orderBy(
         "doc_id"
     )
 
@@ -707,7 +727,7 @@ def _langid_oracle() -> str:
 @_register("t3_language_id", None)
 def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (argmax, ties -> later language code)."""
-    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+    return language_id(_docs(spark, sf_dir), "doc_id", "text").orderBy(
         "doc_id"
     )
 
@@ -728,7 +748,7 @@ QUERIES["t3_language_id"] = (t3_language_id, _langid_oracle())
 )
 def f13_tokenize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: sorted deduped >=3-char tokens across several source columns."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = tokenize_sources(F.col("text"), F.col("source"))
     return docs.select(
         "doc_id", F.concat_ws(" ", toks).alias("tokens_str")
@@ -748,7 +768,7 @@ def f13_tokenize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_keyword_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: |plan.keywords ∩ doc tokens| / |plan.keywords|."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = tokenize_sources(F.col("text"))
     return docs.select(
         "doc_id",
@@ -779,7 +799,7 @@ list_distinct([array_to_string(list_slice(tokens, i, i + 2), ' ')
 )
 def d1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-group documents by content prefix digest."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     hashed = docs.select(
         "doc_id",
         F.md5(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)).alias(
@@ -797,12 +817,18 @@ def d1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, min_j: float = 0.1) -> str:
+    from ..functions.hashing import MINHASH_PRIME, minhash_constants
+
     rows = num_hashes // bands
     toks = _DUCK_NORM_TOKENS.format(col="text")
-    h60 = (
-        "('0x' || substring(md5(CAST({i} AS VARCHAR) || ':' || {s}), 1, 15))::BIGINT"
+    base = (
+        f"(('0x' || substring(md5('mh:' || s), 1, 15))::BIGINT % {MINHASH_PRIME})"
     )
-    minhash = h60.format(i="i", s="s")
+    consts = minhash_constants(num_hashes)
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * {base} + {b}) % {MINHASH_PRIME}))"
+        for a, b in consts
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, {toks} AS tokens FROM documents),
@@ -810,8 +836,7 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
       SELECT doc_id, {_DUCK_SHINGLES3} AS shingles FROM toks),
     sig AS (
       SELECT doc_id, shingles,
-             [list_min(list_transform(shingles, s -> {minhash}))
-              FOR i IN range({num_hashes})] AS signature
+             [{sig_items}] AS signature
       FROM sh),
     bands AS (
       SELECT doc_id, shingles, unnest(
@@ -838,7 +863,7 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
 @_register("d2_minhash_lsh_pairs", None)
 def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with exact Jaccard verify."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_candidates(
         docs,
         "doc_id",
@@ -876,7 +901,7 @@ def _ngram_jaccard_oracle(min_j: float = 0.15) -> str:
 @_register("d3_ngram_jaccard_pairs", None)
 def d3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within a blocking key (source)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, block_col="source", min_jaccard=0.15
     )
@@ -912,7 +937,7 @@ def _simhash_oracle(bits: int = 16) -> str:
 @_register("d4_simhash", None)
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (16-bit for the oracle; bits configurable)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_fingerprints(docs, "doc_id", "text", bits=16).orderBy("doc_id")
 
 
@@ -954,8 +979,8 @@ def hybrid_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One broadcast-free equi-join + per-row codegen expressions + TakeOrdered.
     """
-    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    emb = _t(spark, sf_dir, "embeddings")
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    emb = _emb(spark, sf_dir)
     joined = docs.join(emb, docs["doc_id"] == emb["vec_id"])
     cos = cosine_similarity(F.col("embedding"), query_vector_lit(_query_vec()))
     v_raw = F.least(F.greatest(cos, F.lit(0.0)), F.lit(1.0))
@@ -978,16 +1003,14 @@ def _v5_oracle(dim: int = 8) -> str:
         "string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),"
         " t -> length(t) >= 3)))"
     )
-    bucket = (
-        "(('0x' || substring(md5(t || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT"
-        " % 10000)"
-    )
+    from ..functions.embedding import _v5_constants, duckdb_bucket_sql
+
     dims = ", ".join(
         f"round(CASE WHEN len(tokens) = 0 THEN 0.0 ELSE "
         f"least(greatest(CAST(list_sum(list_transform(tokens, t -> "
-        + bucket.replace("CAST(i AS VARCHAR)", f"'{i}'")
+        + duckdb_bucket_sql(a, b)
         + f")) AS DOUBLE) / 10000.0 / len(tokens), 0.0), 1.0) END, 6) AS e{i}"
-        for i in range(dim)
+        for i, (a, b) in enumerate(_v5_constants(dim))
     )
     return f"""
     WITH t AS (SELECT doc_id, {toks} AS tokens FROM documents)
@@ -1001,7 +1024,7 @@ def v5_deterministic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dim 8 shown column-wise for the oracle)."""
     from ..functions.embedding import deterministic_embedding_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = tokenize_sources(F.col("text"))
     emb = deterministic_embedding_expr(toks, 8)
     cols = [

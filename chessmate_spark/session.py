@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # the bench tables are few small parquet files; without this every
+        # scan collapses to one task and 31 cores idle.  On a production
+        # cluster files are larger and this simply matches split size to
+        # row-group size.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # the driver's events.parquet carries TIMESTAMP(NANOS); Spark reads
         # them as raw nanosecond longs (converted back in plans.queries)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
