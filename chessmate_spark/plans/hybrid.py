@@ -1,0 +1,231 @@
+"""Hybrid query executor: the reference's /query pipeline (SURVEY §3.1) as
+one DataFrame program.
+
+plan (Query_intent) →
+  relational page: games ⟕ players×2 → P* filters → count → O1 page
+  vector side:     position_vectors → payload filters (V3) → V5 query
+                   vector → cosine top-k (V2, over-fetch max(3·limit, 15))
+                   → per-game collapse (A3)
+  scoring:         rating gate (P12) → summary tokens (F13) + hit keywords
+                   (U2) → keyword overlap (A4) → vector-or-fallback score
+                   (A5/F20) → 0.75/0.25 blend (F21) → rank (O2) → page +
+                   has_more (O3)
+Degradation (V7): vector-stage failures downgrade to warnings; scoring then
+runs on the fallback path exactly like the reference
+(hybrid_executor.ml:265-280).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedding import deterministic_embedding
+from ..functions.scoring import blend_scores, clamp01, keyword_overlap, rating_matches
+from ..functions.text import tokenize_sources
+from ..functions.vector import cosine_similarity, query_vector_lit
+from ..operators.collapse import collapse_hits_by_game
+from ..operators.relational import compile_predicate, game_summaries, paginate
+from ..query.intent import QueryPlan
+
+VECTOR_OVERFETCH_MULTIPLIER = 3
+VECTOR_OVERFETCH_MIN = 15
+
+
+@dataclass
+class HybridTables:
+    games: DataFrame
+    players: DataFrame
+    position_vectors: Optional[DataFrame] = None
+
+
+@dataclass
+class HybridExecution:
+    results: DataFrame
+    total: int
+    has_more: bool
+    warnings: List[str] = field(default_factory=list)
+    query_vector_source: str = "deterministic_fallback"
+
+
+def query_vector(plan: QueryPlan, dim: int) -> List[float]:
+    """V5/V6: deterministic query embedding from plan keywords (else the
+    cleaned text) — query_embedding_provider.ml:27-42."""
+    tokens = list(plan.keywords) if plan.keywords else [plan.cleaned_text]
+    return deterministic_embedding(tokens, dim)
+
+
+def payload_filter(plan: QueryPlan):
+    """V3: plan filters pushed to the vector side (hybrid_planner.ml:18-53).
+    eco_range is deliberately not pushed (delegated to the relational side)."""
+    cond = F.lit(True)
+    for flt in plan.filters:
+        f = flt.field.lower()
+        value = flt.value.strip().lower()
+        if f == "opening":
+            cond = cond & (F.lower(F.col("opening_slug")) == value)
+        elif f == "phase":
+            cond = cond & F.array_contains(F.col("phases"), value)
+        elif f == "theme":
+            cond = cond & F.array_contains(F.col("themes"), value)
+        elif f == "result":
+            cond = cond & (F.col("result") == flt.value.strip())
+    if plan.rating.white_min is not None:
+        cond = cond & (F.col("white_elo") >= plan.rating.white_min)
+    if plan.rating.black_min is not None:
+        cond = cond & (F.col("black_elo") >= plan.rating.black_min)
+    return cond
+
+
+def vector_hits(
+    vectors: DataFrame, plan: QueryPlan, dim: int
+) -> DataFrame:
+    """V2+V3+A3: filtered cosine top-k collapsed per game."""
+    k = max(VECTOR_OVERFETCH_MULTIPLIER * plan.limit, VECTOR_OVERFETCH_MIN)
+    qv = query_vector_lit(query_vector(plan, dim))
+    scored = (
+        vectors.filter(payload_filter(plan))
+        .withColumn("score", cosine_similarity(F.col("embedding"), qv))
+        .orderBy(F.col("score").desc(), F.col("vector_id").asc())
+        .limit(k)
+    )
+    return collapse_hits_by_game(
+        scored.select("game_id", "score", "phases", "themes", "keywords")
+    )
+
+
+def execute(tables: HybridTables, plan: QueryPlan, dim: int = 16) -> HybridExecution:
+    summaries = game_summaries(tables.games, tables.players).filter(
+        compile_predicate(plan)
+    )
+    total = summaries.count()
+    page = paginate(
+        summaries,
+        [F.col("played_on").desc_nulls_last(), F.col("id").desc()],
+        plan.limit,
+        plan.offset,
+    )
+
+    warnings: List[str] = []
+    hits = None
+    if tables.position_vectors is not None:
+        try:
+            hits = vector_hits(tables.position_vectors, plan, dim)
+        except Exception as exc:  # V7 graceful degradation
+            warnings.append(f"Vector search unavailable ({exc})")
+            hits = None
+    else:
+        warnings.append(
+            "Query embeddings fallback (no position_vectors table)"
+        )
+
+    if hits is not None:
+        page = page.join(
+            hits.select(
+                F.col("game_id").alias("_hit_game"),
+                F.col("score").alias("_hit_score"),
+                F.col("phases").alias("_hit_phases"),
+                F.col("themes").alias("_hit_themes"),
+                F.col("keywords").alias("_hit_keywords"),
+            ),
+            page["id"] == F.col("_hit_game"),
+            "left",
+        ).drop("_hit_game")
+    else:
+        page = (
+            page.withColumn("_hit_score", F.lit(None).cast("double"))
+            .withColumn("_hit_phases", F.lit(None).cast("array<string>"))
+            .withColumn("_hit_themes", F.lit(None).cast("array<string>"))
+            .withColumn("_hit_keywords", F.lit(None).cast("array<string>"))
+        )
+
+    rating_ok = rating_matches(
+        F.col("white_rating"),
+        F.col("black_rating"),
+        plan.rating.white_min,
+        plan.rating.black_min,
+        plan.rating.max_rating_delta,
+    )
+    summary_tokens = tokenize_sources(
+        F.col("white"), F.col("black"), F.col("event"),
+        F.col("opening_name"), F.col("opening_slug"),
+    )
+    merged_tokens = F.when(
+        F.col("_hit_keywords").isNotNull(),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.concat(summary_tokens, F.col("_hit_keywords")), F.lower
+                )
+            )
+        ),
+    ).otherwise(summary_tokens)
+
+    # A5 fallback: matched-filter fraction (filter_matches re-check P11)
+    n_filters = len(plan.filters)
+    if n_filters:
+        matched = sum(
+            (
+                F.when(_filter_matches(flt), 1).otherwise(0)
+                for flt in plan.filters
+            ),
+            F.lit(0),
+        )
+        fallback = F.lit(0.4) + F.lit(0.6) * matched.cast("double") / F.lit(
+            float(n_filters)
+        )
+    else:
+        fallback = F.lit(0.6)
+    fallback = F.when(~rating_ok, F.lit(0.0)).otherwise(fallback)
+    vector_score = F.when(
+        F.col("_hit_score").isNotNull(),
+        F.when(~rating_ok, F.lit(0.0)).otherwise(clamp01(F.col("_hit_score"))),
+    ).otherwise(fallback)
+    vector_score = F.least(F.lit(1.0), vector_score)
+    kw_score = keyword_overlap(merged_tokens, list(plan.keywords))
+    total_score = blend_scores(vector_score, kw_score)
+
+    plan_phases = F.array(*[F.lit(p) for p in plan.phases]) if plan.phases else F.array().cast("array<string>")
+    plan_themes = F.array(*[F.lit(t) for t in plan.themes]) if plan.themes else F.array().cast("array<string>")
+    merge_arr = lambda base, extra: F.when(
+        extra.isNotNull() & (F.size(extra) > 0),
+        F.array_sort(F.array_distinct(F.transform(F.concat(base, extra), F.lower))),
+    ).otherwise(base)
+
+    results = (
+        page.withColumn("total_score", total_score)
+        .withColumn("vector_score", vector_score)
+        .withColumn("keyword_score", kw_score)
+        .withColumn("phases", merge_arr(plan_phases, F.col("_hit_phases")))
+        .withColumn("themes", merge_arr(plan_themes, F.col("_hit_themes")))
+        .withColumn("keywords", merged_tokens)
+        .drop("_hit_score", "_hit_phases", "_hit_themes", "_hit_keywords")
+        .orderBy(F.col("total_score").desc(), F.col("id").desc())
+        .limit(plan.limit)
+    )
+    returned = results.count()
+    has_more = plan.offset + returned < total
+    return HybridExecution(
+        results=results, total=total, has_more=has_more, warnings=warnings
+    )
+
+
+def _filter_matches(flt):
+    """P11 in-memory re-check semantics (hybrid_executor.ml:49-60):
+    unknown fields count as matched."""
+    f = flt.field.lower()
+    if f == "opening":
+        return F.coalesce(F.col("opening_slug"), F.lit("unknown_opening")) == flt.value.lower()
+    if f == "result":
+        return F.coalesce(F.col("result"), F.lit("*")) == flt.value
+    if f == "eco_range":
+        value = flt.value.strip().upper()
+        parts = value.split("-")
+        eco = F.upper(F.col("eco_code"))
+        if len(parts) == 2 and parts[0] and parts[1]:
+            return F.col("eco_code").isNotNull() & eco.between(parts[0], parts[1])
+        return F.col("eco_code").isNotNull() & (eco == value)
+    return F.lit(True)

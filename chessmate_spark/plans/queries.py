@@ -1180,3 +1180,139 @@ def oracle_sql_map() -> Dict[str, str]:
     return {
         name: oracle for name, (_fn, oracle) in QUERIES.items() if oracle is not None
     }
+
+# ---------------------------------------------------------------------------
+# Chess-domain pipeline queries (ingest → jobs → hybrid) over inline fixtures
+# ---------------------------------------------------------------------------
+
+_CHESS_FIXTURE = """[Event "Test Event"]
+[Site "Somewhere"]
+[Date "2024.01.01"]
+[White "Sample White"]
+[Black "Sample Black"]
+[Result "1-0"]
+
+1. e4 e5 2. Nf3 Nc6 3. Bb5 a6 1-0
+
+[Event "KID Match"]
+[Site "Testville"]
+[Date "2023.05.05"]
+[White "Strong, Player"]
+[Black "Weaker, Player"]
+[Result "1-0"]
+[WhiteElo "2600"]
+[BlackElo "2520"]
+[ECO "E62"]
+[Opening "King's Indian Defense"]
+
+1. d4 Nf6 2. c4 g6 3. Nc3 Bg7 4. e4 d6 5. Nf3 O-O 1-0
+"""
+
+
+def _chess_positions_oracle() -> str:
+    """Golden VALUES oracle: expected positions replayed by the pure-Python
+    engine (itself pinned to the reference's golden FEN corpus)."""
+    from ..chess.pgn import split_games, parse_game
+    from ..chess.replay import fens_of_moves
+
+    rows = []
+    for gid, chunk in enumerate(split_games(_CHESS_FIXTURE), start=1):
+        game = parse_game(chunk)
+        sans = [m.san for m in game.moves]
+        for ply, (san, fen) in enumerate(zip(sans, fens_of_moves(sans)), start=1):
+            side = "black" if ply % 2 == 1 else "white"
+            rows.append(
+                f"({gid}, {ply}, '{san}', '{fen}', '{side}')"
+            )
+    values = ", ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES {values}) t(game_id, ply, san, fen, side_to_move)
+    ORDER BY game_id, ply
+    """
+
+
+@_register("chess_ingest_positions", None)
+def chess_ingest_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 + X1/X2: PGN ingest → exploded positions table (distributed
+    parse/replay via mapInPandas; golden-FEN oracle)."""
+    from ..ingest import ingest_pgn_text
+
+    result = ingest_pgn_text(spark, _CHESS_FIXTURE)
+    return result.positions.select(
+        "game_id", "ply", "san", "fen", "side_to_move"
+    ).orderBy("game_id", "ply")
+
+
+QUERIES["chess_ingest_positions"] = (chess_ingest_positions, _chess_positions_oracle())
+
+
+@_register("chess_jobs_drain", None)
+def chess_jobs_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q4 + S7: drain the embedding-jobs queue; per-status counts joined
+    with the vector count (rows-only driver check; lifecycle is pinned by
+    tests/test_jobs.py)."""
+    from ..ingest import ingest_pgn_text
+    from ..streaming import JobsState, drain_jobs
+
+    ingest = ingest_pgn_text(spark, _CHESS_FIXTURE)
+    state = drain_jobs(
+        JobsState(jobs=ingest.embedding_jobs),
+        ingest.positions, ingest.games, ingest.players,
+        batch_size=8, dim=8,
+    )
+    statuses = state.jobs.groupBy("status").agg(F.count(F.lit(1)).alias("cnt"))
+    vectors = state.position_vectors.agg(
+        F.lit("vectors").alias("status"), F.count(F.lit(1)).alias("cnt")
+    )
+    return statuses.unionByName(vectors).orderBy("status")
+
+
+def _chess_jobs_oracle() -> str:
+    from ..chess.pgn import parse_games
+
+    total = sum(g.ply_count for g in parse_games(_CHESS_FIXTURE))
+    return f"""
+    SELECT * FROM (VALUES ('completed', CAST({total} AS BIGINT)),
+                          ('vectors', CAST({total} AS BIGINT))) t(status, cnt)
+    ORDER BY status
+    """
+
+
+QUERIES["chess_jobs_drain"] = (chess_jobs_drain, _chess_jobs_oracle())
+
+
+@_register("chess_hybrid_canonical", None)
+def chess_hybrid_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 + §3.1 end-to-end: the canonical bench question compiled and
+    executed over the ingested fixture corpus (rows-only driver check;
+    scoring math is oracle-checked via hybrid_search_documents)."""
+    from ..ingest import ingest_pgn_text
+    from ..query import Request, analyse
+    from ..streaming import JobsState, drain_jobs
+    from .hybrid import HybridTables, execute
+
+    ingest = ingest_pgn_text(spark, _CHESS_FIXTURE)
+    state = drain_jobs(
+        JobsState(jobs=ingest.embedding_jobs),
+        ingest.positions, ingest.games, ingest.players,
+        batch_size=8, dim=8,
+    )
+    plan = analyse(
+        Request(
+            text=(
+                "Find King's Indian games where White is 2500 and Black is"
+                " 100 points lower"
+            )
+        )
+    )
+    tables = HybridTables(
+        games=ingest.games, players=ingest.players,
+        position_vectors=state.position_vectors,
+    )
+    execution = execute(tables, plan, dim=8)
+    return execution.results.select(
+        "id", "white", "black", "result", "opening_slug",
+        portable_round(F.col("total_score"), 6).alias("total_score"),
+        portable_round(F.col("vector_score"), 6).alias("vector_score"),
+        portable_round(F.col("keyword_score"), 6).alias("keyword_score"),
+    )

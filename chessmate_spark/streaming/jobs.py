@@ -1,0 +1,177 @@
+"""Embedding-jobs queue pipeline (Q1-Q7): the reference's micro-batch worker
+re-expressed as deterministic batch iterations.
+
+Reference semantics (SURVEY §2.9 / §3.3): claim oldest-first batches of
+pending jobs (Q1, ``FOR UPDATE SKIP LOCKED`` is moot under a single logical
+writer — idempotency comes from the deterministic vector_id = md5(fen), F14),
+embed each FEN (V5 deterministic embedding), build the denormalized payload
+row (J2 4-way join), append to ``position_vectors`` (S7), and transition job
+status (Q2/Q3).  ``Trigger.AvailableNow`` semantics: iterate until the
+pending set is empty.
+
+On a production deployment the same functions run inside a Structured
+Streaming ``foreachBatch`` over a Delta jobs table; the claim/transition
+steps become ``MERGE INTO`` on the job keys, which is exactly-once because
+vector ids are content hashes (re-processing a job overwrites the same row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedding import deterministic_embedding_expr
+from ..functions.text import tokenize_sources
+
+VECTOR_DIM_DEFAULT = 16
+
+
+@dataclass
+class JobsState:
+    jobs: DataFrame
+    position_vectors: Optional[DataFrame] = None
+    batches_run: int = 0
+
+
+def claim_batch(jobs: DataFrame, batch_size: int) -> DataFrame:
+    """Q1: oldest-first deterministic claim of pending jobs."""
+    return (
+        jobs.filter(F.col("status") == "pending")
+        .orderBy(F.col("enqueued_seq").asc(), F.col("id").asc())
+        .limit(batch_size)
+    )
+
+
+def build_payload(
+    claimed: DataFrame,
+    positions: DataFrame,
+    games: DataFrame,
+    players: DataFrame,
+    dim: int = VECTOR_DIM_DEFAULT,
+) -> DataFrame:
+    """J2 + V5: jobs ⋈ positions ⋈ games ⟕ players×2 + embedding columns.
+
+    The FEN is embedded through the engine's deterministic V5 hash over its
+    whitespace tokens — reproducible without any external service
+    (query_embedding_provider.ml:19-42 fallback path, promoted to default).
+    """
+    pos = positions.select(
+        F.col("id").alias("position_id"), "game_id", "ply", "san",
+        "side_to_move", F.col("tags").alias("_pos_tags"),
+    )
+    gm = games.select(
+        F.col("id").alias("game_id"), "opening_slug", "opening_name",
+        F.col("eco_code").alias("eco"), "result",
+        F.col("white_rating").alias("white_elo"),
+        F.col("black_rating").alias("black_elo"),
+        "white_player_id", "black_player_id",
+    )
+    white = players.select(
+        F.col("id").alias("_wid"), F.col("name").alias("white")
+    )
+    black = players.select(
+        F.col("id").alias("_bid"), F.col("name").alias("black")
+    )
+    tags_schema = "phases array<string>, themes array<string>, keywords array<string>"
+    joined = (
+        claimed.select("position_id", "fen")
+        .join(pos, "position_id")
+        .join(F.broadcast(gm), "game_id", "left")
+        .join(F.broadcast(white), F.col("white_player_id") == F.col("_wid"), "left")
+        .join(F.broadcast(black), F.col("black_player_id") == F.col("_bid"), "left")
+        .drop("_wid", "_bid", "white_player_id", "black_player_id")
+    )
+    parsed_tags = F.from_json(F.col("_pos_tags"), tags_schema)
+    arr = lambda field: F.coalesce(parsed_tags[field], F.array().cast("array<string>"))
+    return joined.select(
+        F.md5(F.col("fen")).alias("vector_id"),
+        deterministic_embedding_expr(
+            tokenize_sources(F.col("fen")), dim
+        ).alias("embedding"),
+        "game_id", "position_id", "ply",
+        arr("phases").alias("phases"),
+        arr("themes").alias("themes"),
+        arr("keywords").alias("keywords"),
+        "san", "side_to_move", "opening_slug", "opening_name", "eco",
+        "result", "white_elo", "black_elo", "white", "black", "fen",
+    )
+
+
+def apply_transitions(
+    jobs: DataFrame, claimed: DataFrame, failed_ids: Optional[DataFrame] = None
+) -> DataFrame:
+    """Q2/Q3: claimed jobs → completed (or failed), attempts += 1."""
+    done = claimed.select(F.col("id").alias("_done_id"))
+    jobs = (
+        jobs.join(F.broadcast(done), jobs["id"] == done["_done_id"], "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_done_id").isNotNull(), F.lit("completed")).otherwise(
+                F.col("status")
+            ),
+        )
+        .withColumn(
+            "attempts",
+            F.when(F.col("_done_id").isNotNull(), F.col("attempts") + 1).otherwise(
+                F.col("attempts")
+            ),
+        )
+        .drop("_done_id")
+    )
+    return jobs
+
+
+def drain_jobs(
+    state: JobsState,
+    positions: DataFrame,
+    games: DataFrame,
+    players: DataFrame,
+    batch_size: int = 16,
+    dim: int = VECTOR_DIM_DEFAULT,
+    max_batches: int = 10_000,
+) -> JobsState:
+    """Q4 availableNow loop: claim → embed → payload → append → transition,
+    until the pending queue is empty."""
+    # Each iteration derives jobs_{i+1} from jobs_i by a join; without
+    # truncation the logical plan nests one join per batch and Catalyst
+    # re-analysis grows exponentially (observed: batch 5 planning 30x batch
+    # 1).  localCheckpoint cuts the lineage each step — the micro-batch
+    # state handoff that a Delta MERGE gives for free in production.
+    jobs = state.jobs.localCheckpoint(eager=True)
+    vectors = state.position_vectors
+    batches = state.batches_run
+    while batches < max_batches:
+        claimed = claim_batch(jobs, batch_size).localCheckpoint(eager=True)
+        if not claimed.take(1):
+            break
+        payload = build_payload(claimed, positions, games, players, dim)
+        batch_vectors = payload.localCheckpoint(eager=True)
+        vectors = (
+            batch_vectors if vectors is None else vectors.unionByName(batch_vectors)
+        )
+        jobs = apply_transitions(jobs, claimed).localCheckpoint(eager=True)
+        batches += 1
+    # propagate vector ids into positions happens at read time via join Q6
+    return JobsState(jobs=jobs, position_vectors=vectors, batches_run=batches)
+
+
+def prune_stale_jobs(jobs: DataFrame, position_vectors: DataFrame) -> DataFrame:
+    """Q6: mark pending jobs completed when their position already has a
+    vector (re-ingest hygiene, prune_pending_jobs.sh:29-44)."""
+    vectored = position_vectors.select(
+        F.col("position_id").alias("_vpos")
+    ).distinct()
+    return (
+        jobs.join(F.broadcast(vectored), jobs["position_id"] == F.col("_vpos"), "left")
+        .withColumn(
+            "status",
+            F.when(
+                (F.col("status") == "pending") & F.col("_vpos").isNotNull(),
+                F.lit("completed"),
+            ).otherwise(F.col("status")),
+        )
+        .drop("_vpos")
+    )
