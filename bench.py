@@ -50,6 +50,15 @@ HEADLINE = [
     "d2_minhash_lsh_pairs",
     "d3_ngram_jaccard_pairs",
     "d4_simhash",
+    "d5_document_fingerprint",
+    "v6_lsh_ann",
+    "m1_binary_features",
+    "m2_image_decode_stub",
+    "m3_byte_entropy",
+    "o5_result_formatting",
+    "x7_agent_blend",
+    "chess_ingest_positions",
+    "chess_hybrid_canonical",
 ]
 
 

@@ -106,28 +106,30 @@ def simhash_expr(tokens: Column, bits: int = 32) -> Column:
     For each bit position, sum +1/−1 votes across tokens; the fingerprint
     sets bits with positive vote.  Returned as bigint.
     """
-    bit_range = F.sequence(F.lit(0), F.lit(bits - 1))
-    pow2 = lambda b: F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+    # bit b of h tested as (h % 2^(b+1)) >= 2^b — pure bigint arithmetic,
+    # bit-identical across engines (no float division involved).  Tokens are
+    # hashed ONCE into an integer array; per-bit work is then two literal-mod
+    # comparisons (the 2^b values are literal columns, not pow() calls) —
+    # nested HOFs run interpreted, so op count is everything.
+    pow_lits = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    hashed = F.transform(tokens, lambda t: _hash60(F.lit("sim"), t))
 
-    def tok_votes(t: Column) -> Column:
-        # bit b of h tested as (h % 2^(b+1)) >= 2^b — pure bigint arithmetic,
-        # bit-identical across engines (no float division involved)
-        h = _hash60(F.lit("sim"), t)
+    def tok_votes(h: Column) -> Column:
         return F.transform(
-            bit_range,
-            lambda b: F.when(
-                (h % pow2(b + F.lit(1))) >= pow2(b), F.lit(1).cast("bigint")
-            ).otherwise(F.lit(-1).cast("bigint")),
+            pow_lits,
+            lambda p: F.when((h % (p + p)) >= p, F.lit(1).cast("bigint")).otherwise(
+                F.lit(-1).cast("bigint")
+            ),
         )
 
     zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
     votes = F.aggregate(
-        tokens, zero, lambda acc, t: F.zip_with(acc, tok_votes(t), lambda a, v: a + v)
+        hashed, zero, lambda acc, h: F.zip_with(acc, tok_votes(h), lambda a, v: a + v)
     )
     bit_values = F.zip_with(
         votes,
-        bit_range,
-        lambda v, b: F.when(v > 0, pow2(b)).otherwise(F.lit(0).cast("bigint")),
+        pow_lits,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
     )
     return F.aggregate(
         bit_values, F.lit(0).cast("bigint"), lambda acc, x: acc + x

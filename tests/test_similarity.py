@@ -1,0 +1,64 @@
+"""Similarity operator tests: exact kNN vs LSH recall, collapse semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chessmate_spark.operators.collapse import collapse_hits_by_game
+from chessmate_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_knn_join,
+    lsh_bucketed_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_brute_force_topk_deterministic(spark, emb):
+    q = [0.1] * 64
+    a = brute_force_topk(emb, q, 10, ["vec_id"]).collect()
+    b = brute_force_topk(emb, q, 10, ["vec_id"]).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    scores = [r["score"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_recall_against_exact(spark, emb):
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 10
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 10
+    )
+    exact = cosine_knn_join(queries, corpus, 3, "query_id", "neighbor_id")
+    approx = lsh_bucketed_topk(
+        queries, corpus, 3, 64, "query_id", "neighbor_id",
+        n_planes=4, n_tables=8,
+    )
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # deterministic (seeded planes): pin a floor well under the observed value
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_collapse_hits(spark):
+    hits = spark.createDataFrame(
+        [
+            (1, 0.9, ["Opening"], ["Tactics"], ["kw1"]),
+            (1, 0.7, ["endgame"], [], ["KW1", "kw2"]),
+            (2, 0.5, [], [], []),
+        ],
+        "game_id long, score double, phases array<string>,"
+        " themes array<string>, keywords array<string>",
+    )
+    rows = {r["game_id"]: r for r in collapse_hits_by_game(hits).collect()}
+    assert rows[1]["score"] == 0.9
+    assert rows[1]["phases"] == ["endgame", "opening"]
+    assert rows[1]["themes"] == ["tactics"]
+    assert rows[1]["keywords"] == ["kw1", "kw2"]
+    assert rows[2]["score"] == 0.5
