@@ -193,3 +193,94 @@ def simhash_fingerprints(
         F.col(id_col),
         simhash_expr(_norm_tokens(F.col(text_col)), bits).alias("simhash"),
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, score) for
+    every unordered pair with cosine >= threshold.
+
+    The right side is broadcast, so the left scans partition-parallel with
+    no shuffle — correct whenever one side's (id, vector) projection fits in
+    executor memory.  Beyond that, use ``embedding_neardup_lsh`` (candidates
+    from hyperplane-LSH collisions, exact verify) — the 100 TB path.
+
+    The score is rounded BEFORE thresholding so Spark and an external oracle
+    agree at FP boundaries.
+    """
+    from ..functions.vector import cosine_similarity
+    from ..functions.scoring import portable_round
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        portable_round(
+            cosine_similarity(F.col("_va"), F.col("_vb")), round_digits
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= F.lit(threshold))
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate near-dup pairs at scale: candidates are LSH bucket
+    collisions (both sides shuffle only on (table, signature) — never
+    all-pairs), then exact cosine verification.  Recall < 1 by construction;
+    tests assert recall against ``embedding_neardup_pairs`` at test scale.
+    """
+    from ..functions.vector import cosine_similarity
+    from ..functions.scoring import portable_round
+    from .similarity import _hyperplanes, _signature_expr
+
+    parts = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        parts.append(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_vec"),
+                F.lit(t).alias("_table"),
+                _signature_expr(F.col(vec_col), planes).alias("_sig"),
+            )
+        )
+    tagged = parts[0]
+    for part in parts[1:]:
+        tagged = tagged.unionByName(part)
+    right = tagged.select(
+        F.col("_table"), F.col("_sig"),
+        F.col("_id").alias("_idb"), F.col("_vec").alias("_vecb"),
+    )
+    candidates = (
+        tagged.join(right, ["_table", "_sig"])
+        .filter(F.col("_id") < F.col("_idb"))
+        .select(
+            F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"),
+            F.col("_vec").alias("_va"), F.col("_vecb").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = candidates.select(
+        "id_a",
+        "id_b",
+        portable_round(
+            cosine_similarity(F.col("_va"), F.col("_vb")), round_digits
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= F.lit(threshold))

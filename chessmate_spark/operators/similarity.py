@@ -165,3 +165,99 @@ def lsh_bucketed_topk(
         k,
     )
     return ranked.drop("rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer cells + nprobe search
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd k-means over a driver-side sample → (nlist, dim) centroids.
+
+    The sample is tiny relative to the corpus (IVF centroid training always
+    is — FAISS trains on ~(39*nlist..256*nlist) points); at 100 TB replace
+    ``orderBy(id).limit`` with ``sample(fraction, seed)`` so no global sort
+    runs.  Deterministic: fixed seed, fixed sample order.
+    """
+    pdf = corpus.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        # squared distances via ||x||^2 + ||c||^2 - 2 x.c — no 3-D temporaries
+        d = (
+            (X**2).sum(1, keepdims=True)
+            + (centroids**2).sum(1)
+            - 2.0 * X @ centroids.T
+        )
+        assign = d.argmin(1)
+        for j in range(len(centroids)):
+            members = X[assign == j]
+            if len(members):
+                centroids[j] = members.mean(0)
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: Optional[np.ndarray] = None,
+    sim_col: str = "score",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate k-NN join (FAISS IndexIVFFlat semantics, batch form):
+    corpus rows live in their nearest-centroid cell; each query probes its
+    ``nprobe`` nearest cells; exact cosine re-ranks within probed cells.
+
+    Scale shape: both sides shuffle on the integer cell id only (corpus
+    ~rows/nlist per cell, queries ×nprobe); no cross join, no all-pairs.
+    Recall grows with nprobe (nprobe = nlist ⇒ exact search).
+    """
+    from ..functions.vector_pandas import nearest_cells_udf
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed
+        )
+    c_cells = corpus.select(
+        F.col(corpus_id).alias("_c_id"), F.col(corpus_vec).alias("_c_vec"),
+        F.element_at(nearest_cells_udf(centroids, 1)(F.col(corpus_vec)), 1).alias(
+            "_cell"
+        ),
+    )
+    q_cells = queries.select(
+        F.col(query_id).alias("_q_id"), F.col(query_vec).alias("_q_vec"),
+        F.explode(nearest_cells_udf(centroids, nprobe)(F.col(query_vec))).alias(
+            "_cell"
+        ),
+    )
+    candidates = c_cells.join(q_cells, "_cell")
+    scored = candidates.withColumn(
+        sim_col, cosine_similarity(F.col("_c_vec"), F.col("_q_vec"))
+    )
+    ranked = topk_per_group(
+        scored.select(
+            F.col("_q_id").alias(query_id),
+            F.col("_c_id").alias(corpus_id),
+            F.col(sim_col),
+        ),
+        [query_id],
+        [F.col(sim_col).desc(), F.col(corpus_id).asc()],
+        k,
+    )
+    return ranked.drop("rank")

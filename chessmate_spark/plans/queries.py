@@ -1521,3 +1521,73 @@ def v6_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", portable_round(F.col("score"), 6).alias("score")
     ).orderBy("query_id", F.col("score").desc(), "neighbor_id")
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (exact + LSH scale path)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_THRESHOLD = 0.35
+
+
+def _neardup_oracle() -> str:
+    cos = _duck_cosine("a.embedding", "b.embedding")
+    return f"""
+    SELECT id_a, id_b, score FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             floor({cos} * 1000000 + 0.5) / 1000000 AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WHERE score >= {_NEARDUP_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register("d6_embedding_neardup", None)
+def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (broadcast self-join; the
+    oracle baseline for the LSH-accelerated variant)."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    emb = _emb(spark, sf_dir)
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES["d6_embedding_neardup"] = (d6_embedding_neardup, _neardup_oracle())
+
+
+@_register("d7_embedding_neardup_lsh", None)
+def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate near-dup pairs: collide on (table, hyperplane signature),
+    verify exact cosine — the all-pairs-free 100 TB path.  Rows-only driver
+    check; recall vs the exact operator is asserted in tests."""
+    from ..operators.dedup import embedding_neardup_lsh
+
+    emb = _emb(spark, sf_dir)
+    return embedding_neardup_lsh(
+        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM
+    ).orderBy("id_a", "id_b")
+
+
+@_register("v7_ivf_ann", None)
+def v7_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN: coarse k-means cells + nprobe probing + exact
+    re-rank (FAISS IndexIVFFlat semantics as a batch join).  Rows-only
+    driver check; recall vs exact kNN is asserted in tests."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 5
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 5
+    )
+    out = ivf_topk(
+        queries, corpus, k=3,
+        query_id="query_id", corpus_id="neighbor_id",
+        nlist=8, nprobe=3,
+    )
+    return out.select(
+        "query_id", "neighbor_id", portable_round(F.col("score"), 6).alias("score")
+    ).orderBy("query_id", F.col("score").desc(), "neighbor_id")

@@ -62,3 +62,56 @@ def test_collapse_hits(spark):
     assert rows[1]["themes"] == ["tactics"]
     assert rows[1]["keywords"] == ["kw1", "kw2"]
     assert rows[2]["score"] == 0.5
+
+
+def test_embedding_neardup_lsh_recall(spark, emb):
+    from chessmate_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    thr = 0.35
+    exact = embedding_neardup_pairs(emb, "vec_id", "embedding", thr)
+    approx = embedding_neardup_lsh(emb, "vec_id", "embedding", thr, dim=64)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert approx_pairs <= exact_pairs  # verify step admits no false positives
+    recall = len(exact_pairs & approx_pairs) / max(1, len(exact_pairs))
+    assert recall >= 0.5, f"near-dup LSH recall too low: {recall}"
+
+
+def test_ivf_recall_against_exact(spark, emb):
+    from chessmate_spark.operators.similarity import ivf_topk
+
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 10
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 10
+    )
+    exact = cosine_knn_join(queries, corpus, 3, "query_id", "neighbor_id")
+    approx = ivf_topk(
+        queries, corpus, 3, "query_id", "neighbor_id", nlist=8, nprobe=4
+    )
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    from chessmate_spark.operators.similarity import ivf_topk
+
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 5
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 5
+    )
+    exact = cosine_knn_join(queries, corpus, 3, "query_id", "neighbor_id")
+    full = ivf_topk(
+        queries, corpus, 3, "query_id", "neighbor_id", nlist=4, nprobe=4
+    )
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_pairs == exact_pairs
