@@ -51,7 +51,10 @@ HEADLINE = [
     "d3_ngram_jaccard_pairs",
     "d4_simhash",
     "d5_document_fingerprint",
+    "d6_embedding_neardup",
     "v6_lsh_ann",
+    "v7_ivf_ann",
+    "a9_windowed_event_counts",
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",

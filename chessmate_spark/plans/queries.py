@@ -1591,3 +1591,70 @@ def v7_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", portable_round(F.col("score"), 6).alias("score")
     ).orderBy("query_id", F.col("score").desc(), "neighbor_id")
+
+# ---------------------------------------------------------------------------
+# Streaming-shared window aggregation (batch form of the streaming query)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "a9_windowed_event_counts",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_count,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def a9_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts per event_type — the exact expressions the
+    Structured Streaming pipeline runs (streaming/structured.py), evaluated
+    in batch so the oracle can check them.  The streaming variant adds only
+    the watermark (late-data pruning), not different arithmetic."""
+    from ..streaming.structured import windowed_event_counts
+
+    ev = _events(spark, sf_dir)
+    return windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+
+@_register("chess_jobs_stream", None)
+def chess_jobs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q4 as a REAL Structured Streaming run: positions land as parquet
+    files, a checkpointed availableNow file-source stream embeds them and
+    appends position_vectors (streaming/structured.py).  Returns the sink
+    row count + distinct content-hash ids."""
+    import os
+    import tempfile
+
+    from ..ingest import ingest_pgn_text
+    from ..streaming.structured import run_embedding_stream
+
+    ingest = ingest_pgn_text(spark, _CHESS_FIXTURE)
+    base = tempfile.mkdtemp(prefix="chess_jobs_stream_")
+    pos_dir = os.path.join(base, "positions")
+    vec_dir = os.path.join(base, "vectors")
+    ckpt = os.path.join(base, "ckpt")
+    ingest.positions.select(
+        "id", "game_id", "ply", "move_number", "side_to_move", "fen", "san"
+    ).write.mode("append").parquet(pos_dir)
+    run_embedding_stream(spark, pos_dir, vec_dir, ckpt, dim=8).awaitTermination()
+    vectors = spark.read.parquet(vec_dir)
+    return vectors.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("position_id").alias("n_positions"),
+    )
+
+
+def _chess_jobs_stream_oracle() -> str:
+    from ..chess.pgn import parse_games
+
+    total = sum(g.ply_count for g in parse_games(_CHESS_FIXTURE))
+    return f"""
+    SELECT CAST({total} AS BIGINT) AS n_vectors, CAST({total} AS BIGINT) AS n_positions
+    """
+
+
+QUERIES["chess_jobs_stream"] = (chess_jobs_stream, _chess_jobs_stream_oracle())

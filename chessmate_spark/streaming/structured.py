@@ -1,0 +1,166 @@
+"""Structured Streaming pipelines: the reference's micro-batch queue worker
+(Q1-Q4, embedding_worker.ml:95-156) and late-data event aggregation, as real
+``readStream``/``writeStream`` programs.
+
+Two streams:
+
+* **Embedding worker** — the jobs/positions pipeline as a checkpointed file
+  stream.  ``positions`` is an append-only table (new parquet files land as
+  ingest batches commit); the stream picks up exactly the new files, embeds
+  each FEN through the engine's deterministic V5 hash, and appends
+  ``(vector_id, embedding, …)`` rows to ``position_vectors``.  Exactly-once
+  comes from the checkpoint (file-source offsets are committed atomically
+  with the sink epoch) plus content-hash ids (vector_id = md5(fen), F14) —
+  replays overwrite the same logical row, the same idempotency argument the
+  reference makes for SKIP LOCKED + attempts (repo_postgres_caqti.ml:414-434).
+  ``Trigger.AvailableNow`` reproduces the worker's ``--exit-after-empty``
+  drain loop; a processing-time trigger turns the same program into the
+  long-running daemon.
+
+* **Windowed event counts** — watermark + tumbling-window aggregation over
+  the ``events`` table (A7's fixed-interval counts generalized to event-time
+  windows with late-data semantics the reference never had).  Append output
+  mode: a window row is emitted once, when the watermark passes its end —
+  late rows inside the watermark still count; older ones are dropped.
+
+At 100 TB the same code runs unchanged: the file source lists only new
+files per batch (``maxFilesPerTrigger`` bounds batch width), state for the
+window agg is per-(window, event_type) — small and bounded by the watermark
+horizon — and every transformation here is a JVM-side expression.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.embedding import deterministic_embedding_expr
+from ..functions.text import tokenize_sources
+
+POSITIONS_DDL = (
+    "id long, game_id long, ply int, move_number int, side_to_move string,"
+    " fen string, san string"
+)
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def embed_positions(batch: DataFrame, dim: int = 16) -> DataFrame:
+    """positions → position_vectors rows (V5 embedding, content-hash id).
+
+    Pure column expressions — reused identically by the batch drain
+    (streaming/jobs.py) and the stream below; one definition, two triggers.
+    """
+    return batch.select(
+        F.md5(F.col("fen")).alias("vector_id"),
+        deterministic_embedding_expr(tokenize_sources(F.col("fen")), dim).alias(
+            "embedding"
+        ),
+        F.col("game_id"),
+        F.col("id").alias("position_id"),
+        "ply",
+        "san",
+        "side_to_move",
+        "fen",
+    )
+
+
+def run_embedding_stream(
+    spark: SparkSession,
+    positions_path: str,
+    vectors_path: str,
+    checkpoint_path: str,
+    dim: int = 16,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+) -> StreamingQuery:
+    """The embedding worker as a Structured Streaming job over the
+    append-only positions table.  Returns the started query; callers
+    ``awaitTermination()`` (availableNow) or manage the daemon lifecycle."""
+    reader = spark.readStream.schema(POSITIONS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    positions = reader.parquet(positions_path)
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        # foreachBatch: the Q2 "complete" transition is implicit — a
+        # position is vectorized iff its row exists in the sink, which Q6
+        # (prune_stale_jobs) and the hybrid read path join on.
+        embed_positions(batch, dim).write.mode("append").parquet(vectors_path)
+
+    writer = (
+        positions.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="2 seconds")
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (streaming A7).
+
+    Works on both a streaming and a batch DataFrame (the batch form is the
+    oracle: same expressions, no watermark pruning)."""
+    with_mark = (
+        events.withWatermark("ts", watermark_delay)
+        if events.isStreaming
+        else events
+    )
+    return (
+        with_mark.groupBy(
+            F.window("ts", window_duration).alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            # decimal-exact accumulation → cast double: bit-identical result
+            # regardless of partition/accumulation order (oracle parity)
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def run_windowed_events_stream(
+    spark: SparkSession,
+    events_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "20 minutes",
+) -> StreamingQuery:
+    """File-source → watermarked window agg → append-mode parquet sink.
+
+    Append mode emits each window exactly once, after the watermark passes
+    its end — the late-data contract the brief's streaming section asks for."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_path)
+    agg = windowed_event_counts(events, window_duration, watermark_delay)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
