@@ -50,6 +50,13 @@ HEADLINE = [
     "d2_minhash_lsh_pairs",
     "d3_ngram_jaccard_pairs",
     "d4_simhash",
+    "q6_revenue_change",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
     "d5_document_fingerprint",
     "d6_embedding_neardup",
     "v6_lsh_ann",
