@@ -1941,3 +1941,89 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+# ---------------------------------------------------------------------------
+# Agent-evaluation cache as a keyed table (§1.5, agent_cache.ml:14-36)
+# ---------------------------------------------------------------------------
+
+def _x8_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cleaned = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)),
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned_text"),
+        F.slice(F.split(cleaned, " "), 1, 3).alias("keywords"),
+        F.lit(50).alias("limit"),
+        (F.lit(2000) + F.col("doc_id") % 5).cast("int").alias("white_min"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1900)).cast("int").alias("black_min"),
+        F.lit(100).alias("max_rating_delta"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("kings_indian_defense")).alias(
+            "opening_slug"
+        ),
+        F.lit("1-0").alias("result"),
+        F.coalesce(F.col("text"), F.lit("")).alias("pgn"),
+    )
+
+
+@_register(
+    "x8_agent_cache",
+    """
+    WITH req AS (
+      SELECT doc_id,
+             CAST(doc_id AS VARCHAR) || ':' ||
+               lower(substring(coalesce(text, ''), 1, 40)) AS cleaned,
+             coalesce(text, '') AS pgn
+      FROM documents),
+    keyed AS (
+      SELECT doc_id,
+             md5(concat_ws('|',
+               cleaned,
+               array_to_string((string_split(cleaned, ' '))[1:3], ','),
+               '50',
+               CAST(2000 + doc_id % 5 AS VARCHAR),
+               CASE WHEN doc_id % 2 = 0 THEN '1900' ELSE ' ' END,
+               '100',
+               CASE WHEN doc_id % 4 = 0 THEN 'kings_indian_defense' ELSE ' ' END,
+               '1-0',
+               md5(pgn))) AS cache_key
+      FROM req)
+    SELECT doc_id, cache_key,
+           doc_id % 3 = 0 AS cache_hit,
+           CASE WHEN doc_id % 3 = 0
+                THEN floor((doc_id % 97) / 97.0 * 1000000 + 0.5) / 1000000
+           END AS agent_score
+    FROM keyed ORDER BY doc_id
+    """,
+)
+def x8_agent_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent cache as a keyed table: digest keys (F14 layout), warm the
+    cache for every third request, broadcast-lookup the full batch.  The
+    oracle recomputes the md5 key layout independently — key portability is
+    part of the check."""
+    from ..operators.cache import agent_cache_key, cache_lookup, cache_merge
+
+    req = _x8_requests(spark, sf_dir).withColumn(
+        "cache_key",
+        agent_cache_key(
+            F.col("cleaned_text"), F.col("keywords"), F.col("limit"),
+            F.col("white_min"), F.col("black_min"), F.col("max_rating_delta"),
+            F.col("opening_slug"), F.col("result"), F.col("pgn"),
+        ),
+    )
+    warm = req.filter(F.col("doc_id") % 3 == 0).select(
+        "cache_key",
+        portable_round((F.col("doc_id") % 97) / F.lit(97.0), 6).alias(
+            "agent_score"
+        ),
+    )
+    cache = cache_merge(None, warm)
+    out = cache_lookup(
+        req.select("doc_id", "cache_key"), cache, value_cols=["agent_score"]
+    )
+    return out.select("doc_id", "cache_key", "cache_hit", "agent_score").orderBy(
+        "doc_id"
+    )
