@@ -41,3 +41,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def query_vector_lit(vec: Sequence[float]) -> Column:
     """A driver-computed query vector as an array<double> literal column."""
     return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with pre-computed norms: dot(a,b)/(norm_a*norm_b).
+
+    FP-identical to ``cosine_similarity`` (same operations, same order) but
+    each side's norm is computed once per ROW instead of once per PAIR —
+    3x fewer interpreted HOF aggregates inside pairwise joins.
+    """
+    denom = norm_a * norm_b
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot_product(a, b) / denom)

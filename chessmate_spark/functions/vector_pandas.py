@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 
 def nearest_cells_udf(centroids: np.ndarray, nprobe: int):
@@ -19,7 +20,7 @@ def nearest_cells_udf(centroids: np.ndarray, nprobe: int):
     c = centroids.astype(np.float64)
     c_sq = (c**2).sum(1)
 
-    @pandas_udf("array<int>")
+    @pandas_udf(ArrayType(IntegerType()))
     def cells(v: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         d = (X**2).sum(1, keepdims=True) + c_sq - 2.0 * X @ c.T
@@ -35,7 +36,7 @@ def nearest_cells_udf(centroids: np.ndarray, nprobe: int):
     return cells
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def pandas_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise cosine similarity over two array<float> columns, vectorized
     per Arrow batch.  Alternative to the zip_with/aggregate expression when
@@ -46,3 +47,23 @@ def pandas_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
     out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
     return pd.Series(out)
+
+
+def signatures_udf(planes):
+    """(n_tables, n_planes, dim) hyperplanes -> UDF: array<float> ->
+    array<long>, the per-table sign-bit signatures packed as integers.
+
+    Replaces n_tables*n_planes interpreted zip_with/aggregate dot products
+    per row with ONE numpy matmul per Arrow batch."""
+    T, P, D = planes.shape
+    flat = planes.reshape(T * P, D).astype(np.float64)
+    weights = (1 << np.arange(P)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (X @ flat.T) >= 0
+        ints = bits.reshape(len(X), T, P).astype(np.int64) @ weights
+        return pd.Series([row.tolist() for row in ints])
+
+    return sigs
