@@ -48,10 +48,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with the TIMESTAMP(NANOS) column restored to a timestamp.
 
-    Requires spark.sql.legacy.parquet.nanosAsLong=true (set by
-    chessmate_spark.session.get_spark); ns → µs truncation is exact for the
-    whole-second boundaries used by the windowed-count operators.
+    events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which vanilla
+    Spark rejects with PARQUET_TYPE_ILLEGAL.  The legacy conf is
+    runtime-settable, so set it here rather than relying on the caller's
+    session builder (the correctness driver uses its own session); ns → µs
+    truncation is exact for the whole-second boundaries used by the
+    windowed-count operators.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn(
