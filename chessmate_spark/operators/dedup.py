@@ -245,24 +245,22 @@ def embedding_neardup_lsh(
     all-pairs), then exact cosine verification.  Recall < 1 by construction;
     tests assert recall against ``embedding_neardup_pairs`` at test scale.
     """
+    import numpy as np
+
     from ..functions.vector import cosine_similarity
     from ..functions.scoring import portable_round
-    from .similarity import _hyperplanes, _signature_expr
+    from ..functions.vector_pandas import signatures_udf
+    from .similarity import _hyperplanes
 
-    parts = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        parts.append(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).alias("_vec"),
-                F.lit(t).alias("_table"),
-                _signature_expr(F.col(vec_col), planes).alias("_sig"),
-            )
-        )
-    tagged = parts[0]
-    for part in parts[1:]:
-        tagged = tagged.unionByName(part)
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    sigs = signatures_udf(planes)
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.posexplode(sigs(F.col(vec_col))).alias("_table", "_sig"),
+    )
     right = tagged.select(
         F.col("_table"), F.col("_sig"),
         F.col("_id").alias("_idb"), F.col("_vec").alias("_vecb"),

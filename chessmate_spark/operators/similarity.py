@@ -121,33 +121,26 @@ def lsh_bucketed_topk(
 
     Recall grows with n_tables; cost grows with bucket collision width.
     Both sides shuffle only on (table, signature) — never a cross join.
+    All n_tables*n_planes sign bits come from ONE numpy matmul per Arrow
+    batch (signatures_udf), then posexplode fans each row into its table
+    buckets — one scan per side regardless of n_tables.
     """
-    c_parts = []
-    q_parts = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        c_parts.append(
-            corpus.select(
-                F.col(corpus_id).alias("_c_id"),
-                F.col(corpus_vec).alias("_c_vec"),
-                F.lit(t).alias("_table"),
-                _signature_expr(F.col(corpus_vec), planes).alias("_sig"),
-            )
-        )
-        q_parts.append(
-            queries.select(
-                F.col(query_id).alias("_q_id"),
-                F.col(query_vec).alias("_q_vec"),
-                F.lit(t).alias("_table"),
-                _signature_expr(F.col(query_vec), planes).alias("_sig"),
-            )
-        )
-    c_all = c_parts[0]
-    for part in c_parts[1:]:
-        c_all = c_all.unionByName(part)
-    q_all = q_parts[0]
-    for part in q_parts[1:]:
-        q_all = q_all.unionByName(part)
+    from ..functions.vector_pandas import signatures_udf
+
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    sigs = signatures_udf(planes)
+    c_all = corpus.select(
+        F.col(corpus_id).alias("_c_id"),
+        F.col(corpus_vec).alias("_c_vec"),
+        F.posexplode(sigs(F.col(corpus_vec))).alias("_table", "_sig"),
+    )
+    q_all = queries.select(
+        F.col(query_id).alias("_q_id"),
+        F.col(query_vec).alias("_q_vec"),
+        F.posexplode(sigs(F.col(query_vec))).alias("_table", "_sig"),
+    )
     candidates = (
         c_all.join(q_all, ["_table", "_sig"])
         .select("_q_id", "_c_id", "_q_vec", "_c_vec")
@@ -171,6 +164,11 @@ def lsh_bucketed_topk(
 # IVF (inverted-file) ANN: coarse quantizer cells + nprobe search
 # ---------------------------------------------------------------------------
 
+def auto_nlist(corpus_rows: int) -> int:
+    """FAISS rule of thumb: nlist ≈ sqrt(N), clamped to a sane range."""
+    return max(8, min(65536, int(corpus_rows**0.5)))
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -179,15 +177,24 @@ def train_ivf_centroids(
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 42,
+    corpus_rows: Optional[int] = None,
 ) -> np.ndarray:
     """Lloyd k-means over a driver-side sample → (nlist, dim) centroids.
 
     The sample is tiny relative to the corpus (IVF centroid training always
-    is — FAISS trains on ~(39*nlist..256*nlist) points); at 100 TB replace
-    ``orderBy(id).limit`` with ``sample(fraction, seed)`` so no global sort
-    runs.  Deterministic: fixed seed, fixed sample order.
+    is — FAISS trains on ~(39*nlist..256*nlist) points).  Sampling is a
+    hash-mod filter on the id column: one column-pruned scan, NO global
+    sort, NO shuffle, and deterministic for a fixed seed + corpus — the
+    100 TB-safe way to take a few thousand training rows.
     """
-    pdf = corpus.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()
+    if corpus_rows is None:
+        corpus_rows = corpus.count()
+    # keep ~2x sample_size survivors so the limit rarely truncates unevenly
+    mod = max(1, corpus_rows // max(1, sample_size // 2))
+    sampled = corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod)) == 0
+    )
+    pdf = sampled.select(vec_col).limit(sample_size).toPandas()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
@@ -214,26 +221,42 @@ def ivf_topk(
     corpus_id: str,
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
-    nlist: int = 16,
+    nlist: Optional[int] = None,
     nprobe: int = 4,
     centroids: Optional[np.ndarray] = None,
     sim_col: str = "score",
     seed: int = 42,
+    broadcast_queries: bool = True,
+    salt: int = 8,
 ) -> DataFrame:
     """IVF approximate k-NN join (FAISS IndexIVFFlat semantics, batch form):
     corpus rows live in their nearest-centroid cell; each query probes its
     ``nprobe`` nearest cells; exact cosine re-ranks within probed cells.
 
-    Scale shape: both sides shuffle on the integer cell id only (corpus
-    ~rows/nlist per cell, queries ×nprobe); no cross join, no all-pairs.
+    Scale shape (the 100 TB contract):
+      * ``nlist`` defaults to ``auto_nlist`` (≈sqrt(corpus)) so cell
+        population — and with it candidate width — shrinks as the corpus
+        grows, instead of a fixed handful of giant cells.
+      * ``broadcast_queries=True`` (the common few-queries × huge-corpus
+        case): the probed query side is broadcast, so the corpus NEVER
+        shuffles — parallelism is the corpus partitioning, not the cell-id
+        cardinality.
+      * ``broadcast_queries=False`` (huge query batch): shuffle join on a
+        SALTED cell key ``(cell, hash(id) % salt)`` so one hot cell spreads
+        over ``salt`` tasks instead of pinning a single reducer.
     Recall grows with nprobe (nprobe = nlist ⇒ exact search).
     """
     from ..functions.vector_pandas import nearest_cells_udf
 
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed
-        )
+    if nlist is None or centroids is None:
+        corpus_rows = corpus.count()
+        if nlist is None:
+            nlist = auto_nlist(corpus_rows)
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
+                corpus_rows=corpus_rows,
+            )
     c_cells = corpus.select(
         F.col(corpus_id).alias("_c_id"), F.col(corpus_vec).alias("_c_vec"),
         F.element_at(nearest_cells_udf(centroids, 1)(F.col(corpus_vec)), 1).alias(
@@ -246,7 +269,16 @@ def ivf_topk(
             "_cell"
         ),
     )
-    candidates = c_cells.join(q_cells, "_cell")
+    if broadcast_queries:
+        candidates = c_cells.join(F.broadcast(q_cells), "_cell")
+    else:
+        c_salted = c_cells.withColumn(
+            "_salt", F.pmod(F.xxhash64("_c_id"), F.lit(salt)).cast("int")
+        )
+        q_salted = q_cells.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        candidates = c_salted.join(q_salted, ["_cell", "_salt"]).drop("_salt")
     scored = candidates.withColumn(
         sim_col, cosine_similarity(F.col("_c_vec"), F.col("_q_vec"))
     )
