@@ -1285,6 +1285,121 @@ def _chess_jobs_oracle() -> str:
 QUERIES["chess_jobs_drain"] = (chess_jobs_drain, _chess_jobs_oracle())
 
 
+# S11 TWIC precheck: a drop with every malformation class the reference's
+# twic_precheck_command.ml:31-89 detects (clean game, no-moves, missing
+# Result, bad Result token, unparseable header, headers-only tail).
+_TWIC_FIXTURE = """[Event "Good Game"]
+[Site "Test"]
+[Result "1-0"]
+
+1. e4 e5 2. Nf3 Nc6 1-0
+
+[Event "Empty Game"]
+[Result "*"]
+
+*
+
+[Event "No Result"]
+
+1. d4 d5 2. c4 e6 3. Nc3 Nf6 4. Bg5 Be7 5. e3 O-O 6. Nf3 h6 7. Bh4 b6 8. cxd5 exd5
+
+[Event "Bad Result"]
+[Result "2-0"]
+
+1. c4 c5
+
+[Event "Broken Header"
+1. f4 d5 *
+
+[Event "Empty No Result"]
+"""
+
+_NO_MOVES_HINT = "Remove the block or ensure the move list is present."
+_MISSING_RESULT_HINT = (
+    'Add a [Result "1-0"/"0-1"/"1/2-1/2" or "*"] tag before the moves.'
+)
+
+
+def _twic_precheck_oracle() -> str:
+    # golden rows: the reference validator's exact output on _TWIC_FIXTURE
+    rows = [
+        (2, 1, "No moves detected", _NO_MOVES_HINT,
+         '[Event "Empty Game"]\n[Result "*"]\n\n*'),
+        (3, 1, "Missing [Result] tag", _MISSING_RESULT_HINT,
+         '[Event "No Result"]\n\n1. d4 d5 2. c4 e6 3. Nc3 Nf6 4. Bg5 Be7'
+         ' 5. e3 O-O 6. Nf3 h6…'),
+        (4, 1, "Unexpected result token '2-0'",
+         "Use one of 1-0, 0-1, 1/2-1/2, or *.",
+         '[Event "Bad Result"]\n[Result "2-0"]\n\n1. c4 c5'),
+        (5, 1, 'Parse error: Invalid PGN header line: [Event "Broken Header"',
+         "Clean up or remove this entry (often a TWIC editorial note).",
+         '[Event "Broken Header"\n1. f4 d5 *'),
+        (6, 1, "No moves detected", _NO_MOVES_HINT,
+         '[Event "Empty No Result"]'),
+        (6, 2, "Missing [Result] tag", _MISSING_RESULT_HINT,
+         '[Event "Empty No Result"]'),
+    ]
+    values = ",\n".join(
+        "({}, {}, '{}', '{}', '{}')".format(
+            g, p,
+            problem.replace("'", "''"),
+            hint.replace("'", "''"),
+            preview.replace("'", "''"),
+        )
+        for g, p, problem, hint, preview in rows
+    )
+    return f"""
+    SELECT * FROM (VALUES
+    {values}
+    ) t(game_no, problem_no, problem, hint, preview)
+    ORDER BY game_no, problem_no
+    """
+
+
+@_register("s11_twic_precheck", None)
+def s11_twic_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: TWIC drop precheck — malformed-PGN issues DataFrame
+    (twic_precheck_command.ml:31-89), distributed over game chunks."""
+    from ..ingest import twic_precheck
+
+    return twic_precheck(spark, _TWIC_FIXTURE).orderBy("game_no", "problem_no")
+
+
+QUERIES["s11_twic_precheck"] = (s11_twic_precheck, _twic_precheck_oracle())
+
+
+@_register(
+    "q6_job_prune",
+    """
+    SELECT doc_id AS id, doc_id AS position_id,
+           CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN 'pending'
+                ELSE 'completed' END AS status
+    FROM documents ORDER BY id
+    """,
+)
+def q6_job_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: prune stale pending jobs — a pending job whose position already
+    has a vector flips to completed (prune_pending_jobs.sh:29-44's
+    jobs⟗position_vectors merge).  Seeded deterministically from documents:
+    even doc_ids are pending jobs, every third doc_id already has a vector."""
+    from ..streaming.jobs import prune_stale_jobs
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    jobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").alias("position_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("pending"))
+        .otherwise(F.lit("completed"))
+        .alias("status"),
+        F.lit(0).alias("attempts"),
+    )
+    vectors = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("position_id")
+    )
+    pruned = prune_stale_jobs(jobs, vectors)
+    return pruned.select("id", "position_id", "status").orderBy("id")
+
+
 @_register("chess_hybrid_canonical", None)
 def chess_hybrid_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 + §3.1 end-to-end: the canonical bench question compiled and
