@@ -131,7 +131,12 @@ def byte_entropy(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
                 ent = -sum(
                     (c / n) * math.log2(c / n) for c in counts if c
                 )
-                out.append({"media_id": int(media_id), "entropy": round(ent, 6)})
+                # floor-form rounding (portable_round): identical on the
+                # DuckDB oracle side, unlike Python's round-half-even
+                out.append({
+                    "media_id": int(media_id),
+                    "entropy": math.floor(ent * 1e6 + 0.5) / 1e6,
+                })
             yield pd.DataFrame(out, columns=["media_id", "entropy"])
 
     return df.select(id_col, blob_col).mapInPandas(batches, "media_id long, entropy double")

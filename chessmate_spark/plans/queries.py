@@ -1400,11 +1400,23 @@ def q6_job_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.select("id", "position_id", "status").orderBy("id")
 
 
-@_register("chess_hybrid_canonical", None)
+@_register(
+    "chess_hybrid_canonical",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), 'Strong, Player', 'Weaker, Player', '1-0',
+       'kings_indian_defense', CAST(0.81647 AS DOUBLE),
+       CAST(0.977516 AS DOUBLE), CAST(0.333333 AS DOUBLE))
+    ) t(id, white, black, result, opening_slug,
+        total_score, vector_score, keyword_score)
+    """,
+)
 def chess_hybrid_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 + §3.1 end-to-end: the canonical bench question compiled and
-    executed over the ingested fixture corpus (rows-only driver check;
-    scoring math is oracle-checked via hybrid_search_documents)."""
+    executed over the ingested fixture corpus.  The oracle is the golden
+    result row: the whole pipeline (ingest → deterministic embed → intent
+    compile → hybrid blend) is seeded and fixture-driven, so its output is
+    bit-stable and hash-checkable."""
     from ..ingest import ingest_pgn_text
     from ..query import Request, analyse
     from ..streaming import JobsState, drain_jobs
@@ -1475,9 +1487,33 @@ def m2_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media).orderBy("media_id")
 
 
-@_register("m3_byte_entropy", None)
+@_register(
+    "m3_byte_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+      FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    tot AS (SELECT doc_id, sum(n) AS total FROM cnt GROUP BY doc_id),
+    ent AS (
+      SELECT cnt.doc_id,
+             floor(-sum((n/total) * log2(n/total)) * 1000000 + 0.5) / 1000000
+               AS entropy
+      FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+    )
+    SELECT d.doc_id AS media_id, CAST(coalesce(ent.entropy, 0.0) AS DOUBLE) AS entropy
+    FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+    ORDER BY media_id
+    """,
+)
 def m3_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shannon byte-entropy triage over binary blobs (pandas UDF)."""
+    """Shannon byte-entropy triage over binary blobs (pandas UDF).  The
+    fixture blob is the utf-8 text and documents are ASCII, so the DuckDB
+    oracle reproduces the byte histogram from a character split."""
     from ..operators.multimodal import attach_fake_media, byte_entropy
 
     media = attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
