@@ -2223,3 +2223,55 @@ def x8_agent_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cache_key", "cache_hit", "agent_score").orderBy(
         "doc_id"
     )
+
+
+@_register(
+    "x9_agent_guarded",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id BETWEEN 3 AND 5 THEN 'error'
+                WHEN doc_id > 5 THEN 'breaker_open'
+                ELSE 'ok' END AS note,
+           CASE WHEN doc_id BETWEEN 3 AND 5 OR doc_id > 5
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE floor((doc_id % 97) / 97.0 * 1000000 + 0.5) / 1000000
+           END AS agent_score
+    FROM documents WHERE doc_id < 10 ORDER BY doc_id
+    """,
+)
+def x9_agent_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent guard rails end to end (agent_circuit_breaker.ml + retry.ml +
+    config.ml:98-102): a driver-side evaluator that fails on doc_ids 3-5
+    trips the breaker (threshold 3), so docs 6+ short-circuit to the
+    fallback without calling the agent — the V7 degrade-don't-fail path.
+    The guarded scores land in a Spark frame exactly as the x7 blend
+    consumes them; the oracle predicts score and breaker note per row."""
+    from ..functions.resilience import CircuitBreaker, guarded_evaluate
+
+    doc_ids = [r[0] for r in
+               _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 10)
+               .orderBy("doc_id").collect()]
+
+    clock = [0.0]
+    breaker = CircuitBreaker(now_fn=lambda: clock[0])
+    breaker.configure(threshold=3, cooloff_seconds=60.0)
+
+    import math
+
+    def make_eval(doc_id: int):
+        def _eval() -> float:
+            if 3 <= doc_id <= 5:
+                raise RuntimeError("simulated agent outage")
+            return math.floor(doc_id % 97 / 97.0 * 1e6 + 0.5) / 1e6
+        return _eval
+
+    rows = []
+    for doc_id in doc_ids:
+        score, note = guarded_evaluate(
+            breaker, make_eval(doc_id), timeout_seconds=15.0,
+            fallback=lambda: 0.0,
+        )
+        rows.append((doc_id, note, float(score)))
+    return spark.createDataFrame(
+        rows, "doc_id long, note string, agent_score double"
+    ).orderBy("doc_id")
