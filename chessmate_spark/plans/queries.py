@@ -2275,3 +2275,215 @@ def x9_agent_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id long, note string, agent_score double"
     ).orderBy("doc_id")
+
+
+def _f17_oracle() -> str:
+    return """
+    SELECT o_orderkey AS game_id,
+           to_json(struct_pack(
+             game_id := o_orderkey,
+             white := c_name,
+             black := c_mktsegment,
+             result := o_orderstatus,
+             year := year(o_orderdate),
+             event := o_orderpriority,
+             opening_slug := replace(lower(o_orderpriority), '-', '_'),
+             opening_name := o_orderpriority,
+             eco := CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE upper(substr(c_mktsegment, 1, 2)) END,
+             phases := ['opening', 'middlegame'],
+             themes := [lower(c_mktsegment)],
+             keywords := string_split(lower(o_orderpriority), '-'),
+             white_elo := CAST(o_orderkey % 2800 AS INTEGER),
+             black_elo := CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                               ELSE CAST((o_orderkey * 7) % 2800 AS INTEGER) END,
+             synopsis := printf('#%d %s — %s (%.2f)', o_orderkey,
+                                coalesce(c_name, ''), o_orderstatus, o_totalprice),
+             score := floor(o_totalprice / 1000000 * 1000000 + 0.5) / 1000000,
+             vector_score := floor(o_orderkey % 100 / 100.0 * 1000000 + 0.5) / 1000000,
+             keyword_score := floor(o_orderkey % 7 / 7.0 * 1000000 + 0.5) / 1000000,
+             agent_score := CAST(NULL AS DOUBLE),
+             agent_explanation := CAST(NULL AS VARCHAR),
+             agent_themes := CAST([] AS VARCHAR[]),
+             agent_reasoning_effort := CAST(NULL AS VARCHAR)
+           )) AS document
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey <= 100
+    ORDER BY game_id
+    """
+
+
+@_register("f17_json_results", _f17_oracle())
+def f17_json_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: result-document JSON construction (chessmate_api.ml:77-115's
+    to_json) — the full response shape (summary fields, nullable eco/elo,
+    phase/theme/keyword arrays, scores, explicit-null agent block) built as
+    ONE to_json(struct(...)) expression and byte-compared against DuckDB's
+    to_json.  Values are mapped from orders⟕customer so the oracle can
+    recompute them."""
+    from ..functions.json_docs import result_document
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.filter(F.col("o_orderkey") <= 100)
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+    )
+    fields = {
+        "game_id": F.col("o_orderkey"),
+        "white": F.col("c_name"),
+        "black": F.col("c_mktsegment"),
+        "result": F.col("o_orderstatus"),
+        "year": F.year("o_orderdate"),
+        "event": F.col("o_orderpriority"),
+        "opening_slug": F.replace(
+            F.lower("o_orderpriority"), F.lit("-"), F.lit("_")
+        ),
+        "opening_name": F.col("o_orderpriority"),
+        "eco": F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.upper(F.substring("c_mktsegment", 1, 2))
+        ),
+        "phases": F.array(F.lit("opening"), F.lit("middlegame")),
+        "themes": F.array(F.lower("c_mktsegment")),
+        "keywords": F.split(F.lower("o_orderpriority"), "-"),
+        "white_elo": (F.col("o_orderkey") % 2800).cast("int"),
+        "black_elo": F.when(
+            F.col("o_orderkey") % 2 == 0, F.lit(None).cast("int")
+        ).otherwise(((F.col("o_orderkey") * 7) % 2800).cast("int")),
+        "synopsis": F.format_string(
+            "#%d %s — %s (%.2f)", F.col("o_orderkey"),
+            F.coalesce(F.col("c_name"), F.lit("")), F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+        ),
+        "score": portable_round(F.col("o_totalprice") / 1000000, 6),
+        "vector_score": portable_round(F.col("o_orderkey") % 100 / 100.0, 6),
+        "keyword_score": portable_round(F.col("o_orderkey") % 7 / 7.0, 6),
+        "agent_score": F.lit(None).cast("double"),
+        "agent_explanation": F.lit(None).cast("string"),
+        "agent_themes": F.array().cast("array<string>"),
+        "agent_reasoning_effort": F.lit(None).cast("string"),
+    }
+    return j.select(
+        F.col("o_orderkey").alias("game_id"),
+        result_document(fields).alias("document"),
+    ).orderBy("game_id")
+
+
+@_register(
+    "f23_pgn_truncation",
+    """
+    SELECT doc_id,
+           CASE WHEN length(coalesce(text, '')) <= 300 THEN coalesce(text, '')
+                ELSE substr(coalesce(text, ''), 1, 300) ||
+                     chr(10) || '... [PGN truncated]' END AS pgn,
+           length(coalesce(text, '')) > 300 AS truncated
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f23_pgn_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23: evaluator-payload truncation (agent_evaluator.ml:29-33 —
+    production cap 3000 chars; 300 here so the fixture corpus exercises
+    both branches)."""
+    from ..functions.guards import truncate_pgn
+
+    docs = _docs(spark, sf_dir)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        truncate_pgn(text, max_chars=300).alias("pgn"),
+        (F.length(text) > 300).alias("truncated"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "f24_sanitizer",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             substr(coalesce(text, ''), 1, 40) ||
+             CASE doc_id % 4
+               WHEN 0 THEN ' OPENAI_API_KEY=sk-live-secret-000 tail'
+               WHEN 1 THEN ' see postgres://user:pw@host:5432/db ok'
+               WHEN 2 THEN ' token sk-abcdef1234567890 done'
+               ELSE '' END AS raw
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        'sk-[A-Za-z0-9_-]{8,}', '[redacted]', 'g'),
+        'gpt-[A-Za-z0-9_-]{8,}', '[redacted]', 'g'),
+        'OPENAI_API_KEY=[^\\s]+', '[redacted]', 'g'),
+        'DATABASE_URL=[^\\s]+', '[redacted]', 'g'),
+        'postgres://[^\\s]+', '[redacted]', 'g'),
+        'postgresql://[^\\s]+', '[redacted]', 'g'),
+        'redis://[^\\s]+', '[redacted]', 'g'),
+        'AGENT_API_KEY=[^\\s]+', '[redacted]', 'g') AS cleaned
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def f24_sanitizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24: secret/DSN redaction (lib/core/sanitizer.ml) — patterns applied
+    in reference order over text seeded with every secret class."""
+    from ..functions.guards import sanitize
+
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" OPENAI_API_KEY=sk-live-secret-000 tail"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit(" see postgres://user:pw@host:5432/db ok"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" token sk-abcdef1234567890 done"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", sanitize(raw).alias("cleaned")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "x5_theme_classifier",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             [coalesce(source, ''),
+              CASE doc_id % 5
+                WHEN 0 THEN 'Queenside Majority push'
+                WHEN 1 THEN '  KINGSIDE ATTACK  '
+                WHEN 2 THEN 'a central break idea'
+                WHEN 3 THEN 'kingside attack with queenside majority'
+                ELSE 'quiet maneuvering' END] AS tags
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(list_filter(tags,
+                  t -> contains(lower(trim(t)), 'queenside majority'))) > 0
+                THEN 'queenside_majority'
+                WHEN len(list_filter(tags,
+                  t -> contains(lower(trim(t)), 'kingside attack'))) > 0
+                THEN 'kingside_attack'
+                WHEN len(list_filter(tags,
+                  t -> contains(lower(trim(t)), 'central break'))) > 0
+                THEN 'central_break'
+                ELSE 'unknown' END AS theme
+    FROM tagged ORDER BY doc_id
+    """,
+)
+def x5_theme_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: tags → theme enum (position_features.ml:5-25) with the
+    reference's priority order; seeded tags cover case/whitespace handling
+    and the multi-match priority."""
+    from ..functions.guards import classify_theme
+
+    docs = _docs(spark, sf_dir)
+    tags = F.array(
+        F.coalesce(F.col("source"), F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Queenside Majority push"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("  KINGSIDE ATTACK  "))
+        .when(F.col("doc_id") % 5 == 2, F.lit("a central break idea"))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit("kingside attack with queenside majority"))
+        .otherwise(F.lit("quiet maneuvering")),
+    )
+    return docs.select(
+        "doc_id", classify_theme(tags).alias("theme")
+    ).orderBy("doc_id")
