@@ -82,13 +82,18 @@ def cache_lookup(
     value_cols = value_cols or [
         c for c in cache.columns if c != key_col
     ]
-    hit = F.col(f"_cached_{value_cols[0]}").isNotNull()
+    # hit = explicit row marker from the cache side, NOT value nullness —
+    # a cached row whose first value column is legitimately NULL is still
+    # a hit.
     cached = cache.select(
         F.col(key_col),
+        F.lit(True).alias("_cache_marker"),
         *[F.col(c).alias(f"_cached_{c}") for c in value_cols],
     )
-    out = requests.join(F.broadcast(cached), key_col, "left").withColumn(
-        "cache_hit", hit
+    out = (
+        requests.join(F.broadcast(cached), key_col, "left")
+        .withColumn("cache_hit", F.coalesce(F.col("_cache_marker"), F.lit(False)))
+        .drop("_cache_marker")
     )
     for c in value_cols:
         out = out.withColumn(c, F.col(f"_cached_{c}")).drop(f"_cached_{c}")

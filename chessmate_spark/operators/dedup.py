@@ -69,11 +69,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash-LSH.
 
     rows-per-band = num_hashes / bands; collision threshold ≈
     (1/bands)^(1/rows).  Candidates are verified with exact shingle Jaccard.
+
+    ``materialize=True`` (default) computes the pair set eagerly and
+    releases the persisted shingle/band intermediates before returning —
+    no executor storage leaks across invocations in a long-lived session.
+    Pass ``materialize=False`` to get the lazy plan instead; the caller
+    then owns the persisted intermediates' lifetime (one action, then a
+    new invocation per corpus).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands
@@ -126,9 +134,14 @@ def minhash_lsh_candidates(
             / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
         )
     )
-    return verified.filter(F.col("jaccard") >= F.lit(min_jaccard)).select(
+    out = verified.filter(F.col("jaccard") >= F.lit(min_jaccard)).select(
         "id_a", "id_b", "jaccard"
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        shingled.unpersist()
+        banded.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -138,11 +151,14 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     block_col: Optional[str] = None,
     min_jaccard: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs; all-pairs within a blocking key.
 
     Without LSH this is quadratic per block — keep blocks small (oracle
-    baseline / final verify of LSH candidates).
+    baseline / final verify of LSH candidates).  ``materialize`` as in
+    ``minhash_lsh_candidates``: eager result + released intermediates by
+    default.
     """
     # Exploded token-join: |A∩B| falls out of a self-join on (block, shingle)
     # — pairs sharing no shingle never materialize, and no arrays travel
@@ -172,7 +188,7 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
-    return (
+    out = (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .withColumn(
@@ -183,6 +199,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
         .select("id_a", "id_b", "jaccard")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        shingled.unpersist()
+    return out
 
 
 def simhash_fingerprints(

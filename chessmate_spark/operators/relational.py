@@ -134,15 +134,24 @@ def search_games(
 ) -> Tuple[DataFrame, int]:
     """Filtered summary page + total count sharing one plan (A1 + O1).
 
-    The filtered frame is built once; Spark reuses the scan for the count
-    (two actions over the same cached logical subtree).
+    The filtered join is computed ONCE: the frame is persisted, the count
+    action populates the cache, the page reads from it, and the cache is
+    released before returning (the page itself is materialized first — it
+    is at most ``limit`` rows, so the checkpoint is cheap at any scale).
     """
-    summaries = game_summaries(games, players).filter(compile_predicate(plan))
-    total = summaries.count()
-    page = paginate(
-        summaries,
-        [F.col("played_on").desc_nulls_last(), F.col("id").desc()],
-        plan.limit,
-        plan.offset,
+    summaries = (
+        game_summaries(games, players)
+        .filter(compile_predicate(plan))
+        .persist()
     )
+    try:
+        total = summaries.count()
+        page = paginate(
+            summaries,
+            [F.col("played_on").desc_nulls_last(), F.col("id").desc()],
+            plan.limit,
+            plan.offset,
+        ).localCheckpoint(eager=True)
+    finally:
+        summaries.unpersist()
     return page, total

@@ -201,7 +201,21 @@ def execute(tables: HybridTables, plan: QueryPlan, dim: int = 16) -> HybridExecu
         .withColumn("keyword_score", kw_score)
         .withColumn("phases", merge_arr(plan_phases, F.col("_hit_phases")))
         .withColumn("themes", merge_arr(plan_themes, F.col("_hit_themes")))
-        .withColumn("keywords", merged_tokens)
+        # combined_keywords (hybrid_executor.ml): the PLAN's keywords merge
+        # into the returned payload, not just the summary/hit tokens
+        .withColumn(
+            "keywords",
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.array(*[F.lit(k.lower()) for k in plan.keywords])
+                        if plan.keywords
+                        else F.array().cast("array<string>"),
+                        merged_tokens,
+                    )
+                )
+            ),
+        )
         .drop("_hit_score", "_hit_phases", "_hit_themes", "_hit_keywords")
         .orderBy(F.col("total_score").desc(), F.col("id").desc())
         .limit(plan.limit)
