@@ -59,6 +59,7 @@ HEADLINE = [
     "q22_idle_customers",
     "d5_document_fingerprint",
     "d6_embedding_neardup",
+    "d7_embedding_neardup_lsh",
     "v6_lsh_ann",
     "v7_ivf_ann",
     "a9_windowed_event_counts",
@@ -67,7 +68,16 @@ HEADLINE = [
     "m3_byte_entropy",
     "o5_result_formatting",
     "x7_agent_blend",
+    "x8_agent_cache",
+    "x9_agent_guarded",
+    "s11_twic_precheck",
+    "q6_job_prune",
+    "f17_json_results",
+    "f23_pgn_truncation",
+    "f24_sanitizer",
+    "x5_theme_classifier",
     "chess_ingest_positions",
+    "chess_ingest_batch",
     "chess_hybrid_canonical",
 ]
 

@@ -1721,15 +1721,22 @@ def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify exact cosine — the all-pairs-free 100 TB path.
 
     Checked against the EXACT all-pairs oracle: precision is 1.0 by
-    construction (every candidate is exact-verified) and (n_planes=3,
-    n_tables=32) is sized for recall 1.0 on this corpus, so the driver row
-    hash-checks the full LSH pipeline against the quadratic baseline."""
+    construction (every candidate is exact-verified) and at oracle scale
+    (≤800 vectors) the banding is sized for recall 1.0, so the driver row
+    hash-checks the full LSH pipeline against the quadratic baseline.
+
+    Banding autotunes to corpus size: candidate volume grows as
+    n_tables·n²/2^n_planes, so bigger corpora get FINER buckets (more
+    planes) and fewer tables — the recall/cost dial every production LSH
+    dedup exposes."""
     from ..operators.dedup import embedding_neardup_lsh
 
     emb = _emb(spark, sf_dir)
+    n = emb.count()
+    planes, tables = (3, 32) if n <= 800 else (4, 16)
     return embedding_neardup_lsh(
         emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
-        n_planes=3, n_tables=32,
+        n_planes=planes, n_tables=tables,
     ).orderBy("id_a", "id_b")
 
 
@@ -2487,3 +2494,86 @@ def x5_theme_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", classify_theme(tags).alias("theme")
     ).orderBy("doc_id")
+
+
+# Realistic ingest batch: 5 opening lines x N header-varied copies, so the
+# bench number measures distributed parse+replay throughput, not 2-row
+# fixture overhead (every line is legal under the replay engine).
+_CHESS_BATCH_LINES = [
+    ("italian", "e4 e5 Nf3 Nc6 Bc4 Bc5 c3 Nf6 d4 exd4 cxd4 Bb4+ Nc3 Nxe4"
+                " O-O Bxc3 bxc3 d5"),
+    ("qgd", "d4 d5 c4 e6 Nc3 Nf6 Bg5 Be7 e3 O-O Nf3 Nbd7 Rc1 c6 Bd3 dxc4"
+            " Bxc4 Nd5"),
+    ("sicilian", "e4 c5 Nf3 d6 d4 cxd4 Nxd4 Nf6 Nc3 a6 Be2 e5 Nb3 Be7 O-O O-O"),
+    ("french", "e4 e6 d4 d5 Nc3 Bb4 e5 c5 a3 Bxc3+ bxc3 Ne7"),
+    ("caro", "e4 c6 d4 d5 Nc3 dxe4 Nxe4 Bf5 Ng3 Bg6 h4 h6 Nf3 Nd7"),
+]
+_CHESS_BATCH_COPIES = 25
+
+
+def _numbered_moves(sans: list) -> str:
+    parts = []
+    for i, san in enumerate(sans):
+        if i % 2 == 0:
+            parts.append(f"{i // 2 + 1}. {san}")
+        else:
+            parts.append(san)
+    return " ".join(parts)
+
+
+def _chess_batch_text() -> str:
+    games = []
+    gid = 0
+    for copy in range(_CHESS_BATCH_COPIES):
+        for name, line in _CHESS_BATCH_LINES:
+            gid += 1
+            sans = line.split()
+            games.append(
+                f'[Event "{name} bench {copy}"]\n'
+                f'[Site "Benchville"]\n'
+                f'[Date "2024.0{copy % 9 + 1}.0{gid % 9 + 1}"]\n'
+                f'[White "White Player {gid}"]\n'
+                f'[Black "Black Player {gid}"]\n'
+                f'[Result "1-0"]\n\n'
+                f"{_numbered_moves(sans)} 1-0"
+            )
+    return "\n\n".join(games) + "\n"
+
+
+def _chess_batch_oracle() -> str:
+    from ..chess.pgn import parse_games
+
+    parsed = parse_games(_chess_batch_text())
+    games = len(parsed)
+    players = len(
+        {g.headers["White"] for g in parsed} | {g.headers["Black"] for g in parsed}
+    )
+    positions = sum(g.ply_count for g in parsed)
+    return f"""
+    SELECT * FROM (VALUES (CAST({games} AS BIGINT), CAST({players} AS BIGINT),
+                           CAST({positions} AS BIGINT), CAST({positions} AS BIGINT),
+                           CAST(0 AS BIGINT)))
+           t(games, players, positions, jobs, corrupt)
+    """
+
+
+@_register("chess_ingest_batch", None)
+def chess_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S5 + X1 at batch scale: 125 header-varied games parsed and
+    replayed distributed (mapInPandas); returns the relational-table counts
+    the transaction commits.  Oracle: the pure-Python parser's counts."""
+    from ..ingest import ingest_pgn_text
+
+    result = ingest_pgn_text(spark, _chess_batch_text())
+    games = result.games.agg(F.count(F.lit(1)).alias("games"))
+    players = result.players.agg(F.count(F.lit(1)).alias("players"))
+    positions = result.positions.agg(F.count(F.lit(1)).alias("positions"))
+    jobs = result.embedding_jobs.agg(F.count(F.lit(1)).alias("jobs"))
+    corrupt = result.corrupt.agg(F.count(F.lit(1)).alias("corrupt"))
+    return (
+        games.crossJoin(players).crossJoin(positions)
+        .crossJoin(jobs).crossJoin(corrupt)
+    )
+
+
+QUERIES["chess_ingest_batch"] = (chess_ingest_batch, _chess_batch_oracle())
