@@ -40,6 +40,7 @@ HEADLINE = [
     "v2_knn_join",
     "v4_hit_collapse",
     "v5_deterministic_embedding",
+    "v1_client_embedding",
     "hybrid_search_documents",
     "t1_token_counts",
     "t2_quality_score",
@@ -71,7 +72,9 @@ HEADLINE = [
     "x8_agent_cache",
     "x9_agent_guarded",
     "s11_twic_precheck",
+    "s12_fen_emitter",
     "q6_job_prune",
+    "a8_worker_rates",
     "f17_json_results",
     "f23_pgn_truncation",
     "f24_sanitizer",

@@ -2577,3 +2577,106 @@ def chess_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["chess_ingest_batch"] = (chess_ingest_batch, _chess_batch_oracle())
+
+
+def _s12_fen_oracle() -> str:
+    from ..chess.pgn import parse_game, split_games
+    from ..chess.replay import fens_of_moves
+
+    rows = []
+    for gid, chunk in enumerate(split_games(_CHESS_FIXTURE), start=1):
+        game = parse_game(chunk)
+        sans = [m.san for m in game.moves]
+        for ply, (san, fen) in enumerate(zip(sans, fens_of_moves(sans)), start=1):
+            rows.append(f"({gid}, {ply}, '{san}', '{fen}')")
+    values = ", ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES {values}) t(game_no, ply, san, fen)
+    ORDER BY game_no, ply
+    """
+
+
+@_register("s12_fen_emitter", None)
+def s12_fen_emitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: the pgn→fen CLI as a distributed operator
+    (pgn_to_fen_command.ml) — FEN after every half-move, golden-checked by
+    the pure replay engine."""
+    from ..ingest.fen_emit import emit_fens
+
+    return emit_fens(spark, _CHESS_FIXTURE).orderBy("game_no", "ply")
+
+
+QUERIES["s12_fen_emitter"] = (s12_fen_emitter, _s12_fen_oracle())
+
+
+@_register(
+    "a8_worker_rates",
+    """
+    SELECT CAST(120 AS BIGINT) AS processed, CAST(3 AS BIGINT) AS failed,
+           CAST(floor(120 / (90.0 / 60.0) * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS jobs_per_min,
+           CAST(floor(5400.0 / 90.0 * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS chars_per_sec
+    """,
+)
+def a8_worker_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: worker throughput gauges (embedding_worker.ml:65-93) — counters
+    accumulated per job, wall-clock rates computed at snapshot.  Seeded
+    deterministically: 120 jobs (3 failed, 45 FEN chars each) over a fixed
+    90-second window; the oracle recomputes the gauge arithmetic."""
+    from ..streaming.metrics import WorkerMetrics, worker_rates_frame
+
+    m = WorkerMetrics(start_time=1000.0)
+    for i in range(120):
+        m.update(failed=(i % 40 == 0), fen_length=45.0)
+    frame = worker_rates_frame(spark, m, now=1090.0)
+    return frame.select(
+        "processed", "failed",
+        portable_round(F.col("jobs_per_min"), 6).alias("jobs_per_min"),
+        portable_round(F.col("chars_per_sec"), 6).alias("chars_per_sec"),
+    )
+
+
+@_register("v1_client_embedding", None)
+def v1_client_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: the external-embedder worker shape — mapInPandas batches feed an
+    EmbeddingClient (chunk guards ≤2048 items / ≤120k chars, retry w/
+    backoff; embedding_client.ml:12-56,134-210) whose transport here is the
+    deterministic V5 embedder, so the whole client path is hash-checked
+    against the same oracle as the expression path."""
+    import re as _re
+
+    import pandas as _pd
+
+    dim = 8
+
+    def batches(it):
+        from chessmate_spark.functions.embed_client import EmbeddingClient
+        from chessmate_spark.functions.embedding import deterministic_embedding
+
+        def _tokens(text):
+            toks = [
+                t for t in _re.split(r"[^a-z0-9]+", (text or "").lower())
+                if len(t) >= 3
+            ]
+            return sorted(set(toks))
+
+        client = EmbeddingClient(
+            lambda texts: [deterministic_embedding(_tokens(t), dim) for t in texts],
+            max_batch_size=64, max_chars=20_000,
+        )
+        for pdf in it:
+            vecs = client.embed_texts(list(pdf["text"]))
+            out = _pd.DataFrame({"doc_id": pdf["doc_id"]})
+            for i in range(dim):
+                out[f"e{i}"] = [
+                    __import__("math").floor(v[i] * 1e6 + 0.5) / 1e6 for v in vecs
+                ]
+            yield out
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = "doc_id long, " + ", ".join(f"e{i} double" for i in range(dim))
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+QUERIES["v1_client_embedding"] = (v1_client_embedding, _v5_oracle())
