@@ -58,6 +58,18 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_value_concentration",
+    "q12_priority_linestatus",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     "d5_document_fingerprint",
     "d6_embedding_neardup",
     "d7_embedding_neardup_lsh",

@@ -2680,3 +2680,608 @@ def v1_client_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["v1_client_embedding"] = (v1_client_embedding, _v5_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2..q21), adapted to the reduced testdata schema
+# (no partsupp / shipmode / commitdate): each keeps the ORIGINAL's plan
+# shape — decorrelated min, EXISTS semi-join, share-of-total, correlated
+# avg, disjunctive pushdown, nested semi/anti self-joins — on the columns
+# that exist.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    mins AS (
+      SELECT l_partkey AS m_partkey, min(l_extendedprice) AS min_price
+      FROM offers GROUP BY 1)
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM offers
+    JOIN mins ON l_partkey = m_partkey AND l_extendedprice = min_price
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size = 11 AND p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (decorrelated correlated-min subquery): cheapest
+    EUROPE offer per part, joined back on the min — partsupp replaced by
+    the (l_partkey, l_suppkey, l_extendedprice) offers in lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    offers = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              nat["n_regionkey"] == reg["r_regionkey"])
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    )
+    mins = offers.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    out = (
+        offers.join(
+            mins,
+            (offers["l_partkey"] == mins["m_partkey"])
+            & (offers["l_extendedprice"] == mins["min_price"]),
+        )
+        .join(
+            F.broadcast(
+                part.filter((F.col("p_size") == 11) & (F.col("p_type") == "ECONOMY"))
+            ),
+            F.col("p_partkey") == offers["l_partkey"],
+        )
+        .join(F.broadcast(supp.alias("s2")),
+              offers["l_suppkey"] == F.col("s2.s_suppkey"))
+        .join(F.broadcast(nat.alias("nn2")),
+              F.col("s2.s_nationkey") == F.col("nn2.n_nationkey"))
+        .select(
+            F.col("s2.s_acctbal").alias("s_acctbal"),
+            F.col("s2.s_name").alias("s_name"),
+            F.col("nn2.n_name").alias("n_name"),
+            "p_partkey", "p_name",
+        )
+        .distinct()
+    )
+    return out.orderBy(
+        F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+    ).limit(20)
+
+
+@_register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders with at least one
+    line shipped after the order date ("late" stands in for the missing
+    commitdate/receiptdate pair), counted per priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+    WITH volumes AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1.0 - l_discount AS DECIMAL(8,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM volumes GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's slice of
+    EUROPE-customer ECONOMY-part revenue per year; conditional share of a
+    decimal-exact total, divided once at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    volume = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    vols = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), cust["c_nationkey"] == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n2), supp["s_nationkey"] == F.col("n2.n_nationkey"))
+        .select(
+            F.year(o["o_orderdate"]).alias("o_year"),
+            volume.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double") / F.sum("volume").cast("double")
+    return (
+        vols.groupBy("o_year")
+        .agg(share.alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1.0 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and year): supplycost is
+    proxied by 0.5*p_retailprice (no partsupp table).  The per-row amount
+    is computed in DOUBLE (bit-identical across engines) and cast to
+    decimal ONCE so the group sums stay exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    rows = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return (
+        rows.groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@_register(
+    "q11_value_concentration",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    FROM pv
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(sum(value) AS DOUBLE) * 0.0008 FROM pv)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (share-of-total HAVING via scalar subquery): part
+    inventory value within one region vs a fraction of the global total —
+    the scalar aggregate rides a broadcast cross join, no second scan of
+    the grouped frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    pv = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value"))
+        .localCheckpoint(eager=False)
+    )
+    total = pv.agg(
+        (F.sum("value").cast("double") * F.lit(0.0008)).alias("_threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("_threshold"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@_register(
+    "q12_priority_linestatus",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional priority counts per line class):
+    linestatus stands in for the missing shipmode; late lines bucket order
+    priorities into high/low counters in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+    )
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (view + max scalar subquery): quarterly revenue per
+    supplier, keep the max earner(s) — decimal-exact equality against the
+    broadcast max, so FP never decides the winner."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc).alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    return (
+        supp.join(revenue, supp["s_suppkey"] == revenue["supplier_no"])
+        .crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q16_supplier_counts",
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct supplier counts per part attribute with a
+    complaint anti-join): the partsupp pairs come from distinct lineitem
+    (partkey, suppkey); "complaints" = negative account balance."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    kept = pairs.join(
+        F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(part), kept["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    WITH avgq AS (
+      SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avgq ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity < threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated per-part average, decorrelated into a
+    grouped join): lines under 20% of their part's mean quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avgq = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(avgq, li["l_partkey"] == avgq["a_partkey"])
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+             / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctive brand/size/quantity
+    ranges): one broadcast join, the OR-of-ANDs evaluated post-join — AQE
+    and codegen keep it one stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q20_excess_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey),
+    part_total AS (
+      SELECT l_partkey AS t_partkey, sum(qty) AS total FROM shipped GROUP BY 1),
+    big AS (
+      SELECT DISTINCT l_suppkey
+      FROM shipped
+      JOIN part_total ON l_partkey = t_partkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%' AND qty > 0.3 * total)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain): suppliers who shipped
+    >30% of a small-part's yearly volume — availqty is proxied by the
+    shipped totals (no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total")
+    )
+    big = (
+        shipped.join(part_total, shipped["l_partkey"] == part_total["t_partkey"])
+        .join(F.broadcast(part), shipped["l_partkey"] == part["p_partkey"])
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(big, supp["s_suppkey"] == big["l_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate),
+    all_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_pairs l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): the only supplier
+    who shipped late on a multi-supplier finished order — late =
+    shipped-after-orderdate (no commit/receipt dates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    l2 = all_pairs.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (late["l_orderkey"] == l2["_ok2"]) & (late["l_suppkey"] != l2["_sk2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3["_ok3"]) & (F.col("l_suppkey") != l3["_sk3"]),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
