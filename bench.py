@@ -76,6 +76,7 @@ HEADLINE = [
     "v6_lsh_ann",
     "v7_ivf_ann",
     "a9_windowed_event_counts",
+    "a10_user_sessions",
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",

@@ -58,9 +58,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer DIV, not float division: ns counts exceed 2^53, so a
+        # double round-trip would be off by ±1 µs on some rows
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ev
 
 
@@ -3285,3 +3285,42 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@_register(
+    "a10_user_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > CAST(120 AS BIGINT) * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged)
+    SELECT user_id, session_no,
+           min(CAST(ts AS TIMESTAMP)) AS session_start,
+           max(CAST(ts AS TIMESTAMP)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def a10_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (120-min gap) over the event stream —
+    the batch form of the applyInPandasWithState stateful operator
+    (streaming/sessions.py); lag/cumsum decorrelation, two user_id
+    shuffles, no UDF."""
+    from ..streaming.sessions import sessionize_batch
+
+    ev = _events(spark, sf_dir)
+    return sessionize_batch(ev, gap_minutes=120)
