@@ -99,3 +99,28 @@ def classify_theme_py(tags: Sequence[str]) -> str:
     if any("central break" in t for t in downcased):
         return THEME_CENTRAL
     return THEME_UNKNOWN
+
+
+# --- X7: evaluator effort/verbosity selection -------------------------------
+
+EFFORT_HIGH = "high"
+EFFORT_MEDIUM = "medium"
+VERBOSITY_LOW = "low"
+VERBOSITY_MEDIUM = "medium"
+
+
+def effort_for_plan(plan) -> str:
+    """agent_evaluator.ml:35-42: theme-filtered or keyword-heavy (>=4)
+    plans get High reasoning effort, everything else Medium."""
+    has_theme = any(f.field.lower() == "theme" for f in plan.filters)
+    if has_theme or len(plan.keywords) >= 4:
+        return EFFORT_HIGH
+    return EFFORT_MEDIUM
+
+
+def verbosity_for_plan(plan) -> str:
+    """agent_evaluator.ml:44-49: simple plans (<=1 filter, <=2 keywords)
+    get Low verbosity, everything else Medium."""
+    if len(plan.filters) <= 1 and len(plan.keywords) <= 2:
+        return VERBOSITY_LOW
+    return VERBOSITY_MEDIUM

@@ -1477,10 +1477,26 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@_register("m2_image_decode_stub", None)
+@_register(
+    "m2_image_decode_stub",
+    """
+    WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
+    SELECT doc_id AS media_id,
+           true AS decoded,
+           CAST(((strpos('0123456789abcdef', substr(hx,1,1))-1)*16 + strpos('0123456789abcdef', substr(hx,2,1))-1) * 4 + 16 AS INTEGER) AS width,
+           CAST(((strpos('0123456789abcdef', substr(hx,3,1))-1)*16 + strpos('0123456789abcdef', substr(hx,4,1))-1) * 4 + 16 AS INTEGER) AS height,
+           ((strpos('0123456789abcdef', substr(hx,5,1))-1)*16 + strpos('0123456789abcdef', substr(hx,6,1))-1) / 255.0 AS mean_r,
+           ((strpos('0123456789abcdef', substr(hx,7,1))-1)*16 + strpos('0123456789abcdef', substr(hx,8,1))-1) / 255.0 AS mean_g,
+           ((strpos('0123456789abcdef', substr(hx,9,1))-1)*16 + strpos('0123456789abcdef', substr(hx,10,1))-1) / 255.0 AS mean_b,
+           'stub-decoder (no codec libs in container)' AS decode_note
+    FROM h ORDER BY media_id
+    """,
+)
 def m2_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode stage (stub decoder — deterministic fake stats;
-    real plumbing: schema, mapInPandas batches, null handling)."""
+    """Arrow-batched decode stage.  The decoder is a STUB (no codec libs
+    in the container) but a deterministic one — fake stats derive from the
+    blob's md5 digest — so the oracle recomputes them from the hex digest
+    and the whole mapInPandas plumbing is hash-checked end to end."""
     from ..operators.multimodal import attach_fake_media, decode_image_features
 
     media = attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")

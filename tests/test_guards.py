@@ -54,3 +54,18 @@ def test_theme_priority_order():
 
 def test_theme_strips_and_lowercases():
     assert classify_theme_py(["  QUEENSIDE MAJORITY  "]) == "queenside_majority"
+
+
+def test_effort_and_verbosity_for_plan():
+    from chessmate_spark.functions.guards import effort_for_plan, verbosity_for_plan
+    from chessmate_spark.query import Request, analyse
+
+    themed = analyse(Request(text="kingside attack games with sacrifices"))
+    plain = analyse(Request(text="games by Carlsen"))
+    assert effort_for_plan(themed) == "high"  # theme filter present
+    assert effort_for_plan(plain) == "medium"
+    assert verbosity_for_plan(plain) == "low"
+    many_kw = analyse(
+        Request(text="sharp tactical french defense endgame rook sacrifice ideas")
+    )
+    assert effort_for_plan(many_kw) == "high"  # >= 4 keywords
