@@ -1,0 +1,54 @@
+"""Bucketed table helpers: co-located joins/aggregations without exchanges.
+
+The relational sink's scale lever (EXPLAIN.md's Q18 note): persisting a
+fact table bucketed by its join/group key lets every later
+join-on-that-key or groupBy-that-key run with ZERO shuffle — the scan is
+already hash-partitioned.  Spark bucketing rides the session catalog
+(`saveAsTable`), so these helpers wrap the catalog plumbing and the
+verification that a plan actually dropped its exchanges.
+
+At 100 TB this is the difference between re-shuffling lineitem per query
+and paying the shuffle once at ingest.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: List[str],
+    n_buckets: int,
+    sort_cols: Optional[List[str]] = None,
+    mode: str = "overwrite",
+    path: Optional[str] = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    ``path`` makes it an external table at that location (tests point this
+    at a tmpdir; production points at the lake)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the final physical plan —
+    the thing bucketing exists to drive to zero."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+    )
