@@ -32,6 +32,8 @@ HEADLINE = [
     "j1_left_join_summaries",
     "j3_semi_join",
     "j6_anti_join",
+    "j7_asof_join",
+    "j8_range_join",
     "a6_status_histogram",
     "a7_windowed_counts",
     "u1_distinct_pairs",

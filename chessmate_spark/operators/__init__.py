@@ -6,6 +6,7 @@ from .relational import (
 )
 from .topk import topk, topk_per_group
 from .collapse import collapse_hits_by_game
+from .asof import asof_join, range_join
 from .similarity import brute_force_topk, cosine_knn_join, lsh_bucketed_topk
 from .dedup import (
     exact_duplicates,
@@ -31,6 +32,8 @@ __all__ = [
     "brute_force_topk",
     "cosine_knn_join",
     "lsh_bucketed_topk",
+    "asof_join",
+    "range_join",
     "exact_duplicates",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",

@@ -3340,3 +3340,71 @@ def a10_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return sessionize_batch(ev, gap_minutes=120)
+
+
+@_register(
+    "j7_asof_join",
+    """
+    SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+           CAST(r.ts AS TIMESTAMP) AS asof_ts, r.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (kdb aj / DuckDB ASOF): every purchase matched to the
+    user's latest at-or-before click.  Composed as tag-union + one
+    windowed carry-forward per user — one shuffle, no inequality-join
+    nested loop; the oracle is DuckDB's NATIVE ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, by=["user_id"],
+        left_ts="ts", right_ts="ts", right_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts", "click_value"
+    ).orderBy("event_id")
+
+
+@_register(
+    "j8_range_join",
+    """
+    SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM (SELECT p_partkey, p_retailprice * 90 AS lo,
+                 p_retailprice * 90 + 8000 AS hi
+          FROM part WHERE p_partkey < 40) iv
+    JOIN orders ON o_totalprice BETWEEN lo AND hi
+    GROUP BY p_partkey ORDER BY p_partkey
+    """,
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join via bucketized equi-join + exact
+    BETWEEN verify — candidates are bucket collisions, never
+    points x intervals.  Orders priced inside each part's derived band."""
+    from ..operators.asof import range_join
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 40).select(
+        "p_partkey",
+        (F.col("p_retailprice") * 90).alias("lo"),
+        (F.col("p_retailprice") * 90 + 8000).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join(
+        orders, part, point_col="o_totalprice",
+        lo_col="lo", hi_col="hi", bucket_width=8000.0,
+    )
+    return (
+        joined.groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("p_partkey")
+    )
