@@ -296,10 +296,14 @@ def embedding_neardup_lsh(
     all-pairs), then exact cosine verification.  Recall < 1 by construction;
     tests assert recall against ``embedding_neardup_pairs`` at test scale.
 
-    Verification uses the Arrow-batched numpy cosine: candidates are
-    already materialized rows (post-shuffle), so one Arrow hop per batch
-    beats the interpreted HOF fold ~2x (measured; the opposite holds for
-    the BNLJ exact variant, where pair generation is JVM-internal).
+    Candidates carry ONLY (id_a, id_b) — the same discipline as the
+    minhash pipeline: the bucket self-join and the pair dedup shuffle a
+    few bytes per row, and the vectors are joined back AFTER dedup (the
+    (id, vector) projection joins twice; at broadcast size those joins
+    are shuffle-free).  Verification is the Arrow-batched numpy cosine:
+    one hop per batch beats the interpreted HOF fold ~2x (measured; the
+    opposite holds for the BNLJ exact variant, where pair generation is
+    JVM-internal).
     """
     import numpy as np
 
@@ -313,23 +317,31 @@ def embedding_neardup_lsh(
     sigs = signatures_udf(planes)
     tagged = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
         F.posexplode(sigs(F.col(vec_col))).alias("_table", "_sig"),
     )
     right = tagged.select(
-        F.col("_table"), F.col("_sig"),
-        F.col("_id").alias("_idb"), F.col("_vec").alias("_vecb"),
+        F.col("_table"), F.col("_sig"), F.col("_id").alias("_idb")
     )
-    candidates = (
+    pairs = (
         tagged.join(right, ["_table", "_sig"])
         .filter(F.col("_id") < F.col("_idb"))
-        .select(
-            F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"),
-            F.col("_vec").alias("_va"), F.col("_vecb").alias("_vb"),
-        )
+        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    scored = candidates.select(
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    # no forced broadcast: AQE broadcasts the (id, vector) projection when
+    # it fits and falls back to a key-partitioned join when it doesn't
+    with_vecs = (
+        pairs.join(
+            vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb")),
+            "id_b",
+        )
+    )
+    scored = with_vecs.select(
         "id_a",
         "id_b",
         portable_round(
