@@ -33,8 +33,15 @@ class SnapshotInfo:
     size_bytes: int
 
 
+JOURNAL = "_snapshot_journal.jsonl"
+
+
 class SnapshotManager:
-    """Filesystem-rooted snapshot registry for one or more collections."""
+    """Filesystem-rooted snapshot registry for one or more collections.
+
+    Besides the per-snapshot manifest, an append-only JSONL journal
+    records every create with a timestamp and optional operator note
+    (collection_command.ml's metadata journaling for audit/discovery)."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -48,10 +55,11 @@ class SnapshotManager:
         df: DataFrame,
         collection: str,
         snapshot_name: Optional[str] = None,
+        note: Optional[str] = None,
     ) -> SnapshotInfo:
         """Write an immutable copy; auto-names ``<collection>-snap-<n>``
         like the reference's server-generated names.  Refuses to overwrite
-        (snapshots are immutable)."""
+        (snapshots are immutable).  ``note`` lands in the audit journal."""
         if snapshot_name is None:
             existing = self.list(collection)
             snapshot_name = f"{collection}-snap-{len(existing) + 1:04d}"
@@ -72,7 +80,28 @@ class SnapshotManager:
         )
         with open(os.path.join(location, MANIFEST), "w") as fh:
             json.dump(asdict(info), fh)
+        record = dict(asdict(info), recorded_at=info.created_at)
+        if note is not None and note.strip():
+            record["note"] = note
+        os.makedirs(self._collection_dir(collection), exist_ok=True)
+        with open(
+            os.path.join(self._collection_dir(collection), JOURNAL), "a"
+        ) as fh:
+            fh.write(json.dumps(record) + "\n")
         return info
+
+    def read_journal(self, collection: str) -> List[dict]:
+        """The append-only audit records, oldest first (blank lines
+        tolerated, as in the reference's reader)."""
+        path = os.path.join(self._collection_dir(collection), JOURNAL)
+        if not os.path.isfile(path):
+            return []
+        out: List[dict] = []
+        with open(path) as fh:
+            for line in fh:
+                if line.strip():
+                    out.append(json.loads(line))
+        return out
 
     def list(self, collection: str) -> List[SnapshotInfo]:
         """All snapshots of a collection, oldest-first by name."""

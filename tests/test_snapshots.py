@@ -59,3 +59,22 @@ def test_snapshot_isolates_from_source_changes(spark, mgr, tmp_path):
     # "collection" moves on: overwrite live data with fewer rows
     spark.range(3).write.mode("overwrite").parquet(str(src))
     assert mgr.restore(info.location).count() == 10
+
+
+def test_journal_records_creates_with_notes(spark, mgr):
+    df = spark.range(3)
+    mgr.create(df, "vectors", note="before reindex")
+    mgr.create(df, "vectors")          # no note
+    mgr.create(df, "vectors", note="  ")  # blank note dropped
+    journal = mgr.read_journal("vectors")
+    assert [r["name"] for r in journal] == [
+        "vectors-snap-0001", "vectors-snap-0002", "vectors-snap-0003"
+    ]
+    assert journal[0]["note"] == "before reindex"
+    assert "note" not in journal[1]
+    assert "note" not in journal[2]
+    assert all(r["recorded_at"] for r in journal)
+
+
+def test_journal_empty_for_unknown_collection(mgr):
+    assert mgr.read_journal("nothing") == []
