@@ -34,6 +34,7 @@ HEADLINE = [
     "j6_anti_join",
     "j7_asof_join",
     "j8_range_join",
+    "j9_interval_join",
     "a6_status_histogram",
     "a7_windowed_counts",
     "u1_distinct_pairs",

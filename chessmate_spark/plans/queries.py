@@ -3408,3 +3408,48 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("p_partkey")
     )
+
+
+@_register(
+    "j9_interval_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join (click → purchases within 30 min, per user):
+    the batch twin of the watermarked stream-stream join
+    (tests/test_stream_join.py runs the same predicate as two joined
+    streams with state bounded by the watermark + interval).  Equi-join
+    on user_id carries the non-equi time band — one key shuffle, the band
+    filters post-join."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    return out.select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+    ).orderBy("click_id", "purchase_id")
