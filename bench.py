@@ -80,6 +80,7 @@ HEADLINE = [
     "v7_ivf_ann",
     "a9_windowed_event_counts",
     "a10_user_sessions",
+    "a11_percentiles",
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",

@@ -3453,3 +3453,32 @@ def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
     ).orderBy("click_id", "purchase_id")
+
+
+@_register(
+    "a11_percentiles",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+           floor(quantile_cont(value, 0.9) * 1000000 + 0.5) / 1000000 AS p90,
+           floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (monitoring-style
+    p50/p90/p99).  Spark's `percentile` and DuckDB's `quantile_cont` share
+    linear-interpolation semantics; portable rounding absorbs their
+    last-bit interpolation differences."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            portable_round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            portable_round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
