@@ -21,6 +21,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -39,18 +40,28 @@ def asof_join(
 
     Returns the left columns + ``asof_ts_col`` + ``right_cols`` (null when
     no right row precedes — or the row dropped when ``how='inner'``).
+
+    The matched right row's timestamp and payload travel as ONE struct
+    through ``last(..., ignorenulls=True)``, so a right row whose payload
+    column is legitimately NULL yields NULL for that column (never an
+    older row's value).  Right rows sharing (key, ts) resolve to the
+    greatest payload tuple — a stable, documented rule rather than
+    partition-order luck.
     """
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in by and c != right_ts
         ]
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    payload_type = StructType(
+        [StructField("_ts", rtypes[right_ts])]
+        + [StructField(c, rtypes[c]) for c in right_cols]
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_is_left"),
         F.col(left_ts).alias("_t"),
-        F.lit(None).cast("timestamp").alias("_r_ts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(payload_type).alias("_payload"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
@@ -58,26 +69,33 @@ def asof_join(
         *[F.col(c) for c in by],
         F.lit(0).alias("_is_left"),
         F.col(right_ts).alias("_t"),
-        F.col(right_ts).alias("_r_ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("_payload"),
     ).select(*l_tag.columns)  # align column order for the union
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort BEFORE left rows at equal _t so <= semantics hold
+    # right rows sort BEFORE left rows at equal _t so <= semantics hold;
+    # _payload breaks ties among right rows deterministically
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_is_left").asc(),
+            F.col("_payload").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("_is_left"),
-        F.last("_r_ts", ignorenulls=True).over(w).alias(asof_ts_col),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last("_payload", ignorenulls=True).over(w).alias("_carried"),
     )
-    out = carried.filter(F.col("_is_left") == 1).drop("_is_left")
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(c) for c in left.columns],
+        F.col("_carried._ts").alias(asof_ts_col),
+        *[F.col(f"_carried.{c}").alias(c) for c in right_cols],
+    )
     if how == "inner":
         out = out.filter(F.col(asof_ts_col).isNotNull())
     return out

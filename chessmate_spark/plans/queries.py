@@ -3348,7 +3348,10 @@ def a10_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
            CAST(r.ts AS TIMESTAMP) AS asof_ts, r.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+    ASOF LEFT JOIN (SELECT user_id, ts,
+                           CASE WHEN event_id % 7 = 0 THEN NULL
+                                ELSE value END AS value
+                    FROM events WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     ORDER BY l.event_id
     """,
@@ -3357,7 +3360,10 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (kdb aj / DuckDB ASOF): every purchase matched to the
     user's latest at-or-before click.  Composed as tag-union + one
     windowed carry-forward per user — one shuffle, no inequality-join
-    nested loop; the oracle is DuckDB's NATIVE ASOF JOIN."""
+    nested loop; the oracle is DuckDB's NATIVE ASOF JOIN.  Every 7th
+    click's value is nulled on BOTH engines so the fixture proves the
+    matched row's NULL payload comes through as NULL (struct carry),
+    never an older click's value."""
     from ..operators.asof import asof_join
 
     ev = _events(spark, sf_dir)
@@ -3365,7 +3371,11 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("click_value"),
     )
     out = asof_join(
         purchases, clicks, by=["user_id"],
