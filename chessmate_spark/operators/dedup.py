@@ -221,6 +221,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float,
     round_digits: int = 6,
+    max_side_rows: int = 500_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, score) for
     every unordered pair with cosine >= threshold.
@@ -247,6 +248,16 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    n = df.count()
+    if n > max_side_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs materializes the (id, vector) side on "
+            f"the driver; corpus has {n} rows > max_side_rows="
+            f"{max_side_rows}. This operator is the exact oracle/verify "
+            f"baseline — use embedding_neardup_lsh (bucketed candidates, "
+            f"id-only shuffles) at scale, or raise max_side_rows explicitly "
+            f"if the projection genuinely fits in driver memory."
+        )
     side = df.select(F.col(id_col), F.col(vec_col)).collect()
     ids_b = np.array([r[0] for r in side])
     B = np.stack([np.asarray(r[1], dtype=np.float64) for r in side])

@@ -80,6 +80,17 @@ def test_embedding_neardup_lsh_recall(spark, emb):
     assert recall >= 0.5, f"near-dup LSH recall too low: {recall}"
 
 
+def test_embedding_neardup_exact_gate_raises_at_scale(spark, emb):
+    import pytest
+
+    from chessmate_spark.operators.dedup import embedding_neardup_pairs
+
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        embedding_neardup_pairs(
+            emb, "vec_id", "embedding", 0.35, max_side_rows=3
+        )
+
+
 def test_ivf_recall_against_exact(spark, emb):
     from chessmate_spark.operators.similarity import ivf_topk
 
