@@ -1932,15 +1932,18 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                     JOIN customer ON c_custkey = o_custkey
                     JOIN nation n1 ON s_nationkey = n1.n_nationkey
                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-             OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')))
+      WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+             OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')))
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two-nation volume by year.  Both nation dims and
-    supplier/customer broadcast; the only shuffle is the final group-by."""
+    supplier/customer broadcast; the only shuffle is the final group-by.
+    The nation pair is NATION_20/NATION_11 — names from the synthetic
+    testdata, chosen non-empty at sf0.001/0.01/0.1 so the oracle match is
+    never vacuous (TPC-H's FRANCE/GERMANY matched nothing)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -1953,8 +1956,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_20")
+        & (F.col("cust_nation") == "NATION_11")
+    ) | (
+        (F.col("supp_nation") == "NATION_11")
+        & (F.col("cust_nation") == "NATION_20")
+    )
     return (
         li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -2130,16 +2137,23 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY n_name
     ORDER BY n_name
     """,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (nation instead of phone prefix): scalar-subquery
-    threshold + anti-join against orders, grouped balances."""
+    threshold + anti-join against orders, grouped balances.  "Idle" means
+    no order since 1999-01-01 — in the synthetic testdata every customer
+    has at least one order overall, so the classic no-orders-ever
+    predicate was vacuously empty at every sf."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
     nation = _t(spark, sf_dir, "nation")
     # scalar aggregate computed once on the driver — a broadcast literal,
     # exactly what Catalyst does for an uncorrelated scalar subquery
