@@ -54,9 +54,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session builder (the correctness driver uses its own session); ns → µs
     truncation is exact for the whole-second boundaries used by the
     windowed-count operators.
+
+    The flag is restored immediately after the (eager) schema read: the
+    resolved relation keeps its long-typed ``ts`` for execution, and no
+    OTHER parquet read in the session silently inherits the legacy
+    conversion (verified: count/agg on the returned frame succeed after
+    restore).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        ev = _t(spark, sf_dir, "events")
+    finally:
+        if prior is None or prior == "false":
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     if dict(ev.dtypes)["ts"] == "bigint":
         # integer DIV, not float division: ns counts exceed 2^53, so a
         # double round-trip would be off by ±1 µs on some rows
