@@ -15,9 +15,8 @@ only the materialized evaluation results (x7/x8 join them as a table).
 
 from __future__ import annotations
 
+import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
-from concurrent.futures import TimeoutError as _FutureTimeout
 from dataclasses import dataclass
 from typing import Any, Callable, Generic, List, Optional, Tuple, TypeVar, Union
 
@@ -177,20 +176,30 @@ def run_with_timeout(
     """Run ``fn`` with a wall-clock deadline (config.ml:98 — 15 s default).
 
     The reference cancels the in-flight HTTP request; a Python callable
-    can't be force-killed, so the worker thread is abandoned (daemon) and
-    the caller moves on — the breaker records the timeout as a failure.
+    can't be force-killed, so the worker runs on a true DAEMON thread: a
+    hung ``fn`` is abandoned and cannot block interpreter shutdown.
+    (ThreadPoolExecutor is wrong here — its workers are non-daemon and
+    its atexit hook joins them, so one hung call would wedge exit.)
     """
-    executor = ThreadPoolExecutor(max_workers=1)
-    try:
-        future = executor.submit(fn)
+    result: List[Any] = []
+    error: List[BaseException] = []
+
+    def _target() -> None:
         try:
-            return future.result(timeout=timeout_seconds)
-        except _FutureTimeout as exc:
-            raise AgentTimeout(
-                f"agent call exceeded {timeout_seconds:g}s deadline"
-            ) from exc
-    finally:
-        executor.shutdown(wait=False)
+            result.append(fn())
+        except BaseException as exc:  # propagated to the caller below
+            error.append(exc)
+
+    worker = threading.Thread(target=_target, daemon=True)
+    worker.start()
+    worker.join(timeout=timeout_seconds)
+    if worker.is_alive():
+        raise AgentTimeout(
+            f"agent call exceeded {timeout_seconds:g}s deadline"
+        )
+    if error:
+        raise error[0]
+    return result[0]
 
 
 def guarded_evaluate(

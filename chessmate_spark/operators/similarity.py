@@ -195,6 +195,10 @@ def train_ivf_centroids(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod)) == 0
     )
     pdf = sampled.select(vec_col).limit(sample_size).toPandas()
+    if len(pdf) == 0:
+        # tiny/skewed corpora can leave the hash-mod filter with zero
+        # survivors; fall back to an unfiltered limit — still one scan
+        pdf = corpus.select(vec_col).limit(sample_size).toPandas()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
@@ -248,15 +252,16 @@ def ivf_topk(
     """
     from ..functions.vector_pandas import nearest_cells_udf
 
-    if nlist is None or centroids is None:
+    if centroids is None:
+        # the count action happens only when training is actually needed;
+        # caller-supplied centroids skip both (nlist is unused after that)
         corpus_rows = corpus.count()
         if nlist is None:
             nlist = auto_nlist(corpus_rows)
-        if centroids is None:
-            centroids = train_ivf_centroids(
-                corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
-                corpus_rows=corpus_rows,
-            )
+        centroids = train_ivf_centroids(
+            corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
+            corpus_rows=corpus_rows,
+        )
     c_cells = corpus.select(
         F.col(corpus_id).alias("_c_id"), F.col(corpus_vec).alias("_c_vec"),
         F.element_at(nearest_cells_udf(centroids, 1)(F.col(corpus_vec)), 1).alias(
