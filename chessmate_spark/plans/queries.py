@@ -1462,6 +1462,78 @@ def chess_hybrid_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.col("keyword_score"), 6).alias("keyword_score"),
     )
 
+@_register(
+    "serve_query_canonical",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), 'Strong, Player', 'Weaker, Player', '1-0',
+       CAST(2023 AS INTEGER), 'KID Match', 'kings_indian_defense',
+       'King''s Indian Defense', 'E62',
+       'Strong, Player vs Weaker, Player — KID Match (1-0)',
+       CAST(0.81647 AS DOUBLE), CAST(0.977516 AS DOUBLE),
+       CAST(0.333333 AS DOUBLE), CAST(1 AS BIGINT), false, 'disabled',
+       '#2 Strong, Player vs Weaker, Player (score 0.82)')
+    ) t(game_id, white, black, result, year, event, opening_slug,
+        opening_name, eco, synopsis, score, vector_score, keyword_score,
+        total, has_more, agent_status, summary)
+    """,
+)
+def serve_query_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving shim end-to-end (SURVEY §7.2 step 9): ingest →
+    answer_question → response payload, flattened to one row per result
+    with the response scalars alongside.  Every field of the reference's
+    /query JSON contract (chessmate_api.ml:77-115, :789-806) that the
+    fixture exercises is golden-checked: the result document (synopsis,
+    year, opening fallbacks, scores), the paging scalars, agent_status,
+    and the result_formatter summary line."""
+    import math
+
+    from ..ingest import ingest_pgn_text
+    from ..query import answer_question
+    from ..streaming import JobsState, drain_jobs
+    from .hybrid import HybridTables
+
+    ingest = ingest_pgn_text(spark, _CHESS_FIXTURE)
+    state = drain_jobs(
+        JobsState(jobs=ingest.embedding_jobs),
+        ingest.positions, ingest.games, ingest.players,
+        batch_size=8, dim=8,
+    )
+    tables = HybridTables(
+        games=ingest.games, players=ingest.players,
+        position_vectors=state.position_vectors,
+    )
+    payload = answer_question(
+        spark, tables,
+        "Find King's Indian games where White is 2500 and Black is"
+        " 100 points lower",
+        dim=8,
+    )
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = [
+        (
+            r["game_id"], r["white"], r["black"], r["result"], r["year"],
+            r["event"], r["opening_slug"], r["opening_name"], r["eco"],
+            r["synopsis"], r6(r["score"]), r6(r["vector_score"]),
+            r6(r["keyword_score"]), payload["total"], payload["has_more"],
+            payload["agent_status"], payload["summary"],
+        )
+        for r in payload["results"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "game_id long, white string, black string, result string,"
+        " year int, event string, opening_slug string,"
+        " opening_name string, eco string, synopsis string,"
+        " score double, vector_score double, keyword_score double,"
+        " total long, has_more boolean, agent_status string,"
+        " summary string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (opaque blobs + typed metadata)
 # ---------------------------------------------------------------------------

@@ -8,14 +8,26 @@ from .intent import (
     normalize,
     tokenize,
 )
+from .serve import (
+    ServingError,
+    answer_question,
+    format_response_text,
+    plan_to_dict,
+    summarize,
+)
 
 __all__ = [
     "MetadataFilter",
     "QueryPlan",
     "RatingFilter",
     "Request",
+    "ServingError",
     "analyse",
+    "answer_question",
     "extract_keywords",
+    "format_response_text",
     "normalize",
+    "plan_to_dict",
+    "summarize",
     "tokenize",
 ]
