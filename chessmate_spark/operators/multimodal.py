@@ -6,12 +6,15 @@ feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages so each executor processes whole record batches without per-row Python
 overhead.
 
-The actual image/audio decode is STUBBED — the container has no codec
-libraries — behind ``_decode_image_stub``: if PIL/numpy codecs were present
-the same UDF signature applies; the stub produces a deterministic fake
-(dimensions + channel means derived from the blob's md5) so the Spark-side
-plumbing (schema, partitioning, batch shape, null handling) is real and
-tested end-to-end.
+The image decode stage has TWO bodies behind one UDF signature/schema:
+``codec="pil"`` decodes real bytes with PIL when the library is importable
+(RGB convert, true dimensions + channel means; malformed bytes degrade to
+``decoded=false`` rows, never task failures), and ``codec="stub"`` produces
+a deterministic fake (dimensions + channel means derived from the blob's
+md5).  ``codec="auto"`` (default) picks PIL when available, else the stub.
+This container ships no codec libraries, so the oracle entry pins
+``codec="stub"`` — the deterministic output the DuckDB oracle recomputes —
+while the real body is unit-tested wherever PIL exists.
 
 Binary-level features (length, digest, magic bytes, byte entropy) are real
 computations, not stubs.
@@ -67,12 +70,20 @@ def binary_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "bl
     )
 
 
-def _decode_image_stub(blob: bytes) -> dict:
-    """STUB decode: deterministic fake image stats from the blob digest.
+def _pil_module():
+    """PIL.Image when importable, else None — resolved per executor
+    process, so a mixed cluster degrades per-task, not per-job."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    Real deployment: replace the body with PIL.Image.open(BytesIO(blob)) and
-    compute the same fields; the UDF signature and schema stay identical.
-    """
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_image_stub(blob: bytes) -> dict:
+    """STUB decode: deterministic fake image stats from the blob digest
+    (the ``codec='stub'`` body; same fields as the PIL body)."""
     if blob is None:
         return {
             "decoded": False, "width": None, "height": None,
@@ -91,15 +102,75 @@ def _decode_image_stub(blob: bytes) -> dict:
     }
 
 
-def decode_image_features(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
-    """mapInPandas decode stage: Arrow batches in, feature rows out."""
+def _decode_image_pil(image_mod, blob: bytes) -> dict:
+    """REAL decode: PIL open → RGB → dimensions + channel means.  Bad
+    bytes become a ``decoded=false`` row (triage data), not a task error."""
+    import io
+
+    if blob is None:
+        return {
+            "decoded": False, "width": None, "height": None,
+            "mean_r": None, "mean_g": None, "mean_b": None,
+            "decode_note": "null blob",
+        }
+    try:
+        with image_mod.open(io.BytesIO(blob)) as img:
+            rgb = img.convert("RGB")
+            width, height = rgb.size
+            pixels = list(rgb.getdata())
+            n = max(1, len(pixels))
+            sums = [0, 0, 0]
+            for r, g, b in pixels:
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+            return {
+                "decoded": True,
+                "width": width,
+                "height": height,
+                "mean_r": sums[0] / n / 255.0,
+                "mean_g": sums[1] / n / 255.0,
+                "mean_b": sums[2] / n / 255.0,
+                "decode_note": f"pil:{img.format or 'unknown'}",
+            }
+    except Exception as exc:
+        return {
+            "decoded": False, "width": None, "height": None,
+            "mean_r": None, "mean_g": None, "mean_b": None,
+            "decode_note": f"decode failed: {type(exc).__name__}",
+        }
+
+
+def decode_image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    codec: str = "auto",
+) -> DataFrame:
+    """mapInPandas decode stage: Arrow batches in, feature rows out.
+
+    ``codec``: ``"pil"`` (real decode; raises at runtime if PIL is
+    missing), ``"stub"`` (deterministic md5-derived fake — the oracle
+    body), or ``"auto"`` (PIL when importable, else stub).
+    """
+    if codec not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _pil_module() if codec in ("auto", "pil") else None
+        if codec == "pil" and image_mod is None:
+            raise ImportError("codec='pil' requested but PIL is not installed")
+
+        def decode(blob):
+            if image_mod is not None:
+                return _decode_image_pil(image_mod, blob)
+            return _decode_image_stub(blob)
+
         for pdf in iterator:
             out = []
             for media_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 row = {"media_id": int(media_id)}
-                row.update(_decode_image_stub(bytes(blob) if blob is not None else None))
+                row.update(decode(bytes(blob) if blob is not None else None))
                 out.append(row)
             yield pd.DataFrame(
                 out,

@@ -1579,14 +1579,16 @@ def m1_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m2_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode stage.  The decoder is a STUB (no codec libs
-    in the container) but a deterministic one — fake stats derive from the
-    blob's md5 digest — so the oracle recomputes them from the hex digest
-    and the whole mapInPandas plumbing is hash-checked end to end."""
+    """Arrow-batched decode stage, pinned to ``codec='stub'``: the fake
+    blobs are utf-8 text, and the deterministic md5-derived stats are what
+    the DuckDB oracle recomputes from the hex digest — so the mapInPandas
+    plumbing is hash-checked end to end regardless of whether PIL exists.
+    The REAL body (``codec='pil'``, same signature/schema) is unit-tested
+    wherever PIL is importable (tests/test_multimodal.py)."""
     from ..operators.multimodal import attach_fake_media, decode_image_features
 
     media = attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
-    return decode_image_features(media).orderBy("media_id")
+    return decode_image_features(media, codec="stub").orderBy("media_id")
 
 
 @_register(

@@ -39,7 +39,10 @@ def test_binary_features_real(media):
 
 
 def test_decode_stub_batch_shape(media):
-    rows = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    rows = {
+        r["media_id"]: r
+        for r in decode_image_features(media, codec="stub").collect()
+    }
     assert len(rows) == 4
     r = rows[1]
     assert r["decoded"] is True
@@ -49,6 +52,63 @@ def test_decode_stub_batch_shape(media):
     # deterministic: same blob -> same fake stats
     digest = hashlib.md5(b"hello world").digest()
     assert r["width"] == digest[0] * 4 + 16
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_auto_picks_available_codec(media):
+    rows = decode_image_features(media, codec="auto").collect()
+    notes = {r["decode_note"] for r in rows if r["decode_note"]}
+    if _pil_available():
+        # fake text blobs are not valid images: real codec flags them
+        assert all(
+            n.startswith(("decode failed", "null blob")) for n in notes
+        )
+    else:
+        assert any("stub" in n for n in notes)
+
+
+def test_decode_pil_without_pil_raises(spark, media):
+    if _pil_available():
+        pytest.skip("PIL installed; the missing-codec path can't trigger")
+    with pytest.raises(Exception, match="PIL is not installed"):
+        decode_image_features(media, codec="pil").collect()
+
+
+def test_decode_pil_real_bitmap(spark):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL_Image.new("RGB", (8, 4), (255, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))],
+        "media_id long, blob binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_image_features(df, codec="pil").collect()
+    }
+    assert rows[1]["decoded"] is True
+    assert (rows[1]["width"], rows[1]["height"]) == (8, 4)
+    assert rows[1]["mean_r"] == pytest.approx(1.0)
+    assert rows[1]["mean_g"] == pytest.approx(0.0)
+    assert rows[1]["decode_note"] == "pil:PNG"
+    assert rows[2]["decoded"] is False
+    assert rows[2]["decode_note"].startswith("decode failed")
+
+
+def test_decode_rejects_unknown_codec(media):
+    with pytest.raises(ValueError, match="unknown codec"):
+        decode_image_features(media, codec="jpeg2000")
 
 
 def test_entropy(media):
