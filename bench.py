@@ -65,6 +65,7 @@ HEADLINE = [
     "q13_order_distribution",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q18_bucketed_twin",
     "q22_idle_customers",
     "q2_min_cost_supplier",
     "q4_priority_exists",

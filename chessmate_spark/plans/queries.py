@@ -2218,6 +2218,82 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q18_bucketed_twin",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(20,4))) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_bucketed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over BUCKETED copies of lineitem/orders (EXPLAIN.md's scale
+    note made executable): lineitem bucketed by l_orderkey and orders by
+    o_orderkey turn both the HAVING aggregation and the fact join into
+    co-located scans — the builder raises unless the physical plan has
+    ZERO shuffle exchanges.  Same oracle as q18: bucketing must change the
+    plan, never the answer.  At 100 TB this is the pay-the-shuffle-once-
+    at-ingest contract; the one-time bucketed write here stands in for
+    that ingest step."""
+    import re as _re
+
+    from ..ingest.bucketed import (
+        read_table,
+        shuffle_exchange_count,
+        write_bucketed,
+    )
+
+    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    li_table, ord_table = f"cm_q18_li_{token}", f"cm_q18_ord_{token}"
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem"), li_table, ["l_orderkey"], 8,
+        path=f"/tmp/chessmate_bucketed/{li_table}",
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "orders"), ord_table, ["o_orderkey"], 8,
+        path=f"/tmp/chessmate_bucketed/{ord_table}",
+    )
+    li = read_table(spark, li_table)
+    orders = read_table(spark, ord_table)
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    out = (
+        li.join(big.withColumnRenamed("l_orderkey", "_bigkey"),
+                li["l_orderkey"] == F.col("_bigkey"), "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+    n_exchanges = shuffle_exchange_count(out)
+    if n_exchanges != 0:
+        raise AssertionError(
+            f"bucketed Q18 plan has {n_exchanges} shuffle exchanges;"
+            " co-location contract broken"
+        )
+    return out
+
+
+@_register(
     "q22_idle_customers",
     """
     SELECT n_name,

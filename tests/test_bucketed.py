@@ -59,3 +59,12 @@ def test_unbucketed_baseline_does_shuffle(spark):
     # a plain repartition-free groupBy on a non-bucketed source shuffles
     agg = df.groupBy("v").agg(F.count("*").alias("c"))
     assert shuffle_exchange_count(agg) >= 1
+
+
+def test_q18_bucketed_twin_matches_unbucketed(spark):
+    from chessmate_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    twin_rows = QUERIES["q18_bucketed_twin"][0](spark, sf).collect()
+    base_rows = QUERIES["q18_large_orders"][0](spark, sf).collect()
+    assert twin_rows == base_rows  # bucketing changes the plan, not the answer
