@@ -101,6 +101,31 @@ def asof_join(
     return out
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str,
+) -> DataFrame:
+    """Inner join of right rows landing in ``[left_ts, left_ts +
+    interval)`` per key (the j9 / stream-stream time-band shape).
+
+    One equi-join shuffle on the key carries the non-equi time band as a
+    post-join filter — never a nested-loop join.  SQL three-valued logic
+    applies: NULL keys and NULL timestamps match nothing.  ``interval``
+    is a Spark interval literal body, e.g. ``"30 MINUTES"``.
+    """
+    band = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts) < F.col(left_ts) + F.expr(f"INTERVAL {interval}")
+    )
+    return left.join(
+        right, (F.col(left_key) == F.col(right_key)) & band
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -3618,7 +3618,9 @@ def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_stream_join.py runs the same predicate as two joined
     streams with state bounded by the watermark + interval).  Equi-join
     on user_id carries the non-equi time band — one key shuffle, the band
-    filters post-join."""
+    filters post-join (operators/asof.py interval_join)."""
+    from ..operators.asof import interval_join
+
     ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id",
@@ -3629,14 +3631,9 @@ def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("p_user_id"),
         F.col("ts").alias("purchase_ts"),
     )
-    out = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
-        ),
+    out = interval_join(
+        clicks, purchases, "user_id", "p_user_id",
+        "click_ts", "purchase_ts", "30 MINUTES",
     )
     return out.select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
