@@ -86,6 +86,9 @@ HEADLINE = [
     # shuffles) is the scale path and stays; d6 remains oracle-checked in
     # the correctness harness, gated by a corpus-size guard.
     "d7_embedding_neardup_lsh",
+    "d8_dup_clusters",
+    "t4_stratified_sample",
+    "v8_embedding_quantize",
     "v6_lsh_ann",
     "v7_ivf_ann",
     "a9_windowed_event_counts",
@@ -125,13 +128,20 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings = {}
+    errors = {}
     for name in HEADLINE:
         builder, _oracle = QUERIES[name]
         start = time.perf_counter()
-        df = builder(spark, sf_dir)
-        rows = df.collect()
-        timings[name] = round(time.perf_counter() - start, 4)
-        del rows
+        # a single broken query must not erase the whole bench record
+        # (round 3's record was lost to one AnalysisException at build time)
+        try:
+            df = builder(spark, sf_dir)
+            rows = df.collect()
+            del rows
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -141,6 +151,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        full["errors"] = errors
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
@@ -157,6 +169,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
                 "queries_file": "bench_out.json",
             }
         )

@@ -1,0 +1,159 @@
+"""Distributed connected components over a pair/edge list.
+
+The near-duplicate detectors (dedup.py) emit PAIRS; an actual dedup pass
+needs CLUSTERS — the transitive closure of the pair relation — so one
+canonical document can be kept per cluster.  This module computes
+components with the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+2014): each round is two shuffles (a groupBy-min and a self-join on node
+id) and the edge set converges to single-level stars in O(log n) rounds
+— no O(diameter) label-propagation chains, no driver-side union-find.
+
+Scale notes (100 TB / 10^9-node regime):
+  * every intermediate is an (int, int) edge frame — bytes per row, never
+    payloads; document text/vectors join back AFTER labeling.
+  * each round ends in ``localCheckpoint(eager=True)``: the convergence
+    check needs an action anyway, and truncating lineage keeps round k
+    from re-executing rounds 0..k-1 (the classic iterative-plan blowup).
+  * convergence = (count, xxhash64 checksum) fixpoint of the canonically
+    oriented edge set — two scalar aggregates, no edge-set subtract join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected edge set, oriented min→max, self-loops dropped."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighborhood.
+
+    Over the symmetric neighbor relation N(u): m = min(N(u) ∪ {u});
+    emit (v, m) for v ∈ N(u), v > u.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to the min.
+
+    Over edges oriented max→min: m = min(N(u) ∪ {u}); emit (v, m) for
+    v ∈ N(u) ∪ {u}, v ≠ m.
+    """
+    d = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    via_neighbor = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    via_center = mins.select("u", F.col("m").alias("v"))
+    return via_neighbor.union(via_center)
+
+
+def _fingerprint(e: DataFrame) -> tuple:
+    # bit_xor: order-independent over the distinct edge set, cannot overflow
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component_id) for every node in ``pairs``; component_id is
+    the minimum node id of the component.
+
+    ``max_rounds`` is a safety valve: large-star/small-star provably
+    converges in O(log n) rounds, so 25 covers any realistic graph
+    (2^25 ≫ 10^9-node path diameters after the first contraction).
+    """
+    edges = _canonical(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+
+    prev = _fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _canonical(_small_star(_large_star(edges))).localCheckpoint(
+            eager=True
+        )
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # at the fixpoint the edge set is a union of stars (root = component
+    # min); non-root nodes read their label off their single star edge,
+    # roots label themselves.
+    child_labels = edges.groupBy(F.col("v").alias("node")).agg(
+        F.min("u").alias("_lbl")
+    )
+    labels = (
+        nodes.join(child_labels, "node", "left")
+        .select(
+            "node",
+            F.least(
+                F.coalesce(F.col("_lbl"), F.col("node")), F.col("node")
+            ).alias("component_id"),
+        )
+    )
+    return labels
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate-cluster labeling from a near-dup pair list:
+    (doc_id, component_id, cluster_size, is_canonical) — keep the
+    ``is_canonical`` rows, drop the rest, and the corpus is deduped."""
+    labels = connected_components(pairs, src=src, dst=dst)
+    sizes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "component_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "component_id",
+            "cluster_size",
+            (F.col("node") == F.col("component_id")).alias("is_canonical"),
+        )
+    )

@@ -46,34 +46,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the TIMESTAMP(NANOS) column restored to a timestamp.
+    """events with ``ts`` guaranteed to be a timestamp column.
 
-    events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which vanilla
-    Spark rejects with PARQUET_TYPE_ILLEGAL.  The legacy conf is
-    runtime-settable, so set it here rather than relying on the caller's
-    session builder (the correctness driver uses its own session); ns → µs
-    truncation is exact for the whole-second boundaries used by the
-    windowed-count operators.
+    Current testdata stores ``ts`` as parquet timestamp[us]
+    (isAdjustedToUTC=false), which every Spark session reads as
+    TIMESTAMP_NTZ — naive wall time, matching what DuckDB sees, so oracle
+    comparisons are timezone-independent.  Downstream operators must use
+    NTZ-tolerant expressions (``timestamp_diff``/``window``), not
+    ``unix_micros``.
 
-    The flag is restored immediately after the (eager) schema read: the
-    resolved relation keeps its long-typed ``ts`` for execution, and no
-    OTHER parquet read in the session silently inherits the legacy
-    conversion (verified: count/agg on the returned frame succeed after
-    restore).
+    Fallback: earlier testdata generations stored INT64 TIMESTAMP(NANOS),
+    which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL) unless the legacy
+    nanosAsLong conf is set.  If the plain read fails, retry under the flag
+    (restored immediately after the schema resolves) and rebuild the
+    timestamp from the raw nanos count with integer DIV — ns counts exceed
+    2^53, so a double round-trip would be off by ±1 µs on some rows.
     """
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prior = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
     try:
         ev = _t(spark, sf_dir, "events")
-    finally:
-        if prior is None or prior == "false":
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prior)
-    if dict(ev.dtypes)["ts"] == "bigint":
-        # integer DIV, not float division: ns counts exceed 2^53, so a
-        # double round-trip would be off by ±1 µs on some rows
+        dt = dict(ev.dtypes)["ts"]
+    except Exception:
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            ev = _t(spark, sf_dir, "events")
+            dt = dict(ev.dtypes)["ts"]
+        finally:
+            if prior is None or prior == "false":
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+    if dt == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ev
 
@@ -3667,3 +3671,133 @@ def a11_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _dup_clusters_oracle() -> str:
+    """Transitive closure of the MinHash-LSH pair relation as a DuckDB
+    recursive CTE — the oracle twin of the large-star/small-star labeling
+    (operators/graph.py).  The recursive walk is fine at oracle scale; the
+    Spark side is the one that has to scale."""
+    pair_sql = _minhash_lsh_oracle()
+    return f"""
+    WITH RECURSIVE
+    prs AS (SELECT id_a, id_b FROM ({pair_sql})),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM prs),
+    walk(node, reach) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+    labels AS (
+      SELECT node, least(node, min(reach)) AS component_id
+      FROM walk GROUP BY node)
+    SELECT node AS doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS cluster_size,
+           node = component_id AS is_canonical
+    FROM labels
+    ORDER BY doc_id
+    """
+
+
+@_register("d8_dup_clusters", _dup_clusters_oracle())
+def d8_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from the MinHash-LSH pair list: transitive
+    closure via alternating large-star/small-star connected components
+    (O(log n) rounds, two shuffles each, id-only edges), then one
+    canonical doc per cluster.  This is the step that turns pairwise
+    near-dup detection into an actual corpus dedup pass."""
+    from ..operators.graph import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
+@_register(
+    "t4_stratified_sample",
+    """
+    SELECT doc_id, lang, source,
+           ('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 1000 AS bucket
+    FROM documents
+    WHERE ('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT % 1000
+          < CASE WHEN lang = 'en' THEN 250 ELSE 750 END
+    ORDER BY doc_id
+    """,
+)
+def t4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus rebalancing: each doc
+    hashes to a stable bucket (md5 of its id — reproducible across runs,
+    clusters, and engines, unlike rand()-based sampleBy), and per-language
+    keep-rates downsample the dominant language.  Rates live in a tiny
+    broadcast dim, so the plan is scan + broadcast-join + filter: no
+    shuffle, fully pushdown-friendly, works unchanged on 10^9 rows."""
+    rates = spark.createDataFrame([("en", 250)], ["lang", "rate_permille"])
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .join(F.broadcast(rates), "lang", "left")
+        .filter(F.col("bucket") < F.coalesce(F.col("rate_permille"), F.lit(750)))
+        .select("doc_id", "lang", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "v8_embedding_quantize",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 END AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT vec_id, scale,
+           list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+             AS q8
+    FROM scaled
+    ORDER BY vec_id
+    """,
+)
+def v8_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (per-vector max-abs scale) — the
+    standard 4× storage cut before shipping embeddings to an ANN index.
+    Pure JVM array expressions (transform/array_max), no Python on the
+    data path; floor(x/scale + 0.5) instead of round() because floor has
+    identical semantics on both engines for negative halves."""
+    emb = _emb(spark, sf_dir)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = emb.select(
+        "vec_id",
+        F.when(maxabs == 0, F.lit(1.0)).otherwise(maxabs / 127.0).alias("scale"),
+        vec.alias("v"),
+    )
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
+        ).alias("q8"),
+    ).orderBy("vec_id")

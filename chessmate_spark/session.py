@@ -40,8 +40,5 @@ def get_spark(
         # row-group size.
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
-        # the driver's events.parquet carries TIMESTAMP(NANOS); Spark reads
-        # them as raw nanosecond longs (converted back in plans.queries)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )

@@ -45,10 +45,13 @@ def sessionize_batch(
     agrees at boundaries."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros
+    # rejects NTZ, which is how parquet timestamp[us] columns arrive), and a
+    # µs difference is timezone-free either way.
+    prev_ts = F.lag(F.col(ts_col)).over(w)
     new_sess = F.when(
-        prev_us.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us),
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col)) > gap_us),
         1,
     ).otherwise(0)
     numbered = events.withColumn("_new", new_sess).withColumn(

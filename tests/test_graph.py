@@ -1,0 +1,79 @@
+"""Connected-components (large-star/small-star) vs a union-find reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from chessmate_spark.operators.graph import connected_components, dup_clusters
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_two_triangles_and_isolated_pair(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)])
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # a 60-node path has diameter 59: label propagation would need ~59
+    # rounds, star contraction must finish in O(log n)
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_reversed_chain_and_duplicates(spark):
+    edges = [(i + 1, i) for i in range(30)] + [(5, 4), (4, 5), (29, 28)]
+    _check(spark, edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, edges)
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dup_clusters_canonical_flags(spark):
+    df = spark.createDataFrame([(3, 1), (1, 2), (9, 8)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in dup_clusters(df).collect()}
+    assert rows[1]["component_id"] == 1 and rows[1]["is_canonical"]
+    assert rows[2]["component_id"] == 1 and not rows[2]["is_canonical"]
+    assert rows[3]["cluster_size"] == 3
+    assert rows[8]["is_canonical"] and rows[9]["component_id"] == 8
+    assert rows[8]["cluster_size"] == 2
