@@ -88,7 +88,9 @@ HEADLINE = [
     "d7_embedding_neardup_lsh",
     "d8_dup_clusters",
     "t4_stratified_sample",
+    "t5_sequence_pack",
     "v8_embedding_quantize",
+    "j10_salted_skew_join",
     "v6_lsh_ann",
     "v7_ivf_ann",
     "a9_windowed_event_counts",

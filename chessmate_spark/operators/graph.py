@@ -95,19 +95,24 @@ def connected_components(
     converges in O(log n) rounds, so 25 covers any realistic graph
     (2^25 ≫ 10^9-node path diameters after the first contraction).
     """
+    # lazy localCheckpoint: the fingerprint aggregate is the round's one
+    # action and materializes the checkpoint as a side effect — one Spark
+    # job per round instead of two.
     edges = _canonical(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # nodes re-derives from the first (materialized) checkpoint at the end;
+    # no action needed here.
     nodes = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    )
 
     prev = _fingerprint(edges)
     for _ in range(max_rounds):
         edges = _canonical(_small_star(_large_star(edges))).localCheckpoint(
-            eager=True
+            eager=False
         )
         cur = _fingerprint(edges)
         if cur == prev:

@@ -95,6 +95,47 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    part_col: str,
+    capacity: int = 2048,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are concatenated per ``part_col`` shard in
+    ``id_col`` order and split into fixed ``capacity``-token training
+    sequences.  Each doc reports its token offset within the shard and the
+    sequence it starts in: ``seq_id = floor(offset / capacity)``.
+
+    One window (prefix sum) per shard — a single shuffle on ``part_col``;
+    shards are the parallelism unit, exactly how a 100 TB corpus would
+    pack per input file/source.
+    """
+    from pyspark.sql.window import Window
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = F.size(
+        F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col), F.col(part_col), n_tokens.alias("n_tokens")
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return base.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        offset.alias("tok_offset"),
+        F.floor(offset / capacity).cast("bigint").alias("seq_id"),
+    )
+
+
 def document_fingerprint(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4
 ) -> DataFrame:

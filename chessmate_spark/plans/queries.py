@@ -3801,3 +3801,77 @@ def v8_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
         ).alias("q8"),
     ).orderBy("vec_id")
+
+
+@_register(
+    "j10_salted_skew_join",
+    f"""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_REVENUE} AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+)
+def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: identical answer to the plain equi-join (the
+    oracle IS the unsalted SQL), but every fact key is spread over 8
+    shuffle sub-partitions so one hot supplier can never pin a straggler
+    partition.  Deterministic salt (xxhash64 of row identity), dim side
+    replicated 8x — the trade that wins whenever dim ≪ fact."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    joined = salted_join(
+        li, sup, "l_suppkey", "s_suppkey",
+        salt_on=["l_orderkey", "l_linenumber"], salts=8,
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+                ).cast("double")
+            ).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@_register(
+    "t5_sequence_pack",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS tok_offset,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2048.0) AS BIGINT) AS seq_id
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def t5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate docs per source shard in id
+    order, chunk at 2048 BPE-ish tokens; each doc gets its shard token
+    offset and starting sequence id.  One prefix-sum window per shard —
+    a single shuffle on source."""
+    from ..operators.textan import sequence_pack
+
+    docs = _docs(spark, sf_dir)
+    return sequence_pack(docs, "doc_id", "text", "source", 2048).orderBy(
+        "doc_id"
+    )
