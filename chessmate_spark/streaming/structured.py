@@ -164,3 +164,46 @@ def run_windowed_events_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    key_cols: tuple = ("event_id",),
+    watermark_delay: str = "20 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup twin of operators/dedup.exact_duplicates:
+    keep the first occurrence of each key, drop repeats whose event time
+    falls within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark window — O(distinct keys per horizon), not O(all keys ever)
+    — which is what makes exactly-once ingest dedup viable on an
+    unbounded 100 TB/day stream.  On a batch frame it degrades to plain
+    dropDuplicates (the oracle form).
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    events_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    key_cols: tuple = ("event_id",),
+    watermark_delay: str = "20 minutes",
+) -> StreamingQuery:
+    """File-source → watermark-bounded dedup → append parquet sink."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_path)
+    deduped = dedup_events(events, key_cols, watermark_delay)
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
