@@ -89,6 +89,9 @@ HEADLINE = [
     "d8_dup_clusters",
     "t4_stratified_sample",
     "t5_sequence_pack",
+    "t6_repetition_score",
+    "t7_pii_scrub",
+    "d9_decontaminate",
     "v8_embedding_quantize",
     "j10_salted_skew_join",
     "v6_lsh_ann",

@@ -95,6 +95,107 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """Eval-set decontamination (the n-gram overlap check LLM training
+    corpora run against their benchmarks): flag every training doc that
+    shares at least one distinct ``shingle_n``-token shingle with any
+    eval doc.  Returns (id, n_shared_shingles, contaminated_by=min eval
+    id).
+
+    The eval side explodes to (shingle, eval_id) and BROADCASTS — eval
+    sets are thousands of rows against a corpus of billions, so the
+    training side never shuffles; flagging is a broadcast-hash semi
+    lookup plus one aggregation on the (small) flagged subset.
+    """
+    from ..functions.hashing import word_shingles_expr
+
+    def shingles(df):
+        toks = tokenize_expr(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[^a-z0-9]+",
+                    " ",
+                )
+            )
+        )
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles_expr(toks, shingle_n)).alias("_s"),
+        )
+
+    ev = (
+        shingles(eval_df)
+        .select(F.col(id_col).alias("_eval_id"), "_s")
+        .distinct()
+    )
+    tr = shingles(train)
+    return (
+        tr.join(F.broadcast(ev), "_s")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_s").alias("n_shared_shingles"),
+            F.min("_eval_id").alias("contaminated_by"),
+        )
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): fraction
+    of ``ngram``-token occurrences that are repeats of an earlier one.
+    Expression-only — the shingle list here is intentionally NOT
+    deduplicated, the duplicates are the signal."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize_expr(
+        F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    )
+    count = F.greatest(F.size(toks) - F.lit(ngram - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+    )
+    n = F.size(grams).cast("double")
+    dup_frac = (n - F.size(F.array_distinct(grams)).cast("double")) / n
+    return df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_ngrams"),
+        portable_round(dup_frac, 6).alias("dup_ngram_frac"),
+    )
+
+
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"[0-9]{3}-[0-9]{4}-[0-9]{4}", "<PHONE>"),
+    ("digits", r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII-style pattern redaction: emails, phone shapes, long digit runs
+    replaced with typed placeholder tokens; per-pattern match counts kept
+    for audit.  Pure regexp_replace/regexp-count expressions — the
+    patterns deliberately use portable regex syntax (no lookarounds) so
+    one definition drives Spark, DuckDB, and any downstream RE2 engine.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed_text"))
+
+
 def sequence_pack(
     df: DataFrame,
     id_col: str,

@@ -3875,3 +3875,135 @@ def t5_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(docs, "doc_id", "text", "source", 2048).orderBy(
         "doc_id"
     )
+
+
+def _decontaminate_oracle(n: int = 4) -> str:
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS tokens FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(list_slice(tokens, i, i + {n - 1}), ' ')
+                            FOR i IN range(1, greatest(len(tokens) - {n - 1}, 1) + 1)])
+               AS shingles
+      FROM toks),
+    ev AS (
+      SELECT DISTINCT doc_id AS eval_id, unnest(shingles) AS s
+      FROM sh WHERE doc_id % 97 = 0),
+    tr AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_shingles,
+           min(ev.eval_id) AS contaminated_by
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+    """
+
+
+@_register("d9_decontaminate", _decontaminate_oracle())
+def d9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any 4-token
+    shingle with the (broadcast) eval set — the benchmark-overlap scrub
+    every LLM corpus runs before training.  Eval set here: doc_id % 97 = 0."""
+    from ..operators.textan import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontaminate(train, eval_df, "doc_id", "text", shingle_n=4)
+    return out.select(
+        "doc_id",
+        F.col("n_shared_shingles").cast("bigint").alias("n_shared_shingles"),
+        "contaminated_by",
+    ).orderBy("doc_id")
+
+
+def _repetition_oracle() -> str:
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS tokens FROM documents),
+    grams AS (
+      SELECT doc_id,
+             [array_to_string(list_slice(tokens, i, i + 2), ' ')
+              FOR i IN range(1, greatest(len(tokens) - 2, 1) + 1)] AS g
+      FROM toks)
+    SELECT doc_id,
+           CAST(len(g) AS INTEGER) AS n_ngrams,
+           floor((CAST(len(g) AS DOUBLE) - len(list_distinct(g)))
+                 / len(g) * 1000000 + 0.5) / 1000000 AS dup_ngram_frac
+    FROM grams
+    ORDER BY doc_id
+    """
+
+
+@_register("t6_repetition_score", _repetition_oracle())
+def t6_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signal: fraction of 3-gram
+    occurrences that repeat an earlier one (Gopher-style filter)."""
+    from ..operators.textan import repetition_score
+
+    docs = _docs(spark, sf_dir)
+    return repetition_score(docs, "doc_id", "text", ngram=3).orderBy("doc_id")
+
+
+_PII_TEXT_SQL = (
+    "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || '-9876 ref ' || CAST(100000 + doc_id AS VARCHAR)"
+)
+
+
+@_register(
+    "t7_pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id, {_PII_TEXT_SQL} AS text2 FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) AS INTEGER)
+             AS n_email,
+           CAST(len(regexp_extract_all(text2,
+                '[0-9]{{3}}-[0-9]{{4}}-[0-9]{{4}}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(text2, '[0-9]{{6,}}')) AS INTEGER)
+             AS n_digits,
+           md5(regexp_replace(regexp_replace(regexp_replace(text2,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+                '[0-9]{{3}}-[0-9]{{4}}-[0-9]{{4}}', '<PHONE>', 'g'),
+                '[0-9]{{6,}}', '<NUM>', 'g')) AS scrub_md5
+    FROM injected
+    ORDER BY doc_id
+    """,
+)
+def t7_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern redaction over a deterministically injected fixture
+    column (the synthetic corpus contains no PII, so each doc gets a
+    derived email/phone/id-number appended identically on both engines);
+    per-pattern counts plus the md5 of the scrubbed text prove the
+    replacements byte-for-byte."""
+    from ..operators.textan import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-9876 ref "),
+            (F.col("doc_id") + 100000).cast("string"),
+        ).alias("text2"),
+    )
+    out = pii_scrub(injected, "doc_id", "text2")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_digits").cast("int").alias("n_digits"),
+        F.md5(F.col("scrubbed_text")).alias("scrub_md5"),
+    ).orderBy("doc_id")

@@ -1,0 +1,66 @@
+"""Curation operators: decontamination, repetition, PII scrub."""
+
+from __future__ import annotations
+
+from chessmate_spark.operators.textan import (
+    decontaminate,
+    pii_scrub,
+    repetition_score,
+)
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares 4-shingle w/ eval 100
+            (2, "zeta eta theta iota kappa"),        # no overlap
+            (3, "x alpha beta gamma delta y"),       # shares the same shingle
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta unrelated tail")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, eval_df, "doc_id", "text", 4).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["contaminated_by"] == 100
+    assert out[1]["n_shared_shingles"] >= 1
+
+
+def test_repetition_score_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 trigrams, 3 distinct -> 4/7 dup
+            (2, "one two three four"),  # 2 trigrams, no dups
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_score(df, "doc_id", "text").collect()}
+    assert out[1]["n_ngrams"] == 7
+    assert abs(out[1]["dup_ngram_frac"] - 4 / 7) < 1e-6
+    assert out[2]["dup_ngram_frac"] == 0.0
+
+
+def test_pii_scrub_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org now"),
+            (2, "call 555-1234-9876 ref 1234567 ok"),
+            (3, "clean text only"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "jo.doe" not in out[1]["scrubbed_text"]
+    assert out[2]["n_phone"] == 1 and out[2]["n_digits"] == 1
+    assert "<PHONE>" in out[2]["scrubbed_text"]
+    assert "<NUM>" in out[2]["scrubbed_text"]
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_digits"] == 0
+    assert out[3]["scrubbed_text"] == "clean text only"
+    assert out[4]["scrubbed_text"] == ""
