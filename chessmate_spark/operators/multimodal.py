@@ -6,15 +6,17 @@ feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages so each executor processes whole record batches without per-row Python
 overhead.
 
-The image decode stage has TWO bodies behind one UDF signature/schema:
+The image decode stage has THREE bodies behind one UDF signature/schema:
 ``codec="pil"`` decodes real bytes with PIL when the library is importable
 (RGB convert, true dimensions + channel means; malformed bytes degrade to
-``decoded=false`` rows, never task failures), and ``codec="stub"`` produces
-a deterministic fake (dimensions + channel means derived from the blob's
-md5).  ``codec="auto"`` (default) picks PIL when available, else the stub.
-This container ships no codec libraries, so the oracle entry pins
-``codec="stub"`` — the deterministic output the DuckDB oracle recomputes —
-while the real body is unit-tested wherever PIL exists.
+``decoded=false`` rows, never task failures); without PIL, ``codec="auto"``
+still REALLY decodes uncompressed 24-bit BMP with pure numpy
+(``_decode_image_bmp`` — exercised by unit tests in this codec-less
+container against hand-encoded bitmaps); and ``codec="stub"`` produces a
+deterministic fake (dimensions + channel means derived from the blob's
+md5).  The oracle entry pins ``codec="stub"`` — the deterministic output
+the DuckDB oracle recomputes — while the real bodies are unit-tested
+(BMP always, PIL wherever it exists).
 
 Binary-level features (length, digest, magic bytes, byte entropy) are real
 computations, not stubs.
@@ -102,6 +104,81 @@ def _decode_image_stub(blob: bytes) -> dict:
     }
 
 
+def _decode_image_bmp(blob: bytes) -> dict:
+    """REAL decode for uncompressed 24-bit BMP, pure numpy — no codec
+    library needed, so this container exercises a true decode path (PIL
+    stays the general-format body where installed).  Unsupported variants
+    raise ValueError; the caller falls through to the stub."""
+    import numpy as np
+
+    if blob is None or len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = int.from_bytes(blob[10:14], "little")
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError("unsupported BMP variant")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    need = offset + row_bytes * height
+    if len(blob) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=row_bytes * height, offset=offset
+    ).reshape(height, row_bytes)[:, : width * 3]
+    px = rows.reshape(height, width, 3).astype(np.float64)
+    if bottom_up:
+        px = px[::-1]
+    mean_b, mean_g, mean_r = px.mean(axis=(0, 1)) / 255.0  # BMP stores BGR
+    return {
+        "decoded": True,
+        "width": width,
+        "height": height,
+        "mean_r": float(mean_r),
+        "mean_g": float(mean_g),
+        "mean_b": float(mean_b),
+        "decode_note": "bmp-numpy",
+    }
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit BMP encoder (tests/fixtures): ``pixels`` is an
+    (h, w, 3) RGB uint8 array-like."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    height, width, _ = px.shape
+    row_bytes = (width * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_bytes - len(line))
+        body += line
+    offset = 54
+    size = offset + len(body)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return bytes(header) + bytes(body)
+
+
 def _decode_image_pil(image_mod, blob: bytes) -> dict:
     """REAL decode: PIL open → RGB → dimensions + channel means.  Bad
     bytes become a ``decoded=false`` row (triage data), not a task error."""
@@ -164,6 +241,12 @@ def decode_image_features(
         def decode(blob):
             if image_mod is not None:
                 return _decode_image_pil(image_mod, blob)
+            if codec in ("auto",) and blob is not None and blob[:2] == b"BM":
+                # no PIL, but uncompressed BMP decodes with numpy alone
+                try:
+                    return _decode_image_bmp(blob)
+                except ValueError:
+                    pass
             return _decode_image_stub(blob)
 
         for pdf in iterator:
