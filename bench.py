@@ -129,8 +129,13 @@ def main() -> None:
     spark = get_spark(app_name="chessmate_spark_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch the biggest table so JVM startup isn't charged to q1
+    # warm-up: touch the biggest table so JVM startup isn't charged to q1,
+    # and run one trivial mapInPandas so the Python worker pool forks now
+    # instead of inside the first Arrow-stage query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings = {}
     errors = {}

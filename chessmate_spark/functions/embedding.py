@@ -22,6 +22,7 @@ Python UDF), and a DuckDB SQL fragment (the correctness oracle).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
 from typing import List, Sequence
 
 from pyspark.sql import Column
@@ -37,7 +38,10 @@ def _v5_constants(dim: int):
     return universal_constants(dim, "v5dim")
 
 
+@_lru_cache(maxsize=1 << 16)
 def v5_base(token: str) -> int:
+    # pure function of the token; token frequency is Zipf in real text, so
+    # caching removes the vast majority of md5 calls per worker process
     digest = hashlib.md5(f"v5:{token}".encode("utf-8")).hexdigest()
     return int(digest[:15], 16) % _P
 
