@@ -102,6 +102,7 @@ HEADLINE = [
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",
+    "m4_frame_sample",
     "o5_result_formatting",
     "x7_agent_blend",
     "x8_agent_cache",

@@ -4007,3 +4007,41 @@ def t7_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_digits").cast("int").alias("n_digits"),
         F.md5(F.col("scrubbed_text")).alias("scrub_md5"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "m4_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CAST(length(coalesce(text, '')) % 50 + 1 AS INTEGER) AS n_frames
+      FROM documents)
+    SELECT media_id, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_index
+    FROM media
+    ORDER BY media_id, frame_index
+    """,
+)
+def m4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: every 7th frame index per media row
+    (frame decode itself would be the mapInPandas stage of the image
+    path).  Frame counts derived from doc length so the sample is
+    non-trivial; pure sequence/explode expressions."""
+    from ..operators.multimodal import frame_sample
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.length(F.coalesce(F.col("text"), F.lit(""))) % 50 + 1)
+            .cast("int")
+            .alias("n_frames"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_n=7).select(
+        "media_id", F.col("frame_index").cast("bigint").alias("frame_index")
+    ).orderBy("media_id", "frame_index")
