@@ -141,11 +141,13 @@ def main() -> None:
     timings = {}
     errors = {}
     for name in HEADLINE:
-        builder, _oracle = QUERIES[name]
         start = time.perf_counter()
         # a single broken query must not erase the whole bench record
-        # (round 3's record was lost to one AnalysisException at build time)
+        # (round 3's record was lost to one AnalysisException at build time);
+        # the registry lookup stays inside too — a renamed entry is the same
+        # failure mode as a broken one
         try:
+            builder, _oracle = QUERIES[name]
             df = builder(spark, sf_dir)
             rows = df.collect()
             del rows
@@ -161,6 +163,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # False = some queries errored, so `value` sums a SMALLER suite and
+        # must not be compared against other rounds' totals
+        "complete": not errors,
     }
     if errors:
         full["errors"] = errors
@@ -181,6 +186,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
+                "complete": not errors,
                 "queries_file": "bench_out.json",
             }
         )

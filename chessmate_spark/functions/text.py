@@ -25,6 +25,16 @@ def tokenize_expr(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
 
 
+def norm_tokens_expr(col: Column) -> Column:
+    """Shared corpus normalization (dedup, decontamination, repetition):
+    lowercase → non-alnum runs → single space → trim → tokenize.  The
+    DuckDB oracles mirror this exactly (_DUCK_NORM_TOKENS); keep the two
+    definitions in lockstep."""
+    return tokenize_expr(
+        F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    )
+
+
 def slugify_expr(col: Column) -> Column:
     """F3: lowercase, delete apostrophes, alnum runs joined by '_'."""
     lowered = F.lower(col)

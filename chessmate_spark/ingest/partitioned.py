@@ -38,10 +38,38 @@ def with_day_partition(
 
 
 def files_read(df: DataFrame) -> int:
-    """Number of distinct data files the query actually reads — the
-    ground-truth pruning verdict (a day-filtered scan over a
-    day-partitioned table must touch only that day's files)."""
-    return df.select(F.input_file_name().alias("f")).distinct().count()
+    """Number of data files the scan will actually READ after partition
+    pruning — the ground-truth pruning verdict.
+
+    Taken from the FileSourceScan's post-pruning "number of files read"
+    metric, not from ``input_file_name()`` over surviving rows: the latter
+    only sees files that produced output rows, so it would report
+    "pruned" even when a broken filter pushdown scanned every file."""
+    df.collect()  # metrics are populated by execution
+    plan = df._jdf.queryExecution().executedPlan()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        name = node.getClass().getSimpleName()
+        if name.startswith("FileSourceScan"):
+            metrics = node.metrics()
+            if metrics.contains("numFiles"):
+                total += metrics.apply("numFiles").value()
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+        # AQE/leaf wrappers hide the scan behind non-children links
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif hasattr(node, "child") and children.size() == 0:
+            try:
+                walk(node.child())
+            except Exception:
+                pass
+
+    walk(plan)
+    return int(total)
 
 
 def partition_filters(df: DataFrame) -> str:

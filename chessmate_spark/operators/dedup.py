@@ -27,11 +27,11 @@ from ..functions.hashing import (
     simhash_expr,
     word_shingles_expr,
 )
-from ..functions.text import tokenize_expr
+from ..functions.text import norm_tokens_expr
 
 
 def _norm_tokens(text: Column) -> Column:
-    return tokenize_expr(F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")))
+    return norm_tokens_expr(text)
 
 
 def exact_duplicates(

@@ -44,6 +44,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salts < 1:
+        # salts=0 would silently drop every dim row (empty explode) and
+        # NULL every fact salt (pmod by zero) — a wrong answer, not an error
+        raise ValueError(f"salts must be >= 1, got {salts}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salts))
     salted_fact = fact.withColumn(SALT_COL, salt)
     replicated_dim = dim.withColumn(

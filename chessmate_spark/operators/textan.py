@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_expr, minhash_expr
 from ..functions.scoring import portable_round
-from ..functions.text import tokenize_expr
+from ..functions.text import norm_tokens_expr, tokenize_expr
 
 # Tiny deterministic stopword lists per language (n-gram heuristic seeds).
 LANG_MARKERS = {
@@ -116,14 +116,8 @@ def decontaminate(
     from ..functions.hashing import word_shingles_expr
 
     def shingles(df):
-        toks = tokenize_expr(
-            F.trim(
-                F.regexp_replace(
-                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                    "[^a-z0-9]+",
-                    " ",
-                )
-            )
+        toks = norm_tokens_expr(
+            F.coalesce(F.col(text_col), F.lit(""))
         )
         return df.select(
             F.col(id_col),
@@ -154,9 +148,7 @@ def repetition_score(
     Expression-only — the shingle list here is intentionally NOT
     deduplicated, the duplicates are the signal."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokenize_expr(
-        F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
-    )
+    toks = norm_tokens_expr(text)
     count = F.greatest(F.size(toks) - F.lit(ngram - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), count),

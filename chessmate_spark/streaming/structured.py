@@ -170,6 +170,7 @@ def dedup_events(
     events: DataFrame,
     key_cols: tuple = ("event_id",),
     watermark_delay: str = "20 minutes",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming exact-dedup twin of operators/dedup.exact_duplicates:
     keep the first occurrence of each key, drop repeats whose event time
@@ -182,9 +183,9 @@ def dedup_events(
     dropDuplicates (the oracle form).
     """
     if events.isStreaming:
-        return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
-            list(key_cols)
-        )
+        return events.withWatermark(
+            ts_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(list(key_cols))
     return events.dropDuplicates(list(key_cols))
 
 

@@ -63,7 +63,7 @@ RATIO_LIMIT = 30.0  # 10x data; allow 3x dispersion for fixed overheads
 
 
 def build(spark) -> None:
-    if os.path.exists(os.path.join(DST, "_DONE")):
+    if os.path.exists(os.path.join(DST, "_DONE_v2")):
         return
     os.makedirs(DST, exist_ok=True)
     for table, id_cols in ID_COLS.items():
@@ -76,13 +76,33 @@ def build(spark) -> None:
                 c = df
                 for col in id_cols:
                     c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+                # perturb CONTENT per replica too: identical text/vectors
+                # across replicas would make near-dup pair counts grow
+                # ~REPLICAS^2 (every dup cluster cross-links all copies),
+                # turning a linear operator into a quadratic-looking one
+                if table == "documents":
+                    c = c.withColumn(
+                        "text",
+                        F.concat(
+                            F.coalesce(F.col("text"), F.lit("")),
+                            F.lit(f" replica{i} tag{i} salt{i}"),
+                        ),
+                    )
+                elif table == "embeddings":
+                    c = c.withColumn(
+                        "embedding",
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x: (x + F.lit(i * 0.01)).cast("float"),
+                        ),
+                    )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
                 out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
         print(f"built {table}", flush=True)
-    open(os.path.join(DST, "_DONE"), "w").write("ok\n")
+    open(os.path.join(DST, "_DONE_v2"), "w").write("ok\n")
 
 
 def main() -> int:

@@ -55,3 +55,9 @@ def test_rejects_unsupported_how(spark, frames):
     fact, dim = frames
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", "dk", salt_on=["row_id"], how="full")
+
+
+def test_rejects_nonpositive_salts(spark, frames):
+    fact, dim = frames
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", "dk", salt_on=["row_id"], salts=0)
