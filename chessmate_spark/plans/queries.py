@@ -437,14 +437,18 @@ def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 300000)
     ORDER BY c_custkey
     """,
 )
 def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: anti-join (player-upsert 'not yet present' semantics)."""
+    """J6: anti-join (player-upsert 'not yet present' semantics).  The
+    probe side is the high-value order subset so the result is non-empty
+    at every sf — an all-customers probe returns zero rows at sf0.01,
+    which would make the oracle check vacuous."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
         .select("c_custkey", "c_name")
