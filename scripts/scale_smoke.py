@@ -55,6 +55,7 @@ DEFAULT_QUERIES = [
     "t5_sequence_pack",
     "d1_exact_dedup_groups",
     "d2_minhash_lsh_pairs",
+    "d8_dup_clusters",
     "v6_lsh_ann",
     "v8_embedding_quantize",
 ]
