@@ -99,6 +99,8 @@ HEADLINE = [
     "a9_windowed_event_counts",
     "a10_user_sessions",
     "a11_percentiles",
+    "a13_rollup_revenue",
+    "a14_moving_avg",
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",

@@ -4049,3 +4049,91 @@ def m4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=7).select(
         "media_id", F.col("frame_index").cast("bigint").alias("frame_index")
     ).orderBy("media_id", "frame_index")
+
+
+@_register(
+    "a13_rollup_revenue",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+             AS grouping_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_REVENUE} AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY grouping_id, returnflag, linestatus
+    """,
+)
+def a13_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: revenue at (flag, status), per-flag subtotal, and
+    grand total in ONE pass — Spark expands the rollup into a single
+    partial+final aggregation over grouping sets, not three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+            ).cast("double").alias("revenue"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("grouping_id"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "grouping_id",
+            "n_items",
+            "revenue",
+        )
+        .orderBy("grouping_id", "returnflag", "linestatus")
+    )
+
+
+@_register(
+    "a14_moving_avg",
+    """
+    SELECT s_suppkey, day,
+           floor(avg(day_qty) OVER (
+                 PARTITION BY s_suppkey ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000 + 0.5)
+             / 1000000 AS qty_7d_avg
+    FROM (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS day_qty
+      FROM lineitem
+      WHERE l_suppkey <= 20
+      GROUP BY 1, 2)
+    ORDER BY s_suppkey, day
+    """,
+)
+def a14_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of daily shipped quantity per supplier — the
+    monitoring window-frame shape (ROWS BETWEEN): one groupBy shuffle on
+    (supplier, day), one window sort per supplier partition."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    daily = (
+        li.groupBy(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("day_qty")
+        )
+    )
+    w = (
+        Window.partitionBy("s_suppkey")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "s_suppkey",
+        "day",
+        portable_round(F.avg("day_qty").over(w), 6).alias("qty_7d_avg"),
+    ).orderBy("s_suppkey", "day")
