@@ -140,19 +140,23 @@ def drain_jobs(
     # re-analysis grows exponentially (observed: batch 5 planning 30x batch
     # 1).  localCheckpoint cuts the lineage each step — the micro-batch
     # state handoff that a Delta MERGE gives for free in production.
-    jobs = state.jobs.localCheckpoint(eager=True)
+    # lazy checkpoints: the truncation that stops plan nesting comes from
+    # the checkpoint NODE, not from eager materialization — the take(1)
+    # probe (and the final consumers) materialize each step, so every
+    # iteration costs one Spark job instead of four
+    jobs = state.jobs.localCheckpoint(eager=False)
     vectors = state.position_vectors
     batches = state.batches_run
     while batches < max_batches:
-        claimed = claim_batch(jobs, batch_size).localCheckpoint(eager=True)
+        claimed = claim_batch(jobs, batch_size).localCheckpoint(eager=False)
         if not claimed.take(1):
             break
         payload = build_payload(claimed, positions, games, players, dim)
-        batch_vectors = payload.localCheckpoint(eager=True)
+        batch_vectors = payload.localCheckpoint(eager=False)
         vectors = (
             batch_vectors if vectors is None else vectors.unionByName(batch_vectors)
         )
-        jobs = apply_transitions(jobs, claimed).localCheckpoint(eager=True)
+        jobs = apply_transitions(jobs, claimed).localCheckpoint(eager=False)
         batches += 1
     # propagate vector ids into positions happens at read time via join Q6
     return JobsState(jobs=jobs, position_vectors=vectors, batches_run=batches)
