@@ -91,6 +91,7 @@ HEADLINE = [
     "t5_sequence_pack",
     "t6_repetition_score",
     "t7_pii_scrub",
+    "t8_chunk_documents",
     "d9_decontaminate",
     "v8_embedding_quantize",
     "j10_salted_skew_join",

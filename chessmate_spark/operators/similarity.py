@@ -298,3 +298,30 @@ def ivf_topk(
         k,
     )
     return ranked.drop("rank")
+
+
+def save_centroids(centroids: np.ndarray, path: str) -> None:
+    """Persist a trained IVF index (the centroid matrix) as parquet — the
+    index artifact lives in the lake next to the data, so probes across
+    sessions/jobs skip retraining (FAISS write_index analog)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "cell": pa.array(range(len(centroids)), type=pa.int32()),
+            "centroid": pa.array(
+                [row.astype("float64").tolist() for row in centroids],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def load_centroids(path: str) -> np.ndarray:
+    """Load a persisted IVF centroid matrix (ordered by cell id)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path).sort_by("cell")
+    return np.array(table.column("centroid").to_pylist(), dtype="float64")

@@ -4137,3 +4137,65 @@ def a14_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         portable_round(F.avg("day_qty").over(w), 6).alias("qty_7d_avg"),
     ).orderBy("s_suppkey", "day")
+
+
+@_register(
+    "t8_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, {toks} AS tokens FROM documents),
+    chunks AS (
+      SELECT doc_id, len(tokens) AS n_tokens,
+             unnest([CAST(i AS INTEGER)
+                     FOR i IN range(0, greatest(len(tokens) - 16, 1), 48)])
+               AS chunk_no
+      FROM toks),
+    sliced AS (
+      SELECT c.doc_id, c.chunk_no,
+             array_to_string(
+               list_slice(t.tokens, c.chunk_no + 1, c.chunk_no + 64), ' ')
+               AS chunk_text
+      FROM chunks c JOIN toks t USING (doc_id))
+    SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+           CAST(len(string_split(chunk_text, ' ')) AS INTEGER)
+             AS chunk_tokens,
+           md5(chunk_text) AS chunk_md5
+    FROM sliced
+    ORDER BY doc_id, chunk_no
+    """.format(toks=_DUCK_NORM_TOKENS.format(col="text")),
+)
+def t8_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping 64-token windows with
+    stride 48 (16-token overlap) per doc — the splitting step before a
+    chunk-level embedding pass.  Expression-only: sequence of chunk
+    starts, posexplode, slice; the oracle md5-compares every chunk's
+    exact text."""
+    from ..functions.text import norm_tokens_expr
+
+    docs = _docs(spark, sf_dir)
+    toks = norm_tokens_expr(F.coalesce(F.col("text"), F.lit("")))
+    base = docs.select("doc_id", toks.alias("tokens"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("tokens") - 16, F.lit(1)) - 1,
+        F.lit(48),
+    )
+    chunked = base.select(
+        "doc_id",
+        "tokens",
+        F.explode(starts).alias("chunk_no"),
+    ).select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.concat_ws(
+            " ", F.slice(F.col("tokens"), F.col("chunk_no") + 1, 64)
+        ).alias("chunk_text"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_no",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("int").alias(
+            "chunk_tokens"
+        ),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_no")

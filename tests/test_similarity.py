@@ -126,3 +126,42 @@ def test_ivf_full_probe_is_exact(spark, emb):
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert full_pairs == exact_pairs
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """Train once, persist, reload: probes with the loaded index return
+    the same results and skip retraining."""
+    import numpy as np
+
+    from chessmate_spark.operators.similarity import (
+        ivf_topk,
+        load_centroids,
+        save_centroids,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    corpus = spark.createDataFrame(
+        [(i, rng.rand(8).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, rng.rand(8).tolist()) for j in range(3)],
+        "qid long, embedding array<double>",
+    )
+    trained = train_ivf_centroids(corpus, "vec_id", nlist=8, seed=7)
+    path = str(tmp_path / "ivf_index.parquet")
+    save_centroids(trained, path)
+    loaded = load_centroids(path)
+    assert np.allclose(trained, loaded)
+
+    def run(cents):
+        return sorted(
+            (r["qid"], r["vec_id"], round(r["score"], 9))
+            for r in ivf_topk(
+                queries, corpus, 5, "qid", "vec_id",
+                nprobe=3, centroids=cents,
+            ).collect()
+        )
+
+    assert run(trained) == run(loaded)
