@@ -438,7 +438,8 @@ def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_totalprice > 300000)
+                            WHERE o_totalprice > 300000
+                              AND o_custkey IS NOT NULL)
     ORDER BY c_custkey
     """,
 )
@@ -4143,7 +4144,8 @@ def a14_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t8_chunk_documents",
     """
     WITH toks AS (
-      SELECT doc_id, {toks} AS tokens FROM documents),
+      SELECT doc_id, {toks} AS tokens FROM documents
+      WHERE len({toks}) > 0),
     chunks AS (
       SELECT doc_id, len(tokens) AS n_tokens,
              unnest([CAST(i AS INTEGER)
@@ -4174,7 +4176,11 @@ def t8_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = norm_tokens_expr(F.coalesce(F.col("text"), F.lit("")))
-    base = docs.select("doc_id", toks.alias("tokens"))
+    # zero-token docs produce no chunks (otherwise the forced first chunk
+    # start would emit a phantom 1-token chunk of the empty string)
+    base = docs.select("doc_id", toks.alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size("tokens") - 16, F.lit(1)) - 1,

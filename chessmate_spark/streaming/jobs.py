@@ -141,9 +141,11 @@ def drain_jobs(
     # 1).  localCheckpoint cuts the lineage each step — the micro-batch
     # state handoff that a Delta MERGE gives for free in production.
     # lazy checkpoints: the truncation that stops plan nesting comes from
-    # the checkpoint NODE, not from eager materialization — the take(1)
-    # probe (and the final consumers) materialize each step, so every
-    # iteration costs one Spark job instead of four
+    # the checkpoint NODE, not from eager materialization.  The take(1)
+    # probe (plus the checkpoint's own missing-partition job) materializes
+    # the claim each iteration; payload/jobs checkpoints defer their
+    # materialization to the downstream consumers instead of paying a
+    # blocking job here — fewer, later jobs, not literally one
     jobs = state.jobs.localCheckpoint(eager=False)
     vectors = state.position_vectors
     batches = state.batches_run

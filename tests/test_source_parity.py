@@ -33,6 +33,7 @@ def doc_sources(spark, tmp_path):
         .option("header", True)
         .option("quote", '"')
         .option("escape", '"')
+        .option("multiLine", True)  # texts with embedded newlines
         .csv(csv_dir),
         "json": spark.read.schema(DOCS_DDL).json(json_dir),
     }
