@@ -1,0 +1,67 @@
+"""Empty-input robustness: every representative builder must plan and
+execute over schema-only (zero-row) tables — returning empty results,
+never crashing.  Production pipelines hit this on fresh partitions,
+filtered-to-nothing date ranges, and first-run bootstraps."""
+
+from __future__ import annotations
+
+import pytest
+
+import chessmate_spark.plans.queries as qmod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Representative slice of every operator family; chess fixtures excluded
+# (they ingest their own PGN fixture, not these tables).
+ENTRIES = [
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "j1_left_join_summaries",
+    "j6_anti_join",
+    "j7_asof_join",
+    "j8_range_join",
+    "j10_salted_skew_join",
+    "a10_user_sessions",
+    "a11_percentiles",
+    "a13_rollup_revenue",
+    "a14_moving_avg",
+    "o4_topk_per_group",
+    "d1_exact_dedup_groups",
+    "d2_minhash_lsh_pairs",
+    "d8_dup_clusters",
+    "d9_decontaminate",
+    "t1_token_counts",
+    "t4_stratified_sample",
+    "t5_sequence_pack",
+    "t6_repetition_score",
+    "t7_pii_scrub",
+    "t8_chunk_documents",
+    "v2_cosine_topk",
+    "v5_deterministic_embedding",
+    "v8_embedding_quantize",
+    "m1_binary_features",
+    "m4_frame_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_builders_survive_empty_tables(spark, empty_sf, name):
+    builder, _ = qmod.QUERIES[name]
+    rows = builder(spark, empty_sf).collect()
+    # scalar aggregates may legitimately return one all-NULL/zero row;
+    # everything else must be empty — and nothing may raise
+    assert len(rows) <= 1
