@@ -102,6 +102,7 @@ HEADLINE = [
     "a11_percentiles",
     "a13_rollup_revenue",
     "a14_moving_avg",
+    "a15_heavy_hitters",
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",

@@ -4205,3 +4205,25 @@ def t8_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.col("chunk_text")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_no")
+
+
+@_register(
+    "a15_heavy_hitters",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS event_count
+    FROM events
+    GROUP BY user_id
+    ORDER BY event_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event count — the batch twin of the stateful
+    heavy-hitter stream (streaming/structured.py run_heavy_hitters_stream,
+    GroupState counters surviving restarts via the checkpoint).  The
+    orderBy().limit() compiles to TakeOrderedAndProject after a
+    partial+final count."""
+    from ..streaming.structured import heavy_hitters_batch
+
+    ev = _events(spark, sf_dir)
+    return heavy_hitters_batch(ev, k=20)

@@ -208,3 +208,63 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+HH_SCHEMA = "user_id long, event_count long"
+
+
+def heavy_hitters_batch(events: DataFrame, k: int = 20) -> DataFrame:
+    """Batch twin of the stateful heavy-hitter stream: top-k users by
+    event count, deterministic tiebreak on user_id."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .orderBy(F.desc("event_count"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def run_heavy_hitters_stream(
+    spark: SparkSession,
+    events_path: str,
+    output_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Stateful running per-user event counts: GroupState holds one
+    counter per user, updated each micro-batch and emitted with the batch
+    (update-style over an append sink — the LATEST row per user wins).
+
+    State size is O(distinct users), independent of event volume, and the
+    counters survive restarts through the checkpoint — draining the same
+    source twice continues the counts instead of restarting them.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        new_rows = sum(len(p) for p in pdfs)
+        if state.exists:
+            (count,) = state.get
+        else:
+            count = 0
+        count += new_rows
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [user_id], "event_count": [count]})
+
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_path)
+    counts = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=HH_SCHEMA,
+        stateStructType="count long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

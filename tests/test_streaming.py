@@ -172,3 +172,52 @@ def test_dedup_batch_form_matches_dropduplicates(spark):
         [_event(1, 1), _event(1, 2), _event(2, 3)], EVENTS_DDL
     )
     assert dedup_events(df).count() == 2
+
+
+def test_heavy_hitter_state_survives_restart(spark, tmp_path):
+    from chessmate_spark.streaming.structured import run_heavy_hitters_stream
+
+    ev_dir = str(tmp_path / "hh_events")
+    out_dir = str(tmp_path / "hh_out")
+    ckpt = str(tmp_path / "hh_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENTS_DDL).write.mode("append").parquet(ev_dir)
+
+    def latest_counts():
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        df = spark.read.parquet(out_dir)
+        files = df.withColumn("_f", F.input_file_name())
+        w = Window.partitionBy("user_id").orderBy(F.desc("event_count"))
+        return {
+            r["user_id"]: r["event_count"]
+            for r in files.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1").collect()
+        }
+
+    write([_event(i, 1) for i in range(3)])          # user 7 x3
+    q = run_heavy_hitters_stream(spark, ev_dir, out_dir, ckpt)
+    q.awaitTermination()
+    assert latest_counts() == {7: 3}
+
+    # second drain: checkpointed GroupState continues the count
+    write([_event(10 + i, 2) for i in range(2)])     # user 7 x2 more
+    q = run_heavy_hitters_stream(spark, ev_dir, out_dir, ckpt)
+    q.awaitTermination()
+    assert latest_counts() == {7: 5}
+
+
+def test_heavy_hitters_batch_topk(spark):
+    from chessmate_spark.streaming.structured import heavy_hitters_batch
+
+    rows = []
+    for uid, n in ((1, 5), (2, 3), (3, 3), (4, 1)):
+        for j in range(n):
+            rows.append((len(rows), dt.datetime(2024, 1, 1, 0, j), uid,
+                         "click", 1.0, "{}"))
+    df = spark.createDataFrame(rows, EVENTS_DDL)
+    got = [(r["user_id"], r["event_count"])
+           for r in heavy_hitters_batch(df, k=3).collect()]
+    assert got == [(1, 5), (2, 3), (3, 3)]
