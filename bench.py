@@ -43,6 +43,7 @@ HEADLINE = [
     "a6_status_histogram",
     "a7_windowed_counts",
     "u1_distinct_pairs",
+    "u5_set_operations",
     "f16_json_extraction",
     "v2_cosine_topk",
     "v2_knn_join",

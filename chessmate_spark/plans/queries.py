@@ -4227,3 +4227,28 @@ def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return heavy_hitters_batch(ev, k=20)
+
+
+@_register(
+    "u5_set_operations",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id FROM documents WHERE n_chars < 600
+      INTERSECT
+      SELECT doc_id FROM documents WHERE lang = 'en')
+    EXCEPT
+    SELECT doc_id FROM documents WHERE source = 'src1'
+    ORDER BY doc_id
+    """,
+)
+def u5_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT): short English docs minus one
+    excluded source.  Catalyst compiles both to joins (left-semi /
+    left-anti over distinct inputs) — no driver-side set logic."""
+    docs = _docs(spark, sf_dir)
+    short = docs.filter(F.col("n_chars") < 600).select("doc_id")
+    english = docs.filter(F.col("lang") == "en").select("doc_id")
+    excluded = docs.filter(F.col("source") == "src1").select("doc_id")
+    return short.intersect(english).exceptAll(excluded).distinct().orderBy(
+        "doc_id"
+    )
