@@ -104,6 +104,8 @@ HEADLINE = [
     "a13_rollup_revenue",
     "a14_moving_avg",
     "a15_heavy_hitters",
+    "a16_pivot_revenue",
+    "a17_ntile_quartiles",
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",

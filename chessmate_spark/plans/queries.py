@@ -4252,3 +4252,83 @@ def u5_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return short.intersect(english).exceptAll(excluded).distinct().orderBy(
         "doc_id"
     )
+
+
+@_register(
+    "a16_pivot_revenue",
+    f"""
+    SELECT l_returnflag,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(8,4)) END), 0)
+             AS DOUBLE) AS rev_F,
+           CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(8,4)) END), 0)
+             AS DOUBLE) AS rev_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a16_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by returnflag spread across linestatus columns.
+    Spark's pivot with explicit values compiles to ONE pass of
+    conditional partial+final aggregates — no per-column scans; the
+    oracle is the equivalent conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(rev))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).cast("double").alias("rev_F"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("double").alias("rev_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "a17_ntile_quartiles",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer)
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(min(c_acctbal) * 100 + 0.5) / 100 AS min_bal,
+           floor(max(c_acctbal) * 100 + 0.5) / 100 AS max_bal
+    FROM ranked
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+)
+def a17_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of customers by account balance with per-bucket
+    stats — the cohort-bucketing window shape (deterministic tiebreak so
+    both engines assign identical buckets).  A global (unpartitioned)
+    ntile funnels through one sort partition by definition; at 100 TB
+    the same cohorting is done per shard key or via percentile cutoffs
+    (a11's partial+final aggregate) — this entry pins the exact global
+    semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = cust.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return (
+        ranked.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            portable_round(F.min("c_acctbal"), 2).alias("min_bal"),
+            portable_round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
