@@ -4249,9 +4249,7 @@ def u5_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = docs.filter(F.col("n_chars") < 600).select("doc_id")
     english = docs.filter(F.col("lang") == "en").select("doc_id")
     excluded = docs.filter(F.col("source") == "src1").select("doc_id")
-    return short.intersect(english).exceptAll(excluded).distinct().orderBy(
-        "doc_id"
-    )
+    return short.intersect(english).subtract(excluded).orderBy("doc_id")
 
 
 @_register(

@@ -18,9 +18,19 @@ TABLES = [
 
 # Representative slice of every operator family; chess fixtures excluded
 # (they ingest their own PGN fixture, not these tables).
+# Scalar/rollup aggregates legitimately return one all-NULL/zero row on
+# empty input; everything else must return exactly zero rows.
+SCALAR_ENTRIES = [
+    "a13_rollup_revenue",
+    "a16_pivot_revenue",
+]
+
 ENTRIES = [
     "q1_pricing_summary",
     "q18_large_orders",
+    "a15_heavy_hitters",
+    "a17_ntile_quartiles",
+    "u5_set_operations",
     "j1_left_join_summaries",
     "j6_anti_join",
     "j7_asof_join",
@@ -28,7 +38,6 @@ ENTRIES = [
     "j10_salted_skew_join",
     "a10_user_sessions",
     "a11_percentiles",
-    "a13_rollup_revenue",
     "a14_moving_avg",
     "o4_topk_per_group",
     "d1_exact_dedup_groups",
@@ -59,9 +68,12 @@ def empty_sf(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", ENTRIES)
-def test_builders_survive_empty_tables(spark, empty_sf, name):
+def test_builders_return_nothing_on_empty_tables(spark, empty_sf, name):
     builder, _ = qmod.QUERIES[name]
-    rows = builder(spark, empty_sf).collect()
-    # scalar aggregates may legitimately return one all-NULL/zero row;
-    # everything else must be empty — and nothing may raise
-    assert len(rows) <= 1
+    assert builder(spark, empty_sf).collect() == []
+
+
+@pytest.mark.parametrize("name", SCALAR_ENTRIES)
+def test_scalar_builders_survive_empty_tables(spark, empty_sf, name):
+    builder, _ = qmod.QUERIES[name]
+    assert len(builder(spark, empty_sf).collect()) <= 1

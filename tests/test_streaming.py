@@ -188,12 +188,12 @@ def test_heavy_hitter_state_survives_restart(spark, tmp_path):
         import pyspark.sql.functions as F
         from pyspark.sql.window import Window
 
+        # counts are monotonic per user, so the max row IS the latest
         df = spark.read.parquet(out_dir)
-        files = df.withColumn("_f", F.input_file_name())
         w = Window.partitionBy("user_id").orderBy(F.desc("event_count"))
         return {
             r["user_id"]: r["event_count"]
-            for r in files.withColumn("_rn", F.row_number().over(w))
+            for r in df.withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1").collect()
         }
 
