@@ -106,6 +106,7 @@ HEADLINE = [
     "a15_heavy_hitters",
     "a16_pivot_revenue",
     "a17_ntile_quartiles",
+    "a17_cohort_cutoffs",
     "m1_binary_features",
     "m2_image_decode_stub",
     "m3_byte_entropy",

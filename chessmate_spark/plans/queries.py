@@ -4330,3 +4330,70 @@ def a17_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+@_register(
+    "a17_cohort_cutoffs",
+    """
+    WITH cuts AS (
+      SELECT floor(quantile_cont(c_acctbal, 0.75) * 10000 + 0.5) / 10000 AS p75,
+             floor(quantile_cont(c_acctbal, 0.50) * 10000 + 0.5) / 10000 AS p50,
+             floor(quantile_cont(c_acctbal, 0.25) * 10000 + 0.5) / 10000 AS p25
+      FROM customer),
+    bucketed AS (
+      SELECT c_acctbal,
+             CASE WHEN c_acctbal >= p75 THEN 1
+                  WHEN c_acctbal >= p50 THEN 2
+                  WHEN c_acctbal >= p25 THEN 3
+                  ELSE 4 END AS cohort
+      FROM customer, cuts)
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(min(c_acctbal) * 100 + 0.5) / 100 AS min_bal,
+           floor(max(c_acctbal) * 100 + 0.5) / 100 AS max_bal
+    FROM bucketed
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def a17_cohort_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe cohort twin of a17_ntile_quartiles: quartile CUTOFFS via
+    one exact-`percentile` partial+final aggregate, buckets assigned by
+    comparison against the broadcast 1-row cutoff frame — NO global sort
+    anywhere in the plan (a17's unpartitioned ``Window.orderBy`` funnels
+    every row through one task; this form is how the same cohorting runs
+    at 100 TB).  Cutoffs are rounded to 4 dp before comparison: account
+    balances carry 2 decimals, interpolated cutoffs land on 4-decimal
+    midpoints, so last-bit interpolation differences between Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` can never flip a row's
+    cohort.  Bucket sizes match ntile's up to ties at the boundaries
+    (pinned by tests/test_queries_aux.py); reference parity: same
+    pagination/ranking surface as services/api (SURVEY §2.6).
+
+    Exact ``percentile`` is kept for bit-level oracle parity; its partial
+    state buffers values, so the extreme-scale production form swaps in
+    ``percentile_approx`` (fixed-size t-digest-style sketch, identical
+    plan shape — cutoffs stay a 1-row broadcast)."""
+    cust = _t(spark, sf_dir, "customer")
+    cuts = cust.agg(
+        portable_round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+        portable_round(F.percentile("c_acctbal", F.lit(0.50)), 4).alias("p50"),
+        portable_round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+    )
+    bucketed = cust.crossJoin(F.broadcast(cuts)).select(
+        "c_acctbal",
+        F.when(F.col("c_acctbal") >= F.col("p75"), 1)
+        .when(F.col("c_acctbal") >= F.col("p50"), 2)
+        .when(F.col("c_acctbal") >= F.col("p25"), 3)
+        .otherwise(4)
+        .alias("cohort"),
+    )
+    return (
+        bucketed.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            portable_round(F.min("c_acctbal"), 2).alias("min_bal"),
+            portable_round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("cohort")
+    )

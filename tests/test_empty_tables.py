@@ -30,6 +30,7 @@ ENTRIES = [
     "q18_large_orders",
     "a15_heavy_hitters",
     "a17_ntile_quartiles",
+    "a17_cohort_cutoffs",
     "u5_set_operations",
     "j1_left_join_summaries",
     "j6_anti_join",

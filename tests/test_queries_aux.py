@@ -1,0 +1,53 @@
+"""Cross-checks between query-inventory twins that share semantics but
+not plans.
+
+a17_ntile_quartiles (global-sort ntile, the exact-semantics pin) vs
+a17_cohort_cutoffs (percentile-cutoff cohorts, the scale-safe plan):
+rank-based and value-based quartiles can only disagree where a row sits
+exactly at an interpolated boundary, so per-bucket counts match within 1
+and the extreme buckets share min/max with the ntile form.
+"""
+
+from __future__ import annotations
+
+import re
+
+from chessmate_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return QUERIES[name][0](spark, SF_DIR).collect()
+
+
+def test_cohort_cutoffs_matches_ntile_within_boundary_ties(spark):
+    ntile = {r["quartile"]: r for r in _rows(spark, "a17_ntile_quartiles")}
+    cohort = {r["cohort"]: r for r in _rows(spark, "a17_cohort_cutoffs")}
+    assert set(ntile) == set(cohort) == {1, 2, 3, 4}
+    assert sum(r["n_customers"] for r in ntile.values()) == sum(
+        r["n_customers"] for r in cohort.values()
+    )
+    for b in (1, 2, 3, 4):
+        assert abs(ntile[b]["n_customers"] - cohort[b]["n_customers"]) <= 1
+    # The global extremes are boundary-independent.
+    assert cohort[1]["max_bal"] == ntile[1]["max_bal"]
+    assert cohort[4]["min_bal"] == ntile[4]["min_bal"]
+
+
+def test_cohort_cutoffs_plan_has_no_row_level_global_sort(spark):
+    """The twin exists to kill a17's single-partition row sort: the only
+    SinglePartition exchange allowed in its plan is the partial-percentile
+    state merge (ObjectHashAggregate), never a Sort over table rows."""
+    df = QUERIES["a17_cohort_cutoffs"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no ntile/global window at all
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # The consumer right above the exchange must be the percentile
+        # merge, not a Sort.
+        above = lines[max(0, i - 2) : i]
+        assert any("Aggregate" in a for a in above), plan
+    assert not re.search(r"Sort .*c_acctbal", plan), plan
