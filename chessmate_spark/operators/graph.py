@@ -17,6 +17,9 @@ Scale notes (100 TB / 10^9-node regime):
     from re-executing rounds 0..k-1 (the classic iterative-plan blowup).
   * convergence = (count, xxhash64 checksum) fixpoint of the canonically
     oriented edge set — two scalar aggregates, no edge-set subtract join.
+    A same-count 64-bit checksum collision could end a round early; at
+    ~2^-64 per round this is accepted (the alternative — an edge-set
+    anti-join per round — doubles the rounds' shuffle cost).
 """
 
 from __future__ import annotations
@@ -97,15 +100,19 @@ def connected_components(
     """
     # lazy localCheckpoint: the fingerprint aggregate is the round's one
     # action and materializes the checkpoint as a side effect — one Spark
-    # job per round instead of two.
-    edges = _canonical(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # job per round instead of two.  ``raw`` is checkpointed too (it is in
+    # edges' pre-truncation lineage, so it materializes alongside edges'
+    # first fingerprint) because ``nodes`` must derive from the pairs
+    # BEFORE self-loop filtering: a node appearing only in (x, x) pairs
+    # still belongs in the output — as a singleton component — not
+    # silently dropped.
+    raw = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
-    # nodes re-derives from the first (materialized) checkpoint at the end;
-    # no action needed here.
+    edges = _canonical(raw).localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
     )
 

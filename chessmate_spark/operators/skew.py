@@ -48,6 +48,13 @@ def salted_join(
         # salts=0 would silently drop every dim row (empty explode) and
         # NULL every fact salt (pmod by zero) — a wrong answer, not an error
         raise ValueError(f"salts must be >= 1, got {salts}")
+    if SALT_COL in fact.columns or SALT_COL in dim.columns:
+        # withColumn would silently overwrite the caller's column and the
+        # final drop would remove it — losing user data, not just renaming
+        raise ValueError(
+            f"input already carries reserved column {SALT_COL!r}; "
+            "rename it before calling salted_join"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salts))
     salted_fact = fact.withColumn(SALT_COL, salt)
     replicated_dim = dim.withColumn(

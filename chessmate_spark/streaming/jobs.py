@@ -37,7 +37,16 @@ class JobsState:
 
 
 def claim_batch(jobs: DataFrame, batch_size: int) -> DataFrame:
-    """Q1: oldest-first deterministic claim of pending jobs."""
+    """Q1: oldest-first deterministic claim of pending jobs.
+
+    DETERMINISM CONTRACT: drain_jobs re-reads lazily-checkpointed frames
+    derived from this claim; the total order (enqueued_seq, id) is what
+    guarantees every re-computation selects the SAME batch.  Any future
+    claim strategy that is not a pure deterministic function of ``jobs``
+    (sampling, rand-tiebreaks, time-based cuts) must flip the drain loop's
+    ``claimed`` checkpoint to eager=True or batches can silently diverge
+    between consumers.
+    """
     return (
         jobs.filter(F.col("status") == "pending")
         .orderBy(F.col("enqueued_seq").asc(), F.col("id").asc())
@@ -150,7 +159,12 @@ def drain_jobs(
     vectors = state.position_vectors
     batches = state.batches_run
     while batches < max_batches:
-        claimed = claim_batch(jobs, batch_size).localCheckpoint(eager=False)
+        # eager=True for `claimed` only: it fans out to three consumers
+        # (the emptiness probe, build_payload, apply_transitions), so a
+        # single blocking materialization pins one authoritative batch —
+        # correctness no longer leans on claim_batch's determinism
+        # contract.  The other checkpoints stay lazy (single-consumer).
+        claimed = claim_batch(jobs, batch_size).localCheckpoint(eager=True)
         if not claimed.take(1):
             break
         payload = build_payload(claimed, positions, games, players, dim)

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -186,7 +186,21 @@ def dedup_events(
         return events.withWatermark(
             ts_col, watermark_delay
         ).dropDuplicatesWithinWatermark(list(key_cols))
-    return events.dropDuplicates(list(key_cols))
+    # Batch twin: plain dropDuplicates keeps an ARBITRARY row per key,
+    # which can disagree with the stream's first-arriving row on non-key
+    # payload columns.  Pick deterministically instead: earliest event
+    # time per key (the batch analogue of "first-arriving"), with a
+    # stable full-row hash tiebreak so same-timestamp duplicates don't
+    # reintroduce nondeterminism.
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(ts_col).asc_nulls_last(),
+        F.xxhash64(F.struct(*[F.col(c) for c in events.columns])),
+    )
+    return (
+        events.withColumn("_cm_rn", F.row_number().over(w))
+        .filter(F.col("_cm_rn") == 1)
+        .drop("_cm_rn")
+    )
 
 
 def run_dedup_stream(

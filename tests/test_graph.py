@@ -77,3 +77,23 @@ def test_dup_clusters_canonical_flags(spark):
     assert rows[3]["cluster_size"] == 3
     assert rows[8]["is_canonical"] and rows[9]["component_id"] == 8
     assert rows[8]["cluster_size"] == 2
+
+
+def test_self_loop_only_nodes_become_singletons(spark):
+    """A node appearing only in (x, x) pairs must surface as its own
+    singleton component, not vanish (ADVICE round-4)."""
+    df = spark.createDataFrame(
+        [(1, 2), (7, 7), (2, 3)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7}
+
+
+def test_self_loop_singleton_is_canonical_cluster_of_one(spark):
+    df = spark.createDataFrame([(5, 5), (1, 2)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in dup_clusters(df).collect()}
+    assert rows[5]["cluster_size"] == 1 and rows[5]["is_canonical"]
+    assert rows[1]["cluster_size"] == 2

@@ -61,3 +61,15 @@ def test_rejects_nonpositive_salts(spark, frames):
     fact, dim = frames
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", "dk", salt_on=["row_id"], salts=0)
+
+
+def test_rejects_reserved_salt_column(spark, frames):
+    fact, dim = frames
+    poisoned = fact.withColumn("_cm_salt", fact["row_id"])
+    with pytest.raises(ValueError, match="_cm_salt"):
+        salted_join(poisoned, dim, "k", "dk", salt_on=["row_id"])
+    with pytest.raises(ValueError, match="_cm_salt"):
+        salted_join(
+            fact, dim.withColumn("_cm_salt", dim["dk"]), "k", "dk",
+            salt_on=["row_id"],
+        )

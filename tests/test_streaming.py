@@ -174,6 +174,25 @@ def test_dedup_batch_form_matches_dropduplicates(spark):
     assert dedup_events(df).count() == 2
 
 
+def test_dedup_batch_form_keeps_earliest_row_per_key(spark):
+    """The batch twin must agree with the stream's first-arriving rule on
+    payload columns, not keep an arbitrary row (ADVICE round-4): earliest
+    ts wins, deterministically."""
+    from chessmate_spark.streaming.structured import dedup_events
+
+    df = spark.createDataFrame(
+        [
+            _event(1, 5, etype="late", value=9.0),
+            _event(1, 1, etype="first", value=1.0),
+            _event(2, 3, etype="only", value=2.0),
+        ],
+        EVENTS_DDL,
+    )
+    rows = {r["event_id"]: r for r in dedup_events(df).collect()}
+    assert rows[1]["event_type"] == "first" and rows[1]["value"] == 1.0
+    assert rows[2]["event_type"] == "only"
+
+
 def test_heavy_hitter_state_survives_restart(spark, tmp_path):
     from chessmate_spark.streaming.structured import run_heavy_hitters_stream
 
