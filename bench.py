@@ -104,6 +104,7 @@ HEADLINE = [
     "a13_rollup_revenue",
     "a14_moving_avg",
     "a15_heavy_hitters",
+    "a15_heavy_hitters_sketch",
     "a16_pivot_revenue",
     "a17_ntile_quartiles",
     "a17_cohort_cutoffs",

@@ -1,0 +1,97 @@
+"""Bounded-memory frequency sketches: Misra-Gries heavy hitters.
+
+The exact heavy-hitter paths (a15's partial+final count, the GroupState
+stream in streaming/structured.py) hold one counter per DISTINCT key —
+fine for thousands of users, unbounded at billions.  This module is the
+capped-state twin: per-partition Misra-Gries summaries of fixed capacity
+``m``, merged with one tiny shuffle.
+
+Guarantees (Misra & Gries 1982; Agarwal et al., "Mergeable Summaries",
+PODS 2012 — the generalized subtract-the-cut merge used here):
+  * each per-partition summary holds ≤ m counters, and every counter
+    underestimates its key's true partition count by at most n_p / m
+    (n_p = rows in that partition);
+  * summing summaries across partitions keeps the bound additive:
+    true(key) - N/m  ≤  est(key)  ≤  true(key)   over N total rows —
+    so every key with true count > N/m is GUARANTEED present in the
+    merged summary, and top-k by estimate is exact whenever the k-th and
+    (k+1)-th true counts differ by more than N/m;
+  * when a partition sees ≤ m distinct keys, its summary is its exact
+    count map — at the test scale factors the sketch output is therefore
+    bit-identical to the exact aggregate, which is what lets the entry
+    share a15's oracle.
+
+Scale shape (100 TB): the mapInPandas pass streams Arrow batches through
+a pandas Series capped at m entries — O(m) memory regardless of
+partition size; the merge shuffles ≤ m rows per partition (bytes, not
+payloads) and ends in one TakeOrderedAndProject.  Reference parity: same
+queue/worker metrics surface as A8/Q1 (embedding_worker.ml:65-93).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_trim(s: pd.Series, capacity: int) -> pd.Series:
+    """Misra-Gries decrement: if more than ``capacity`` counters live,
+    subtract the (capacity+1)-th largest count from all and drop the
+    non-positive — at most ``capacity`` survive, each reduced by the
+    same amount (the error the bound accounts for)."""
+    if len(s) <= capacity:
+        return s
+    cut = s.nlargest(capacity + 1).iloc[-1]
+    s = s - cut
+    return s[s > 0]
+
+
+def mg_partition_summaries(
+    df: DataFrame, key_col: str = "user_id", capacity: int = 4096
+) -> DataFrame:
+    """One Misra-Gries summary per input partition: ≤ ``capacity`` rows
+    of (key, mg_count), built by streaming the partition's Arrow batches
+    through a capped pandas Series — never a per-row Python loop."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = pd.Series(dtype="int64")
+        for pdf in batches:
+            s = s.add(pdf[key_col].value_counts(), fill_value=0)
+            s = _mg_trim(s, capacity)
+        yield pd.DataFrame(
+            {key_col: s.index.to_numpy(), "mg_count": s.to_numpy("int64")}
+        )
+
+    field = df.schema[key_col]
+    out_schema = f"{key_col} {field.dataType.simpleString()}, mg_count long"
+    return df.select(key_col).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Top-k keys by estimated count from merged per-partition
+    Misra-Gries summaries — the bounded-state twin of
+    streaming/structured.heavy_hitters_batch.
+
+    The only shuffle moves ≤ capacity rows per partition; the final
+    orderBy().limit() compiles to TakeOrderedAndProject.  Estimates are
+    exact when every partition sees ≤ capacity distinct keys, else
+    underestimate by at most N/capacity (see module docstring).
+    """
+    summaries = mg_partition_summaries(df, key_col, capacity)
+    return (
+        summaries.groupBy(key_col)
+        .agg(F.sum("mg_count").alias("event_count"))
+        .orderBy(F.desc("event_count"), F.asc(key_col))
+        .limit(k)
+    )

@@ -4397,3 +4397,34 @@ def a17_cohort_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@_register(
+    "a15_heavy_hitters_sketch",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS event_count
+    FROM events
+    GROUP BY user_id
+    ORDER BY event_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def a15_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state twin of a15_heavy_hitters: merged per-partition
+    Misra-Gries summaries (operators/sketch.py) instead of one counter
+    per distinct user.  Memory is O(capacity) per task and the merge
+    shuffles ≤ capacity rows per partition — the shape that survives
+    billions of distinct users, where a15's exact count (and the
+    GroupState stream's per-user state) grows without bound.
+
+    Shares a15's EXACT oracle deliberately: capacity=4096 exceeds the
+    distinct-user count per partition at every test SF, and a
+    Misra-Gries summary that never overflows is an exact count map, so
+    the sketch must reproduce the exact top-20 bit-for-bit here.  The
+    approximation regime (distinct keys ≫ capacity) is pinned separately
+    by tests/test_sketch.py's guarantee test.  Reference parity: same
+    worker-metrics surface as A8/Q1 (embedding_worker.ml:65-93)."""
+    from ..operators.sketch import heavy_hitters_sketch
+
+    ev = _events(spark, sf_dir)
+    return heavy_hitters_sketch(ev, key_col="user_id", k=20, capacity=4096)

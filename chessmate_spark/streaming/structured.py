@@ -282,3 +282,116 @@ def run_heavy_hitters_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_heavy_hitters(spark: SparkSession, output_path: str) -> DataFrame:
+    """Read contract for the exact heavy-hitter sink: the stream appends
+    one row per (user, micro-batch) — running counts, so the LATEST (=
+    maximum, counts are monotone) row per user is the current state.  A
+    naive read of the sink double-counts; consumers go through this
+    helper (or replicate its max-per-user) instead."""
+    raw = spark.read.schema(HH_SCHEMA).parquet(output_path)
+    return raw.groupBy("user_id").agg(
+        F.max("event_count").alias("event_count")
+    )
+
+
+HH_SKETCH_SCHEMA = "bucket long, user_id long, est_count long, emit_seq long"
+
+
+def run_heavy_hitters_sketch_stream(
+    spark: SparkSession,
+    events_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 64,
+    capacity: int = 256,
+) -> StreamingQuery:
+    """Bounded-state twin of ``run_heavy_hitters_stream``: Misra-Gries
+    summaries (operators/sketch.py) keyed by ``hash(user) % n_buckets``
+    instead of per-user GroupState.
+
+    State is O(n_buckets x capacity) TOTAL — independent of distinct
+    users — which is what caps the exact stream's O(distinct users)
+    state at the billions-of-users regime.  Every user with true count
+    > N/(capacity) per bucket stream is guaranteed present (module
+    docstring of operators/sketch.py); with ≤ capacity distinct users
+    per bucket the summaries are exact, which is how the tests pin the
+    twin against the exact batch top-k.
+
+    Each micro-batch a bucket emits its FULL current summary stamped
+    with (bucket, emit_seq); ``read_heavy_hitters_sketch`` keeps only
+    each bucket's final emit, so earlier (stale) snapshots can never
+    double-count — the read contract the exact sink lacked until
+    ``read_heavy_hitters``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch import _mg_trim
+
+    def update(key, pdfs, state: GroupState):
+        (bucket,) = key
+        if state.exists:
+            keys, counts, seq = state.get
+            s = pd.Series(
+                pd.array(counts, dtype="int64"),
+                index=pd.Index(keys, dtype="int64"),
+            )
+        else:
+            s, seq = pd.Series(dtype="int64"), 0
+        for pdf in pdfs:
+            s = s.add(pdf["user_id"].value_counts(), fill_value=0)
+            s = _mg_trim(s, capacity)
+        seq += 1
+        state.update(
+            (
+                [int(i) for i in s.index],
+                [int(c) for c in s.to_numpy()],
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": bucket,
+                "user_id": s.index.to_numpy("int64"),
+                "est_count": s.to_numpy("int64"),
+                "emit_seq": seq,
+            }
+        )
+
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_path)
+    bucketed = events.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
+    )
+    counts = bucketed.groupBy("_bkt").applyInPandasWithState(
+        update,
+        outputStructType=HH_SKETCH_SCHEMA,
+        stateStructType="keys array<long>, counts array<long>, seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heavy_hitters_sketch(
+    spark: SparkSession, output_path: str, k: int = 20
+) -> DataFrame:
+    """Final top-k from the sketch sink: keep each bucket's LAST emitted
+    summary (max emit_seq per bucket — a user lives in exactly one
+    bucket, so this is the current global summary), then top-k."""
+    raw = spark.read.schema(HH_SKETCH_SCHEMA).parquet(output_path)
+    latest = raw.groupBy("bucket").agg(F.max("emit_seq").alias("emit_seq"))
+    return (
+        raw.join(F.broadcast(latest), ["bucket", "emit_seq"])
+        .select("user_id", F.col("est_count").alias("event_count"))
+        .orderBy(F.desc("event_count"), F.asc("user_id"))
+        .limit(k)
+    )

@@ -1,0 +1,109 @@
+"""Misra-Gries heavy-hitter sketch: exactness regime, guarantee regime,
+and the bounded-state streaming twin (bucketed MG state, cross-restart
+continuation, snapshot read contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+import pytest
+
+from chessmate_spark.operators.sketch import heavy_hitters_sketch, mg_partition_summaries
+from chessmate_spark.streaming.structured import (
+    EVENTS_DDL,
+    heavy_hitters_batch,
+    read_heavy_hitters_sketch,
+    run_heavy_hitters_sketch_stream,
+)
+
+
+def _users_df(spark, user_ids, partitions=4):
+    rows = [(uid,) for uid in user_ids]
+    return spark.createDataFrame(rows, "user_id long").repartition(partitions)
+
+
+def test_sketch_exact_when_capacity_exceeds_distinct_keys(spark):
+    # 1 user with 50 events, 10 with 10, 30 with 1 — capacity 64 never trims.
+    user_ids = [1] * 50 + [u for u in range(2, 12) for _ in range(10)] + list(
+        range(100, 130)
+    )
+    df = _users_df(spark, user_ids)
+    got = [
+        (r["user_id"], r["event_count"])
+        for r in heavy_hitters_sketch(df, k=5, capacity=64).collect()
+    ]
+    exact = sorted(
+        Counter(user_ids).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:5]
+    assert got == exact
+
+
+def test_sketch_guarantee_finds_heavy_key_under_tiny_capacity(spark):
+    """ε-deficiency: a key holding >1/capacity of all mass must survive
+    trimming no matter how many distinct light keys flood the summary."""
+    heavy = [7] * 4000                      # 4000 of 14000 rows ≈ 29%
+    light = list(range(1000, 11000))        # 10000 distinct singletons
+    df = _users_df(spark, heavy + light, partitions=8)
+    n = len(heavy) + len(light)
+    capacity = 16
+    rows = {
+        r["user_id"]: r["event_count"]
+        for r in heavy_hitters_sketch(df, k=3, capacity=capacity).collect()
+    }
+    assert 7 in rows
+    # underestimate bounded by N/capacity, never overestimate
+    assert len(heavy) - n / capacity <= rows[7] <= len(heavy)
+
+
+def test_partition_summaries_capped_at_capacity(spark):
+    # Zipf-ish mix: some repeated keys so summaries are non-empty, far
+    # more distinct keys than capacity so trimming engages.
+    user_ids = [u for u in range(50) for _ in range(20)] + list(range(1000, 6000))
+    df = _users_df(spark, user_ids, partitions=4)
+    summaries = mg_partition_summaries(df, capacity=32)
+    # one summary frame per input partition, each <= capacity rows
+    n = summaries.count()
+    assert 0 < n <= 4 * 32
+
+
+def test_sketch_rejects_bad_capacity(spark):
+    df = _users_df(spark, [1, 2, 3])
+    with pytest.raises(ValueError):
+        heavy_hitters_sketch(df, capacity=0)
+
+
+def _event(eid, minute, uid):
+    return (eid, dt.datetime(2024, 1, 1, 0, minute), uid, "click", 1.0, "{}")
+
+
+def test_sketch_stream_matches_exact_batch_and_survives_restart(spark, tmp_path):
+    ev_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [_event(i, 1, uid) for i, uid in enumerate([1] * 5 + [2] * 3 + [3])]
+    spark.createDataFrame(batch1, EVENTS_DDL).write.mode("append").parquet(ev_dir)
+    q = run_heavy_hitters_sketch_stream(
+        spark, ev_dir, out_dir, ckpt, n_buckets=4, capacity=64
+    )
+    q.awaitTermination()
+
+    # restart over new data: counters must CONTINUE from the checkpoint
+    batch2 = [_event(100 + i, 2, uid) for i, uid in enumerate([2] * 4 + [4] * 2)]
+    spark.createDataFrame(batch2, EVENTS_DDL).write.mode("append").parquet(ev_dir)
+    q = run_heavy_hitters_sketch_stream(
+        spark, ev_dir, out_dir, ckpt, n_buckets=4, capacity=64
+    )
+    q.awaitTermination()
+
+    events = spark.createDataFrame(batch1 + batch2, EVENTS_DDL)
+    exact = [
+        (r["user_id"], r["event_count"])
+        for r in heavy_hitters_batch(events, k=4).collect()
+    ]
+    got = [
+        (r["user_id"], r["event_count"])
+        for r in read_heavy_hitters_sketch(spark, out_dir, k=4).collect()
+    ]
+    assert got == exact  # capacity ≥ distinct users per bucket → exact

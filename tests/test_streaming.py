@@ -204,16 +204,12 @@ def test_heavy_hitter_state_survives_restart(spark, tmp_path):
         spark.createDataFrame(rows, EVENTS_DDL).write.mode("append").parquet(ev_dir)
 
     def latest_counts():
-        import pyspark.sql.functions as F
-        from pyspark.sql.window import Window
+        # the sink's documented read contract: one row per user
+        from chessmate_spark.streaming.structured import read_heavy_hitters
 
-        # counts are monotonic per user, so the max row IS the latest
-        df = spark.read.parquet(out_dir)
-        w = Window.partitionBy("user_id").orderBy(F.desc("event_count"))
         return {
             r["user_id"]: r["event_count"]
-            for r in df.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1").collect()
+            for r in read_heavy_hitters(spark, out_dir).collect()
         }
 
     write([_event(i, 1) for i in range(3)])          # user 7 x3
