@@ -184,6 +184,8 @@ def _decode_image_pil(image_mod, blob: bytes) -> dict:
     bytes become a ``decoded=false`` row (triage data), not a task error."""
     import io
 
+    import numpy as np
+
     if blob is None:
         return {
             "decoded": False, "width": None, "height": None,
@@ -194,20 +196,19 @@ def _decode_image_pil(image_mod, blob: bytes) -> dict:
         with image_mod.open(io.BytesIO(blob)) as img:
             rgb = img.convert("RGB")
             width, height = rgb.size
-            pixels = list(rgb.getdata())
-            n = max(1, len(pixels))
-            sums = [0, 0, 0]
-            for r, g, b in pixels:
-                sums[0] += r
-                sums[1] += g
-                sums[2] += b
+            # one vectorized reduction over the (H*W, 3) pixel array —
+            # never a per-pixel Python loop
+            px = np.asarray(rgb, dtype=np.float64).reshape(-1, 3)
+            means = (
+                px.mean(axis=0) / 255.0 if px.size else np.zeros(3)
+            )
             return {
                 "decoded": True,
                 "width": width,
                 "height": height,
-                "mean_r": sums[0] / n / 255.0,
-                "mean_g": sums[1] / n / 255.0,
-                "mean_b": sums[2] / n / 255.0,
+                "mean_r": float(means[0]),
+                "mean_g": float(means[1]),
+                "mean_b": float(means[2]),
                 "decode_note": f"pil:{img.format or 'unknown'}",
             }
     except Exception as exc:

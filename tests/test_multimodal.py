@@ -174,3 +174,45 @@ def test_bmp_row_padding_roundtrip(spark):
         exp = px.astype(float).mean(axis=(0, 1)) / 255.0
         for key, val in zip(("mean_r", "mean_g", "mean_b"), exp):
             assert abs(got[key] - val) < 1e-9
+
+
+def test_decode_pil_body_is_vectorized_and_correct():
+    """Drive _decode_image_pil through a fake PIL module so the numpy
+    channel-mean body runs even in this codec-less container (the real-PIL
+    test above skips here)."""
+    import numpy as np
+
+    from chessmate_spark.operators.multimodal import _decode_image_pil
+
+    arr = np.zeros((2, 3, 3), dtype=np.uint8)
+    arr[..., 0] = 255          # pure red image
+    arr[0, 0] = (0, 255, 0)    # one green pixel
+
+    class FakeImg:
+        format = "FAKE"
+        size = (3, 2)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None):
+            return arr.astype(dtype) if dtype else arr
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class FakeMod:
+        @staticmethod
+        def open(fp):
+            return FakeImg()
+
+    out = _decode_image_pil(FakeMod, b"anything")
+    assert out["decoded"] and (out["width"], out["height"]) == (3, 2)
+    assert out["decode_note"] == "pil:FAKE"
+    assert abs(out["mean_r"] - (5 * 255 / 6) / 255.0) < 1e-12
+    assert abs(out["mean_g"] - (255 / 6) / 255.0) < 1e-12
+    assert out["mean_b"] == 0.0
