@@ -106,15 +106,117 @@ def build(spark) -> None:
     open(os.path.join(DST, "_DONE_v2"), "w").write("ok\n")
 
 
+ANN_K = 10
+ANN_QUERIES = 20
+# (setting label, floor): the floor gates the RECOMMENDED operating points;
+# low-nprobe rows are recorded un-gated — they exist to document the
+# recall/cost dial (near-uniform synthetic vectors force IVF to probe a
+# large cell fraction; v7's own oracle gate works at nprobe/nlist = 0.75).
+ANN_SETTINGS = {
+    "lsh_p3_t32": 0.9,
+    "lsh_p4_t16": 0.9,
+    "lsh_p6_t8": 0.8,
+    "ivf_nlist64_nprobe1": 0.0,
+    "ivf_nlist64_nprobe4": 0.0,
+    "ivf_nlist64_nprobe12": 0.6,
+}
+
+
+def measure_ann_recall(spark) -> dict:
+    """Recall@k of the approximate ANN paths vs exact kNN on the 10x
+    corpus (~20k vectors — big enough that LSH/IVF candidate narrowing is
+    real, small enough for an exact baseline).
+
+    v6/v7's oracle rows prove recall at sf0.01 only; this is the standing
+    record at 10x across the recall/cost dial (bands for LSH, nprobe for
+    IVF), so a tuning regression shows up in the committed smoke output
+    instead of silently shipping."""
+    from chessmate_spark.operators.similarity import (
+        cosine_knn_join,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= ANN_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    corpus_rows = corpus.count()
+    exact = (
+        cosine_knn_join(
+            queries, corpus, k=ANN_K,
+            query_id="query_id", corpus_id="neighbor_id",
+        )
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_exact = exact.count()
+
+    def recall_of(approx) -> float:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        return hits / max(n_exact, 1)
+
+    out = {"corpus_rows": corpus_rows, "n_queries": ANN_QUERIES, "k": ANN_K}
+    for planes, tables in ((3, 32), (4, 16), (6, 8)):
+        t0 = time.perf_counter()
+        r = recall_of(
+            lsh_bucketed_topk(
+                queries, corpus, k=ANN_K, dim=dim,
+                query_id="query_id", corpus_id="neighbor_id",
+                n_planes=planes, n_tables=tables,
+            )
+        )
+        out[f"lsh_p{planes}_t{tables}"] = {
+            "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
+        }
+    for nprobe in (1, 4, 12):
+        t0 = time.perf_counter()
+        r = recall_of(
+            ivf_topk(
+                queries, corpus, k=ANN_K,
+                query_id="query_id", corpus_id="neighbor_id",
+                nlist=64, nprobe=nprobe,
+            )
+        )
+        out[f"ivf_nlist64_nprobe{nprobe}"] = {
+            "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
+        }
+    exact.unpersist()
+    return out
+
+
 def main() -> int:
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    recall_only = sys.argv[1:] == ["--recall-only"]
+    names = [] if recall_only else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     spark.read.parquet(f"{DST}/lineitem.parquet").count()  # warm
     spark.range(0, 128, 1, 32).mapInPandas(lambda it: it, "id long").count()
 
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SMOKE_OUT",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_SMOKE.json"),
+    )
+    import json
+
     failures = []
+    record = {"sf_small": SRC, "sf_big": DST, "ratio_limit": RATIO_LIMIT,
+              "queries": {}}
+    if recall_only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            record = json.load(fh)
+        failures = [f for f in record.get("failures", [])
+                    if not f.startswith("ann:")]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]
@@ -129,12 +231,38 @@ def main() -> int:
         if ratio > RATIO_LIMIT:
             failures.append(name)
             flag = "  <-- SUPERLINEAR"
+        record["queries"][name] = {
+            "small_s": round(small, 2), "big_s": round(big, 2),
+            "ratio": round(ratio, 1),
+        }
         print(f"{name:32s} {small:8.2f} {big:8.2f} {ratio:7.1f}{flag}",
               flush=True)
+
+    print("measuring ANN recall@k at 10x ...", flush=True)
+    ann = measure_ann_recall(spark)
+    record["ann_recall"] = ann
+    for setting, v in ann.items():
+        if not isinstance(v, dict):
+            continue
+        floor = ANN_SETTINGS.get(setting, 0.0)
+        gated = "gated" if floor else "dial-only"
+        print(f"  {setting:24s} recall={v['recall']:.3f} "
+              f"floor={floor} [{gated}] ({v['secs']}s)", flush=True)
+        if v["recall"] < floor:
+            failures.append(f"ann:{setting}")
+
+    record["ok"] = not failures
+    record["failures"] = failures
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"record written to {out_path}", flush=True)
+
     if failures:
-        print(f"FAIL: superlinear scaling in {failures}")
+        print(f"FAIL: {failures}")
         return 1
-    print("OK: all ratios within linear-scaling bounds")
+    print("OK: all ratios within linear-scaling bounds; gated ANN settings "
+          "above their recall floors")
     return 0
 
 
