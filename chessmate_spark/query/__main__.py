@@ -7,6 +7,14 @@ session shape against local files instead of a running HTTP API.
     python -m chessmate_spark.query "Show me 5 random games" \
         --pgn tests/fixtures/extended_sample_game.pgn [--limit N] \
         [--offset N] [--json] [--dim 8]
+
+``--serve [--port P]`` starts the HTTP front instead (query/http.py —
+the reference's Opium routes: /query, /health, /metrics, /openapi.yaml;
+chessmate_api.ml:809-827), serving the same ingested tables:
+
+    python -m chessmate_spark.query --serve --port 8080 \
+        --pgn tests/fixtures/extended_sample_game.pgn
+    curl 'http://localhost:8080/query?q=Show+me+games&limit=3'
 """
 
 from __future__ import annotations
@@ -53,7 +61,17 @@ def main(
         prog="python -m chessmate_spark.query",
         description="Answer a natural-language chess question over PGN files",
     )
-    parser.add_argument("question", help="natural-language question")
+    parser.add_argument(
+        "question", nargs="?", default=None,
+        help="natural-language question (omit with --serve)",
+    )
+    parser.add_argument(
+        "--serve", action="store_true",
+        help="start the HTTP front instead of answering one question",
+    )
+    parser.add_argument(
+        "--port", type=int, default=8080, help="HTTP port for --serve"
+    )
     parser.add_argument(
         "--pgn",
         action="append",
@@ -78,6 +96,28 @@ def main(
         spark.sparkContext.setLogLevel("ERROR")
     try:
         tables = _build_tables(spark, args.pgn, args.dim)
+        if args.serve:
+            from ..functions.rate_limiter import RateLimiter
+            from .http import ChessmateApi
+
+            api = ChessmateApi(
+                spark, tables,
+                limiter=RateLimiter(tokens_per_minute=600, bucket_size=60),
+                dim=args.dim,
+            )
+            port = api.start(port=args.port)
+            print(f"chessmate-spark API listening on :{port}", flush=True)
+            try:
+                while True:
+                    import time as _time
+
+                    _time.sleep(3600)
+            except KeyboardInterrupt:
+                api.stop()
+            return 0
+        if args.question is None:
+            print("Error: question required without --serve", file=sys.stderr)
+            return 1
         payload = answer_question(
             spark,
             tables,
