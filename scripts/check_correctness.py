@@ -101,9 +101,12 @@ def main() -> int:
                   else "PASS" if name not in failed else "FAIL")
         print(f"{name}: {status} (spark={rec['spark_rows']} oracle={rec['oracle_rows']})")
 
-    with open("/tmp/correctness_local.json", "w") as f:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_CHECK_OUT", "/tmp/correctness_local.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
-    print(f"\n{len(names) - len(failed)}/{len(names)} ok; details: /tmp/correctness_local.json")
+    print(f"\n{len(names) - len(failed)}/{len(names)} ok; details: {out_path}")
     if failed:
         print("FAILED:", ", ".join(failed))
     spark.stop()
