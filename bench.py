@@ -93,6 +93,7 @@ HEADLINE = [
     "t6_repetition_score",
     "t7_pii_scrub",
     "t8_chunk_documents",
+    "t9_corpus_shuffle",
     "d9_decontaminate",
     "v8_embedding_quantize",
     "j10_salted_skew_join",

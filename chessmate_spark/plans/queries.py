@@ -4428,3 +4428,38 @@ def a15_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return heavy_hitters_sketch(ev, key_col="user_id", k=20, capacity=4096)
+
+
+@_register(
+    "t9_corpus_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('shfl:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS skey
+      FROM documents)
+    SELECT doc_id,
+           CAST(skey % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY skey % 8
+                                   ORDER BY skey, doc_id) AS BIGINT)
+             AS shard_pos
+    FROM h
+    ORDER BY shard, shard_pos
+    """,
+)
+def t9_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data writes
+    (operators/ordering.py): md5-derived 60-bit key → shard = key mod 8,
+    shard_pos = per-shard rank.  Reproducible across runs/engines (the
+    oracle replays the identical arithmetic), one shard exchange + an
+    in-partition sort — never a global sort.  The 100 TB form is
+    write_shuffled_shards, which turns the same plan into a
+    shard-partitioned parquet layout."""
+    from ..operators.ordering import shuffle_shards
+
+    docs = _docs(spark, sf_dir)
+    return (
+        shuffle_shards(docs, "doc_id", n_shards=8)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos")
+    )

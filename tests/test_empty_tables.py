@@ -51,6 +51,7 @@ ENTRIES = [
     "t6_repetition_score",
     "t7_pii_scrub",
     "t8_chunk_documents",
+    "t9_corpus_shuffle",
     "v2_cosine_topk",
     "v5_deterministic_embedding",
     "v8_embedding_quantize",

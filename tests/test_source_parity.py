@@ -1,6 +1,6 @@
 """Source-format parity: operators are declarative over ANY source the
-DataFrame reader supports — the same documents through parquet, CSV, and
-JSON must produce identical operator output."""
+DataFrame reader supports — the same documents through parquet, CSV,
+JSON, and ORC must produce identical operator output."""
 
 from __future__ import annotations
 
@@ -22,11 +22,13 @@ def doc_sources(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     csv_dir = str(tmp_path / "docs_csv")
     json_dir = str(tmp_path / "docs_json")
+    orc_dir = str(tmp_path / "docs_orc")
     # escape/quote must round-trip arbitrary text through CSV
     docs.write.mode("overwrite").option("header", True).option(
         "quoteAll", True
     ).option("escape", '"').csv(csv_dir)
     docs.write.mode("overwrite").json(json_dir)
+    docs.write.mode("overwrite").orc(orc_dir)
     return {
         "parquet": docs,
         "csv": spark.read.schema(DOCS_DDL)
@@ -36,6 +38,7 @@ def doc_sources(spark, tmp_path):
         .option("multiLine", True)  # texts with embedded newlines
         .csv(csv_dir),
         "json": spark.read.schema(DOCS_DDL).json(json_dir),
+        "orc": spark.read.orc(orc_dir),
     }
 
 
@@ -51,9 +54,11 @@ def test_token_counts_identical_across_sources(spark, doc_sources):
     assert len(base) > 0
     assert _rows(doc_sources["csv"]) == base
     assert _rows(doc_sources["json"]) == base
+    assert _rows(doc_sources["orc"]) == base
 
 
 def test_row_counts_survive_roundtrip(spark, doc_sources):
     n = doc_sources["parquet"].count()
     assert doc_sources["csv"].count() == n
     assert doc_sources["json"].count() == n
+    assert doc_sources["orc"].count() == n
