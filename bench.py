@@ -94,6 +94,8 @@ HEADLINE = [
     "t7_pii_scrub",
     "t8_chunk_documents",
     "t9_corpus_shuffle",
+    "t10_vocabulary",
+    "a18_approx_distinct",
     "d9_decontaminate",
     "v8_embedding_quantize",
     "j10_salted_skew_join",

@@ -249,3 +249,36 @@ def document_fingerprint(
             "fingerprint"
         ),
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary extraction: top-N lower-cased whitespace tokens
+    with total occurrences and document frequency — the counting pass a
+    tokenizer/vocab build (BPE seeding, stopword induction) starts from.
+
+    Shape: explode → two partial+final aggregations ((token, doc) then
+    token) → TakeOrderedAndProject.  Both shuffles move (token, count)
+    pairs with map-side combine, so the exchanged volume is bounded by
+    distinct tokens per partition, not corpus size.  Deterministic total
+    order (count desc, token asc) makes the top-N oracle-stable."""
+    text = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_expr(text)).alias("token")
+    )
+    per_doc = toks.groupBy("token", id_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_n)
+    )

@@ -4463,3 +4463,64 @@ def t9_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "shard_pos")
         .orderBy("shard", "shard_pos")
     )
+
+
+@_register(
+    "t10_vocabulary",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(trim(coalesce(lower(text), '')), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents),
+    per_doc AS (
+      SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY token, doc_id)
+    SELECT token,
+           CAST(sum(tf) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS doc_freq
+    FROM per_doc
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def t10_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by occurrences with document
+    frequency (operators/textan.py vocabulary) — map-side-combined
+    aggregations + TakeOrderedAndProject, shuffling (token, count) pairs
+    only."""
+    from ..operators.textan import vocabulary
+
+    return vocabulary(_docs(spark, sf_dir), "doc_id", "text", top_n=50)
+
+
+@_register(
+    "a18_approx_distinct",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS approx_ok
+    FROM events
+    """,
+)
+def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketch gate (v7's recall_ok pattern): run BOTH the
+    exact distinct count and HyperLogLog++ (``approx_count_distinct``,
+    rsd=0.05) and return the exact value plus whether the sketch landed
+    within 3x its configured error.  The oracle predicts approx_ok=true,
+    so HLL degradation goes red without putting an engine-specific
+    estimate in the hash.  At 100 TB the sketch is the only viable form:
+    fixed ~1.5 KB of state per partition merged once, vs the exact
+    count's shuffle of every distinct key."""
+    ev = _events(spark, sf_dir)
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    )
+    return row.select(
+        F.col("exact").cast("bigint").alias("exact_users"),
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= F.greatest(F.col("exact") * 0.15, F.lit(1.0))
+        ).alias("approx_ok"),
+    )

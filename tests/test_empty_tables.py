@@ -23,6 +23,7 @@ TABLES = [
 SCALAR_ENTRIES = [
     "a13_rollup_revenue",
     "a16_pivot_revenue",
+    "a18_approx_distinct",
 ]
 
 ENTRIES = [
@@ -52,6 +53,7 @@ ENTRIES = [
     "t7_pii_scrub",
     "t8_chunk_documents",
     "t9_corpus_shuffle",
+    "t10_vocabulary",
     "v2_cosine_topk",
     "v5_deterministic_embedding",
     "v8_embedding_quantize",

@@ -64,3 +64,31 @@ def test_pii_scrub_patterns(spark):
     assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_digits"] == 0
     assert out[3]["scrubbed_text"] == "clean text only"
     assert out[4]["scrubbed_text"] == ""
+
+
+def test_vocabulary_counts_and_order(spark):
+    from chessmate_spark.operators.textan import vocabulary
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "The dog and the cat"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["token"], r["n_occurrences"], r["doc_freq"])
+        for r in vocabulary(df, "doc_id", "text", top_n=3).collect()
+    ]
+    # 'the' 4x in 2 docs (case-folded); ties broken token-asc
+    assert rows[0] == ("the", 4, 2)
+    assert rows[1] == ("cat", 2, 2)
+    assert rows[2][1] == 1  # every remaining token occurs once
+
+
+def test_vocabulary_empty_corpus(spark):
+    from chessmate_spark.operators.textan import vocabulary
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert vocabulary(df, "doc_id", "text").collect() == []
