@@ -105,6 +105,7 @@ HEADLINE = [
     "a10_user_sessions",
     "a11_percentiles",
     "a13_rollup_revenue",
+    "a19_cube_revenue",
     "a14_moving_avg",
     "a15_heavy_hitters",
     "a15_heavy_hitters_sketch",

@@ -4524,3 +4524,46 @@ def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("exact") * 0.15, F.lit(1.0))
         ).alias("approx_ok"),
     )
+
+
+@_register(
+    "a19_cube_revenue",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+             AS grouping_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_REVENUE} AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY grouping_id, returnflag, linestatus
+    """,
+)
+def a19_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE: every grouping-set combination — leaf, both one-column
+    marginals, grand total — in ONE Expand + partial+final aggregation
+    pass (a13's rollup covers only the prefix hierarchy; cube adds the
+    per-status marginal).  Same single-scan property at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
+            ).cast("double").alias("revenue"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("grouping_id"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "grouping_id",
+            "n_items",
+            "revenue",
+        )
+        .orderBy("grouping_id", "returnflag", "linestatus")
+    )

@@ -24,6 +24,7 @@ SCALAR_ENTRIES = [
     "a13_rollup_revenue",
     "a16_pivot_revenue",
     "a18_approx_distinct",
+    "a19_cube_revenue",
 ]
 
 ENTRIES = [
