@@ -107,3 +107,63 @@ def test_sketch_stream_matches_exact_batch_and_survives_restart(spark, tmp_path)
         for r in read_heavy_hitters_sketch(spark, out_dir, k=4).collect()
     ]
     assert got == exact  # capacity ≥ distinct users per bucket → exact
+
+
+# -- driver-side property tests (pure pandas, no Spark session) -----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    import pandas as pd
+
+    from chessmate_spark.operators.sketch import _mg_trim
+
+    def _mg_run(values, capacity, chunk=97):
+        """Reference single-partition MG over arbitrary batch splits."""
+        s = pd.Series(dtype="int64")
+        for i in range(0, len(values), chunk):
+            batch = pd.Series(values[i : i + chunk]).value_counts()
+            s = s.add(batch, fill_value=0)
+            s = _mg_trim(s, capacity)
+        return s
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        values=st.lists(st.integers(min_value=0, max_value=40), max_size=600),
+        capacity=st.integers(min_value=1, max_value=24),
+    )
+    def test_mg_bound_holds_for_any_input_and_capacity(values, capacity):
+        """The Misra-Gries invariant the merge relies on:
+        true - n/capacity <= estimate <= true, and <= capacity counters."""
+        s = _mg_run(values, capacity)
+        assert len(s) <= capacity
+        true = Counter(values)
+        n = len(values)
+        for key, est in s.items():
+            assert est <= true[key]
+            assert est >= true[key] - n / capacity - 1e-9
+        # keys absent from the summary must also satisfy the lower bound
+        for key, cnt in true.items():
+            if key not in s.index:
+                assert cnt <= n / capacity + 1e-9
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        heavy_reps=st.integers(min_value=50, max_value=200),
+        noise=st.lists(
+            st.integers(min_value=100, max_value=4000), max_size=300
+        ),
+    )
+    def test_mg_always_retains_a_majority_key(heavy_reps, noise):
+        values = [7] * heavy_reps + noise
+        capacity = 8
+        if heavy_reps <= len(values) / capacity:
+            return  # below the guarantee threshold, nothing to assert
+        s = _mg_run(values, capacity)
+        assert 7 in s.index
