@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.embedding import deterministic_embedding
 from ..functions.scoring import blend_scores, keyword_overlap, portable_round
-from ..functions.text import tokenize_sources
+from ..functions.text import tokenize_expr, tokenize_sources
 from ..functions.vector import cosine_similarity, query_vector_lit
 from ..operators.dedup import (
     exact_duplicates,
@@ -4567,3 +4567,252 @@ def a19_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_id", "returnflag", "linestatus")
     )
+
+
+def _dedup_resolve_oracle() -> str:
+    """Corpus survivors after cluster resolution: documents minus the
+    non-canonical members of every near-dup cluster (d8's oracle reused
+    as the cluster source)."""
+    cluster_sql = _dup_clusters_oracle()
+    return f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT c.doc_id FROM ({cluster_sql}) c WHERE NOT c.is_canonical)
+    ORDER BY d.doc_id
+    """
+
+
+@_register("d10_dedup_resolve", _dedup_resolve_oracle())
+def d10_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION — the final stage of the near-dup pipeline that
+    d2 (pairs) and d8 (clusters) feed: keep one canonical document per
+    duplicate cluster and emit the surviving corpus.
+
+    Plan shape: the cluster labeling reduces to an id-only drop-list
+    (non-canonical members), which is tiny relative to the corpus —
+    the LEFT ANTI join against it is the only corpus-touching step, and
+    the drop-list side broadcasts at any realistic dup rate.  The corpus
+    itself is scanned once and never shuffled, which is what makes this
+    form viable at 100 TB (reference analogue: the ingest upsert's
+    skip-existing semantics, services/ingest lib — here applied
+    corpus-wide)."""
+    from ..operators.graph import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    drop = (
+        dup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_WS_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(coalesce(lower(text), '')),"
+    " '\\s+'), t -> t <> '')"
+)
+
+
+@_register(
+    "t11_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_WS_TOKS_SQL}) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT t.doc_id, t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(avg(-ln(v.cnt / tt.total)) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_neg_logprob
+    FROM toks t JOIN vocab v USING (token) CROSS JOIN tot tt
+    GROUP BY t.doc_id, t.lang
+    ORDER BY t.doc_id
+    """,
+)
+def t11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/KenLM-filter shape
+    at unigram order): train token probabilities on the corpus itself,
+    then score each document by its mean negative log-likelihood — high
+    values flag gibberish / off-distribution documents, the standard
+    pretraining quality gate.
+
+    Plan shape: one token-explode scan feeds BOTH the model (token →
+    count, map-side-combined agg) and the scorer; the trained vocab is a
+    dim table (distinct tokens ≪ corpus tokens) so the scoring join
+    broadcasts, and the per-doc aggregation is the only corpus-scale
+    shuffle.  At 100 TB the vocab stays broadcast-size for any natural
+    corpus (≤ tens of millions of types); nothing else changes."""
+    docs = _docs(spark, sf_dir)
+    text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize_expr(text)).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (-F.log(F.col("cnt") / F.col("total"))).alias("neg_logp")
+    )
+    return (
+        toks.join(F.broadcast(model), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            portable_round(F.avg("neg_logp"), 6).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TFIDF_TERMS = ("merge", "window", "stream")
+
+
+def _eq_term(term: str):
+    """Single-arg lambda factory (a two-arg lambda would be interpreted by
+    ``F.filter`` as the (element, index) form)."""
+    return lambda x: x == F.lit(term)
+
+
+@_register(
+    "t12_tfidf_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WS_TOKS_SQL}) AS token
+      FROM documents),
+    doc_len AS (
+      SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    hits AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM toks WHERE token IN {_TFIDF_TERMS!r}
+      GROUP BY doc_id, token),
+    idf AS (
+      SELECT h.token,
+             ln((nd.n + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+      FROM hits h CROSS JOIN n_docs nd
+      GROUP BY h.token, nd.n)
+    SELECT h.doc_id,
+           floor(sum(h.tf * 1.0 / dl.n_tokens * i.idf) * 1000000.0 + 0.5)
+             / 1000000.0 AS score
+    FROM hits h
+    JOIN doc_len dl USING (doc_id)
+    JOIN idf i ON h.token = i.token
+    GROUP BY h.doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def t12_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword relevance ranking over the corpus: score each
+    document for a fixed query-term set by sum(tf/|doc| · idf) with
+    smoothed idf = ln((N+1)/(df+1)) + 1 (the scikit-learn convention),
+    and return the top-20.  This is the lexical half of the reference's
+    hybrid retrieval (keyword_overlap, lib/search — A4/F12) upgraded to a
+    corpus-statistics weighting.
+
+    Plan shape: because the query-term set is a small literal, tf per
+    term is a pure array expression (`size(filter(tokens, = term))`) —
+    NO explode, NO per-token shuffle anywhere.  Pass 1 is a scalar
+    partial+final aggregate (N plus one df per term, a handful of ints
+    per task); its 1-row result broadcasts back and pass 2 scores +
+    `TakeOrderedAndProject`s in a single map-side stage.  Two corpus
+    scans, zero wide exchanges — the whole query is embarrassingly
+    parallel at any scale.  Scores are rounded-then-ordered in BOTH
+    engines so LIMIT-boundary ties resolve identically."""
+    docs = _docs(spark, sf_dir)
+    text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    arr = tokenize_expr(text)
+    base = docs.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        *[
+            F.size(F.filter(arr, _eq_term(t))).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(_TFIDF_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(_TFIDF_TERMS))
+        ],
+    )
+    tfidf_sum = None
+    for i in range(len(_TFIDF_TERMS)):
+        idf = F.log((F.col("n") + 1.0) / (F.col(f"df_{i}") + 1.0)) + 1.0
+        term = F.col(f"tf_{i}") * 1.0 / F.col("n_tokens") * idf
+        tfidf_sum = term if tfidf_sum is None else tfidf_sum + term
+    any_hit = None
+    for i in range(len(_TFIDF_TERMS)):
+        hit = F.col(f"tf_{i}") > 0
+        any_hit = hit if any_hit is None else any_hit | hit
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", portable_round(tfidf_sum, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@_register(
+    "j11_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           event_type AS state,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def j11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change stream:
+    collapse consecutive identical states per user, then derive
+    [valid_from, valid_to) intervals with lead() — the standard CDC →
+    warehouse-dimension materialization (the batch analogue of the
+    reference's player-upsert history, services/ingest).
+
+    Plan shape: two windows, both partitioned by user_id — ONE shuffle
+    (the second window reuses the first's partitioning; AQE keeps them
+    in the same exchange), per-user state is a single lag value.  No
+    global sort, no driver loop; scales with users × changes."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")

@@ -60,6 +60,10 @@ ENTRIES = [
     "v8_embedding_quantize",
     "m1_binary_features",
     "m4_frame_sample",
+    "d10_dedup_resolve",
+    "t11_unigram_logprob",
+    "t12_tfidf_search",
+    "j11_scd2_history",
 ]
 
 
