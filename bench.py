@@ -144,6 +144,13 @@ HEADLINE = [
     "chess_ingest_positions",
     "chess_ingest_batch",
     "chess_hybrid_canonical",
+    "d10_dedup_resolve",
+    "t11_unigram_logprob",
+    "t12_tfidf_search",
+    "j11_scd2_history",
+    "a20_session_window_native",
+    "a21_approx_quantile_gate",
+    "t13_quality_audit",
 ]
 
 

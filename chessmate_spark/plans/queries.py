@@ -4816,3 +4816,179 @@ def j11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     ).orderBy("user_id", "version")
+
+
+@_register(
+    "a20_session_window_native",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > CAST(120 AS BIGINT) * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged)
+    SELECT user_id,
+           min(CAST(ts AS TIMESTAMP)) AS session_start,
+           max(CAST(ts AS TIMESTAMP)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def a20_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization through Spark's NATIVE ``session_window``
+    aggregate — the twin of a10's lag/cumsum form, proving the built-in
+    path computes identical sessions (oracle: the same recursive
+    definition a10 uses, aggregated to per-session rows).
+
+    Why it matters: ``session_window`` is the ONLY sessionization form
+    Structured Streaming can run incrementally with watermark-based
+    state eviction — the a10 window-function form is batch-only.  Plan
+    shape: one hash exchange on user_id into a session-merging
+    aggregation; no window function, no second shuffle beyond output
+    presentation.  session_window's end = last event + gap, so the gap
+    is subtracted back to report the true last-event time."""
+    ev = _events(spark, sf_dir)
+    grouped = ev.groupBy(
+        "user_id", F.session_window("ts", "120 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return grouped.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        (F.col("sw.end") - F.expr("INTERVAL 120 MINUTES")).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@_register(
+    "a21_approx_quantile_gate",
+    """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
+             AS exact_p50,
+           floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0
+             AS exact_p90,
+           true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a21_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch gate (a18's HLL pattern applied to percentiles):
+    run the exact interpolated percentile AND ``approx_percentile``
+    (Greenwald-Khanna, accuracy 10000) side by side per event_type, and
+    return the exact values plus whether the sketch landed within 5% /
+    0.5 absolute of truth.  The oracle predicts approx_ok=true, so a
+    sketch regression goes red without hashing an engine-specific
+    estimate.
+
+    At 100 TB the sketch is the production form: bounded per-partition
+    summary state merged once (partial+final), vs the exact percentile's
+    full-value-list state.  Completes the sketch family next to
+    HyperLogLog (a18) and Misra-Gries (a15_sketch)."""
+    ev = _events(spark, sf_dir)
+    row = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("e50"),
+        F.percentile("value", F.lit(0.9)).alias("e90"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("a90"),
+    )
+    tol50 = F.greatest(F.abs(F.col("e50")) * 0.05, F.lit(0.5))
+    tol90 = F.greatest(F.abs(F.col("e90")) * 0.05, F.lit(0.5))
+    return row.select(
+        "event_type",
+        portable_round(F.col("e50"), 6).alias("exact_p50"),
+        portable_round(F.col("e90"), 6).alias("exact_p90"),
+        (
+            (F.abs(F.col("a50") - F.col("e50")) <= tol50)
+            & (F.abs(F.col("a90") - F.col("e90")) <= tol90)
+        ).alias("approx_ok"),
+    ).orderBy("event_type")
+
+
+@_register(
+    "t13_quality_audit",
+    """
+    WITH mutated AS (
+      SELECT lang,
+             CASE WHEN doc_id % 21 = 0 THEN NULL
+                  WHEN doc_id % 7 = 0 THEN ''
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 13 = 0 THEN n_chars + 5
+                  ELSE n_chars END AS n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT)
+             AS n_null_text,
+           CAST(count(*) FILTER (WHERE text = '') AS BIGINT)
+             AS n_empty_text,
+           CAST(count(*) FILTER (WHERE text IS NOT NULL
+                                 AND n_chars <> length(text)) AS BIGINT)
+             AS n_len_mismatch,
+           CAST(count(*) FILTER (WHERE length(text) < 100) AS BIGINT)
+             AS n_short
+    FROM mutated
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t13_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit pass (the Deequ/expectations shape): per-lang
+    null / empty / length-integrity / too-short counts in ONE scan and
+    ONE partial+final aggregation — the validation gate a pipeline runs
+    before promoting an ingest batch.
+
+    The clean synthetic corpus would make every violation count zero (a
+    vacuous oracle), so defects are injected deterministically first —
+    doc_id % 21 → NULL text, % 7 → empty, % 13 → n_chars corrupted —
+    identically in both engines (t7_pii_scrub's fixture-injection
+    pattern), making every audit column prove its own detection logic.
+    Conditional aggregates only; no joins, no second shuffle."""
+    docs = _docs(spark, sf_dir)
+    mutated = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 21 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.col("n_chars") + 5)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    return (
+        mutated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("text").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_null_text"),
+            F.sum((F.col("text") == "").cast("bigint"))
+            .cast("bigint")
+            .alias("n_empty_text"),
+            F.sum(
+                (
+                    F.col("text").isNotNull()
+                    & (F.col("n_chars") != F.length("text"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_len_mismatch"),
+            F.sum((F.length("text") < 100).cast("bigint"))
+            .cast("bigint")
+            .alias("n_short"),
+        )
+        .orderBy("lang")
+    )

@@ -64,6 +64,9 @@ ENTRIES = [
     "t11_unigram_logprob",
     "t12_tfidf_search",
     "j11_scd2_history",
+    "a20_session_window_native",
+    "a21_approx_quantile_gate",
+    "t13_quality_audit",
 ]
 
 
