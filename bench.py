@@ -151,6 +151,8 @@ HEADLINE = [
     "a20_session_window_native",
     "a21_approx_quantile_gate",
     "t13_quality_audit",
+    "a22_funnel",
+    "a23_retention",
 ]
 
 

@@ -4992,3 +4992,139 @@ def t13_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register(
+    "a22_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOURS
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOURS
+      GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+           floor((SELECT count(*) FROM s3) * 1000000.0
+                 / (SELECT count(*) FROM s1) + 0.5) / 1000000.0
+             AS conversion
+    """,
+)
+def a22_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step conversion funnel (view → click within 24 h → purchase
+    within 24 h of the click), earliest-qualifying-progression semantics —
+    the classic product-analytics query every OLAP engine is benchmarked
+    on.
+
+    Plan shape: three per-user min-aggregations chained by user_id
+    equi-joins — every shuffle is on the same user_id key, so after the
+    first exchange the join/agg pipeline stays co-partitioned (no
+    re-shuffle); each step's frame shrinks monotonically (funnel!), and
+    the final counts are 1-row scalar aggregates.  No window functions,
+    no per-event state; scales with events/user."""
+    ev = _events(spark, sf_dir)
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.when(F.col("n_view") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                portable_round(
+                    F.col("n_purchase") * F.lit(1.0) / F.col("n_view"), 6
+                )
+            )
+            .alias("conversion"),
+        )
+    )
+
+
+@_register(
+    "a23_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events)
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', CAST(f.cohort_week AS DATE),
+                         CAST(a.active_week AS DATE)) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def a23_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by first-activity
+    week, counted in every subsequent week they return — the second
+    canonical product-analytics workload next to the funnel (a22).
+
+    Plan shape: per-user first-event aggregation and the distinct
+    (user, week) activity set both shuffle on user_id; the join stays on
+    that key, and the final (cohort, offset) rollup is a small
+    partial+final aggregation (output is #cohorts × #offsets rows).
+    Both engines truncate weeks to Monday, so the offset arithmetic is
+    engine-portable."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

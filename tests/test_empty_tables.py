@@ -25,6 +25,7 @@ SCALAR_ENTRIES = [
     "a16_pivot_revenue",
     "a18_approx_distinct",
     "a19_cube_revenue",
+    "a22_funnel",
 ]
 
 ENTRIES = [
@@ -67,6 +68,7 @@ ENTRIES = [
     "a20_session_window_native",
     "a21_approx_quantile_gate",
     "t13_quality_audit",
+    "a23_retention",
 ]
 
 
