@@ -395,3 +395,57 @@ def read_heavy_hitters_sketch(
         .orderBy(F.desc("event_count"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "120 minutes",
+    watermark_delay: str = "20 minutes",
+) -> DataFrame:
+    """Native ``session_window`` sessionization (a20's operator): per-user
+    gap-merged sessions with start / last-event-time / event count.
+
+    Works identically on a batch frame and a watermarked stream — this is
+    the one sessionization form Structured Streaming executes
+    incrementally (MergingSessions + watermark state eviction), which the
+    lag/cumsum form (sessions.sessionize_batch) cannot.  ``session_end``
+    reports the true last-event time (session_window's end = last + gap,
+    so the gap is subtracted back).
+    """
+    src = events.withWatermark("ts", watermark_delay) if events.isStreaming else events
+    grouped = src.groupBy(
+        "user_id", F.session_window("ts", gap).alias("sw")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return grouped.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        (F.col("sw.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+        "n_events",
+    )
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    events_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "5 minutes",
+) -> StreamingQuery:
+    """File-source → watermarked session_window agg → append parquet sink.
+
+    Append mode emits each session exactly once, after the watermark
+    passes session end + gap (no more events can merge into it) — the
+    incremental-execution proof for the a20 batch entry.  State per open
+    session is one (start, end, count) triple, evicted at finalization.
+    """
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_path)
+    agg = session_window_counts(events, gap, watermark_delay)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
