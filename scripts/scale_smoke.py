@@ -58,6 +58,15 @@ DEFAULT_QUERIES = [
     "d8_dup_clusters",
     "v6_lsh_ann",
     "v8_embedding_quantize",
+    # round-5 late additions: corpus-scale anti-join, LM scoring join,
+    # expression-only search, session/funnel/retention event analytics
+    "d10_dedup_resolve",
+    "t11_unigram_logprob",
+    "t12_tfidf_search",
+    "j11_scd2_history",
+    "a20_session_window_native",
+    "a22_funnel",
+    "a23_retention",
 ]
 
 RATIO_LIMIT = 30.0  # 10x data; allow 3x dispersion for fixed overheads
