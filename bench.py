@@ -153,6 +153,7 @@ HEADLINE = [
     "t13_quality_audit",
     "a22_funnel",
     "a23_retention",
+    "j12_fuzzy_match_counts",
 ]
 
 

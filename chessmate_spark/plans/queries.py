@@ -5128,3 +5128,53 @@ def a23_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@_register(
+    "j12_fuzzy_match_counts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      FROM part)
+    SELECT a.p_partkey, a.p_name,
+           CAST(count(*) AS BIGINT) AS n_near_matches
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey <> b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 1
+    GROUP BY a.p_partkey, a.p_name
+    ORDER BY a.p_partkey
+    """,
+)
+def j12_fuzzy_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity self-join (blocked entity resolution): for
+    every part, count the OTHER parts whose name is within Levenshtein
+    distance 1, considering only candidates sharing the same first token
+    — the classic blocking-key design that makes edit-distance joins
+    feasible at scale (all-pairs is O(n²); blocked is Σ block².
+
+    Plan shape: one hash exchange on the block key, per-block candidate
+    pairs with the edit distance evaluated JVM-side (`F.levenshtein`,
+    whole-stage codegen), then a partial+final count per part.  The
+    documented scale dial is block granularity: a skewed block costs
+    |block|² comparisons, so production blocking adds length bands or
+    salts hot blocks (skew.py's dial applied here).  Semantics (the
+    blocking key included) are identical in both engines, so the oracle
+    is exact, not approximate."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") != F.col("b.p_partkey"))
+            & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 1),
+        )
+        .groupBy(F.col("a.p_partkey").alias("p_partkey"), F.col("a.p_name").alias("p_name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_matches"))
+        .orderBy("p_partkey")
+    )

@@ -69,6 +69,7 @@ ENTRIES = [
     "a21_approx_quantile_gate",
     "t13_quality_audit",
     "a23_retention",
+    "j12_fuzzy_match_counts",
 ]
 
 
