@@ -154,6 +154,7 @@ HEADLINE = [
     "a22_funnel",
     "a23_retention",
     "j12_fuzzy_match_counts",
+    "a24_time_range_avg",
 ]
 
 

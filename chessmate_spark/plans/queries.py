@@ -5178,3 +5178,69 @@ def j12_fuzzy_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_matches"))
         .orderBy("p_partkey")
     )
+
+
+@_register(
+    "a24_time_range_avg",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+      FROM events
+      GROUP BY 1, 2, 3)
+    SELECT event_type, day,
+           floor(day_value * 1000000.0 + 0.5) / 1000000.0 AS day_value,
+           floor(avg(day_value) OVER (
+                 PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5)
+             / 1000000.0 AS trailing_7d_avg
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def a24_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-CALENDAR-DAY average via a RANGE window frame — the
+    time-anchored complement of a14's ROWS frame: when a day has no
+    events, RANGE correctly averages over the days that exist inside the
+    calendar window instead of sliding back to older rows.  Frame bounds
+    are integer day numbers (days since epoch) in BOTH engines, so the
+    range arithmetic is engine-portable.
+
+    Plan shape: one partial+final daily aggregation (exact DECIMAL sums),
+    then one window per event_type partition over ~days rows — the
+    post-aggregation frame is tiny regardless of raw event volume, which
+    is what makes calendar-window dashboards cheap at 100 TB: the
+    shuffle carries (type, day) rows, never events."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day_d"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("day_value")
+        )
+        .select(
+            "event_type",
+            F.col("day_d").cast("string").alias("day"),
+            F.datediff(F.col("day_d"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+            "day_value",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        portable_round(F.col("day_value"), 6).alias("day_value"),
+        portable_round(F.avg("day_value").over(w), 6).alias("trailing_7d_avg"),
+    ).orderBy("event_type", "day")

@@ -70,6 +70,7 @@ ENTRIES = [
     "t13_quality_audit",
     "a23_retention",
     "j12_fuzzy_match_counts",
+    "a24_time_range_avg",
 ]
 
 
