@@ -5152,29 +5152,42 @@ def j12_fuzzy_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the classic blocking-key design that makes edit-distance joins
     feasible at scale (all-pairs is O(n²); blocked is Σ block².
 
-    Plan shape: one hash exchange on the block key, per-block candidate
-    pairs with the edit distance evaluated JVM-side (`F.levenshtein`,
-    whole-stage codegen), then a partial+final count per part.  The
-    documented scale dial is block granularity: a skewed block costs
-    |block|² comparisons, so production blocking adds length bands or
-    salts hot blocks (skew.py's dial applied here).  Semantics (the
-    blocking key included) are identical in both engines, so the oracle
-    is exact, not approximate."""
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
-    )
-    a = p.alias("a")
-    b = p.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") != F.col("b.p_partkey"))
-            & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 1),
+    Plan shape: the physical join key is (block, length band) — one side
+    replicates each row to lengths {L-1, L, L+1}, which is LOSSLESS for
+    this predicate (lev ≤ 1 forces |Δlen| ≤ 1), so the declared
+    first-token-block semantics are untouched while hot blocks shatter
+    into per-length cells: Σ cell² comparisons instead of Σ block²
+    (50M → ~3M on the sf0.1 names).  Edit distance evaluates JVM-side
+    (`F.levenshtein`, whole-stage codegen) as the join residual, then a
+    partial+final count per part.  Remaining skew dial at 100 TB: salt
+    hot (block, length) cells, skew.py-style.  The oracle declares only
+    the block + distance predicate — the banding provably cannot change
+    the answer, so it stays exact."""
+    p = _spread(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey",
+            "p_name",
+            F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+            F.length("p_name").alias("ln"),
         )
-        .groupBy(F.col("a.p_partkey").alias("p_partkey"), F.col("a.p_name").alias("p_name"))
+    )
+    bands = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        F.col("blk").alias("b_blk"),
+        F.explode(
+            F.array(F.col("ln") - 1, F.col("ln"), F.col("ln") + 1)
+        ).alias("ln_k"),
+    )
+    return (
+        p.join(
+            bands,
+            (F.col("blk") == F.col("b_blk"))
+            & (F.col("ln") == F.col("ln_k"))
+            & (F.col("p_partkey") != F.col("b_key"))
+            & (F.levenshtein(F.col("p_name"), F.col("b_name")) <= 1),
+        )
+        .groupBy("p_partkey", "p_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_matches"))
         .orderBy("p_partkey")
     )
