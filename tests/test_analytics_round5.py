@@ -166,3 +166,75 @@ def test_retention_week0_covers_every_user(spark):
     assert all(r["week_offset"] >= 0 for r in rows)
     week0 = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
     assert week0 == n_users
+
+
+def test_scd2_stream_emits_closed_versions_matching_batch(spark, tmp_path):
+    """Stream twin of j11: drains emit exactly the CLOSED versions the
+    batch form reports, and the open version survives restarts in state
+    (its version counter continues, not restarts)."""
+    from chessmate_spark.streaming.scd2 import run_scd2_stream
+
+    ev_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _ev(eid, minute, etype, user=1):
+        return (
+            eid,
+            BASE + dt.timedelta(minutes=minute),
+            user,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    batch1 = [
+        _ev(0, 0, "view"),
+        _ev(1, 5, "view"),
+        _ev(2, 10, "click"),
+        _ev(3, 0, "signup", user=2),
+    ]
+    spark.createDataFrame(batch1, EVENTS_DDL).write.mode("append").parquet(
+        ev_dir
+    )
+    q = run_scd2_stream(spark, ev_dir, out_dir, ckpt)
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert {(r["user_id"], r["version"], r["state"]) for r in rows} == {
+        (1, 1, "view")
+    }
+    (r,) = rows
+    assert r["valid_from"] == BASE
+    assert r["valid_to"] == BASE + dt.timedelta(minutes=10)
+
+    # restart: user1 stays 'click' then changes to 'error'; user2's open
+    # 'signup' version closes — both must continue their version counters
+    batch2 = [
+        _ev(4, 15, "click"),
+        _ev(5, 20, "error"),
+        _ev(6, 30, "purchase", user=2),
+    ]
+    spark.createDataFrame(batch2, EVENTS_DDL).write.mode("append").parquet(
+        ev_dir
+    )
+    q = run_scd2_stream(spark, ev_dir, out_dir, ckpt)
+    q.awaitTermination()
+    emitted = {
+        (r["user_id"], r["version"], r["state"],
+         r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch twin over the union: closed versions == everything j11
+    # reports with is_current = false
+    all_events = spark.createDataFrame(batch1 + batch2, EVENTS_DDL)
+    sf_twin = str(tmp_path / "sf_twin")
+    all_events.write.parquet(f"{sf_twin}/events.parquet")
+    batch_rows = QUERIES["j11_scd2_history"][0](spark, sf_twin).collect()
+    batch_closed = {
+        (r["user_id"], r["version"], r["state"],
+         r["valid_from"], r["valid_to"])
+        for r in batch_rows
+        if not r["is_current"]
+    }
+    assert emitted == batch_closed
