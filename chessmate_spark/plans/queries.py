@@ -5257,3 +5257,95 @@ def a24_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(F.col("day_value"), 6).alias("day_value"),
         portable_round(F.avg("day_value").over(w), 6).alias("trailing_7d_avg"),
     ).orderBy("event_type", "day")
+
+
+@_register(
+    "m5_waveform_features",
+    """
+    WITH w AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_samples,
+           floor(sqrt(list_sum(list_transform(v, x -> x * x)) / len(v))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rms,
+           floor(list_max(list_transform(v, x -> abs(x)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS peak,
+           CAST(len(list_filter(range(1, len(v)),
+                    i -> (v[i] >= 0) <> (v[i + 1] >= 0))) AS BIGINT)
+             AS zero_crossings
+    FROM w
+    ORDER BY vec_id
+    """,
+)
+def m5_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style waveform feature extraction over a numeric sample
+    array (RMS energy, peak amplitude, zero-crossing count) — the m-family
+    pattern applied to 1-D signals: the embeddings table's float arrays
+    stand in for decoded PCM frames, exactly how the image path (m2)
+    separates decode (stubbed/tiered) from feature extraction (real,
+    oracle-checked).
+
+    Plan shape: pure JVM higher-order array expressions (transform /
+    aggregate / filter over a zip of adjacent samples) — no explode, no
+    shuffle except output ordering; embarrassingly parallel at any
+    scale, the same property as m1/m3."""
+    emb = _emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = F.size(v)
+    sumsq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    rms = F.sqrt(sumsq / n)
+    peak = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    signs = F.transform(v, lambda x: (x >= 0).cast("int"))
+    crossings = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(signs, 1, n - 1),
+                F.slice(signs, 2, n - 1),
+                lambda a, b: a != b,
+            ),
+            lambda t: t,
+        )
+    )
+    return emb.select(
+        "vec_id",
+        n.cast("bigint").alias("n_samples"),
+        portable_round(rms, 6).alias("rms"),
+        portable_round(peak, 6).alias("peak"),
+        crossings.cast("bigint").alias("zero_crossings"),
+    ).orderBy("vec_id")
+
+
+@_register(
+    "a25_grouped_correlation",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(corr(value, CAST(extract(hour FROM ts) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS value_hour_corr
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a25_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation (value vs hour-of-day per event type)
+    — the co-moment aggregate family (corr/covar), computed as a single
+    partial+final aggregation: each task keeps the five running moments
+    (n, Σx, Σy, Σxx, Σyy, Σxy) and merges them once, the same bounded-
+    state shape as every other sketch/moment aggregate here.  Both
+    engines implement the numerically-stable co-moment update, and the
+    result is rounded before comparison."""
+    ev = _events(spark, sf_dir)
+    hour = F.hour("ts").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            portable_round(F.corr("value", hour), 6).alias("value_hour_corr"),
+        )
+        .orderBy("event_type")
+    )

@@ -71,6 +71,8 @@ ENTRIES = [
     "a23_retention",
     "j12_fuzzy_match_counts",
     "a24_time_range_avg",
+    "m5_waveform_features",
+    "a25_grouped_correlation",
 ]
 
 
