@@ -157,6 +157,7 @@ HEADLINE = [
     "a24_time_range_avg",
     "m5_waveform_features",
     "a25_grouped_correlation",
+    "a26_hopping_counts",
 ]
 
 

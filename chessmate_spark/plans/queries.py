@@ -5349,3 +5349,51 @@ def a25_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "a26_hopping_counts",
+    """
+    WITH expanded AS (
+      SELECT event_type,
+             unnest(ARRAY[date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR])
+               AS window_start
+      FROM events)
+    SELECT event_type,
+           strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY event_type, window_start
+    """,
+)
+def a26_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window counts — 2-hour windows advancing every
+    hour, so each event contributes to exactly two windows: the
+    monitoring/alerting window shape (smooth trend lines without
+    tumbling-boundary artifacts), and the form Structured Streaming
+    executes incrementally with watermark eviction.
+
+    Plan shape: Spark's `window(ts, '2 hours', '1 hour')` compiles to an
+    Expand (window-per-event replication, factor = duration/slide = 2)
+    feeding ONE partial+final aggregation — the oracle replays the same
+    two-starts-per-event expansion explicitly.  Exchange volume is
+    (type, window, count) partials, bounded by distinct windows per
+    partition, not events."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "2 hours", "1 hour").alias("win"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "event_type",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+        )
+        .orderBy("event_type", "window_start")
+    )

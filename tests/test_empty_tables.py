@@ -73,6 +73,7 @@ ENTRIES = [
     "a24_time_range_avg",
     "m5_waveform_features",
     "a25_grouped_correlation",
+    "a26_hopping_counts",
 ]
 
 
