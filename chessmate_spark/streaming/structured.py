@@ -110,8 +110,12 @@ def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "10 minutes",
     watermark_delay: str = "20 minutes",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event_type (streaming A7).
+    """Watermarked tumbling-window counts per event_type (streaming A7);
+    pass ``slide_duration`` < ``window_duration`` for the HOPPING form
+    (a26's batch twin): each event expands into duration/slide windows
+    before the same partial+final aggregation.
 
     Works on both a streaming and a batch DataFrame (the batch form is the
     oracle: same expressions, no watermark pruning)."""
@@ -120,10 +124,13 @@ def windowed_event_counts(
         if events.isStreaming
         else events
     )
+    win = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("ts", window_duration)
+    )
     return (
-        with_mark.groupBy(
-            F.window("ts", window_duration).alias("win"), F.col("event_type")
-        )
+        with_mark.groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("event_count"),
             # decimal-exact accumulation → cast double: bit-identical result
@@ -149,13 +156,18 @@ def run_windowed_events_stream(
     checkpoint_path: str,
     window_duration: str = "10 minutes",
     watermark_delay: str = "20 minutes",
+    slide_duration: str | None = None,
 ) -> StreamingQuery:
     """File-source → watermarked window agg → append-mode parquet sink.
 
     Append mode emits each window exactly once, after the watermark passes
-    its end — the late-data contract the brief's streaming section asks for."""
+    its end — the late-data contract the brief's streaming section asks
+    for.  With ``slide_duration`` set, the same contract holds per HOPPING
+    window (each emitted once, at its own close)."""
     events = spark.readStream.schema(EVENTS_DDL).parquet(events_path)
-    agg = windowed_event_counts(events, window_duration, watermark_delay)
+    agg = windowed_event_counts(
+        events, window_duration, watermark_delay, slide_duration
+    )
     return (
         agg.writeStream.outputMode("append")
         .format("parquet")

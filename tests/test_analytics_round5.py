@@ -238,3 +238,39 @@ def test_scd2_stream_emits_closed_versions_matching_batch(spark, tmp_path):
         if not r["is_current"]
     }
     assert emitted == batch_closed
+
+
+def test_hopping_window_stream_emits_each_window_once(spark, tmp_path):
+    """Streaming twin of a26: 10-min windows sliding every 5 min — each
+    event lands in two windows, every closed window is emitted exactly
+    once, and the still-open windows stay back until a later drain."""
+    from chessmate_spark.streaming.structured import (
+        run_windowed_events_stream,
+    )
+
+    ev_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [_event(0, 1), _event(1, 7), _event(2, 60)]
+    spark.createDataFrame(batch1, EVENTS_DDL).write.mode("append").parquet(
+        ev_dir
+    )
+    q = run_windowed_events_stream(
+        spark, ev_dir, out_dir, ckpt,
+        window_duration="10 minutes", watermark_delay="5 minutes",
+        slide_duration="5 minutes",
+    )
+    q.awaitTermination()
+    emitted = {
+        (r["window_start"].minute, r["event_count"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # minute-1 event → windows [55',05') and [00,10); minute-7 → [00,10)
+    # and [05,15). Watermark (60-5=55) closed all of them.
+    assert (55, 1) in emitted
+    assert (0, 2) in emitted
+    assert (5, 1) in emitted
+    # the minute-60 event's windows ([55,65), [60,70)) are still open
+    assert not any(start in (60,) for start, _ in emitted)
+    assert len(emitted) == 3
