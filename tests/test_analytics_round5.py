@@ -274,3 +274,65 @@ def test_hopping_window_stream_emits_each_window_once(spark, tmp_path):
     # the minute-60 event's windows ([55,65), [60,70)) are still open
     assert not any(start in (60,) for start, _ in emitted)
     assert len(emitted) == 3
+
+
+def test_funnel_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Stream twin of a22: conversions emit exactly once, in the drain
+    whose events complete the funnel; mid-funnel progress survives the
+    restart; converted-user set equals the batch form's n_purchase."""
+    from chessmate_spark.streaming.funnel import run_funnel_stream
+
+    ev_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _ev(eid, minute, etype, user):
+        return (
+            eid,
+            BASE + dt.timedelta(minutes=minute),
+            user,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    # user 1 completes across the restart; user 2's click misses the 24h
+    # step window; user 3 purchases before clicking (no conversion)
+    batch1 = [
+        _ev(0, 0, "view", 1),
+        _ev(1, 30, "click", 1),
+        _ev(2, 0, "view", 2),
+        _ev(3, 0, "view", 3),
+        _ev(4, 10, "purchase", 3),
+    ]
+    batch2 = [
+        _ev(5, 60, "purchase", 1),
+        _ev(6, 60 * 30, "click", 2),
+        _ev(7, 90, "click", 3),
+    ]
+    spark.createDataFrame(batch1, EVENTS_DDL).write.mode("append").parquet(
+        ev_dir
+    )
+    q = run_funnel_stream(spark, ev_dir, out_dir, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 0  # nothing complete yet
+
+    spark.createDataFrame(batch2, EVENTS_DDL).write.mode("append").parquet(
+        ev_dir
+    )
+    q = run_funnel_stream(spark, ev_dir, out_dir, ckpt)
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert {(r["user_id"],) for r in rows} == {(1,)}
+    (c,) = rows
+    assert c["t_view"] == BASE
+    assert c["t_click"] == BASE + dt.timedelta(minutes=30)
+    assert c["t_purchase"] == BASE + dt.timedelta(minutes=60)
+
+    # batch twin over the union agrees on the conversion count
+    sf_twin = str(tmp_path / "sf_twin")
+    spark.createDataFrame(batch1 + batch2, EVENTS_DDL).write.parquet(
+        f"{sf_twin}/events.parquet"
+    )
+    (b,) = QUERIES["a22_funnel"][0](spark, sf_twin).collect()
+    assert b["n_purchase"] == len(rows) == 1
