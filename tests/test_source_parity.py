@@ -62,3 +62,39 @@ def test_row_counts_survive_roundtrip(spark, doc_sources):
     assert doc_sources["csv"].count() == n
     assert doc_sources["json"].count() == n
     assert doc_sources["orc"].count() == n
+
+
+def test_schema_evolution_merge_across_parquet_batches(spark, tmp_path):
+    """Source capability: a corpus written in batches with an EVOLVING
+    schema (a column added later) reads as one DataFrame under
+    mergeSchema, old rows NULL-filled — and operators run over the merged
+    frame unchanged.  This is how a long-lived 100 TB corpus actually
+    looks: early shards lack columns that later ingest versions added."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "evolving")
+    docs.limit(100).select("doc_id", "text", "lang").write.mode(
+        "append"
+    ).parquet(out)
+    docs.limit(100).select(
+        "doc_id", "text", "lang", "source"
+    ).withColumn("quality_tier", F.lit("gold")).write.mode("append").parquet(
+        out
+    )
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {
+        "doc_id", "text", "lang", "source", "quality_tier",
+    }
+    assert merged.count() == 200
+    # old-batch rows surface the new columns as NULL
+    assert merged.filter(F.col("quality_tier").isNull()).count() == 100
+    assert merged.filter(F.col("source").isNull()).count() == 100
+
+    # operators are schema-evolution-agnostic: token counting over the
+    # merged frame equals the same op over the plain frames
+    counted = token_counts(merged, "doc_id", "text")
+    assert counted.count() == 200
+    one = token_counts(docs.limit(100), "doc_id", "text")
+    merged_sum = counted.agg(F.sum("ws_tokens")).collect()[0][0]
+    plain_sum = one.agg(F.sum("ws_tokens")).collect()[0][0]
+    assert merged_sum == 2 * plain_sum
