@@ -158,6 +158,7 @@ HEADLINE = [
     "m5_waveform_features",
     "a25_grouped_correlation",
     "a26_hopping_counts",
+    "d11_pagerank_dupgraph",
 ]
 
 

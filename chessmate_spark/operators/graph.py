@@ -169,3 +169,57 @@ def dup_clusters(
             (F.col("node") == F.col("component_id")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list — the
+    web-graph quality signal pretraining pipelines weight documents by,
+    here runnable directly on the near-dup graph (d2's pairs) or any
+    (src, dst) edge table.
+
+    Power iteration with uniform init 1/n and the standard update
+    r'(v) = (1-d)/n + d · Σ_{u→v} r(u)/deg(u); undirected edges are
+    materialized in both directions, so every node has deg ≥ 1 and no
+    dangling mass correction is needed.  Each round is one join + one
+    aggregation on (node, contribution) pairs — the connected-components
+    execution shape (id-only shuffles, lineage truncated per round via
+    lazy localCheckpoint), with a FIXED round count instead of a
+    convergence test, which keeps the oracle expressible as unrolled SQL.
+    """
+    both = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    edges = both.distinct().localCheckpoint(eager=False)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("u").alias("node"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edges, ranks["node"] == edges["u"])
+            .join(deg, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

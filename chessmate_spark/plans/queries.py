@@ -5397,3 +5397,67 @@ def a26_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration: r_{i+1} as a CTE chain over the d2 pair
+    relation — fixed iteration count makes PageRank expressible as plain
+    SQL (recursive CTEs cannot aggregate over the recursive table)."""
+    pair_sql = _minhash_lsh_oracle()
+    ctes = [
+        f"prs AS ({pair_sql})",
+        "edges AS (SELECT id_a AS u, id_b AS v FROM prs"
+        " UNION SELECT id_b AS u, id_a AS v FROM prs)",
+        "deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)",
+        "cnt AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT u AS node, 1.0 / c.n AS rank"
+        " FROM deg CROSS JOIN cnt c)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""r{i + 1} AS (
+      SELECT d.u AS node,
+             (1.0 - {damping}) / c.n
+               + {damping} * coalesce(s.in_sum, 0.0) AS rank
+      FROM deg d CROSS JOIN cnt c
+      LEFT JOIN (
+        SELECT e.v AS node, sum(r.rank / dg.deg) AS in_sum
+        FROM r{i} r
+        JOIN edges e ON r.node = e.u
+        JOIN deg dg ON e.u = dg.u
+        GROUP BY e.v) s ON d.u = s.node)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT node AS doc_id,
+           floor(rank * 100000000.0 + 0.5) / 100000000.0 AS pagerank
+    FROM r{iterations}
+    ORDER BY doc_id
+    """
+
+
+@_register("d11_pagerank_dupgraph", _pagerank_oracle())
+def d11_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph — the web-graph quality
+    signal LLM data pipelines weight documents by (highly-linked ≈
+    highly-duplicated here: rank mass concentrates in dense dup
+    neighborhoods, a useful inverse-quality prior).  Second iterative
+    algorithm beside connected components (d8), same execution shape:
+    10 fixed power iterations, each ONE join + ONE aggregation moving
+    (node, contribution) pairs only, lineage truncated per round with
+    lazy localCheckpoint.  At 100 TB the per-round shuffle is O(edges) id
+    pairs — vectors and documents never move.  The oracle unrolls the
+    identical iteration as a CTE chain."""
+    from ..operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    ranks = pagerank(pairs, iterations=10, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        portable_round(F.col("rank"), 8).alias("pagerank"),
+    ).orderBy("doc_id")

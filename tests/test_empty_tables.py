@@ -74,6 +74,7 @@ ENTRIES = [
     "m5_waveform_features",
     "a25_grouped_correlation",
     "a26_hopping_counts",
+    "d11_pagerank_dupgraph",
 ]
 
 
