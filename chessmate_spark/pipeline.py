@@ -1,0 +1,124 @@
+"""End-to-end corpus curation pipeline: the LLM-training-data DAG every
+operator family in this repo exists to serve, composed as ONE lazy Spark
+plan chain — validate → exact-dedup → near-dup resolve → PII scrub →
+quality gate → deterministic shuffle/shard write.
+
+Run it:
+    python -m chessmate_spark.pipeline [sf_dir] [out_dir]
+
+Each stage is the already-oracle-checked operator (entries d1, d2/d8/d10,
+t2, t7, t9 — see SURVEY §2 addendum); the pipeline contributes the
+COMPOSITION: stages share one SparkSession, intermediate frames stay
+distributed (the only driver-side values are the per-stage counts in the
+report), and the final write is the shard-partitioned layout
+`write_shuffled_shards` materializes.  At 100 TB every stage keeps its
+individually-audited plan shape — nothing in the composition adds a
+shuffle beyond what the stages themselves declare.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import exact_duplicates, minhash_lsh_candidates
+from .operators.graph import dup_clusters
+from .operators.ordering import write_shuffled_shards
+from .operators.textan import pii_scrub, quality_score
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.35,
+    n_shards: int = 8,
+) -> Dict[str, int]:
+    """Run the curation DAG over ``{sf_dir}/documents.parquet`` and write
+    training shards to ``out_dir``; returns the per-stage row counts
+    (monotonically non-increasing — each stage only drops rows)."""
+    report: Dict[str, int] = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    report["input"] = docs.count()
+
+    # 1. structural validation (t13's checks as a filter)
+    valid = docs.filter(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & F.col("doc_id").isNotNull()
+    )
+    report["valid"] = valid.count()
+
+    # 2. exact dedup: drop every non-canonical member of a hash group
+    exact_drop = (
+        exact_duplicates(valid, "doc_id", "text")
+        .select(F.explode("ids").alias("doc_id"), "canonical_id")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    exact_kept = valid.join(F.broadcast(exact_drop), "doc_id", "left_anti")
+    report["exact_deduped"] = exact_kept.count()
+
+    # 3. near-dup resolution: MinHash-LSH pairs → clusters → keep canonical
+    pairs = minhash_lsh_candidates(
+        exact_kept, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    near_drop = (
+        dup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
+    )
+    near_kept = exact_kept.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    report["near_deduped"] = near_kept.count()
+
+    # 4. PII scrub (audit counts dropped here; t7's entry pins the bytes)
+    scrubbed = near_kept.join(
+        pii_scrub(near_kept, "doc_id", "text").select(
+            "doc_id", "scrubbed_text"
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.col("scrubbed_text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+    # 5. quality gate
+    gated = scrubbed.join(
+        quality_score(scrubbed, "doc_id", "text").select("doc_id", "quality"),
+        "doc_id",
+    ).filter(F.col("quality") >= min_quality)
+    report["quality_gated"] = gated.count()
+
+    # 6. deterministic shuffle + shard-partitioned write
+    write_shuffled_shards(
+        gated.select("doc_id", "text", "lang", "source", "quality"),
+        out_dir,
+        "doc_id",
+        n_shards,
+    )
+    written = spark.read.parquet(out_dir)
+    report["written"] = written.count()
+    report["shards"] = written.select("shard").distinct().count()
+    return report
+
+
+def main() -> None:
+    import json
+    import sys
+
+    from .session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark(app_name="chessmate_curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = curate_corpus(spark, sf_dir, out_dir)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
