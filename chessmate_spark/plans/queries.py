@@ -5461,3 +5461,194 @@ def d11_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         portable_round(F.col("rank"), 8).alias("pagerank"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "t14_boilerplate_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS g
+      FROM toks, unnest(range(1, len(w) - 3)) i(i)
+      WHERE len(w) >= 5)
+    SELECT g AS ngram, CAST(count(*) AS BIGINT) AS doc_count
+    FROM grams
+    GROUP BY g
+    HAVING count(*) >= 3
+    ORDER BY ngram
+    """,
+)
+def t14_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: word 5-grams appearing in >= 3
+    DISTINCT documents — the corpus-wide frequent-phrase pass an LLM
+    pipeline runs to find navigation chrome / license footers before
+    stripping them (Raffel et al. 2020 drop any line seen 3+ times).
+
+    Plan shape: per-doc shingling is pure expression work (split →
+    sequence → slice → concat_ws → explode), then ONE shuffle keyed by
+    (ngram, doc_id) for the distinct and a map-side-combined count on top
+    — the same exploded-shingle discipline as d2/d9: only (gram-hash,
+    id) pairs ever move, never documents.  At 100 TB gram doc-frequency
+    is a classic skew point (the boilerplate grams ARE the hot keys) —
+    partial aggregation absorbs them before the exchange."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 5),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, F.lit(5))),
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+        .filter(F.col("doc_count") >= 3)
+        .orderBy("ngram")
+    )
+
+
+@_register(
+    "a27_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           floor(e.value * 1000000.0 + 0.5) / 1000000.0 AS value,
+           floor((e.value - s.m) / s.sd * 1000000.0 + 0.5) / 1000000.0
+             AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(e.value - s.m) / s.sd > 3.0
+    ORDER BY e.event_id
+    """,
+)
+def a27_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| > 3 vs the event-type
+    mean/stddev) — the metric-anomaly pass run over telemetry before
+    training on it, and the grouped-standardization shape feature
+    pipelines use.
+
+    Plan shape: ONE partial+final moments aggregation (count/avg/stddev
+    merge in bounded state per task) produces a 5-row stats dim that is
+    broadcast back onto the fact scan — the big side is read once,
+    filtered in place, never shuffled.  At 100 TB this is the canonical
+    two-pass standardize: tiny dim out, broadcast join back, predicate
+    evaluated scan-side."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            portable_round(F.col("value"), 6).alias("value"),
+            portable_round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "t15_mixing_weights",
+    """
+    WITH mass AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS char_mass
+      FROM documents GROUP BY source),
+    raw AS (
+      SELECT source, n_docs, char_mass,
+             pow(CAST(char_mass AS DOUBLE), 0.7) AS r
+      FROM mass)
+    SELECT source, n_docs, char_mass,
+           floor(r / (SELECT sum(r) FROM raw) * 1000000.0 + 0.5)
+             / 1000000.0 AS weight
+    FROM raw
+    ORDER BY source
+    """,
+)
+def t15_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing weights: per-source sampling
+    probability proportional to (char mass)^0.7 — the alpha-smoothed
+    resampling rule multilingual/multi-source LLM training uses to
+    up-weight small sources without letting big ones dominate (the
+    mBERT/XLM-R exponent-smoothing recipe).
+
+    Plan shape: ONE partial+final aggregation collapses the corpus to a
+    per-source mass dim (sources number in the thousands at most), the
+    normalizing constant is a 1-row aggregate over that dim, and the
+    division is a broadcast cross join — after the first shuffle nothing
+    bigger than the dim ever moves.  Downstream, t4's deterministic
+    hash-bucket sampler consumes exactly this weight column."""
+    docs = _docs(spark, sf_dir)
+    mass = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("char_mass"),
+    )
+    raw = mass.withColumn(
+        "r", F.pow(F.col("char_mass").cast("double"), F.lit(0.7))
+    )
+    total = raw.agg(F.sum("r").alias("z"))
+    return (
+        raw.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "char_mass",
+            portable_round(F.col("r") / F.col("z"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "v9_embedding_pool",
+    """
+    SELECT vec_id, CAST(i.i AS BIGINT) AS dim,
+           floor((CAST(embedding[4*i.i+1] AS DOUBLE)
+                + CAST(embedding[4*i.i+2] AS DOUBLE)
+                + CAST(embedding[4*i.i+3] AS DOUBLE)
+                + CAST(embedding[4*i.i+4] AS DOUBLE)) / 4.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS pooled
+    FROM embeddings, unnest(range(0, 16)) i(i)
+    ORDER BY vec_id, dim
+    """,
+)
+def v9_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooling dimensionality reduction 64-d → 16-d (each output
+    dim averages a contiguous 4-float block) — the cheap Matryoshka-
+    style coarse representation ANN pipelines use as a first-pass
+    filter: 4× less memory and 4× faster distance math for the
+    candidate-generation stage, with v2/v6/v7 re-ranking on the full
+    vector.
+
+    Plan shape: pure narrow expression work — sequence/explode plus
+    element_at arithmetic, no shuffle at all (the orderBy is
+    presentation-only for the oracle).  Additions run left-to-right in
+    double in both engines, so values are bit-identical before the
+    portable round."""
+    emb = _emb(spark, sf_dir)
+    pooled = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("dim"),
+        "embedding",
+    )
+    val = (
+        F.element_at("embedding", F.col("dim") * 4 + 1).cast("double")
+        + F.element_at("embedding", F.col("dim") * 4 + 2).cast("double")
+        + F.element_at("embedding", F.col("dim") * 4 + 3).cast("double")
+        + F.element_at("embedding", F.col("dim") * 4 + 4).cast("double")
+    )
+    return pooled.select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        portable_round(val / 4.0, 6).alias("pooled"),
+    ).orderBy("vec_id", "dim")

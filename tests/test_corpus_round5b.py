@@ -1,0 +1,114 @@
+"""Round-5b corpus-pipeline nets: boilerplate n-gram detection (t14),
+grouped z-score outliers (a27), temperature mixing weights (t15), and
+mean-pool dimensionality reduction (v9) — invariant checks beyond the
+DuckDB oracle parity the driver records."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from chessmate_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(name, spark, sf_dir=SF_DIR):
+    fn, _ = QUERIES[name]
+    return fn(spark, sf_dir)
+
+
+def test_boilerplate_ngrams_are_5grams_at_threshold(spark):
+    rows = _run("t14_boilerplate_ngrams", spark).collect()
+    assert rows, "sf0.001 corpus should still repeat some 5-grams"
+    seen = set()
+    for r in rows:
+        assert len(r["ngram"].split(" ")) == 5
+        assert r["doc_count"] >= 3
+        assert r["ngram"] not in seen
+        seen.add(r["ngram"])
+
+
+def test_boilerplate_ngram_count_matches_manual_recount(spark):
+    """Recount one reported gram by brute force over the raw corpus."""
+    rows = _run("t14_boilerplate_ngrams", spark).collect()
+    gram = rows[0]["ngram"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    n = 0
+    for d in docs:
+        toks = d["text"].lower().split(" ")
+        grams = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+        if gram in grams:
+            n += 1
+    assert n == rows[0]["doc_count"]
+
+
+def test_zscore_outliers_exceed_threshold_and_match_group_moments(spark):
+    out = _run("a27_zscore_outliers", spark)
+    rows = out.collect()
+    assert rows
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stats = {
+        r["event_type"]: (r["m"], r["sd"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["zscore"]) > 3.0
+        m, sd = stats[r["event_type"]]
+        expect = (r["value"] - m) / sd
+        assert math.isclose(r["zscore"], expect, abs_tol=5e-6)
+
+
+def test_mixing_weights_normalize_and_follow_mass(spark):
+    rows = _run("t15_mixing_weights", spark).collect()
+    assert rows
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - 1.0) < len(rows) * 1e-6
+    by_mass = sorted(rows, key=lambda r: r["char_mass"])
+    weights = [r["weight"] for r in by_mass]
+    assert weights == sorted(weights), "weight must be monotone in mass"
+    # alpha < 1 compresses the ratio: weight ratio < mass ratio.
+    lo, hi = by_mass[0], by_mass[-1]
+    if lo["char_mass"] < hi["char_mass"] and lo["weight"] > 0:
+        assert (
+            hi["weight"] / lo["weight"]
+            < hi["char_mass"] / lo["char_mass"] + 1e-9
+        )
+
+
+def test_embedding_pool_matches_numpy_block_means(spark):
+    out = _run("v9_embedding_pool", spark)
+    rows = out.filter(F.col("vec_id") < 3).collect()
+    assert len(rows) == 3 * 16
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 3)
+        .collect()
+    }
+    for r in rows:
+        block = emb[r["vec_id"]][r["dim"] * 4 : r["dim"] * 4 + 4]
+        assert math.isclose(
+            r["pooled"], float(block.mean()), abs_tol=5e-7
+        )
+
+
+def test_embedding_pool_plan_is_shuffle_free(spark):
+    """The pooling transform itself must not exchange: only the
+    presentation sort may appear."""
+    fn, _ = QUERIES["v9_embedding_pool"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    # _spread's repartition + the final orderBy range exchange are the
+    # only legal exchanges; the pooling math adds none.
+    assert n_exchanges <= 2, plan
