@@ -5583,11 +5583,13 @@ def t15_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mBERT/XLM-R exponent-smoothing recipe).
 
     Plan shape: ONE partial+final aggregation collapses the corpus to a
-    per-source mass dim (sources number in the thousands at most), the
-    normalizing constant is a 1-row aggregate over that dim, and the
-    division is a broadcast cross join — after the first shuffle nothing
-    bigger than the dim ever moves.  Downstream, t4's deterministic
-    hash-bucket sampler consumes exactly this weight column."""
+    per-source mass dim (sources number in the thousands at most); the
+    normalizing constant is an unpartitioned window SUM over that dim —
+    bounded by the source count, NOT a second corpus scan (a scalar
+    subquery would re-derive the whole aggregation subtree).  After the
+    first shuffle nothing bigger than the dim ever moves.  Downstream,
+    t4's deterministic hash-bucket sampler consumes exactly this weight
+    column."""
     docs = _docs(spark, sf_dir)
     mass = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -5596,17 +5598,17 @@ def t15_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = mass.withColumn(
         "r", F.pow(F.col("char_mass").cast("double"), F.lit(0.7))
     )
-    total = raw.agg(F.sum("r").alias("z"))
-    return (
-        raw.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "n_docs",
-            "char_mass",
-            portable_round(F.col("r") / F.col("z"), 6).alias("weight"),
+    z = F.sum("r").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        .orderBy("source")
     )
+    return raw.select(
+        "source",
+        "n_docs",
+        "char_mass",
+        portable_round(F.col("r") / z, 6).alias("weight"),
+    ).orderBy("source")
 
 
 @_register(
