@@ -360,3 +360,124 @@ def embedding_neardup_lsh(
         ).alias("score"),
     )
     return scored.filter(F.col("score") >= F.lit(threshold))
+
+
+def incremental_minhash_dedup(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: a NEW ingest batch against the
+    ALREADY-INGESTED corpus (plus within-batch) — the form a 100 TB
+    pipeline actually runs day to day: full-corpus re-dedup (d2/d8) is a
+    backfill job, while every incremental drop decides only "is this new
+    doc a duplicate of anything we already kept, or of an earlier doc in
+    this batch?".
+
+    Semantics: a batch doc x is a duplicate if some match m with exact
+    shingle-Jaccard >= ``min_jaccard`` exists where m is an existing doc,
+    OR m is a batch doc with m.id < x.id (first-in-batch stays canonical,
+    d1's min-id rule).  Each duplicate reports its BEST match (max
+    jaccard, tiebreak min matched id) with the match origin.
+
+    Scale shape: identical to :func:`minhash_lsh_candidates` — band
+    buckets shuffle (id, origin, band) rows only, the existing corpus is
+    touched exactly once to band it (in production the existing side's
+    banded signatures are a PERSISTED table maintained across ingests,
+    so each increment shuffles O(batch) band rows against a pre-banded
+    store; recompute here keeps the operator self-contained), and the
+    exact verify runs on candidates, never all-pairs.  The best-match
+    pick is a per-x window over candidate matches — partitioned by x,
+    bounded by x's candidate count.
+
+    Ids must be unique across both sides (true for any snapshot + delta
+    of one corpus).
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    tagged = existing.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).withColumn("_origin", F.lit("existing")).unionByName(
+        batch.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ).withColumn("_origin", F.lit("batch"))
+    )
+    shingled = tagged.select(
+        "_id",
+        "_origin",
+        word_shingles_expr(norm_tokens_expr(F.col("_text")), shingle_n).alias(
+            "_shingles"
+        ),
+    ).persist()
+    sig = shingled.withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+    banded = sig.select(
+        "_id",
+        "_origin",
+        F.explode(band_keys_expr(F.col("_sig"), bands, rows)).alias("_band"),
+    ).persist()
+    bx = banded.filter(F.col("_origin") == "batch").select(
+        F.col("_id").alias("_x"), "_band"
+    )
+    bm = banded.select(
+        F.col("_id").alias("_m"), F.col("_origin").alias("origin"), "_band"
+    )
+    cand = (
+        bx.join(bm, "_band")
+        .filter(
+            (F.col("origin") == "existing")
+            | (F.col("_m") < F.col("_x"))
+        )
+        .select("_x", "_m", "origin")
+        .dropDuplicates(["_x", "_m"])
+    )
+    sizes = shingled.select("_id", F.size("_shingles").alias("_sz"))
+    exploded = shingled.select("_id", F.explode("_shingles").alias("_sh"))
+    with_x = cand.join(exploded, cand["_x"] == exploded["_id"]).select(
+        "_x", "_m", "origin", "_sh"
+    )
+    inter = (
+        with_x.join(
+            exploded.select(F.col("_id").alias("_mid"), F.col("_sh").alias("_shm")),
+            (F.col("_m") == F.col("_mid")) & (F.col("_sh") == F.col("_shm")),
+        )
+        .groupBy("_x", "_m", "origin")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("_id").alias("_x"), F.col("_sz").alias("_szx")), "_x")
+        .join(sizes.select(F.col("_id").alias("_m"), F.col("_sz").alias("_szm")), "_m")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_szx") + F.col("_szm") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+    from pyspark.sql import Window
+
+    best = (
+        scored.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_x").orderBy(
+                    F.desc("jaccard"), F.asc("_m")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_x").alias("doc_id"),
+            F.col("_m").alias("matched_id"),
+            "origin",
+            "jaccard",
+        )
+    )
+    out = best.localCheckpoint(eager=True)
+    shingled.unpersist()
+    banded.unpersist()
+    return out

@@ -5654,3 +5654,89 @@ def v9_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("dim"),
         portable_round(val / 4.0, 6).alias("pooled"),
     ).orderBy("vec_id", "dim")
+
+
+def _incremental_dedup_oracle(
+    num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
+) -> str:
+    from ..functions.hashing import MINHASH_PRIME, minhash_constants
+
+    rows = num_hashes // bands
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    base = (
+        f"(('0x' || substring(md5('mh:' || s), 1, 15))::BIGINT % {MINHASH_PRIME})"
+    )
+    consts = minhash_constants(num_hashes)
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({a} * {base} + {b}) % {MINHASH_PRIME}))"
+        for a, b in consts
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS tokens FROM documents),
+    sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES3} AS shingles FROM toks),
+    sig AS (
+      SELECT doc_id, shingles,
+             [{sig_items}] AS signature
+      FROM sh),
+    bands AS (
+      SELECT doc_id, shingles, unnest(
+        [CAST(b AS VARCHAR) || ':' ||
+         md5(array_to_string(list_transform(
+             list_slice(signature, b * {rows} + 1, b * {rows} + {rows}),
+             x -> CAST(x AS VARCHAR)), ','))
+         FOR b IN range({bands})]) AS band
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS xid, m.doc_id AS mid,
+             x.shingles AS sh_x, m.shingles AS sh_m,
+             CASE WHEN m.doc_id % 2 = 0 THEN 'existing' ELSE 'batch' END
+               AS origin
+      FROM bands x JOIN bands m ON x.band = m.band
+      WHERE x.doc_id % 2 = 1
+        AND (m.doc_id % 2 = 0 OR m.doc_id < x.doc_id)),
+    scored AS (
+      SELECT xid, mid, origin,
+             CAST(len(list_intersect(sh_x, sh_m)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_x, sh_m))) AS j
+      FROM cand),
+    best AS (
+      SELECT xid, mid, origin, j,
+             row_number() OVER (PARTITION BY xid ORDER BY j DESC, mid)
+               AS rn
+      FROM scored WHERE j >= {min_j})
+    SELECT xid AS doc_id, mid AS matched_id, origin,
+           round(j, 6) AS jaccard
+    FROM best WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+@_register("d12_incremental_dedup", _incremental_dedup_oracle())
+def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the daily-ingest form of d2/d8 — a new batch
+    (odd doc_ids) checked against the already-kept corpus (even doc_ids)
+    AND against earlier docs in the same batch, reporting each duplicate
+    batch doc's best match with its origin.  This is the operation a
+    100 TB pipeline runs per increment (full-corpus re-dedup is a
+    backfill); in production the existing side's band table is a
+    persisted signature store, so each increment shuffles only O(batch)
+    band rows.  Plan shape identical to d2: (id, band) bucket join, exact
+    shingle-Jaccard verify on candidates only, then a per-doc best-match
+    window bounded by candidate count."""
+    from ..operators.dedup import incremental_minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = incremental_minhash_dedup(
+        existing, batch, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    return out.select(
+        "doc_id",
+        "matched_id",
+        "origin",
+        portable_round(F.col("jaccard"), 6).alias("jaccard"),
+    ).orderBy("doc_id")

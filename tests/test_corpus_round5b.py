@@ -112,3 +112,37 @@ def test_embedding_pool_plan_is_shuffle_free(spark):
     # _spread's repartition + the final orderBy range exchange are the
     # only legal exchanges; the pooling math adds none.
     assert n_exchanges <= 2, plan
+
+
+def test_incremental_dedup_agrees_with_full_pair_set(spark):
+    """d12 must be derivable from d2's full-corpus pairs: a batch (odd)
+    doc is reported iff the full pair set contains a qualifying match
+    (even partner, or smaller odd partner), and the reported match is
+    the best one."""
+    from chessmate_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text",
+            shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+        ).collect()
+    }
+    expected = {}
+    for (a, b), j in full.items():
+        for x, m in ((a, b), (b, a)):
+            if x % 2 == 1 and (m % 2 == 0 or m < x):
+                cur = expected.get(x)
+                if cur is None or (j, -m) > (cur[1], -cur[0]):
+                    expected[x] = (m, j)
+    got = {
+        r["doc_id"]: (r["matched_id"], r["origin"], r["jaccard"])
+        for r in _run("d12_incremental_dedup", spark).collect()
+    }
+    assert set(got) == set(expected)
+    for x, (m, origin, j) in got.items():
+        em, ej = expected[x]
+        assert m == em
+        assert math.isclose(j, ej, abs_tol=2e-6)
+        assert origin == ("existing" if m % 2 == 0 else "batch")
