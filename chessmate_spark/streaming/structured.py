@@ -461,3 +461,65 @@ def run_session_window_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def event_type_stats(events: DataFrame) -> DataFrame:
+    """The per-event-type moments dim the z-score scorer joins against —
+    computed from a HISTORIC batch (yesterday's events), one partial+final
+    aggregation; a27_zscore_outliers builds the identical dim."""
+    return events.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("sd"),
+    )
+
+
+def zscore_outliers_stream(
+    events: DataFrame, stats: DataFrame, threshold: float = 3.0
+) -> DataFrame:
+    """Streaming anomaly scoring: STREAM-STATIC broadcast join of live
+    events against a precomputed moments dim, |z| > threshold filter —
+    the online twin of a27_zscore_outliers (identical expressions, so
+    replaying the batch through the stream with the batch's own stats
+    yields the batch answer row-for-row).
+
+    Stateless: no watermark, no GroupState — each micro-batch is enriched
+    via a broadcast hash join and filtered in place, so the operator
+    scales with per-trigger volume only.  The static side is re-read per
+    micro-batch by Structured Streaming's stream-static join contract;
+    at production scale it's a small parquet dim refreshed by the batch
+    job (the classic lambda handoff)."""
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > F.lit(threshold))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.col("value"),
+            (z).alias("zscore"),
+        )
+    )
+
+
+def run_zscore_stream(
+    spark: SparkSession,
+    events_path: str,
+    stats: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 3.0,
+) -> StreamingQuery:
+    """File-source → stream-static broadcast enrichment → append parquet
+    sink.  Append mode with no aggregation: each anomalous event emits
+    exactly once, in the drain that reads its file."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(events_path)
+    scored = zscore_outliers_stream(events, stats, threshold)
+    return (
+        scored.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -146,3 +146,39 @@ def test_incremental_dedup_agrees_with_full_pair_set(spark):
         assert m == em
         assert math.isclose(j, ej, abs_tol=2e-6)
         assert origin == ("existing" if m % 2 == 0 else "batch")
+
+
+def test_zscore_stream_twin_equals_batch_across_restart(spark, tmp_path):
+    """Replaying the fixture through the stream-static twin (two drains,
+    restart between) reproduces a27's batch answer row-for-row when the
+    stream scores against the batch-computed stats dim."""
+    from chessmate_spark.streaming.structured import (
+        event_type_stats,
+        run_zscore_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stats = event_type_stats(ev)
+    ev_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("append").parquet(ev_dir)
+    run_zscore_stream(spark, ev_dir, stats, out_dir, ckpt).awaitTermination()
+    n_first = spark.read.parquet(out_dir).count()
+    second.write.mode("append").parquet(ev_dir)
+    run_zscore_stream(spark, ev_dir, stats, out_dir, ckpt).awaitTermination()
+
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r["event_id"]: r["zscore"]
+        for r in _run("a27_zscore_outliers", spark).collect()
+    }
+    assert n_first < len(got), "second drain must add rows, not reprocess"
+    assert set(got) == set(batch)
+    for eid, z in batch.items():
+        assert math.isclose(got[eid], z, abs_tol=5e-6)
