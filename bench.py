@@ -159,6 +159,11 @@ HEADLINE = [
     "a25_grouped_correlation",
     "a26_hopping_counts",
     "d11_pagerank_dupgraph",
+    "t14_boilerplate_ngrams",
+    "a27_zscore_outliers",
+    "t15_mixing_weights",
+    "v9_embedding_pool",
+    "d12_incremental_dedup",
 ]
 
 
