@@ -164,6 +164,9 @@ HEADLINE = [
     "t15_mixing_weights",
     "v9_embedding_pool",
     "d12_incremental_dedup",
+    "j13_cdc_merge",
+    "m6_waveform_resample",
+    "t16_bigram_logprob",
 ]
 
 

@@ -305,3 +305,40 @@ def frame_sample(df: DataFrame, every_n: int, id_col: str = "media_id") -> DataF
     return df.select(
         F.col(id_col), F.explode(idx).alias("frame_index")
     ).filter(F.col("frame_index") < n_frames)
+
+
+def waveform_resample(
+    df: DataFrame,
+    id_col: str,
+    samples_col: str,
+    src_len: int,
+    dst_len: int,
+    value_alias: str = "value",
+) -> DataFrame:
+    """Linear-interpolation resampling of fixed-rate 1-D signal arrays
+    (audio waveforms) from ``src_len`` to ``dst_len`` samples — the
+    rate-normalization step an audio pipeline runs before feature
+    extraction, as pure JVM expressions: one output row per target
+    sample, position mapped back to the source grid, neighboring
+    samples blended by the fractional offset.
+
+    Embarrassingly parallel (no shuffle); double arithmetic evaluates
+    left-to-right so results are bit-identical to any engine computing
+    the same formula."""
+    pos = F.col("_i").cast("double") * float(src_len - 1) / float(dst_len - 1)
+    lo = F.floor(pos).cast("int")
+    frac = pos - F.floor(pos)
+    a = F.element_at(F.col(samples_col), lo + 1).cast("double")
+    b = F.element_at(
+        F.col(samples_col), F.least(lo + F.lit(2), F.lit(src_len))
+    ).cast("double")
+    val = a * (F.lit(1.0) - frac) + b * frac
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(dst_len - 1))).alias("_i"),
+        F.col(samples_col),
+    ).select(
+        F.col(id_col),
+        F.col("_i").cast("bigint").alias("sample_idx"),
+        val.alias(value_alias),
+    )

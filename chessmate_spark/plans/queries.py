@@ -5740,3 +5740,205 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "origin",
         portable_round(F.col("jaccard"), 6).alias("jaccard"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "j13_cdc_merge",
+    """
+    WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    changes AS (
+      SELECT c_custkey AS k, 'delete' AS op,
+             CAST(NULL AS DOUBLE) AS amt, CAST(NULL AS VARCHAR) AS nm
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'update', c_acctbal + 100.0, c_name
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 10000000, 'insert', 0.0,
+             'new-' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 10 = 2
+      UNION ALL
+      SELECT c_custkey, 'insert', -1.0,
+             'dup-' || CAST(c_custkey AS VARCHAR)
+      FROM customer WHERE c_custkey % 10 = 3),
+    merged AS (
+      SELECT coalesce(t.c_custkey, c.k) AS c_custkey,
+             CASE WHEN t.c_custkey IS NOT NULL AND c.op = 'update' THEN c.nm
+                  WHEN t.c_custkey IS NULL AND c.op = 'insert' THEN c.nm
+                  ELSE t.c_name END AS c_name,
+             CASE WHEN t.c_custkey IS NOT NULL AND c.op = 'update' THEN c.amt
+                  WHEN t.c_custkey IS NULL AND c.op = 'insert' THEN c.amt
+                  ELSE t.c_acctbal END AS c_acctbal,
+             t.c_custkey AS tk, c.op AS op
+      FROM t FULL OUTER JOIN changes c ON t.c_custkey = c.k)
+    SELECT c_custkey, c_name, c_acctbal FROM merged
+    WHERE (tk IS NOT NULL AND (op IS NULL OR op <> 'delete'))
+       OR (tk IS NULL AND op = 'insert')
+    ORDER BY c_custkey
+    """,
+)
+def j13_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (lakehouse upsert): apply a deterministic synthetic
+    change batch — deletes (key%10=0), updates (=1, +100 balance),
+    inserts of new keys (=2), and a no-clause-fires insert of EXISTING
+    keys (=3, must pass the target row through untouched) — to the
+    customer snapshot, Delta/Iceberg `MERGE INTO` semantics from one
+    full-outer equi-join + CASE resolution (operators/merge.py).
+
+    Plan shape: ONE join on the merge key; in production the change
+    batch is tiny vs the target so AQE broadcasts it and the target
+    never shuffles.  The apply is pure column logic — no window, no
+    state, no second pass."""
+    from ..operators.merge import cdc_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    changes = (
+        cust.filter(k % 10 == 0)
+        .select(
+            k.alias("c_custkey"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_name"),
+        )
+        .unionByName(
+            cust.filter(k % 10 == 1).select(
+                k.alias("c_custkey"),
+                F.lit("update").alias("op"),
+                (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+                F.col("c_name"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 10 == 2).select(
+                (k + 10000000).alias("c_custkey"),
+                F.lit("insert").alias("op"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.concat(F.lit("new-"), k.cast("string")).alias("c_name"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 10 == 3).select(
+                k.alias("c_custkey"),
+                F.lit("insert").alias("op"),
+                F.lit(-1.0).alias("c_acctbal"),
+                F.concat(F.lit("dup-"), k.cast("string")).alias("c_name"),
+            )
+        )
+    )
+    return cdc_merge(cust, changes, "c_custkey").orderBy("c_custkey")
+
+
+@_register(
+    "m6_waveform_resample",
+    """
+    SELECT vec_id, CAST(i.i AS BIGINT) AS sample_idx,
+           floor((CAST(embedding[CAST(floor(i.i * 63.0 / 47.0) AS BIGINT) + 1]
+                       AS DOUBLE)
+                    * (1.0 - (i.i * 63.0 / 47.0
+                              - floor(i.i * 63.0 / 47.0)))
+                + CAST(embedding[least(
+                         CAST(floor(i.i * 63.0 / 47.0) AS BIGINT) + 2, 64)]
+                       AS DOUBLE)
+                    * (i.i * 63.0 / 47.0 - floor(i.i * 63.0 / 47.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS value
+    FROM embeddings, unnest(range(0, 48)) i(i)
+    ORDER BY vec_id, sample_idx
+    """,
+)
+def m6_waveform_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform resampling 64 → 48 samples by linear interpolation —
+    the audio-rate normalization step (m5's sibling: m5 extracts
+    features from a signal, this reshapes the signal itself), over the
+    same numeric sample arrays.
+
+    Plan shape: sequence/explode + element_at blending in the
+    projection — zero shuffles beyond presentation order; the double
+    arithmetic (left-to-right position mapping and blend) is
+    bit-identical across engines before the portable round."""
+    from ..operators.multimodal import waveform_resample
+
+    emb = _emb(spark, sf_dir)
+    out = waveform_resample(
+        emb, "vec_id", "embedding", src_len=64, dst_len=48
+    )
+    return out.select(
+        "vec_id",
+        "sample_idx",
+        portable_round(F.col("value"), 6).alias("value"),
+    ).orderBy("vec_id", "sample_idx")
+
+
+@_register(
+    "t16_bigram_logprob",
+    f"""
+    WITH ta AS (
+      SELECT doc_id, lang, {_WS_TOKS_SQL} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(w) AS token FROM ta),
+    uni AS (
+      SELECT token, count(*) AS c1 FROM toks GROUP BY token),
+    v AS (SELECT count(*) AS vocab FROM uni),
+    big AS (
+      SELECT doc_id, lang, w[i.i] AS w1, w[i.i + 1] AS w2
+      FROM ta, unnest(range(1, len(w))) i(i)
+      WHERE len(w) >= 2),
+    c2 AS (
+      SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2)
+    SELECT b.doc_id, b.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(-ln((c2.cnt + 1.0) / (u.c1 + vv.vocab)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_neg_logprob
+    FROM big b
+    JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    JOIN uni u ON b.w1 = u.token
+    CROSS JOIN v vv
+    GROUP BY b.doc_id, b.lang
+    ORDER BY b.doc_id
+    """,
+)
+def t16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-1 smoothing —
+    t11's next-order sibling (the CCNet/KenLM filter family): train
+    conditional probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) on the
+    corpus, score each doc by mean negative log-likelihood over its
+    bigrams.
+
+    Plan shape: one tokenized scan feeds unigram counts, bigram counts,
+    and the scorer (adjacent-token pairs via zipped slices — no
+    positional self-join).  The unigram model broadcasts like t11's;
+    the BIGRAM model is the scale watch-point — bigram types can exceed
+    broadcast size, and then the score join degrades gracefully to a
+    hash join co-partitioned on (w1, w2): still one corpus-scale
+    shuffle.  V is a 1-row dim."""
+    docs = _docs(spark, sf_dir)
+    text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    ta = docs.select("doc_id", "lang", tokenize_expr(text).alias("w"))
+    toks = ta.select(F.explode("w").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("vocab"))
+    n = F.size("w")
+    pairs = F.arrays_zip(
+        F.slice(F.col("w"), 1, n - 1).alias("w1"),
+        F.slice(F.col("w"), 2, n - 1).alias("w2"),
+    )
+    big = (
+        ta.filter(n >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("p"))
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    neg = -F.log((F.col("cnt") + 1.0) / (F.col("c1") + F.col("vocab")))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("token", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            portable_round(F.avg(neg), 6).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -182,3 +182,86 @@ def test_zscore_stream_twin_equals_batch_across_restart(spark, tmp_path):
     assert set(got) == set(batch)
     for eid, z in batch.items():
         assert math.isclose(got[eid], z, abs_tol=5e-6)
+
+
+def test_cdc_merge_clause_semantics_on_tiny_frame(spark):
+    from chessmate_spark.operators.merge import cdc_merge
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "update", "b2", 99.0),   # matched update
+            (3, "delete", None, None),   # matched delete
+            (5, "insert", "e", 50.0),    # unmatched insert
+            (1, "insert", "dup", -1.0),  # insert of existing key: no-op
+            (9, "update", "x", 0.0),     # update of missing key: ignored
+            (8, "delete", None, None),   # delete of missing key: ignored
+        ],
+        "k int, op string, name string, bal double",
+    )
+    got = {
+        r["k"]: (r["name"], r["bal"])
+        for r in cdc_merge(target, changes, "k").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 99.0),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }
+
+
+def test_waveform_resample_preserves_endpoints_and_matches_numpy(spark):
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 3)
+        .collect()
+    }
+    rows = (
+        _run("m6_waveform_resample", spark)
+        .filter(F.col("vec_id") < 3)
+        .collect()
+    )
+    assert len(rows) == 3 * 48
+    for vid, a in emb.items():
+        expect = np.interp(
+            np.arange(48) * 63.0 / 47.0, np.arange(64), a
+        )
+        got = sorted(
+            (r["sample_idx"], r["value"]) for r in rows if r["vec_id"] == vid
+        )
+        assert math.isclose(got[0][1], a[0], abs_tol=5e-7)
+        assert math.isclose(got[-1][1], a[63], abs_tol=5e-7)
+        for (i, v), e in zip(got, expect):
+            assert math.isclose(v, e, abs_tol=5e-6), (vid, i)
+
+
+def test_bigram_logprob_matches_python_recomputation(spark):
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        if r["text"]
+    }
+    uni, c2 = {}, {}
+    for toks in docs.values():
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    V = len(uni)
+    rows = _run("t16_bigram_logprob", spark).collect()
+    assert len(rows) == sum(1 for t in docs.values() if len(t) >= 2)
+    for r in rows[:50]:
+        toks = docs[r["doc_id"]]
+        scores = [
+            -math.log((c2[(a, b)] + 1.0) / (uni[a] + V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        assert r["n_bigrams"] == len(scores)
+        assert math.isclose(
+            r["avg_neg_logprob"], sum(scores) / len(scores), abs_tol=5e-6
+        )
