@@ -75,6 +75,14 @@ ENTRIES = [
     "a25_grouped_correlation",
     "a26_hopping_counts",
     "d11_pagerank_dupgraph",
+    "t14_boilerplate_ngrams",
+    "a27_zscore_outliers",
+    "t15_mixing_weights",
+    "v9_embedding_pool",
+    "d12_incremental_dedup",
+    "j13_cdc_merge",
+    "m6_waveform_resample",
+    "t16_bigram_logprob",
 ]
 
 
