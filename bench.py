@@ -167,6 +167,7 @@ HEADLINE = [
     "j13_cdc_merge",
     "m6_waveform_resample",
     "t16_bigram_logprob",
+    "t17_source_cap",
 ]
 
 

@@ -5872,6 +5872,47 @@ def m6_waveform_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t17_source_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+)
+def t17_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep exactly K docs per source, chosen
+    by a deterministic md5 shuffle order — the "no source dominates"
+    guard a curation pipeline applies after t15's mixing weights, and
+    reproducible across runs/engines because the order key is a hash,
+    never rand().
+
+    Plan shape: one hash exchange on source + in-partition sort for the
+    row_number, filter rk <= K — per-group top-k.  At 100 TB with a
+    pathological mega-source, the window sorts that group's full
+    partition; the production hardening is a hash-threshold PRE-filter
+    (keep rows with md5 below ~K/n_source quantile, a scan-side
+    predicate) before the exact window — same output, bounded sort
+    input.  K here is 10."""
+    docs = _docs(spark, sf_dir)
+    order_key = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "source", rk.cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("source", "rk")
+    )
+
+
+@_register(
     "t16_bigram_logprob",
     f"""
     WITH ta AS (

@@ -67,6 +67,13 @@ DEFAULT_QUERIES = [
     "a20_session_window_native",
     "a22_funnel",
     "a23_retention",
+    # round-5b: hot-key ngram agg, broadcast-stats filter, incremental
+    # dedup band join, merge apply, bigram scoring join
+    "t14_boilerplate_ngrams",
+    "a27_zscore_outliers",
+    "d12_incremental_dedup",
+    "j13_cdc_merge",
+    "t16_bigram_logprob",
 ]
 
 RATIO_LIMIT = 30.0  # 10x data; allow 3x dispersion for fixed overheads

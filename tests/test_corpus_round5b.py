@@ -265,3 +265,19 @@ def test_bigram_logprob_matches_python_recomputation(spark):
         assert math.isclose(
             r["avg_neg_logprob"], sum(scores) / len(scores), abs_tol=5e-6
         )
+
+
+def test_source_cap_exact_k_and_deterministic(spark):
+    rows1 = _run("t17_source_cap", spark).collect()
+    rows2 = _run("t17_source_cap", spark).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got = Counter(r["source"] for r in rows1)
+    for src, n in per_source.items():
+        assert got[src] == min(10, n)

@@ -83,6 +83,7 @@ ENTRIES = [
     "j13_cdc_merge",
     "m6_waveform_resample",
     "t16_bigram_logprob",
+    "t17_source_cap",
 ]
 
 
