@@ -35,6 +35,7 @@ def curate_corpus(
     out_dir: str,
     min_quality: float = 0.35,
     n_shards: int = 8,
+    source_cap: int | None = None,
 ) -> Dict[str, int]:
     """Run the curation DAG over ``{sf_dir}/documents.parquet`` and write
     training shards to ``out_dir``; returns the per-stage row counts
@@ -92,6 +93,24 @@ def curate_corpus(
         "doc_id",
     ).filter(F.col("quality") >= min_quality)
     report["quality_gated"] = gated.count()
+
+    # 5b. optional per-source cap (t17's no-source-dominates guard):
+    # deterministic md5 order, reproducible across runs — never rand()
+    if source_cap is not None:
+        from pyspark.sql import Window
+
+        order_key = F.md5(
+            F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+        )
+        gated = (
+            gated.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= source_cap)
+            .drop("_rk")
+        )
+        report["source_capped"] = gated.count()
 
     # 6. deterministic shuffle + shard-partitioned write
     write_shuffled_shards(

@@ -69,3 +69,18 @@ def test_curation_pipeline_stages_and_determinism(spark, tmp_path):
     report2 = curate_corpus(spark, SF_DIR, out2)
     assert report2 == report
     assert _content_hash(spark, out1) == _content_hash(spark, out2)
+
+
+def test_source_cap_stage_bounds_every_source(spark, tmp_path):
+    from chessmate_spark.pipeline import curate_corpus
+
+    out = str(tmp_path / "capped")
+    report = curate_corpus(
+        spark, "/root/testdata/sf0.001", out, source_cap=3
+    )
+    assert report["source_capped"] <= report["quality_gated"]
+    written = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    per_source = written.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= 3 for r in per_source)
