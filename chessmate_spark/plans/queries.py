@@ -5983,3 +5983,43 @@ def t16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "j14_bloom_prune_join",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000.0
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def j14_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join: identical answer to the plain equi-join (the
+    oracle IS the unfiltered SQL join), but the orders side tests each
+    o_custkey against a 128 Kbit Bloom filter of the ~10%-selective
+    customer dim BEFORE any exchange, so ~90% of fact rows never enter
+    the shuffle.  No false negatives by construction; the exact join
+    removes the false positives.  The 100 TB case this exists for: a dim
+    whose key set is too large to broadcast as rows but whose bitmap is
+    a few hundred KiB (operators/bloom.py module docstring).  Reference
+    parity: the payload-filter push V3 (SURVEY §2.8) when the filter set
+    outgrows a broadcast list."""
+    from ..operators.bloom import bloom_prune_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0)
+    joined = bloom_prune_join(
+        orders, dim, "o_custkey", "c_custkey", m_bits=1 << 17
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1,0 +1,114 @@
+"""Bloom-filter join pruning: exact-join identity, no false negatives,
+bounded bitmap, NULL-key semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chessmate_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_prune_join,
+)
+
+
+@pytest.fixture()
+def frames(spark):
+    fact = spark.createDataFrame(
+        [(i, f"k{i % 50}" if i % 7 else None, float(i)) for i in range(300)],
+        ["row_id", "k", "val"],
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"name{i}") for i in range(0, 50, 3)] + [(None, "null_dim")],
+        ["dk", "name"],
+    )
+    return fact, dim
+
+
+def _sorted_rows(df, cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+def test_inner_identity_vs_plain_join(spark, frames):
+    fact, dim = frames
+    plain = fact.join(dim, fact["k"] == dim["dk"], "inner")
+    pruned = bloom_prune_join(fact, dim, "k", "dk", m_bits=1 << 12)
+    cols = ["row_id", "k", "val", "dk", "name"]
+    assert _sorted_rows(pruned, cols) == _sorted_rows(plain, cols)
+
+
+def test_semi_identity_vs_plain_join(spark, frames):
+    fact, dim = frames
+    plain = fact.join(dim, fact["k"] == dim["dk"], "semi")
+    pruned = bloom_prune_join(fact, dim, "k", "dk", how="semi", m_bits=1 << 12)
+    cols = ["row_id", "k", "val"]
+    assert _sorted_rows(pruned, cols) == _sorted_rows(plain, cols)
+
+
+def test_no_false_negatives_even_with_tiny_filter(spark, frames):
+    # 64 bits for ~17 keys forces false positives; identity must still hold
+    # because the exact join removes them.
+    fact, dim = frames
+    plain = fact.join(dim, fact["k"] == dim["dk"], "inner")
+    pruned = bloom_prune_join(fact, dim, "k", "dk", m_bits=64, k=2)
+    cols = ["row_id", "k", "val", "dk", "name"]
+    assert _sorted_rows(pruned, cols) == _sorted_rows(plain, cols)
+
+
+def test_membership_has_no_false_negatives(spark, frames):
+    fact, dim = frames
+    bitmap = bloom_build(dim, "dk", m_bits=1 << 12)
+    dim_keys = {r["dk"] for r in dim.collect() if r["dk"] is not None}
+    flagged = fact.withColumn(
+        "hit", bloom_might_contain(F.col("k"), bitmap, 1 << 12)
+    )
+    for r in flagged.collect():
+        if r["k"] in dim_keys:
+            assert r["hit"] is True, f"false negative for {r['k']}"
+        if r["k"] is None:
+            assert r["hit"] is False
+
+
+def test_pruning_actually_drops_rows(spark, frames):
+    # With a well-sized filter, most of the 50 fact key groups (only 17 in
+    # the dim) should be shed before the join.
+    fact, dim = frames
+    bitmap = bloom_build(dim, "dk", m_bits=1 << 16)
+    kept = fact.where(
+        bloom_might_contain(F.col("k"), bitmap, 1 << 16)
+    ).count()
+    matching = fact.join(dim, fact["k"] == dim["dk"], "semi").count()
+    assert matching <= kept < fact.count()
+
+
+def test_build_skips_null_keys(spark):
+    dim = spark.createDataFrame([(None,), (None,)], "dk string")
+    bitmap = bloom_build(dim, "dk", m_bits=256)
+    assert bitmap == b"\x00" * 32
+
+
+def test_empty_dim_prunes_everything(spark, frames):
+    fact, dim = frames
+    out = bloom_prune_join(fact, dim.where(F.lit(False)), "k", "dk", m_bits=256)
+    assert out.count() == 0
+
+
+def test_rejects_outer_join(spark, frames):
+    fact, dim = frames
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom_prune_join(fact, dim, "k", "dk", how="left")
+
+
+def test_rejects_bad_params(spark, frames):
+    fact, dim = frames
+    with pytest.raises(ValueError, match="multiple of 8"):
+        bloom_build(dim, "dk", m_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(dim, "dk", m_bits=256, k=0)
+    bitmap = bloom_build(dim, "dk", m_bits=256)
+    with pytest.raises(ValueError, match="expected 512"):
+        bloom_might_contain(F.col("k"), bitmap, 512)
