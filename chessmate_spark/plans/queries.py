@@ -6023,3 +6023,71 @@ def j14_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@_register(
+    "s13_csv_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def s13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector proof: customer → CSV (RFC-4180 quoting, explicit
+    NULL token, schema-enforced FAILFAST read) → back, compared against
+    the ORIGINAL parquet by the oracle — the round trip must be
+    bit-lossless or the hash check fails.  The interchange pattern at
+    100 TB: upstream dumps arrive as CSV, the first job schema-reads
+    them (never inferSchema — that's a second full scan) and lands
+    parquet (ingest/formats.py).  Reference parity: text-edge ingest,
+    SURVEY §2.1 S1/S10."""
+    import re as _re
+
+    from ..ingest.formats import roundtrip_csv
+
+    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    cust = _t(spark, sf_dir, "customer")
+    back = roundtrip_csv(cust, f"/tmp/chessmate_formats/{token}/customer_csv")
+    return back.orderBy("c_custkey")
+
+
+@_register(
+    "s14_jsonl_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def s14_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines connector proof: orders (timestamps included) → JSONL
+    with microsecond timestamp format → schema-enforced read → back,
+    oracle-compared against the original parquet.  JSONL is the
+    document-interchange twin of s13 and the line format every
+    LLM-corpus pipeline emits; the timestamp column is the part that
+    silently truncates under default options (second-precision format),
+    which is exactly what the pinned micros format + this hash check
+    guard.  Reference parity: JSON document construction/extraction,
+    SURVEY §2.7 F16/F17."""
+    import re as _re
+
+    from ..ingest.formats import roundtrip_jsonl
+
+    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    orders = _t(spark, sf_dir, "orders")
+    back = roundtrip_jsonl(orders, f"/tmp/chessmate_formats/{token}/orders_jsonl")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate_str"
+        ),
+        "o_orderpriority",
+    ).orderBy("o_orderkey")
