@@ -6091,3 +6091,59 @@ def s14_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_orderpriority",
     ).orderBy("o_orderkey")
+
+
+def _register_x10():
+    # shares t8's oracle verbatim: the UDTF must reproduce the expression
+    # pipeline's chunks byte-for-byte
+    t8_oracle = QUERIES["t8_chunk_documents"][1]
+
+    @_register("x10_chunk_udtf", t8_oracle)
+    def x10_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Python UDTF surface (SURVEY §2.10): the t8 RAG chunker
+        re-expressed as a table function in a LATERAL join, sharing t8's
+        oracle so the two forms are pinned byte-identical (chunk md5s).
+        The reference has no UDTFs; this entry proves the engine's
+        extension point for operators that genuinely need one-row→N-rows
+        Python (a future tokenizer/parser Spark can't express).  Arrow-
+        optimized (useArrow), but still per-row Python — the docstringed
+        contract is that t8's expression form IS the production path and
+        this surface exists for semantics expressions can't reach."""
+        import re as _re2
+
+        from pyspark.sql.functions import udtf
+
+        @udtf(
+            returnType="doc_id bigint, chunk_no int, chunk_text string",
+            useArrow=True,
+        )
+        class ChunkWindows:
+            def eval(self, doc_id, text):
+                toks = (
+                    _re2.sub(r"[^a-z0-9]+", " ", (text or "").lower())
+                    .strip()
+                    .split()
+                )
+                if not toks:
+                    return
+                for start in range(0, max(len(toks) - 16, 1), 48):
+                    yield doc_id, start, " ".join(toks[start : start + 64])
+
+        spark.udtf.register("cm_chunk_windows", ChunkWindows)
+        token = _re2.sub(
+            r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        )
+        view = f"cm_x10_docs_{token}"
+        _docs(spark, sf_dir).createOrReplaceTempView(view)
+        return spark.sql(
+            f"""
+            SELECT c.doc_id, c.chunk_no,
+                   CAST(size(split(c.chunk_text, ' ')) AS INT) AS chunk_tokens,
+                   md5(c.chunk_text) AS chunk_md5
+            FROM {view} d, LATERAL cm_chunk_windows(d.doc_id, d.text) c
+            ORDER BY c.doc_id, c.chunk_no
+            """
+        )
+
+
+_register_x10()
