@@ -6147,3 +6147,98 @@ def _register_x10():
 
 
 _register_x10()
+
+
+def _register_j15():
+    # shares j9's oracle verbatim: the two-stream run must produce the
+    # batch interval join's exact rows
+    j9_oracle = QUERIES["j9_interval_join"][1]
+
+    @_register("j15_stream_interval_join", j9_oracle)
+    def j15_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-stream interval join as a REAL Structured Streaming run
+        (not the batch twin): events land as parquet, two readStream
+        sides (clicks, purchases) with watermarks join on user_id within
+        [click_ts, click_ts + 30 min), availableNow drains to a parquet
+        sink, and the sink must equal j9's batch answer row-for-row —
+        same oracle.  The watermark here is sized to the fixture's full
+        time span so no row is late-dropped (the oracle is the complete
+        join); production picks the real lateness SLA and the state
+        store holds only watermark+interval of history per side —
+        the bounded-state contract tests/test_stream_join.py pins on
+        synthetic late rows."""
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="cm_j15_")
+        # watermarks require TIMESTAMP (not NTZ, which is how parquet
+        # timestamp[us] arrives): pin the session tz to UTC — the one tz
+        # with no DST gaps, so NTZ→TZ→NTZ is bijective — cast in, run the
+        # stream, cast back, restore the conf (the _events pattern)
+        tz_key = "spark.sql.session.timeZone"
+        prior_tz = spark.conf.get(tz_key)
+        spark.conf.set(tz_key, "UTC")
+        try:
+            src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+            ev = _events(spark, sf_dir)
+            ts_type = dict(ev.dtypes)["ts"]
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            # one file → one micro-batch: with multiple batches the
+            # fixture's unordered arrival could interact with the
+            # watermark; the single-batch drain keeps the run equal to
+            # the batch join by construction while still exercising the
+            # streaming operator + state store
+            ev.coalesce(1).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            clicks = (
+                stream.filter(F.col("event_type") == "click")
+                .select(
+                    F.col("event_id").alias("click_id"),
+                    "user_id",
+                    F.col("ts").alias("click_ts"),
+                )
+                .withWatermark("click_ts", "90 days")
+            )
+            purchases = (
+                stream.filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user_id"),
+                    F.col("ts").alias("purchase_ts"),
+                )
+                .withWatermark("purchase_ts", "90 days")
+            )
+            joined = clicks.join(
+                purchases,
+                F.expr(
+                    "user_id = p_user_id"
+                    " AND purchase_ts >= click_ts"
+                    " AND purchase_ts < click_ts + INTERVAL 30 MINUTES"
+                ),
+            ).select(
+                "click_id", "purchase_id", "user_id", "click_ts",
+                "purchase_ts",
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = (
+                spark.read.parquet(sink)
+                .withColumn("click_ts", F.col("click_ts").cast(ts_type))
+                .withColumn("purchase_ts", F.col("purchase_ts").cast(ts_type))
+                .orderBy("click_id", "purchase_id")
+            )
+            out = out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set(tz_key, prior_tz)
+            shutil.rmtree(base, ignore_errors=True)
+        return out
+
+
+_register_j15()
