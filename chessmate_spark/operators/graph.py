@@ -195,8 +195,15 @@ def pagerank(
     both = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    edges = both.distinct().localCheckpoint(eager=False)
+    # loop-invariant work hoisted out of the rounds: degree is joined onto
+    # the edge list ONCE, and the result is hash-partitioned by u so the
+    # per-round join against ranks reuses the partitioning (only the
+    # ranks side shuffles each round, not the edge list)
+    edges = both.distinct()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = (
+        edges.join(deg, "u").repartition("u").localCheckpoint(eager=False)
+    )
     nodes = deg.select(F.col("u").alias("node"))
     n = nodes.count()
     if n == 0:
@@ -204,21 +211,21 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        contrib = (
-            ranks.join(edges, ranks["node"] == edges["u"])
-            .join(deg, "u")
-            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
-        )
+        # symmetric edges mean every node (all have deg >= 1) also has an
+        # in-edge, so the contribution aggregate covers every node — no
+        # left join back onto the node list is needed (a directed
+        # generalization would need it to keep zero-in-degree nodes)
         ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.join(contrib_edges, ranks["node"] == contrib_edges["u"])
             .select(
-                "node",
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(base) + F.lit(damping) * F.sum("c")
+                ).alias("rank")
             )
             .localCheckpoint(eager=False)
         )

@@ -97,3 +97,37 @@ def test_self_loop_singleton_is_canonical_cluster_of_one(spark):
     rows = {r["doc_id"]: r for r in dup_clusters(df).collect()}
     assert rows[5]["cluster_size"] == 1 and rows[5]["is_canonical"]
     assert rows[1]["cluster_size"] == 2
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Pin the distributed PageRank against a dense numpy reference on a
+    small undirected graph (triangle + tail + separate pair)."""
+    import numpy as np
+
+    from chessmate_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (adj.T @ (r / deg))
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+    # triangle hub (node 3, degree 3) outranks everything
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_empty_edges(spark):
+    from chessmate_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(df).count() == 0
