@@ -481,3 +481,66 @@ def incremental_minhash_dedup(
     shingled.unpersist()
     banded.unpersist()
     return out
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means-cluster the
+    embedding space, compare only within clusters (Abbas et al. 2023,
+    "SemDeDup" — public literature; clustering bounds the quadratic
+    verify to cluster populations instead of the corpus).
+
+    Same candidate→verify discipline as the LSH variant
+    (embedding_neardup_lsh): centroids train on a driver-side sample
+    (similarity.train_ivf_centroids — one pruned scan, no shuffle),
+    every vector lands in its ``n_probe`` nearest cells via one Arrow
+    matmul, candidates are (cell-equi-join, id_a < id_b) carrying IDS
+    ONLY, and exact cosine verifies after pair dedup.  n_probe ≥ 2
+    catches pairs straddling a cell boundary — recall < 1 remains
+    possible by construction and is asserted against the exact pairs at
+    test scale.  At 100 TB: cells ≈ sqrt(N) keeps cell population
+    sublinear; the corpus shuffles id+cell pairs, never vectors.
+    """
+    from ..functions.scoring import portable_round
+    from ..functions.vector_pandas import nearest_cells_udf, pandas_cosine
+    from .similarity import train_ivf_centroids
+
+    centroids = train_ivf_centroids(
+        df, id_col, vec_col, nlist=n_clusters, seed=seed
+    )
+    cells = nearest_cells_udf(centroids, n_probe)
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(cells(F.col(vec_col))).alias("_cell"),
+    )
+    right = tagged.select(F.col("_cell"), F.col("_id").alias("_idb"))
+    pairs = (
+        tagged.join(right, "_cell")
+        .filter(F.col("_id") < F.col("_idb"))
+        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    with_vecs = pairs.join(
+        vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb")),
+        "id_b",
+    )
+    scored = with_vecs.select(
+        "id_a",
+        "id_b",
+        portable_round(
+            pandas_cosine(F.col("_va"), F.col("_vb")), round_digits
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= F.lit(threshold))

@@ -194,11 +194,26 @@ def train_ivf_centroids(
     sampled = corpus.filter(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod)) == 0
     )
-    pdf = sampled.select(vec_col).limit(sample_size).toPandas()
+    # orderBy+limit compiles to TakeOrderedAndProject over the ~2x-sample
+    # survivors — cheap, and it makes the sample SET deterministic (a bare
+    # limit() keeps whichever partitions answer first, so two runs could
+    # train different centroids and the bucketed dedup/ANN entries built
+    # on them would flap)
+    pdf = (
+        sampled.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .toPandas()
+    )
     if len(pdf) == 0:
         # tiny/skewed corpora can leave the hash-mod filter with zero
-        # survivors; fall back to an unfiltered limit — still one scan
-        pdf = corpus.select(vec_col).limit(sample_size).toPandas()
+        # survivors; fall back to an unfiltered top-k — still one scan
+        pdf = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .toPandas()
+        )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()

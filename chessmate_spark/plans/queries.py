@@ -6247,3 +6247,31 @@ def _register_j15():
 
 
 _register_j15()
+
+
+@_register("d13_semantic_dedup", _neardup_oracle())
+def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (k-means cells + within-
+    cell exact cosine): third member of the embedding-dedup family —
+    d6 is the exact all-pairs ORACLE baseline, d7 buckets by random
+    hyperplanes, d13 buckets by LEARNED k-means cells (SemDeDup, Abbas
+    et al. 2023), which at production scale concentrates semantic
+    neighbors far better than random planes (fewer cells probed for the
+    same recall).  Shares d6's exact oracle: at this scale the 2-probe
+    cell assignment must recover every true pair; recall < 1 is
+    possible by construction and the scale smoke measures it."""
+    from ..operators.dedup import semantic_neardup_pairs
+
+    emb = _emb(spark, sf_dir)
+    # n_probe=4 of 8 cells: the synthetic fixture's embeddings are
+    # near-uniform (no semantic cluster structure for k-means to find),
+    # the worst case for cell-bucketed recall — real text embeddings
+    # cluster tightly and probe 1-2 cells (the scale smoke records the
+    # recall/probe curve on the 10x corpus)
+    out = semantic_neardup_pairs(
+        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD,
+        n_clusters=8, n_probe=4,
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("score")
+    ).orderBy("id_a", "id_b")

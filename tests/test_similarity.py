@@ -165,3 +165,34 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
         )
 
     assert run(trained) == run(loaded)
+
+
+def test_semantic_neardup_subset_and_deterministic(spark, emb):
+    from chessmate_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semantic_neardup_pairs,
+    )
+
+    thr = 0.35
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", thr
+        ).collect()
+    }
+    sem = semantic_neardup_pairs(
+        emb, "vec_id", "embedding", thr, n_clusters=8, n_probe=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in sem.collect()}
+    # verify step admits no false positives; cell bucketing bounds recall
+    assert got <= exact
+    recall = len(got & exact) / max(1, len(exact))
+    assert recall >= 0.8, f"semantic near-dup recall too low: {recall}"
+    # deterministic training (sorted sample) => identical reruns
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_neardup_pairs(
+            emb, "vec_id", "embedding", thr, n_clusters=8, n_probe=4
+        ).collect()
+    }
+    assert got == again
