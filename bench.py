@@ -171,6 +171,8 @@ HEADLINE = [
     "j14_bloom_prune_join",
     "s13_csv_roundtrip",
     "s14_jsonl_roundtrip",
+    "d13_semantic_dedup",
+    "a28_group_regression",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -6275,3 +6275,47 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a"), F.col("id_b"), F.col("score")
     ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "a28_group_regression",
+    """
+    SELECT l_returnflag,
+           floor(regr_slope(l_extendedprice, l_quantity) * 1000000 + 0.5)
+             / 1000000 AS slope,
+           floor(regr_intercept(l_extendedprice, l_quantity) * 1000000 + 0.5)
+             / 1000000 AS intercept,
+           floor(regr_r2(l_extendedprice, l_quantity) * 1000000 + 0.5)
+             / 1000000 AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a28_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares regression (price on quantity per return
+    flag) through the NATIVE regr_* aggregate family — closed-form OLS
+    from running sums, so it is one partial+final aggregation pass like
+    a25's corr: no second scan, no window, bounded state per group.
+    Completes the statistical-aggregate coverage next to corr (a25),
+    percentiles (a11/a21), and stddev-based z-scores (a27)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            portable_round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 6
+            ).alias("slope"),
+            portable_round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 6
+            ).alias("intercept"),
+            portable_round(
+                F.regr_r2("l_extendedprice", "l_quantity"), 6
+            ).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity")
+            .cast("bigint")
+            .alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
