@@ -513,6 +513,13 @@ def semantic_neardup_pairs(
     from ..functions.vector_pandas import nearest_cells_udf, pandas_cosine
     from .similarity import train_ivf_centroids
 
+    if df.isEmpty():
+        # nothing to train centroids on; emit the empty pair frame with
+        # the contract schema instead of letting np.stack([]) blow up
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, score double"
+        )
     centroids = train_ivf_centroids(
         df, id_col, vec_col, nlist=n_clusters, seed=seed
     )

@@ -6233,6 +6233,17 @@ def _register_j15():
                 .start()
             )
             q.awaitTermination()
+            import glob as _glob
+
+            if not _glob.glob(f"{sink}/*.parquet"):
+                # zero matches (e.g. empty input): the sink dir has no data
+                # files and a parquet read would raise; emit the contract
+                # schema empty
+                ddl = (
+                    "click_id bigint, purchase_id bigint, user_id bigint,"
+                    f" click_ts {ts_type}, purchase_ts {ts_type}"
+                )
+                return spark.createDataFrame([], ddl)
             out = (
                 spark.read.parquet(sink)
                 .withColumn("click_ts", F.col("click_ts").cast(ts_type))

@@ -74,6 +74,12 @@ DEFAULT_QUERIES = [
     "d12_incremental_dedup",
     "j13_cdc_merge",
     "t16_bigram_logprob",
+    # round-5 continuation: bloom pre-filter + join, format round trips,
+    # co-moment aggregate
+    "j14_bloom_prune_join",
+    "s13_csv_roundtrip",
+    "s14_jsonl_roundtrip",
+    "a28_group_regression",
 ]
 
 RATIO_LIMIT = 30.0  # 10x data; allow 3x dispersion for fixed overheads
@@ -209,6 +215,58 @@ def measure_ann_recall(spark) -> dict:
     return out
 
 
+SEMDEDUP_SAMPLE_MOD = 4  # deterministic 1/4 sample of the 10x corpus
+SEMDEDUP_THRESHOLD = 0.35
+# (n_clusters, n_probe) operating points; floors document the dial on
+# near-uniform synthetic vectors (real text embeddings cluster and probe
+# a far smaller cell fraction for the same recall) — the d13 entry's own
+# oracle proves FULL recall at its fixture operating point
+SEMDEDUP_SETTINGS = [(16, 8, 0.9), (32, 8, 0.6), (71, 8, 0.0)]
+
+
+def measure_semdedup_recall(spark) -> dict:
+    """Recall of k-means-cell semantic dedup (d13's operator) vs the
+    EXACT threshold pair set, on a deterministic quarter-sample of the
+    10x corpus (~5k vectors -> ~12M exact pairs, tractable baseline).
+    Records the n_clusters dial: more cells = cheaper candidates, lower
+    recall on clusterless synthetic vectors."""
+    from chessmate_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semantic_neardup_pairs,
+    )
+
+    emb = (
+        spark.read.parquet(f"{DST}/embeddings.parquet")
+        .filter(F.col("vec_id") % SEMDEDUP_SAMPLE_MOD == 0)
+        .cache()
+    )
+    n = emb.count()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", SEMDEDUP_THRESHOLD,
+            max_side_rows=100_000,
+        ).collect()
+    }
+    out = {"sample_rows": n, "exact_pairs": len(exact)}
+    for n_clusters, n_probe, _floor in SEMDEDUP_SETTINGS:
+        t0 = time.perf_counter()
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_neardup_pairs(
+                emb, "vec_id", "embedding", SEMDEDUP_THRESHOLD,
+                n_clusters=n_clusters, n_probe=n_probe,
+            ).collect()
+        }
+        assert got <= exact or not exact, "verify admitted a false positive"
+        out[f"kmeans_c{n_clusters}_p{n_probe}"] = {
+            "recall": round(len(got & exact) / max(len(exact), 1), 4),
+            "secs": round(time.perf_counter() - t0, 2),
+        }
+    emb.unpersist()
+    return out
+
+
 def main() -> int:
     recall_only = sys.argv[1:] == ["--recall-only"]
     names = [] if recall_only else (sys.argv[1:] or DEFAULT_QUERIES)
@@ -266,6 +324,18 @@ def main() -> int:
               f"floor={floor} [{gated}] ({v['secs']}s)", flush=True)
         if v["recall"] < floor:
             failures.append(f"ann:{setting}")
+
+    print("measuring semantic-dedup recall at 10x ...", flush=True)
+    sem = measure_semdedup_recall(spark)
+    record["semdedup_recall"] = sem
+    for setting, v in sem.items():
+        if not isinstance(v, dict):
+            continue
+        floor = {f"kmeans_c{c}_p{p}": fl for c, p, fl in SEMDEDUP_SETTINGS}[setting]
+        print(f"  {setting:24s} recall={v['recall']:.3f} floor={floor} "
+              f"({v['secs']}s)", flush=True)
+        if v["recall"] < floor:
+            failures.append(f"semdedup:{setting}")
 
     record["ok"] = not failures
     record["failures"] = failures

@@ -84,6 +84,13 @@ ENTRIES = [
     "m6_waveform_resample",
     "t16_bigram_logprob",
     "t17_source_cap",
+    "j14_bloom_prune_join",
+    "s13_csv_roundtrip",
+    "s14_jsonl_roundtrip",
+    "x10_chunk_udtf",
+    "j15_stream_interval_join",
+    "d13_semantic_dedup",
+    "a28_group_regression",
 ]
 
 
