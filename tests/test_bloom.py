@@ -112,3 +112,53 @@ def test_rejects_bad_params(spark, frames):
     bitmap = bloom_build(dim, "dk", m_bits=256)
     with pytest.raises(ValueError, match="expected 512"):
         bloom_might_contain(F.col("k"), bitmap, 512)
+
+
+def test_positions_properties():
+    """Pure hash-math properties (no Spark): range, determinism, and the
+    odd-h2 guarantee that k probes hit k distinct residues for prime m."""
+    import numpy as np
+
+    from chessmate_spark.operators.bloom import _positions
+
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=1, max_size=20,
+        ),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.sampled_from([64, 256, 1 << 12, 1 << 20]),
+        st.integers(min_value=1, max_value=8),
+    )
+    def check(h1s, h2, m, k):
+        h1 = np.array(h1s, dtype=np.int64)
+        h2a = np.full(len(h1s), h2, dtype=np.int64)
+        pos = _positions(h1, h2a, m, k)
+        assert pos.shape == (len(h1s), k)
+        assert (pos >= 0).all() and (pos < m).all()
+        again = _positions(h1, h2a, m, k)
+        assert (pos == again).all()
+
+    check()
+
+
+def test_positions_distinct_for_power_of_two_m():
+    """h2 forced odd => gcd(h2, 2^j) = 1 => the k stepped positions are
+    pairwise distinct whenever k <= m."""
+    import numpy as np
+
+    from chessmate_spark.operators.bloom import _positions
+
+    rng = np.random.RandomState(7)
+    h1 = rng.randint(-(2**62), 2**62, size=50).astype(np.int64)
+    h2 = rng.randint(-(2**62), 2**62, size=50).astype(np.int64)
+    pos = _positions(h1, h2, 64, 8)
+    for row in pos:
+        assert len(set(row.tolist())) == 8
