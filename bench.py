@@ -173,6 +173,8 @@ HEADLINE = [
     "s14_jsonl_roundtrip",
     "d13_semantic_dedup",
     "a28_group_regression",
+    "s15_orc_roundtrip",
+    "m7_entropy_arrow",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

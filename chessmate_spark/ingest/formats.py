@@ -91,3 +91,13 @@ def roundtrip_jsonl(df: DataFrame, path: str) -> DataFrame:
     schema — the connector-correctness primitive behind s14."""
     write_jsonl(df, path)
     return read_jsonl(df.sparkSession, path, df.schema)
+
+
+def roundtrip_orc(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` as ORC and read it back under the same schema — the
+    columnar-sibling connector proof behind s15.  ORC is splittable with
+    footer statistics and predicate pushdown (a lake format in its own
+    right); no option pinning is needed because the format carries types
+    natively."""
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.schema(df.schema).orc(path)

@@ -28,6 +28,7 @@ import hashlib
 import math
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -275,26 +276,59 @@ def byte_entropy(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
         for pdf in iterator:
             out = []
             for media_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                if blob is None or len(blob) == 0:
-                    out.append({"media_id": int(media_id), "entropy": 0.0})
-                    continue
-                data = bytes(blob)
-                counts = [0] * 256
-                for b in data:
-                    counts[b] += 1
-                n = len(data)
-                ent = -sum(
-                    (c / n) * math.log2(c / n) for c in counts if c
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "entropy": _blob_entropy(blob),
+                    }
                 )
-                # floor-form rounding (portable_round): identical on the
-                # DuckDB oracle side, unlike Python's round-half-even
-                out.append({
-                    "media_id": int(media_id),
-                    "entropy": math.floor(ent * 1e6 + 0.5) / 1e6,
-                })
             yield pd.DataFrame(out, columns=["media_id", "entropy"])
 
     return df.select(id_col, blob_col).mapInPandas(batches, "media_id long, entropy double")
+
+
+def _blob_entropy(blob) -> float:
+    """Shannon entropy of one blob: np.bincount over the byte view (no
+    per-byte Python loop), floor-form rounding (portable_round semantics
+    — identical on the DuckDB oracle side, unlike round-half-even)."""
+    if blob is None or len(blob) == 0:
+        return 0.0
+    counts = np.bincount(np.frombuffer(bytes(blob), dtype=np.uint8), minlength=1)
+    counts = counts[counts > 0]
+    p = counts / counts.sum()
+    ent = float(-(p * np.log2(p)).sum())
+    return math.floor(ent * 1e6 + 0.5) / 1e6
+
+
+def byte_entropy_arrow(
+    df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInArrow twin of ``byte_entropy``: consumes pyarrow
+    RecordBatches directly — no Arrow→pandas materialization of the blob
+    column, which matters when blobs are MBs (the pandas conversion
+    copies every blob into a Python object per row; the Arrow buffer
+    view does not).  Output is bit-identical to the pandas form (same
+    numpy histogram + floor rounding), pinned by the shared m3 oracle."""
+    import pyarrow as pa
+
+    def batches(iterator):
+        for batch in iterator:
+            ids = batch.column(0)
+            blobs = batch.column(1)
+            ents = [
+                _blob_entropy(
+                    None if blobs[i].as_py() is None else blobs[i].as_buffer()
+                )
+                for i in range(batch.num_rows)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), pa.array(ents, pa.float64())],
+                ["media_id", "entropy"],
+            )
+
+    return df.select(id_col, blob_col).mapInArrow(
+        batches, "media_id long, entropy double"
+    )
 
 
 def frame_sample(df: DataFrame, every_n: int, id_col: str = "media_id") -> DataFrame:

@@ -6330,3 +6330,61 @@ def a28_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def _register_m7():
+    m3_oracle = QUERIES["m3_byte_entropy"][1]
+
+    @_register("m7_entropy_arrow", m3_oracle)
+    def m7_entropy_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """mapInArrow extension surface: m3's byte-entropy triage
+        consuming pyarrow RecordBatches directly (no Arrow→pandas blob
+        copy — the conversion that dominates when blobs are MBs), pinned
+        bit-identical to the pandas form via m3's shared oracle.
+        Completes the Python-boundary inventory: pandas_udf (cosine),
+        mapInPandas (decode/replay), applyInPandasWithState (sessions),
+        UDTF (x10), and now raw-Arrow."""
+        from ..operators.multimodal import attach_fake_media, byte_entropy_arrow
+
+        media = attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
+        return byte_entropy_arrow(media).orderBy("media_id")
+
+
+_register_m7()
+
+
+@_register(
+    "s15_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def s15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector proof (s13/s14's columnar sibling — Spark ships the
+    ORC reader/writer natively): orders → ORC → schema-enforced read →
+    oracle-compared against the original parquet.  Unlike the text
+    formats, ORC is columnar+splittable with predicate pushdown, so it is
+    a first-class LAKE format, not just an edge format; this entry pins
+    that the engine round-trips it losslessly (timestamps included)."""
+    import re as _re
+
+    from ..ingest.formats import roundtrip_orc
+
+    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    orders = _t(spark, sf_dir, "orders")
+    back = roundtrip_orc(orders, f"/tmp/chessmate_formats/{token}/orders_orc")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate_str"
+        ),
+        "o_orderpriority",
+    ).orderBy("o_orderkey")

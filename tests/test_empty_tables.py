@@ -91,6 +91,8 @@ ENTRIES = [
     "j15_stream_interval_join",
     "d13_semantic_dedup",
     "a28_group_regression",
+    "s15_orc_roundtrip",
+    "m7_entropy_arrow",
 ]
 
 

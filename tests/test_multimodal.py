@@ -216,3 +216,25 @@ def test_decode_pil_body_is_vectorized_and_correct():
     assert abs(out["mean_r"] - (5 * 255 / 6) / 255.0) < 1e-12
     assert abs(out["mean_g"] - (255 / 6) / 255.0) < 1e-12
     assert out["mean_b"] == 0.0
+
+
+def test_byte_entropy_arrow_matches_pandas(spark):
+    from chessmate_spark.operators.multimodal import (
+        byte_entropy,
+        byte_entropy_arrow,
+    )
+
+    rows = [
+        (1, bytes(range(256)) * 3),       # uniform bytes -> entropy 8.0
+        (2, b"aaaa"),                     # single symbol -> 0.0
+        (3, b""),                         # empty -> 0.0
+        (4, None),                        # null -> 0.0
+        (5, b"abab" * 100),               # two symbols -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    a = sorted(map(tuple, byte_entropy(df).collect()))
+    b = sorted(map(tuple, byte_entropy_arrow(df).collect()))
+    assert a == b
+    vals = dict(a)
+    assert vals[1] == 8.0 and vals[2] == 0.0 and vals[3] == 0.0
+    assert vals[4] == 0.0 and vals[5] == 1.0
