@@ -80,3 +80,28 @@ def partition_filters(df: DataFrame) -> str:
         if "PartitionFilters" in line:
             return line.strip()
     return ""
+
+
+def overwrite_one_partition(
+    df_new: DataFrame, path: str, partition_cols: List[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df_new``, leaving every other directory untouched — the
+    INSERT OVERWRITE PARTITION semantics a daily backfill needs (static
+    overwrite mode would truncate the WHOLE table first, the classic
+    lost-history accident).  Conf is set for the write and restored:
+    partitionOverwriteMode is session-global in Spark and leaving it
+    flipped would silently change other writers' semantics."""
+    spark = df_new.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df_new.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            path
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
