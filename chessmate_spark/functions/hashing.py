@@ -80,14 +80,37 @@ def minhash_expr(shingles: Column, num_hashes: int) -> Column:
     evaluate interpreted (outside whole-stage codegen): the md5 op count is
     what dominates, so it is minimized.
     """
+    # SINGLE aggregate pass with an array<bigint> running-minimum
+    # accumulator.  Measured A/B at sf0.1: equal to the per-hash
+    # array_min form — Catalyst's subexpression elimination DOES share
+    # the md5 transform across those siblings (unlike v5's sibling
+    # F.aggregate case, where the miss cost dim× hash passes).  The fold
+    # form is kept because it guarantees the one-md5-per-shingle
+    # contract structurally instead of leaning on CSE, which silently
+    # stops firing if the sibling trees ever diverge.  min regroups
+    # exactly, so signatures are bit-identical.
     hashed = F.transform(shingles, minhash_base_expr)
-    sig = [
-        F.array_min(
-            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
-        )
-        for a, b in minhash_constants(num_hashes)
-    ]
-    return F.array(*sig)
+    consts = minhash_constants(num_hashes)
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("bigint") for _ in consts])
+    folded = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(
+                    F.element_at(acc, i + 1),
+                    (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME,
+                )
+                for i, (a, b) in enumerate(consts)
+            ]
+        ),
+    )
+    # empty shingle arrays keep the legacy all-NULL signature (array_min
+    # of an empty array) rather than leaking the sentinel
+    nulls = F.array(*[F.lit(None).cast("bigint") for _ in consts])
+    return F.when(
+        shingles.isNull() | (F.size(shingles) <= 0), nulls
+    ).otherwise(folded)
 
 
 def band_keys_expr(signature: Column, bands: int, rows: int) -> Column:
