@@ -51,3 +51,33 @@ def test_cohort_cutoffs_plan_has_no_row_level_global_sort(spark):
         above = lines[max(0, i - 2) : i]
         assert any("Aggregate" in a for a in above), plan
     assert not re.search(r"Sort .*c_acctbal", plan), plan
+
+
+def test_bloom_prune_plan_filters_before_exchange(spark):
+    """j14's contract: the bloom membership filter runs on the fact SCAN
+    side, below any exchange — the probe must shed rows before the join
+    shuffle, or the operator is pointless at scale."""
+    df = QUERIES["j14_bloom_prune_join"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # the Arrow-batched probe appears as an eval-python node; everything
+    # from it down to the orders scan must contain no Exchange
+    probe_idx = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    assert probe_idx, plan
+    scan_idx = [
+        i for i, l in enumerate(lines)
+        if "Scan parquet" in l and "orders" in l
+    ]
+    assert scan_idx, plan
+    between = lines[probe_idx[0]: scan_idx[-1] + 1]
+    assert not any("Exchange" in l for l in between), plan
+
+
+def test_semantic_dedup_plan_never_shuffles_vectors(spark):
+    """d13's candidate stage moves (cell, id) pairs only: no Exchange in
+    the plan may carry the embedding column."""
+    df = QUERIES["d13_semantic_dedup"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "embedding" not in line, line
