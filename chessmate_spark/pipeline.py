@@ -7,7 +7,7 @@ Run it:
     python -m chessmate_spark.pipeline [sf_dir] [out_dir]
 
 Each stage is the already-oracle-checked operator (entries d1, d2/d8/d10,
-t2, t7, t9 — see SURVEY §2 addendum); the pipeline contributes the
+d13 for the optional semantic stage, t2, t7, t9 — see SURVEY §2 addendum); the pipeline contributes the
 COMPOSITION: stages share one SparkSession, intermediate frames stay
 distributed (the only driver-side values are the per-stage counts in the
 report), and the final write is the shard-partitioned layout
@@ -36,6 +36,8 @@ def curate_corpus(
     min_quality: float = 0.35,
     n_shards: int = 8,
     source_cap: int | None = None,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.35,
 ) -> Dict[str, int]:
     """Run the curation DAG over ``{sf_dir}/documents.parquet`` and write
     training shards to ``out_dir``; returns the per-stage row counts
@@ -72,6 +74,38 @@ def curate_corpus(
     )
     near_kept = exact_kept.join(F.broadcast(near_drop), "doc_id", "left_anti")
     report["near_deduped"] = near_kept.count()
+
+    # 3b. optional semantic dedup (SemDeDup, d13's operator): embedding
+    # near-dups that share no text shingles still collapse here.  The
+    # embeddings table keys by vec_id == doc_id; only vectors for
+    # still-kept docs enter, and the drop-list is ids-only like every
+    # other dedup stage.
+    if semantic_dedup:
+        from .operators.dedup import semantic_neardup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb_kept = emb.join(
+            near_kept.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        sem_pairs = semantic_neardup_pairs(
+            emb_kept, "vec_id", "embedding", semantic_threshold,
+            n_clusters=8, n_probe=4,
+        )
+        sem_drop = (
+            dup_clusters(
+                sem_pairs.select(
+                    F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+                )
+            )
+            .filter(~F.col("is_canonical"))
+            .select("doc_id")
+        )
+        near_kept = near_kept.join(
+            F.broadcast(sem_drop), "doc_id", "left_anti"
+        )
+        report["semantic_deduped"] = near_kept.count()
 
     # 4. PII scrub (audit counts dropped here; t7's entry pins the bytes)
     scrubbed = near_kept.join(

@@ -84,3 +84,23 @@ def test_source_cap_stage_bounds_every_source(spark, tmp_path):
 
     per_source = written.groupBy("source").count().collect()
     assert per_source and all(r["count"] <= 3 for r in per_source)
+
+
+def test_semantic_dedup_stage_drops_embedding_neardups(spark, tmp_path):
+    from chessmate_spark.pipeline import curate_corpus
+
+    out_a = str(tmp_path / "with_sem")
+    rep = curate_corpus(
+        spark, "/root/testdata/sf0.001", out_a, semantic_dedup=True
+    )
+    # stage is between near-dedup and the quality gate and only drops
+    assert rep["semantic_deduped"] <= rep["near_deduped"]
+    assert rep["written"] <= rep["semantic_deduped"]
+    # it must actually fire on this fixture (embeddings contain near-dups)
+    assert rep["semantic_deduped"] < rep["near_deduped"]
+    # deterministic across runs
+    out_b = str(tmp_path / "with_sem2")
+    rep2 = curate_corpus(
+        spark, "/root/testdata/sf0.001", out_b, semantic_dedup=True
+    )
+    assert rep == rep2
