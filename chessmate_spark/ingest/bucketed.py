@@ -39,6 +39,29 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def ensure_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: List[str],
+    n_buckets: int,
+    sort_cols: Optional[List[str]] = None,
+    path: Optional[str] = None,
+) -> None:
+    """``write_bucketed`` once; later calls with the same table name are
+    no-ops.  This IS the bucketing contract — the shuffle is paid at
+    INGEST, not per query — so consumers (q18_bucketed_twin, repeated
+    bench runs) must not re-pay the write.  Callers own naming: the
+    table name must encode everything the data depends on (the entries
+    embed the sf-dir token), because an existing table is trusted as-is.
+    """
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        return
+    write_bucketed(
+        df, table, bucket_cols, n_buckets, sort_cols=sort_cols, path=path
+    )
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 

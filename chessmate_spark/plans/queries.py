@@ -2270,18 +2270,20 @@ def q18_bucketed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
 
     from ..ingest.bucketed import (
+        ensure_bucketed,
         read_table,
         shuffle_exchange_count,
-        write_bucketed,
     )
 
     token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     li_table, ord_table = f"cm_q18_li_{token}", f"cm_q18_ord_{token}"
-    write_bucketed(
+    # pay the bucketed write once per session+sf (the ingest-time
+    # contract); repeat runs read the standing tables
+    ensure_bucketed(
         _t(spark, sf_dir, "lineitem"), li_table, ["l_orderkey"], 8,
         path=f"/tmp/chessmate_bucketed/{li_table}",
     )
-    write_bucketed(
+    ensure_bucketed(
         _t(spark, sf_dir, "orders"), ord_table, ["o_orderkey"], 8,
         path=f"/tmp/chessmate_bucketed/{ord_table}",
     )
