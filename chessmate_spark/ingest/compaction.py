@@ -62,6 +62,10 @@ def compact(
     path.
     """
     files = data_files(src_path)
+    if not files:
+        # an empty partition directory is a legitimate state for a
+        # maintenance job to meet: nothing to compact, nothing written
+        return 0
     total = sum(sz for _p, sz in files)
     n = plan_file_count(total, target_file_bytes)
     df: DataFrame = spark.read.parquet(src_path)

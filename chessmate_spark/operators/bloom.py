@@ -105,8 +105,13 @@ def bloom_build(dim: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5)
                 acc |= np.frombuffer(raw, dtype=np.uint8)
         yield pd.DataFrame({"bits": [acc.tobytes()]})
 
+    # repartition(1), NOT coalesce(1): coalesce is a narrow dependency,
+    # which would fuse the whole build (scan + hash + set_bits) into ONE
+    # task and run it sequentially.  repartition shuffles only the tiny
+    # per-partition bitmaps (m/8 bytes each) into the merge task, leaving
+    # stage 1 fully parallel.
     partials = hashed.mapInPandas(set_bits, "bits binary")
-    merged = partials.coalesce(1).mapInPandas(or_merge, "bits binary")
+    merged = partials.repartition(1).mapInPandas(or_merge, "bits binary")
     rows = merged.collect()
     return rows[0]["bits"] if rows else b"\x00" * n_bytes
 

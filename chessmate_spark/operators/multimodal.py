@@ -293,7 +293,9 @@ def _blob_entropy(blob) -> float:
     — identical on the DuckDB oracle side, unlike round-half-even)."""
     if blob is None or len(blob) == 0:
         return 0.0
-    counts = np.bincount(np.frombuffer(bytes(blob), dtype=np.uint8), minlength=1)
+    # np.frombuffer accepts anything with the buffer protocol (bytes,
+    # memoryview, pyarrow Buffer) — no bytes() copy
+    counts = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=1)
     counts = counts[counts > 0]
     p = counts / counts.sum()
     ent = float(-(p * np.log2(p)).sum())
@@ -315,10 +317,12 @@ def byte_entropy_arrow(
         for batch in iterator:
             ids = batch.column(0)
             blobs = batch.column(1)
+            # is_valid tests null WITHOUT materializing the blob (as_py()
+            # would copy every multi-MB blob into Python bytes — the exact
+            # copy this mapInArrow variant exists to avoid); as_buffer()
+            # is a zero-copy view into the Arrow batch
             ents = [
-                _blob_entropy(
-                    None if blobs[i].as_py() is None else blobs[i].as_buffer()
-                )
+                _blob_entropy(blobs[i].as_buffer() if blobs[i].is_valid else None)
                 for i in range(batch.num_rows)
             ]
             yield pa.RecordBatch.from_arrays(

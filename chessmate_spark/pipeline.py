@@ -94,11 +94,7 @@ def curate_corpus(
             n_clusters=8, n_probe=4,
         )
         sem_drop = (
-            dup_clusters(
-                sem_pairs.select(
-                    F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
-                )
-            )
+            dup_clusters(sem_pairs)
             .filter(~F.col("is_canonical"))
             .select("doc_id")
         )

@@ -45,6 +45,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sf_token(sf_dir: str) -> str:
+    """Token for /tmp artifact paths and catalog table names derived from
+    an sf_dir: leaf name for readability + md5 of the FULL path so two
+    corpora that happen to share a leaf directory name (runA/sf0_1 vs
+    runB/sf0_1) can never alias each other's standing tables.  Data
+    immutability per path is the contract (the driver's testdata dirs are
+    read-only); a mutable corpus must not use standing-table reuse."""
+    import hashlib
+    import re as _re
+
+    leaf = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"{leaf}_{hashlib.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}"
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` guaranteed to be a timestamp column.
 
@@ -892,23 +906,25 @@ _LSH_PAIR_CACHE: Dict[tuple, DataFrame] = {}
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup candidate pairs, materialized ONCE per
-    (session, sf_dir) and persisted: d2 (pairs), d8 (clusters), d10
-    (resolution), and d11 (rank) all consume the SAME candidate edge
-    list, and a production curation DAG materializes that pair stage
-    once and fans out (pipeline.py does exactly this) — re-running the
-    MinHash sweep per consumer would be the real-world mistake, not an
-    engine property.  The persisted frame is id-pairs + one double
-    (tiny vs the corpus), MEMORY_AND_DISK so eviction degrades to
-    recompute, never OOM."""
-    from pyspark import StorageLevel
-
+    (session, sf_dir): d2 (pairs), d8 (clusters), d10 (resolution), and
+    d11 (rank) all consume the SAME candidate edge list, and a
+    production curation DAG materializes that pair stage once and fans
+    out (pipeline.py does exactly this) — re-running the MinHash sweep
+    per consumer would be the real-world mistake, not an engine
+    property.  minhash_lsh_candidates already returns an EAGER
+    localCheckpoint (truncated lineage, blocks held while the frame is
+    referenced), so the dict holds that frame directly — an extra
+    persist() would store a second copy of the same id-pair data.
+    Contract: a cached sf_dir's corpus is immutable (true for the
+    driver's read-only testdata); a mutable corpus must not use this
+    cache.  Cache size is bounded by sessions x sf_dirs in-process."""
     key = (id(spark), sf_dir)
     if key not in _LSH_PAIR_CACHE:
         docs = _docs(spark, sf_dir)
         _LSH_PAIR_CACHE[key] = minhash_lsh_candidates(
             docs, "doc_id", "text",
             shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
     return _LSH_PAIR_CACHE[key]
 
 
@@ -2275,7 +2291,7 @@ def q18_bucketed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_exchange_count,
     )
 
-    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    token = _sf_token(sf_dir)
     li_table, ord_table = f"cm_q18_li_{token}", f"cm_q18_ord_{token}"
     # pay the bucketed write once per session+sf (the ingest-time
     # contract); repeat runs read the standing tables
@@ -6054,7 +6070,7 @@ def s13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..ingest.formats import roundtrip_csv
 
-    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    token = _sf_token(sf_dir)
     cust = _t(spark, sf_dir, "customer")
     back = roundtrip_csv(cust, f"/tmp/chessmate_formats/{token}/customer_csv")
     return back.orderBy("c_custkey")
@@ -6063,41 +6079,37 @@ def s13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "s14_jsonl_roundtrip",
     """
-    SELECT o_orderkey, o_custkey, o_orderstatus,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
-           o_orderpriority
-    FROM orders
-    ORDER BY o_orderkey
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           props
+    FROM events
+    ORDER BY event_id
     """,
 )
 def s14_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-Lines connector proof: orders (timestamps included) → JSONL
-    with microsecond timestamp format → schema-enforced read → back,
-    oracle-compared against the original parquet.  JSONL is the
-    document-interchange twin of s13 and the line format every
-    LLM-corpus pipeline emits; the timestamp column is the part that
-    silently truncates under default options (second-precision format),
-    which is exactly what the pinned micros format + this hash check
-    guard.  Reference parity: JSON document construction/extraction,
-    SURVEY §2.7 F16/F17."""
-    import re as _re
-
+    """JSON-Lines connector proof over the one table with REAL
+    microsecond timestamps (events.ts): JSONL with the pinned micros
+    format → schema-enforced read → back, oracle-compared against the
+    original parquet with 6-digit fractional output — so the silent
+    default-option failure (second-precision truncation) flips this
+    entry red instead of hiding behind midnight-only dates.  JSONL is
+    the document-interchange twin of s13 and the line format every
+    LLM-corpus pipeline emits.  Reference parity: JSON document
+    construction/extraction, SURVEY §2.7 F16/F17."""
     from ..ingest.formats import roundtrip_jsonl
 
-    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    orders = _t(spark, sf_dir, "orders")
-    back = roundtrip_jsonl(orders, f"/tmp/chessmate_formats/{token}/orders_jsonl")
+    token = _sf_token(sf_dir)
+    ev = _events(spark, sf_dir)
+    back = roundtrip_jsonl(ev, f"/tmp/chessmate_formats/{token}/events_jsonl")
     return back.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
-            "o_orderdate_str"
-        ),
-        "o_orderpriority",
-    ).orderBy("o_orderkey")
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "props",
+    ).orderBy("event_id")
 
 
 def _register_x10():
@@ -6137,9 +6149,7 @@ def _register_x10():
                     yield doc_id, start, " ".join(toks[start : start + 64])
 
         spark.udtf.register("cm_chunk_windows", ChunkWindows)
-        token = _re2.sub(
-            r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        )
+        token = _sf_token(sf_dir)
         view = f"cm_x10_docs_{token}"
         _docs(spark, sf_dir).createOrReplaceTempView(view)
         return spark.sql(
@@ -6358,35 +6368,32 @@ _register_m7()
 @_register(
     "s15_orc_roundtrip",
     """
-    SELECT o_orderkey, o_custkey, o_orderstatus,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
-           o_orderpriority
-    FROM orders
-    ORDER BY o_orderkey
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           props
+    FROM events
+    ORDER BY event_id
     """,
 )
 def s15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC connector proof (s13/s14's columnar sibling — Spark ships the
-    ORC reader/writer natively): orders → ORC → schema-enforced read →
-    oracle-compared against the original parquet.  Unlike the text
-    formats, ORC is columnar+splittable with predicate pushdown, so it is
-    a first-class LAKE format, not just an edge format; this entry pins
-    that the engine round-trips it losslessly (timestamps included)."""
-    import re as _re
-
+    ORC reader/writer natively), over events so the timestamp check
+    carries real microseconds (6-digit fractional output in the
+    oracle).  Unlike the text formats, ORC is columnar+splittable with
+    predicate pushdown, so it is a first-class LAKE format, not just an
+    edge format; this entry pins that the engine round-trips it
+    losslessly."""
     from ..ingest.formats import roundtrip_orc
 
-    token = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    orders = _t(spark, sf_dir, "orders")
-    back = roundtrip_orc(orders, f"/tmp/chessmate_formats/{token}/orders_orc")
+    token = _sf_token(sf_dir)
+    ev = _events(spark, sf_dir)
+    back = roundtrip_orc(ev, f"/tmp/chessmate_formats/{token}/events_orc")
     return back.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
-            "o_orderdate_str"
-        ),
-        "o_orderpriority",
-    ).orderBy("o_orderkey")
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "props",
+    ).orderBy("event_id")

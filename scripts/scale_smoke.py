@@ -258,7 +258,10 @@ def measure_semdedup_recall(spark) -> dict:
                 n_clusters=n_clusters, n_probe=n_probe,
             ).collect()
         }
-        assert got <= exact or not exact, "verify admitted a false positive"
+        # unconditional: subset of an empty exact set means got must be
+        # empty too — an `or not exact` escape would disable the check
+        # exactly when every returned pair is a false positive
+        assert got <= exact, "verify admitted a false positive"
         out[f"kmeans_c{n_clusters}_p{n_probe}"] = {
             "recall": round(len(got & exact) / max(len(exact), 1), 4),
             "secs": round(time.perf_counter() - t0, 2),
