@@ -498,19 +498,21 @@ def semantic_neardup_pairs(
     "SemDeDup" — public literature; clustering bounds the quadratic
     verify to cluster populations instead of the corpus).
 
-    Same candidate→verify discipline as the LSH variant
-    (embedding_neardup_lsh): centroids train on a driver-side sample
-    (similarity.train_ivf_centroids — one pruned scan, no shuffle),
+    Centroids train on a driver-side sample
+    (similarity.train_ivf_centroids — one pruned scan, no shuffle);
     every vector lands in its ``n_probe`` nearest cells via one Arrow
-    matmul, candidates are (cell-equi-join, id_a < id_b) carrying IDS
-    ONLY, and exact cosine verifies after pair dedup.  n_probe ≥ 2
-    catches pairs straddling a cell boundary — recall < 1 remains
-    possible by construction and is asserted against the exact pairs at
-    test scale.  At 100 TB: cells ≈ sqrt(N) keeps cell population
-    sublinear; the corpus shuffles id+cell pairs, never vectors.
+    matmul; then ONE applyInPandas matmul per cell scores all in-cell
+    pairs exactly.  Each vector crosses the Python boundary once per
+    probed cell — the candidate-join alternative ships TWO vector
+    copies per candidate pair (quadratic bytes in cell population;
+    measured 8 s → 2 s at sf0.1).  n_probe ≥ 2 catches pairs straddling
+    a cell boundary — recall < 1 remains possible by construction and
+    is asserted against the exact pairs at test scale.  At 100 TB:
+    cells ≈ sqrt(N) keeps cell population sublinear, and the one
+    corpus shuffle moves (id, cell, vector) rows — a hot cell is
+    sub-salted exactly like any skewed group (skew.py dial).
     """
-    from ..functions.scoring import portable_round
-    from ..functions.vector_pandas import nearest_cells_udf, pandas_cosine
+    from ..functions.vector_pandas import nearest_cells_udf
     from .similarity import train_ivf_centroids
 
     if df.isEmpty():
@@ -520,6 +522,11 @@ def semantic_neardup_pairs(
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     centroids = train_ivf_centroids(
         df, id_col, vec_col, nlist=n_clusters, seed=seed
     )
@@ -527,27 +534,38 @@ def semantic_neardup_pairs(
     tagged = df.select(
         F.col(id_col).alias("_id"),
         F.explode(cells(F.col(vec_col))).alias("_cell"),
+        F.col(vec_col).alias("_v"),
     )
-    right = tagged.select(F.col("_cell"), F.col("_id").alias("_idb"))
-    pairs = (
-        tagged.join(right, "_cell")
-        .filter(F.col("_id") < F.col("_idb"))
-        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    with_vecs = pairs.join(
-        vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va")),
-        "id_a",
-    ).join(
-        vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb")),
-        "id_b",
-    )
-    scored = with_vecs.select(
-        "id_a",
-        "id_b",
-        portable_round(
-            pandas_cosine(F.col("_va"), F.col("_vb")), round_digits
-        ).alias("score"),
-    )
-    return scored.filter(F.col("score") >= F.lit(threshold))
+
+    scale = 10.0 ** round_digits
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one matmul per cell: each vector enters the cell ONCE and all
+        # pairwise scores come from X @ X.T — the per-pair alternative
+        # (candidate join + row-wise cosine) ships TWO vector copies per
+        # candidate pair through Arrow, which is quadratic bytes in cell
+        # population; this is linear.
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": ids.dtype, "id_b": ids.dtype, "score": "float64"}
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (X @ X.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), 1)
+        # portable_round semantics (floor(x*1e6 + 0.5) / 1e6)
+        s = np.floor(sims[ia, ib] * scale + 0.5) / scale
+        keep = s >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": s[keep]}
+        )
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, score double"
+    pairs = tagged.groupBy("_cell").applyInPandas(cell_pairs, out_schema)
+    # n_probe > 1 finds boundary pairs in several cells; scores are
+    # deterministic per pair, so the dedup keeps identical rows
+    return pairs.dropDuplicates(["id_a", "id_b"])

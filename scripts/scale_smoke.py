@@ -79,6 +79,8 @@ DEFAULT_QUERIES = [
     "j14_bloom_prune_join",
     "s13_csv_roundtrip",
     "s14_jsonl_roundtrip",
+    "s15_orc_roundtrip",
+    "m7_entropy_arrow",
     "a28_group_regression",
 ]
 
