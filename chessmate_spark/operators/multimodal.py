@@ -380,3 +380,109 @@ def waveform_resample(
         F.col("_i").cast("bigint").alias("sample_idx"),
         val.alias(value_alias),
     )
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "media_id long, resized boolean, out_width int, out_height int,"
+    " out_blob binary, resize_note string"
+)
+
+
+def _resize_bmp(blob, factor: int) -> dict:
+    """REAL resize for the numpy-BMP tier: decode the 24-bit bitmap,
+    nearest-neighbor downsample by integer ``factor`` (stride slicing —
+    one numpy op, no per-pixel Python), re-encode BMP."""
+    meta = _decode_image_bmp(blob)  # raises ValueError on non-BMP
+    offset = int.from_bytes(blob[10:14], "little")
+    width, height = meta["width"], meta["height"]
+    row_bytes = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=row_bytes * height, offset=offset
+    ).reshape(height, row_bytes)[:, : width * 3]
+    px_bgr = rows.reshape(height, width, 3)[::-1]  # bottom-up -> top-down
+    small = px_bgr[::factor, ::factor]
+    out = encode_bmp(small[:, :, ::-1])  # encode_bmp takes RGB
+    return {
+        "resized": True,
+        "out_width": small.shape[1],
+        "out_height": small.shape[0],
+        "out_blob": out,
+        "resize_note": "bmp-numpy",
+    }
+
+
+def _resize_stub(blob, meta_width, meta_height, factor: int) -> dict:
+    """STUB resize (codec-less formats): deterministic output dimensions
+    ceil(dim / factor) from the metadata struct, blob truncated to the
+    proportional byte count — the shape/plumbing contract without a
+    codec, same philosophy as _decode_image_stub."""
+    if blob is None:
+        return {
+            "resized": False, "out_width": None, "out_height": None,
+            "out_blob": None, "resize_note": "null blob",
+        }
+    # metadata may be missing (NULL width/height arrive as NaN through
+    # pandas): the byte-level resize still happens, dims stay unknown
+    have_dims = meta_width == meta_width and meta_height == meta_height
+    w = -(-int(meta_width) // factor) if have_dims else None
+    h = -(-int(meta_height) // factor) if have_dims else None
+    keep = max(1, len(blob) // (factor * factor))
+    return {
+        "resized": True,
+        "out_width": w,
+        "out_height": h,
+        "out_blob": bytes(blob[:keep]),
+        "resize_note": "stub-resizer (no codec libs in container)",
+    }
+
+
+def resize_images(
+    df: DataFrame,
+    factor: int = 2,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    codec: str = "auto",
+) -> DataFrame:
+    """mapInPandas resize stage (the brief's image-resize op): integer
+    downsample by ``factor``.  Tiers mirror decode_image_features:
+    ``auto`` uses the real numpy-BMP path for BMP bytes and the
+    deterministic stub otherwise (PIL tier would slot in the same way);
+    ``stub`` forces the oracle body.  Requires the ``meta`` struct of
+    attach_fake_media (width/height feed the stub's output dims)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    if codec not in ("auto", "stub"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def batches(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            out = []
+            for media_id, blob, w, h in zip(
+                pdf[id_col], pdf[blob_col], pdf["_mw"], pdf["_mh"]
+            ):
+                b = bytes(blob) if blob is not None else None
+                row = {"media_id": int(media_id)}
+                if codec == "auto" and b is not None and b[:2] == b"BM":
+                    try:
+                        row.update(_resize_bmp(b, factor))
+                        out.append(row)
+                        continue
+                    except ValueError:
+                        pass
+                row.update(_resize_stub(b, w, h, factor))
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "resized", "out_width", "out_height",
+                    "out_blob", "resize_note",
+                ],
+            )
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(blob_col),
+        F.col("meta.width").alias("_mw"),
+        F.col("meta.height").alias("_mh"),
+    )
+    return keyed.mapInPandas(batches, IMAGE_RESIZE_SCHEMA)

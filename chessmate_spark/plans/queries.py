@@ -6397,3 +6397,53 @@ def s15_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         "props",
     ).orderBy("event_id")
+
+
+@_register(
+    "m8_image_resize_stub",
+    """
+    WITH m AS (
+      -- documents are ASCII, so the stub's byte arithmetic equals char
+      -- arithmetic on the text itself (DuckDB substring takes VARCHAR)
+      SELECT doc_id,
+             coalesce(text, '') AS s,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE length(text) % 640 + 1 END AS w,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE length(text) % 480 + 1 END AS h
+      FROM documents),
+    cut AS (
+      SELECT doc_id, w, h,
+             substring(s, 1, greatest(1, length(s) // 4)) AS out_s
+      FROM m)
+    SELECT doc_id AS media_id,
+           TRUE AS resized,
+           CAST(ceil(w / 2.0) AS INT) AS out_width,
+           CAST(ceil(h / 2.0) AS INT) AS out_height,
+           CAST(length(out_s) AS BIGINT) AS out_len,
+           md5(out_s) AS out_md5
+    FROM cut
+    ORDER BY media_id
+    """,
+)
+def m8_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE stage (the remaining verb of the multimodal brief:
+    decode / feature-extract / resize / frame-sample), stub codec pinned
+    for the oracle like m2: output dims are ceil(meta/factor), the blob
+    truncates to the proportional byte count, and the oracle md5-compares
+    the output bytes.  The REAL tier exists and is unit-tested: numpy
+    nearest-neighbor downsample + re-encode for 24-bit BMP
+    (operators/multimodal.py _resize_bmp, tests/test_multimodal.py) —
+    same three-tier philosophy as the m2 decode stage."""
+    from ..operators.multimodal import attach_fake_media, resize_images
+
+    media = attach_fake_media(_docs(spark, sf_dir), "doc_id", "text")
+    out = resize_images(media, factor=2, codec="stub")
+    return out.select(
+        "media_id",
+        "resized",
+        "out_width",
+        "out_height",
+        F.length("out_blob").cast("bigint").alias("out_len"),
+        F.md5("out_blob").alias("out_md5"),
+    ).orderBy("media_id")

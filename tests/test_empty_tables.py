@@ -93,6 +93,7 @@ ENTRIES = [
     "a28_group_regression",
     "s15_orc_roundtrip",
     "m7_entropy_arrow",
+    "m8_image_resize_stub",
 ]
 
 
