@@ -2283,8 +2283,6 @@ def q18_bucketed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, never the answer.  At 100 TB this is the pay-the-shuffle-once-
     at-ingest contract; the one-time bucketed write here stands in for
     that ingest step."""
-    import re as _re
-
     from ..ingest.bucketed import (
         ensure_bucketed,
         read_table,
@@ -6066,8 +6064,6 @@ def s13_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     them (never inferSchema — that's a second full scan) and lands
     parquet (ingest/formats.py).  Reference parity: text-edge ingest,
     SURVEY §2.1 S1/S10."""
-    import re as _re
-
     from ..ingest.formats import roundtrip_csv
 
     token = _sf_token(sf_dir)
