@@ -6443,3 +6443,72 @@ def m8_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("out_blob").cast("bigint").alias("out_len"),
         F.md5("out_blob").alias("out_md5"),
     ).orderBy("media_id")
+
+
+@_register(
+    "t18_token_ids",
+    f"""
+    WITH doc_toks AS (
+      SELECT doc_id,
+             unnest({_WS_TOKS_SQL}) AS token,
+             generate_subscripts({_WS_TOKS_SQL}, 1) AS pos
+      FROM documents),
+    vocab AS (
+      SELECT token,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS tid
+      FROM doc_toks GROUP BY token
+      QUALIFY row_number() OVER (ORDER BY count(*) DESC, token) <= 50),
+    enc AS (
+      SELECT d.doc_id, d.pos, coalesce(v.tid, 0) AS tid
+      FROM doc_toks d LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM enc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def t18_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-apply encoding — the step between tokenization (t1/t10) and
+    sequence packing (t5): map every token to its id in the corpus-built
+    top-50 vocabulary (rank by count desc, token asc — t10's
+    deterministic order), OOV → 0, and emit per-doc (n_tokens, n_oov,
+    md5 of the exact id sequence) so the oracle pins the encoded stream
+    byte-for-byte.  Plan: one explode feeds the vocab count AND the
+    encoder; the vocab is a 50-row broadcast; the per-doc reassembly
+    sorts WITHIN each doc's rows (array_sort on (pos, tid) structs after
+    collect_list — no global or per-partition row sort).  The vocab
+    ranking window is a single partition over DISTINCT TOKENS (types,
+    not occurrences) — the t15 normalizer-dim note, not a row funnel."""
+    docs = _docs(spark, sf_dir)
+    text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize_expr(text)).alias("pos", "token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        counts.withColumn("tid", F.row_number().over(w))
+        .filter(F.col("tid") <= 50)
+        .select("token", "tid")
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("tid"), F.lit(0)).alias("tid")
+    )
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("int")).cast("bigint").alias("n_oov"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "tid"))
+        ).alias("_seq"),
+    )
+    ids_md5 = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("_seq"), lambda s: s["tid"].cast("string"))
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_oov", ids_md5.alias("ids_md5")
+    ).orderBy("doc_id")

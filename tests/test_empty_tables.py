@@ -94,6 +94,7 @@ ENTRIES = [
     "s15_orc_roundtrip",
     "m7_entropy_arrow",
     "m8_image_resize_stub",
+    "t18_token_ids",
 ]
 
 
