@@ -508,9 +508,11 @@ def semantic_neardup_pairs(
     measured 8 s → 2 s at sf0.1).  n_probe ≥ 2 catches pairs straddling
     a cell boundary — recall < 1 remains possible by construction and
     is asserted against the exact pairs at test scale.  At 100 TB:
-    cells ≈ sqrt(N) keeps cell population sublinear, and the one
-    corpus shuffle moves (id, cell, vector) rows — a hot cell is
-    sub-salted exactly like any skewed group (skew.py dial).
+    cells ≈ sqrt(N) keeps cell population sublinear — that is the
+    control for hot cells (salting cannot split an all-pairs group
+    without losing cross-bucket pairs); the blocked matmul bounds a
+    pathological cell's task memory to O(block · cell) while its
+    quadratic time stays the price of the cell size.
     """
     from ..functions.vector_pandas import nearest_cells_udf
     from .similarity import train_ivf_centroids
@@ -522,8 +524,6 @@ def semantic_neardup_pairs(
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -548,21 +548,42 @@ def semantic_neardup_pairs(
         # population; this is linear.
         pdf = pdf.sort_values("_id")
         ids = pdf["_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
-                {"id_a": ids.dtype, "id_b": ids.dtype, "score": "float64"}
-            )
+        n = len(ids)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+            {"id_a": ids.dtype, "id_b": ids.dtype, "score": "float64"}
+        )
+        if n < 2:
+            return empty
         X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
-        sims = (X @ X.T) / np.outer(norms, norms)
-        ia, ib = np.triu_indices(len(ids), 1)
-        # portable_round semantics (floor(x*1e6 + 0.5) / 1e6)
-        s = np.floor(sims[ia, ib] * scale + 0.5) / scale
-        keep = s >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": s[keep]}
-        )
+        Xn = X / norms[:, None]
+        # BLOCKED matmul: a hot cell must not allocate the full n x n
+        # similarity matrix in one task — each pass scores a row block
+        # against the whole cell, bounding memory to O(block * n) while
+        # the quadratic time stays the price of the cell size
+        block = max(1, (1 << 25) // max(n, 1))
+        outs = []
+        for lo in range(0, n, block):
+            sims = Xn[lo : lo + block] @ Xn.T
+            # portable_round semantics (floor(x*1e6 + 0.5) / 1e6)
+            s = np.floor(sims * scale + 0.5) / scale
+            ia, ib = np.nonzero(s >= threshold)
+            ga = ia + lo
+            # strict id inequality: upper triangle by POSITION plus a
+            # value check, so duplicate input ids never emit self-pairs
+            keep = (ga < ib) & (ids[ga] != ids[ib])
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ga[keep]],
+                            "id_b": ids[ib[keep]],
+                            "score": s[ia[keep], ib[keep]],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     out_schema = f"id_a {id_type}, id_b {id_type}, score double"
     pairs = tagged.groupBy("_cell").applyInPandas(cell_pairs, out_schema)

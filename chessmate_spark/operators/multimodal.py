@@ -153,13 +153,11 @@ def encode_bmp(pixels) -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     height, width, _ = px.shape
     row_bytes = (width * 3 + 3) // 4 * 4
-    body = bytearray()
-    for row in px[::-1]:  # bottom-up
-        line = bytearray()
-        for r, g, b in row:
-            line += bytes((b, g, r))
-        line += b"\x00" * (row_bytes - len(line))
-        body += line
+    # vectorized: flip vertically (bottom-up), swap RGB->BGR, pad each
+    # row to the 4-byte boundary — no per-pixel Python
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : width * 3] = px[::-1, :, ::-1].reshape(height, width * 3)
+    body = rows.tobytes()
     offset = 54
     size = offset + len(body)
     header = (
@@ -395,11 +393,17 @@ def _resize_bmp(blob, factor: int) -> dict:
     meta = _decode_image_bmp(blob)  # raises ValueError on non-BMP
     offset = int.from_bytes(blob[10:14], "little")
     width, height = meta["width"], meta["height"]
+    # raw signed height decides row order: positive = bottom-up storage
+    # (flip to top-down before sampling), negative = already top-down —
+    # flipping unconditionally would vertically mirror top-down inputs
+    bottom_up = int.from_bytes(blob[22:26], "little", signed=True) > 0
     row_bytes = (width * 3 + 3) // 4 * 4
     rows = np.frombuffer(
         blob, dtype=np.uint8, count=row_bytes * height, offset=offset
     ).reshape(height, row_bytes)[:, : width * 3]
-    px_bgr = rows.reshape(height, width, 3)[::-1]  # bottom-up -> top-down
+    px_bgr = rows.reshape(height, width, 3)
+    if bottom_up:
+        px_bgr = px_bgr[::-1]
     small = px_bgr[::factor, ::factor]
     out = encode_bmp(small[:, :, ::-1])  # encode_bmp takes RGB
     return {

@@ -302,3 +302,36 @@ def test_resize_stub_dims_and_null(spark):
     r2 = rows[2]
     assert r2["resized"] is True and len(r2["out_blob"]) == 0
     assert r2["out_width"] is None and r2["out_height"] is None
+
+
+def test_resize_topdown_bmp_not_mirrored(spark):
+    """Top-down BMPs (negative stored height, rows already top-down) must
+    resize without the vertical flip bottom-up storage needs."""
+    import numpy as np
+
+    from chessmate_spark.operators.multimodal import (
+        _decode_image_bmp,
+        _resize_bmp,
+        encode_bmp,
+    )
+
+    px = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    blob = bytearray(encode_bmp(px))
+    # convert to top-down: negate height, reverse the row order in the body
+    offset = int.from_bytes(blob[10:14], "little")
+    row_bytes = (8 * 3 + 3) // 4 * 4
+    blob[22:26] = (-6).to_bytes(4, "little", signed=True)
+    body = bytes(blob[offset:])
+    rows = [body[i * row_bytes:(i + 1) * row_bytes] for i in range(6)]
+    blob[offset:] = b"".join(reversed(rows))
+    td = bytes(blob)
+    # sanity: the top-down blob decodes to the same means as the original
+    a, b = _decode_image_bmp(bytes(encode_bmp(px))), _decode_image_bmp(td)
+    assert abs(a["mean_r"] - b["mean_r"]) < 1e-12
+    # resize both storage orders: identical downsampled pixels
+    r_bu = _resize_bmp(bytes(encode_bmp(px)), 2)
+    r_td = _resize_bmp(td, 2)
+    m_bu = _decode_image_bmp(bytes(r_bu["out_blob"]))
+    m_td = _decode_image_bmp(bytes(r_td["out_blob"]))
+    for ch in ("mean_r", "mean_g", "mean_b"):
+        assert abs(m_bu[ch] - m_td[ch]) < 1e-12, ch

@@ -196,3 +196,17 @@ def test_semantic_neardup_subset_and_deterministic(spark, emb):
         ).collect()
     }
     assert got == again
+
+
+def test_semantic_neardup_no_self_pairs_on_duplicate_ids(spark):
+    from chessmate_spark.operators.dedup import semantic_neardup_pairs
+
+    # same id appears twice with identical vectors (upstream failed to
+    # dedup): must not emit an (id, id) self-pair
+    rows = [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_neardup_pairs(
+        df, "vec_id", "embedding", 0.9, n_clusters=2, n_probe=2
+    ).collect()
+    assert all(r["id_a"] != r["id_b"] for r in got)
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
