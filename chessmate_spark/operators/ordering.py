@@ -83,3 +83,57 @@ def write_shuffled_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def shard_manifest(spark, path: str, id_col: str = "doc_id") -> dict:
+    """Integrity manifest for a sharded corpus write: per-shard row count
+    and an ORDER-INSENSITIVE content fingerprint (bit-xor of xxhash64
+    over the id column — commutative, so file/partition layout cannot
+    change it), plus corpus totals.
+
+    The consumer contract every training run wants before reading 10k
+    shard files at 100 TB: (a) did the write complete (shards dense,
+    totals match the report), (b) is this EXACTLY the corpus a previous
+    run trained on (fingerprints equal) — answered from one column-pruned
+    scan, no data comparison.  Determinism note: the xor fingerprint
+    pairs with the deterministic shuffle (no rand() anywhere in the
+    pipeline), so two runs over the same input produce byte-equal
+    manifests."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    per_shard = (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr(f"bit_xor(xxhash64({id_col}))").alias("fp"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    shards = {
+        int(r["shard"]): {"rows": int(r["rows"]), "fingerprint": int(r["fp"])}
+        for r in per_shard
+    }
+    total_fp = 0
+    for v in shards.values():
+        total_fp ^= v["fingerprint"]
+    return {
+        "n_shards": len(shards),
+        "total_rows": sum(v["rows"] for v in shards.values()),
+        "total_fingerprint": total_fp,
+        "shards": shards,
+    }
+
+
+def write_shard_manifest(spark, path: str, id_col: str = "doc_id") -> dict:
+    """Compute and persist the manifest as ``_MANIFEST.json`` inside the
+    shard directory; returns it."""
+    import json
+    import os
+
+    manifest = shard_manifest(spark, path, id_col)
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return manifest

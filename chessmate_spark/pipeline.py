@@ -149,9 +149,15 @@ def curate_corpus(
         "doc_id",
         n_shards,
     )
-    written = spark.read.parquet(out_dir)
-    report["written"] = written.count()
-    report["shards"] = written.select("shard").distinct().count()
+    # integrity manifest: per-shard counts + order-insensitive content
+    # fingerprints, persisted beside the shards (_MANIFEST.json) so a
+    # consumer can verify completeness and corpus identity from one
+    # column-pruned scan
+    from .operators.ordering import write_shard_manifest
+
+    manifest = write_shard_manifest(spark, out_dir, "doc_id")
+    report["written"] = manifest["total_rows"]
+    report["shards"] = manifest["n_shards"]
     return report
 
 

@@ -104,3 +104,31 @@ def test_semantic_dedup_stage_drops_embedding_neardups(spark, tmp_path):
         spark, "/root/testdata/sf0.001", out_b, semantic_dedup=True
     )
     assert rep == rep2
+
+
+def test_shard_manifest_integrity_and_determinism(spark, tmp_path):
+    import json
+
+    from chessmate_spark.pipeline import curate_corpus
+
+    out_a, out_b = str(tmp_path / "ma"), str(tmp_path / "mb")
+    rep_a = curate_corpus(spark, "/root/testdata/sf0.001", out_a)
+    rep_b = curate_corpus(spark, "/root/testdata/sf0.001", out_b)
+    with open(f"{out_a}/_MANIFEST.json") as fh:
+        m_a = json.load(fh)
+    with open(f"{out_b}/_MANIFEST.json") as fh:
+        m_b = json.load(fh)
+    # byte-equal manifests across runs (deterministic shuffle + xor fp)
+    assert m_a == m_b
+    assert m_a["total_rows"] == rep_a["written"] == rep_b["written"]
+    assert m_a["n_shards"] == rep_a["shards"]
+    # fingerprint is order-insensitive but content-sensitive: dropping a
+    # shard changes the total
+    assert m_a["total_fingerprint"] != 0
+    partial = {
+        k: v for k, v in m_a["shards"].items() if int(k) != 0
+    }
+    fp = 0
+    for v in partial.values():
+        fp ^= v["fingerprint"]
+    assert fp != m_a["total_fingerprint"]
