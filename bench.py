@@ -177,6 +177,8 @@ HEADLINE = [
     "m7_entropy_arrow",
     "m8_image_resize_stub",
     "t18_token_ids",
+    "d14_dup_weights",
+    "d15_jaccard_prefix_join",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -590,3 +590,104 @@ def semantic_neardup_pairs(
     # n_probe > 1 finds boundary pairs in several cells; scores are
     # deterministic per pair, so the dedup keeps identical rows
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    block_col: Optional[str] = None,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered exact set-similarity join — PPJoin's candidate
+    pruning (Chaudhuri et al. ICDE 2006 SSJoin; Xiao et al. WWW 2008)
+    applied to ``ngram_jaccard_pairs``: identical output, far fewer
+    candidate pairs.
+
+    The theorem: order every set by one GLOBAL token order (rarest
+    first) and keep only each set's prefix of length
+    ``|s| - ceil(t*|s|) + 1``; any pair with Jaccard >= t must collide
+    on at least one PREFIX token, so joining on prefix tokens only is
+    LOSSLESS while hot (frequent) shingles — exactly the ones that blow
+    up the candidate count — drop out of the prefixes of large sets.
+    Exact verification then computes true Jaccard on the survivors.
+
+    Scale shape: the frequency dim is distinct-shingle-sized (its rank
+    window is over TYPES, the t15 normalizer-dim note); the per-set
+    prefix cut is one row_number window partitioned by document; the
+    candidate self-join shuffles (id, prefix-token) pairs only.
+    """
+    t = min_jaccard
+    block = [F.col(block_col).alias("_block")] if block_col else []
+    block_keys = ["_block"] if block_col else []
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        *block,
+        word_shingles_expr(_norm_tokens(F.col(text_col)), shingle_n).alias(
+            "_shingles"
+        ),
+    ).persist()
+    sizes = shingled.select(
+        *block_keys, "_id", F.size("_shingles").alias("_sz")
+    )
+    exploded = shingled.select(
+        *block_keys, "_id", F.explode("_shingles").alias("_sh")
+    )
+    # global order: ascending document frequency, rarest first (ties by
+    # token) — a types-sized dim, computed once
+    from pyspark.sql import Window
+
+    freq = exploded.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    rank_w = Window.orderBy(F.asc("_df"), F.asc("_sh"))
+    ranked = freq.select("_sh", F.row_number().over(rank_w).alias("_rk"))
+    ex_rk = exploded.join(ranked, "_sh")
+    pos_w = Window.partitionBy("_id").orderBy("_rk")
+    with_pos = ex_rk.withColumn("_pos", F.row_number().over(pos_w)).join(
+        sizes.select("_id", "_sz"), "_id"
+    )
+    prefix = with_pos.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+    ).select(*block_keys, "_id", "_sh")
+    right = prefix.select(
+        *[F.col(k) for k in block_keys],
+        F.col("_id").alias("_idb"),
+        F.col("_sh"),
+    )
+    cand = (
+        prefix.join(right, block_keys + ["_sh"])
+        .filter(F.col("_id") < F.col("_idb"))
+        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verify on candidates (same machinery as the unfiltered join)
+    ex = shingled.select("_id", F.explode("_shingles").alias("_sh"))
+    with_a = cand.join(ex, cand["id_a"] == ex["_id"]).select(
+        "id_a", "id_b", "_sh"
+    )
+    inter = (
+        with_a.join(
+            ex.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb")),
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sh") == F.col("_shb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("id_a", "id_b", "jaccard")
+    )
+    out = out.localCheckpoint(eager=True)
+    shingled.unpersist()
+    return out

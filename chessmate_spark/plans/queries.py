@@ -6512,3 +6512,74 @@ def t18_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_tokens", "n_oov", ids_md5.alias("ids_md5")
     ).orderBy("doc_id")
+
+
+def _register_d14():
+    cluster_sql = _dup_clusters_oracle()
+
+    @_register(
+        "d14_dup_weights",
+        f"""
+        WITH clusters AS ({cluster_sql})
+        SELECT d.doc_id,
+               CAST(coalesce(c.cluster_size, 1) AS BIGINT) AS cluster_size,
+               floor(1.0 / coalesce(c.cluster_size, 1) * 1000000 + 0.5)
+                 / 1000000 AS weight
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        ORDER BY d.doc_id
+        """,
+    )
+    def d14_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SOFT dedup: keep every document but weight it 1/cluster_size
+        (duplicates split one document's worth of sampling mass instead
+        of being dropped) — the alternative to hard resolution (d10)
+        when near-dups carry complementary context; weighted-sampling
+        consumers plug the weight straight into t15's mixing stage.
+        Plan: d8's cluster frame (id-only, O(log n) rounds) LEFT-joins
+        onto the corpus id list — the corpus never shuffles, the
+        cluster side broadcasts at any realistic dup rate."""
+        from ..operators.graph import dup_clusters
+
+        docs = _docs(spark, sf_dir)
+        clusters = dup_clusters(_lsh_pairs(spark, sf_dir)).select(
+            "doc_id", "cluster_size"
+        )
+        out = docs.select("doc_id").join(
+            F.broadcast(clusters), "doc_id", "left"
+        )
+        size = F.coalesce(F.col("cluster_size"), F.lit(1))
+        return out.select(
+            "doc_id",
+            size.cast("bigint").alias("cluster_size"),
+            portable_round(F.lit(1.0) / size, 6).alias("weight"),
+        ).orderBy("doc_id")
+
+
+_register_d14()
+
+
+def _register_d15():
+    d3_oracle = QUERIES["d3_ngram_jaccard_pairs"][1]
+
+    @_register("d15_jaccard_prefix_join", d3_oracle)
+    def d15_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PPJoin prefix filtering (Chaudhuri et al. 2006, Xiao et al.
+        2008) applied to d3's exact set-similarity join — SAME oracle,
+        provably identical output, but candidates must collide on a
+        rarest-first PREFIX token, so the frequent shingles that blow up
+        d3's Σ block² candidate count never generate pairs.  This is the
+        standard scale path for exact thresholded Jaccard when LSH's
+        approximation (d2) isn't acceptable."""
+        from ..operators.dedup import ngram_jaccard_pairs_prefix
+
+        docs = _docs(spark, sf_dir)
+        pairs = ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text",
+            shingle_n=3, block_col="source", min_jaccard=0.15,
+        )
+        return pairs.select(
+            "id_a", "id_b", portable_round(F.col("jaccard"), 6).alias("jaccard")
+        ).orderBy("id_a", "id_b")
+
+
+_register_d15()

@@ -95,6 +95,8 @@ ENTRIES = [
     "m7_entropy_arrow",
     "m8_image_resize_stub",
     "t18_token_ids",
+    "d14_dup_weights",
+    "d15_jaccard_prefix_join",
 ]
 
 

@@ -92,3 +92,28 @@ def test_vocabulary_empty_corpus(spark):
 
     df = spark.createDataFrame([], "doc_id long, text string")
     assert vocabulary(df, "doc_id", "text").collect() == []
+
+
+def test_prefix_join_equals_unfiltered_join(spark):
+    """PPJoin prefix filtering is LOSSLESS: identical thresholded pairs
+    to the all-shared-shingles join, across thresholds."""
+    from chessmate_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.1, 0.3, 0.6):
+        a = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_n=3, min_jaccard=t
+            ).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs_prefix(
+                docs, "doc_id", "text", shingle_n=3, min_jaccard=t
+            ).collect()
+        }
+        assert a == b, f"t={t}: {len(a)} vs {len(b)}"
