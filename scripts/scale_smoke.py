@@ -82,6 +82,9 @@ DEFAULT_QUERIES = [
     "s15_orc_roundtrip",
     "m7_entropy_arrow",
     "a28_group_regression",
+    "d14_dup_weights",
+    "d15_jaccard_prefix_join",
+    "t18_token_ids",
 ]
 
 RATIO_LIMIT = 30.0  # 10x data; allow 3x dispersion for fixed overheads
