@@ -179,6 +179,8 @@ HEADLINE = [
     "t18_token_ids",
     "d14_dup_weights",
     "d15_jaccard_prefix_join",
+    "t19_mixture_sample",
+    "t20_bpe_merges",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

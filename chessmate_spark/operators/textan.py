@@ -282,3 +282,76 @@ def vocabulary(
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(top_n)
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+) -> "list[tuple[str, str, int]]":
+    """Distributed BPE merge learning (Sennrich et al. 2016, the
+    byte-pair-encoding tokenizer-training loop): returns the first
+    ``n_merges`` merge rules as (left, right, weighted_count), ties
+    broken lexicographically so the result is fully deterministic.
+
+    The distributed-BPE shape: ONE corpus pass collapses text to the
+    word-frequency table (types, not occurrences — the only
+    corpus-scale shuffle), and every merge round then runs on that
+    types-sized table: adjacent-pair counts are a partial+final
+    aggregate, the argmax is a 1-row TakeOrdered collect (a scalar per
+    round, d8's fingerprint discipline), and the merge applies as ONE
+    literal string replace over the marker-wrapped symbol string —
+    ``<a><b>`` → ``<ab>`` is exactly BPE's left-to-right non-overlapping
+    pair merge (pinned against a pure-Python reference in tests).
+    Lineage is truncated per round.
+    """
+    words = (
+        df.select(F.explode(norm_tokens_expr(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.concat(F.lit("<"), F.col("word").substr(i, F.lit(1)), F.lit(">")),
+    )
+    vocab = words.select(
+        "freq", F.concat_ws("", chars).alias("repr")
+    ).localCheckpoint(eager=False)
+
+    merges: list = []
+    for _ in range(n_merges):
+        syms = F.split(
+            F.expr("substring(repr, 2, length(repr) - 2)"), "><"
+        )
+        n = F.size(syms)
+        pairs = (
+            vocab.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, n - 1).alias("l"),
+                        F.slice(syms, 2, n - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        l, r, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
+        merges.append((l, r, cnt))
+        vocab = vocab.select(
+            "freq",
+            F.replace(
+                F.col("repr"),
+                F.lit(f"<{l}><{r}>"),
+                F.lit(f"<{l}{r}>"),
+            ).alias("repr"),
+        ).localCheckpoint(eager=False)
+    return merges

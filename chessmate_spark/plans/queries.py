@@ -6583,3 +6583,161 @@ def _register_d15():
 
 
 _register_d15()
+
+
+_T19_BUDGET = 200
+
+
+@_register(
+    "t19_mixture_sample",
+    f"""
+    WITH mass AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS char_mass
+      FROM documents GROUP BY source),
+    raw AS (
+      SELECT source, n_docs, pow(CAST(char_mass AS DOUBLE), 0.7) AS r
+      FROM mass),
+    wts AS (
+      SELECT source, n_docs,
+             CAST(floor(r / (SELECT sum(r) FROM raw) * 1000000.0 + 0.5)
+                  AS BIGINT) AS weight_micro
+      FROM raw),
+    bucketed AS (
+      SELECT d.doc_id, d.source,
+             CAST(('0x' || substring(
+                md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 AS BIGINT) AS bucket,
+             w.n_docs, w.weight_micro
+      FROM documents d JOIN wts w USING (source))
+    SELECT doc_id, source, bucket
+    FROM bucketed
+    WHERE bucket * n_docs < weight_micro * {_T19_BUDGET}
+    ORDER BY doc_id
+    """,
+)
+def t19_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the t15 mixture: draw a ~200-doc sample whose
+    per-source composition follows the alpha-smoothed weights — the step
+    that turns mixing WEIGHTS into an actual training corpus.  Fully
+    deterministic and float-free at the decision boundary: each doc's
+    md5 bucket (integer in [0, 1e6)) is kept iff
+    ``bucket * n_docs < weight_micro * budget`` — pure BIGINT
+    comparison, so no engine can disagree on a boundary doc (the rounded
+    micro-weight itself is the quantity t15's oracle already pins).
+    Plan: t15's per-source dim (one partial+final agg + types-dim
+    window) broadcast-joins onto the corpus scan; the scan-side filter
+    is the only other work — zero corpus shuffles, reproducible without
+    rand(), exactly t4's bucket discipline."""
+    docs = _docs(spark, sf_dir)
+    mass = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("char_mass"),
+    )
+    raw = mass.withColumn(
+        "r", F.pow(F.col("char_mass").cast("double"), F.lit(0.7))
+    )
+    z = F.sum("r").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    wts = raw.select(
+        "source",
+        "n_docs",
+        F.floor(F.col("r") / z * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(wts), "source")
+        .filter(
+            F.col("bucket") * F.col("n_docs")
+            < F.col("weight_micro") * F.lit(_T19_BUDGET)
+        )
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unrolled BPE iteration (d11's CTE-chain trick): each round is a
+    pair-count + argmax CTE and a replace-apply CTE; the output unions
+    the per-round argmax rows."""
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    parts = [
+        f"""w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word),
+    v0 AS MATERIALIZED (
+      SELECT freq,
+             array_to_string(list_transform(string_split(word, ''),
+               c -> '<' || c || '>'), '') AS repr
+      FROM w)"""
+    ]
+    selects = []
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i + 1] AS r,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq,
+                   string_split(substring(repr, 2, length(repr) - 2), '><')
+                     AS syms
+            FROM v{i}) t,
+           LATERAL (SELECT unnest(range(1, len(t.syms))) AS i) u
+      WHERE len(syms) >= 2
+      GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{i + 1} AS MATERIALIZED (
+      SELECT freq, replace(repr,
+        '<' || (SELECT l FROM p{i}) || '><' || (SELECT r FROM p{i}) || '>',
+        '<' || (SELECT l FROM p{i}) || (SELECT r FROM p{i}) || '>') AS repr
+      FROM v{i})"""
+        )
+        selects.append(
+            f"SELECT {i + 1} AS rank, l, r, l || r AS merged, cnt FROM p{i}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY rank"
+    )
+
+
+@_register("t20_bpe_merges", _bpe_oracle(8))
+def t20_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the first 8
+    learned merge rules over the corpus, count-weighted with
+    lexicographic tie-breaks.  The distributed shape
+    (operators/textan.py learn_bpe_merges): one corpus pass to the
+    word-frequency TYPES table, then every round is a partial+final
+    pair-count aggregate + a 1-row argmax collect + one literal string
+    replace over marker-wrapped symbol strings — provably identical to
+    the per-word reference merge (pinned in tests).  The oracle unrolls
+    the identical 8 rounds as a CTE chain (d11's trick), so this
+    iterative algorithm is still hash-checked end to end."""
+    from ..operators.textan import learn_bpe_merges
+
+    merges = learn_bpe_merges(_docs(spark, sf_dir), "doc_id", "text", 8)
+    rows = [
+        (i + 1, l, r, l + r, cnt) for i, (l, r, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, l string, r string, merged string, cnt bigint"
+    ).orderBy("rank")

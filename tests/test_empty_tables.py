@@ -97,6 +97,8 @@ ENTRIES = [
     "t18_token_ids",
     "d14_dup_weights",
     "d15_jaccard_prefix_join",
+    "t19_mixture_sample",
+    "t20_bpe_merges",
 ]
 
 

@@ -117,3 +117,50 @@ def test_prefix_join_equals_unfiltered_join(spark):
             ).collect()
         }
         assert a == b, f"t={t}: {len(a)} vs {len(b)}"
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Distributed BPE merge learning equals the classic per-word
+    reference implementation (count-weighted, lexicographic ties)."""
+    from collections import Counter
+
+    from chessmate_spark.operators.textan import learn_bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat",
+        "mat bat cat hat",
+        "on and on and on",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = learn_bpe_merges(df, "doc_id", "text", n_merges=6)
+
+    # pure-python reference
+    words = [w for t in texts for w in t.split()]
+    vocab = {w: list(w) for w in set(words)}
+    freq = Counter(words)
+    expect = []
+    for _ in range(6):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        if not pc:
+            break
+        (a, b), c = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        expect.append((a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == expect, (got, expect)
