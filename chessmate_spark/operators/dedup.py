@@ -112,10 +112,22 @@ def minhash_lsh_candidates(
     # groupBy count, set union via |A| + |B| − |A∩B|.
     sizes = shingled.select("_id", F.size("_shingles").alias("_sz"))
     exploded = shingled.select("_id", F.explode("_shingles").alias("_sh"))
+    inter = _candidate_intersections(pairs, exploded)
+    out = _jaccard_from_inter(inter, sizes, min_jaccard)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        shingled.unpersist()
+        banded.unpersist()
+    return out
+
+
+def _candidate_intersections(pairs: DataFrame, exploded: DataFrame) -> DataFrame:
+    """|A∩B| for candidate (id_a, id_b) pairs from an exploded (_id, _sh)
+    shingle table — the verify-stage join all candidate generators share."""
     with_a = pairs.join(exploded, pairs["id_a"] == exploded["_id"]).select(
         "id_a", "id_b", "_sh"
     )
-    inter = (
+    return (
         with_a.join(
             exploded.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb")),
             (F.col("id_b") == F.col("_idb")) & (F.col("_sh") == F.col("_shb")),
@@ -123,9 +135,18 @@ def minhash_lsh_candidates(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """(id_a, id_b, _inter) + per-id set sizes → thresholded exact
+    Jaccard.  THE single definition of the similarity — the shared-oracle
+    guarantee between the all-pairs, prefix-filtered, and minhash-verified
+    joins depends on this living in exactly one place."""
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
-    verified = (
+    return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .withColumn(
@@ -133,15 +154,9 @@ def minhash_lsh_candidates(
             F.col("_inter").cast("double")
             / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
         )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
     )
-    out = verified.filter(F.col("jaccard") >= F.lit(min_jaccard)).select(
-        "id_a", "id_b", "jaccard"
-    )
-    if materialize:
-        out = out.localCheckpoint(eager=True)
-        shingled.unpersist()
-        banded.unpersist()
-    return out
 
 
 def ngram_jaccard_pairs(
@@ -186,19 +201,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
-    out = (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= F.lit(min_jaccard))
-        .select("id_a", "id_b", "jaccard")
-    )
+    out = _jaccard_from_inter(inter, sizes, min_jaccard)
     if materialize:
         out = out.localCheckpoint(eager=True)
         shingled.unpersist()
@@ -599,6 +602,7 @@ def ngram_jaccard_pairs_prefix(
     shingle_n: int = 3,
     block_col: Optional[str] = None,
     min_jaccard: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Prefix-filtered exact set-similarity join — PPJoin's candidate
     pruning (Chaudhuri et al. ICDE 2006 SSJoin; Xiao et al. WWW 2008)
@@ -660,34 +664,12 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verify on candidates (same machinery as the unfiltered join)
+    # exact verify on candidates — same helpers (and therefore the same
+    # jaccard DEFINITION) as the unfiltered join
     ex = shingled.select("_id", F.explode("_shingles").alias("_sh"))
-    with_a = cand.join(ex, cand["id_a"] == ex["_id"]).select(
-        "id_a", "id_b", "_sh"
-    )
-    inter = (
-        with_a.join(
-            ex.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb")),
-            (F.col("id_b") == F.col("_idb")) & (F.col("_sh") == F.col("_shb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sz_a"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sz_b"))
-    out = (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast(
-                "double"
-            ),
-        )
-        .filter(F.col("jaccard") >= F.lit(t))
-        .select("id_a", "id_b", "jaccard")
-    )
-    out = out.localCheckpoint(eager=True)
-    shingled.unpersist()
+    inter = _candidate_intersections(cand, ex)
+    out = _jaccard_from_inter(inter, sizes.select("_id", "_sz"), t)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        shingled.unpersist()
     return out

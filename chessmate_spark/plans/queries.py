@@ -5577,6 +5577,34 @@ def a27_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_weight_dim(docs: DataFrame) -> DataFrame:
+    """Per-source alpha-smoothed mixing weights as an INTEGER micro-weight
+    dim (source, n_docs, char_mass, weight_micro) — THE single definition
+    t15 (reports weight_micro/1e6) and t19 (samples by integer
+    comparison) both consume; a change to the exponent or rounding lands
+    in both entries at once."""
+    mass = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("char_mass"),
+    )
+    raw = mass.withColumn(
+        "r", F.pow(F.col("char_mass").cast("double"), F.lit(0.7))
+    )
+    z = F.sum("r").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return raw.select(
+        "source",
+        "n_docs",
+        "char_mass",
+        F.floor(F.col("r") / z * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+
+
 @_register(
     "t15_mixing_weights",
     """
@@ -5611,24 +5639,13 @@ def t15_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     first shuffle nothing bigger than the dim ever moves.  Downstream,
     t4's deterministic hash-bucket sampler consumes exactly this weight
     column."""
-    docs = _docs(spark, sf_dir)
-    mass = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("char_mass"),
-    )
-    raw = mass.withColumn(
-        "r", F.pow(F.col("char_mass").cast("double"), F.lit(0.7))
-    )
-    z = F.sum("r").over(
-        Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    return raw.select(
+    dim = _source_weight_dim(_docs(spark, sf_dir))
+    # weight_micro / 1e6 == floor(r/z * 1e6 + 0.5) / 1e6 exactly
+    return dim.select(
         "source",
         "n_docs",
         "char_mass",
-        portable_round(F.col("r") / z, 6).alias("weight"),
+        (F.col("weight_micro").cast("double") / 1_000_000.0).alias("weight"),
     ).orderBy("source")
 
 
@@ -6631,25 +6648,7 @@ def t19_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only other work — zero corpus shuffles, reproducible without
     rand(), exactly t4's bucket discipline."""
     docs = _docs(spark, sf_dir)
-    mass = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("char_mass"),
-    )
-    raw = mass.withColumn(
-        "r", F.pow(F.col("char_mass").cast("double"), F.lit(0.7))
-    )
-    z = F.sum("r").over(
-        Window.partitionBy().rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    wts = raw.select(
-        "source",
-        "n_docs",
-        F.floor(F.col("r") / z * 1_000_000.0 + 0.5)
-        .cast("bigint")
-        .alias("weight_micro"),
-    )
+    wts = _source_weight_dim(docs).select("source", "n_docs", "weight_micro")
     bucket = (
         F.conv(
             F.substring(
