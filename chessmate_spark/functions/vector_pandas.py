@@ -49,6 +49,77 @@ def pandas_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def v5_embedding_udf(dim):
+    """array<string> tokens -> array<double>: the V5 deterministic
+    embedding (functions/embedding.py) as an Arrow-batched pandas UDF.
+
+    Bit-identical to ``deterministic_embedding_expr``: the same md5 base
+    per token (lru-cached Python md5), the same universal-hash bucket
+    arithmetic in uint64 (a*base + b < 2^62, no overflow), integer sums
+    regrouped exactly, one final float division per dimension.  Each
+    Arrow batch is processed in token-budgeted numpy blocks so the
+    (tokens x dim) bucket matrix stays O(block) regardless of batch
+    size.  At the production width (dim=1536) this replaces ~dim
+    interpreted HOF element updates per token with one numpy
+    broadcast-multiply — see EXPLAIN.md for the measured routing rule
+    vs the expression form."""
+    from .embedding import _v5_constants, v5_base
+    from .hashing import MINHASH_PRIME
+
+    consts = np.asarray(_v5_constants(dim), dtype=np.uint64)
+    A, B = consts[:, 0], consts[:, 1]
+    P = np.uint64(MINHASH_PRIME)
+    TEN_K = np.uint64(10_000)
+    token_budget = max(1, (1 << 23) // max(dim, 1))  # block mem ~64 MiB
+    zero = [0.0] * dim
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def embed(tokens: pd.Series) -> pd.Series:
+        rows = list(tokens)
+        out = [None] * len(rows)
+        i = 0
+        while i < len(rows):
+            j, total = i, 0
+            while j < len(rows):
+                t = rows[j]
+                n = 0 if t is None else len(t)
+                if total and total + n > token_budget:
+                    break
+                total += n
+                j += 1
+            flat, lens = [], []
+            for r in rows[i:j]:
+                if r is None or len(r) == 0:
+                    lens.append(0)
+                else:
+                    lens.append(len(r))
+                    flat.extend(r)
+            if flat:
+                bases = np.fromiter(
+                    (v5_base(t) for t in flat),
+                    dtype=np.uint64,
+                    count=len(flat),
+                )
+                buckets = (
+                    (bases[:, None] * A[None, :] + B[None, :]) % P
+                ) % TEN_K
+                csum = np.zeros((len(flat) + 1, dim), dtype=np.uint64)
+                np.cumsum(buckets, axis=0, out=csum[1:])
+                starts = np.concatenate(([0], np.cumsum(lens)))
+            for k, n in enumerate(lens):
+                if n == 0:
+                    out[i + k] = zero
+                else:
+                    tot = csum[starts[k + 1]] - csum[starts[k]]
+                    out[i + k] = np.minimum(
+                        1.0, tot.astype(np.float64) / 10_000.0 / n
+                    ).tolist()
+            i = j
+        return pd.Series(out)
+
+    return embed
+
+
 def signatures_udf(planes):
     """(n_tables, n_planes, dim) hyperplanes -> UDF: array<float> ->
     array<long>, the per-table sign-bit signatures packed as integers.

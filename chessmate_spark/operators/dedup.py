@@ -639,20 +639,28 @@ def ngram_jaccard_pairs_prefix(
         *block_keys, "_id", F.explode("_shingles").alias("_sh")
     )
     # global order: ascending document frequency, rarest first (ties by
-    # token) — a types-sized dim, computed once
+    # token). (_df, _sh) IS the total order — materializing it as a
+    # row_number rank would funnel every distinct shingle through one
+    # Exchange SinglePartition task, so the per-doc window sorts by the
+    # pair directly and the frequency dim stays a plain key-partitioned
+    # aggregate
     from pyspark.sql import Window
 
     freq = exploded.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    rank_w = Window.orderBy(F.asc("_df"), F.asc("_sh"))
-    ranked = freq.select("_sh", F.row_number().over(rank_w).alias("_rk"))
-    ex_rk = exploded.join(ranked, "_sh")
-    pos_w = Window.partitionBy("_id").orderBy("_rk")
+    ex_rk = exploded.join(freq, "_sh")
+    pos_w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_sh"))
     with_pos = ex_rk.withColumn("_pos", F.row_number().over(pos_w)).join(
         sizes.select("_id", "_sz"), "_id"
     )
-    prefix = with_pos.filter(
-        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
-    ).select(*block_keys, "_id", "_sh")
+    # persisted: both sides of the candidate self-join read this frame
+    prefix = (
+        with_pos.filter(
+            F.col("_pos")
+            <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+        )
+        .select(*block_keys, "_id", "_sh")
+        .persist()
+    )
     right = prefix.select(
         *[F.col(k) for k in block_keys],
         F.col("_id").alias("_idb"),
@@ -672,4 +680,5 @@ def ngram_jaccard_pairs_prefix(
     if materialize:
         out = out.localCheckpoint(eager=True)
         shingled.unpersist()
+        prefix.unpersist()
     return out

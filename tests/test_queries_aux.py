@@ -73,6 +73,25 @@ def test_bloom_prune_plan_filters_before_exchange(spark):
     assert not any("Exchange" in l for l in between), plan
 
 
+def test_prefix_join_plan_has_no_single_partition_exchange(spark):
+    """d15's rarest-first order is (_df, _sh) inside the per-doc window —
+    materializing it as a global row_number rank would funnel every
+    distinct shingle through one task (the round-5 scale-killer). The
+    unmaterialized plan must carry zero SinglePartition exchanges."""
+    from chessmate_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    out = ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", min_jaccard=0.5, materialize=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_semantic_dedup_plan_never_shuffles_vectors(spark):
     """d13's candidate stage moves (cell, id) pairs only: no Exchange in
     the plan may carry the embedding column."""
