@@ -181,6 +181,9 @@ HEADLINE = [
     "d15_jaccard_prefix_join",
     "t19_mixture_sample",
     "t20_bpe_merges",
+    "t21_unicode_token_ids",
+    "t22_unicode_bpe",
+    "d16_dedup_resolve_bloom",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

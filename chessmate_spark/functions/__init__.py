@@ -17,6 +17,7 @@ from .embedding import (
     deterministic_embedding,
     deterministic_embedding_expr,
     deterministic_embedding_duckdb_sql,
+    v5_embedding_column,
     hash_bucket,
 )
 from .hashing import (
@@ -43,6 +44,7 @@ __all__ = [
     "query_vector_lit",
     "DEFAULT_DIM",
     "deterministic_embedding",
+    "v5_embedding_column",
     "deterministic_embedding_expr",
     "deterministic_embedding_duckdb_sql",
     "hash_bucket",

@@ -115,6 +115,29 @@ def deterministic_embedding_expr(tokens: Column, dim: int = DEFAULT_DIM) -> Colu
     return F.when(tokens.isNull() | (F.size(tokens) == 0), zero).otherwise(vec)
 
 
+# Routing boundary between the two bit-identical V5 forms, measured on
+# the sf0.1 corpus (5k docs) and the 10x corpus (50k docs, dim=1536 —
+# SCALE_SMOKE.json `v5_dim1536`): the pure-expression plan wins or ties
+# through dim≈64 (no Python boundary, fuses with surrounding JVM
+# expressions), the Arrow-batched pandas UDF wins decisively above
+# (dim=128: 10.0s vs 6.0s; dim=256: 12.3s vs 4.6s; dim=1536: 198.8s vs
+# 43.0s — the per-dim element updates in the interpreted HOF fold scale
+# with dim, the numpy broadcast does not).
+V5_EXPR_MAX_DIM = 64
+
+
+def v5_embedding_column(tokens: Column, dim: int = DEFAULT_DIM) -> Column:
+    """The V5 embedding with the measured width routing applied: the
+    expression form at narrow dims, the Arrow-batched pandas UDF at the
+    production width (reference dim 1536).  Both forms are bit-identical
+    (tests/test_vector_pandas.py), so routing never changes answers."""
+    if dim <= V5_EXPR_MAX_DIM:
+        return deterministic_embedding_expr(tokens, dim)
+    from .vector_pandas import v5_embedding_udf
+
+    return v5_embedding_udf(dim)(tokens)
+
+
 def duckdb_bucket_sql(a: int, b: int, base_sql: str = None) -> str:
     base = base_sql or (
         f"(('0x' || substring(md5('v5:' || t), 1, 15))::BIGINT % {_P})"

@@ -106,10 +106,20 @@ def minhash_expr(shingles: Column, num_hashes: int) -> Column:
         ),
     )
     # empty shingle arrays keep the legacy all-NULL signature (array_min
-    # of an empty array) rather than leaking the sentinel
+    # of an empty array) rather than leaking the sentinel.  Likewise a
+    # non-empty array whose elements are ALL NULL (each hashes to NULL,
+    # F.least skips NULLs, and the fold would return the sentinel init —
+    # two such degenerate docs would LSH-collide on it).  The guard
+    # tests the INPUT (md5 of a non-null string is never null, so
+    # "no element contributed" ⇔ "no non-null element exists") rather
+    # than comparing `folded` to the sentinel, which would duplicate
+    # the whole fold expression tree in the plan.
     nulls = F.array(*[F.lit(None).cast("bigint") for _ in consts])
     return F.when(
-        shingles.isNull() | (F.size(shingles) <= 0), nulls
+        shingles.isNull()
+        | (F.size(shingles) <= 0)
+        | ~F.exists(shingles, lambda x: x.isNotNull()),
+        nulls,
     ).otherwise(folded)
 
 

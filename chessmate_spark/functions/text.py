@@ -35,6 +35,25 @@ def norm_tokens_expr(col: Column) -> Column:
     )
 
 
+def unicode_norm_tokens_expr(col: Column) -> Column:
+    """UTF-8-safe corpus tokenizer (opt-in): lowercase → runs of
+    non-letter/non-digit (Unicode ``\\p{L}\\p{N}`` classes) → single
+    space → trim → tokenize.
+
+    The default ``norm_tokens_expr`` is deliberately byte-ASCII for
+    reference parity (openings.ml:25-27, SURVEY §7.3's Unicode note) —
+    right for the chess surface, but it mangles any non-Latin corpus
+    (every non-ASCII byte becomes a separator).  The LLM-pipeline
+    operators (vocabulary, token ids, BPE, LM scoring) accept a
+    ``tokenizer="unicode"`` parameter that routes here.  Java and RE2
+    both implement ``\\p{L}``/``\\p{N}`` and both engines lowercase
+    Unicode-aware, so the DuckDB oracle mirrors this exactly
+    (_DUCK_UNICODE_TOKS)."""
+    return tokenize_expr(
+        F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " "))
+    )
+
+
 def slugify_expr(col: Column) -> Column:
     """F3: lowercase, delete apostrophes, alnum runs joined by '_'."""
     lowered = F.lower(col)

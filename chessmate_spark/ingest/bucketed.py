@@ -53,10 +53,21 @@ def ensure_bucketed(
     bench runs) must not re-pay the write.  Callers own naming: the
     table name must encode everything the data depends on (the entries
     embed the sf-dir token), because an existing table is trusted as-is.
+
+    External paths are made PROCESS-unique (``<path>-pid<pid>``): the
+    catalog that gates the rewrite is per-process, so two concurrent
+    Spark processes would both see ``tableExists=False`` and race
+    overwriting a shared location — and a shared path buys nothing,
+    since a fresh process rewrites regardless.  Reuse stays
+    session-scoped either way.
     """
+    import os
+
     spark = df.sparkSession
     if spark.catalog.tableExists(table):
         return
+    if path is not None:
+        path = f"{path}-pid{os.getpid()}"
     write_bucketed(
         df, table, bucket_cols, n_buckets, sort_cols=sort_cols, path=path
     )

@@ -54,12 +54,16 @@ def compact(
     allow_split: bool = False,
 ) -> int:
     """Rewrite ``src_path`` into ``dst_path`` at ~``target_file_bytes``
-    per file; returns the planned file count.
+    per file; returns the ACTUAL file count written.
 
     Compaction (fewer files) is a shuffle-free ``coalesce``; splitting
-    (more files than the source has) needs a ``repartition`` and is
+    (more files than the read yields) needs a ``repartition`` and is
     opt-in via ``allow_split`` because the shuffle is the expensive
-    path.
+    path.  The achievable count is bounded by the READ's partitioning,
+    not the source file count: the parquet reader packs small files
+    into <= maxPartitionBytes splits, so ``coalesce`` can only lower
+    that number — the return value is derived from the written output,
+    never the plan.
     """
     files = data_files(src_path)
     if not files:
@@ -69,11 +73,10 @@ def compact(
     total = sum(sz for _p, sz in files)
     n = plan_file_count(total, target_file_bytes)
     df: DataFrame = spark.read.parquet(src_path)
-    if n < len(files):
+    read_parts = df.rdd.getNumPartitions()
+    if n < read_parts:
         df = df.coalesce(n)
-    elif n > len(files) and allow_split:
+    elif n > read_parts and allow_split:
         df = df.repartition(n)
-    else:
-        n = len(files)
     df.write.mode("overwrite").parquet(dst_path)
-    return n
+    return len(data_files(dst_path))

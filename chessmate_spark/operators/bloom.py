@@ -170,3 +170,42 @@ def bloom_prune_join(
         bloom_might_contain(F.col(fact_key), bitmap, m_bits, k=k)
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+def bloom_prune_anti_join(
+    fact: DataFrame,
+    drop: DataFrame,
+    fact_key: str,
+    drop_key: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Exact ``fact LEFT ANTI drop`` with a Bloom split on the fact side
+    — the drop-list form of ``bloom_prune_join`` (dedup resolution's
+    shape, d10: corpus minus non-canonical ids).
+
+    An anti join inverts the pruning direction: rows the bloom proves
+    ABSENT from the drop-list are kept immediately (no exchange at
+    all); only the might-contain suspects — true drops plus false
+    positives, a sliver of the corpus at any realistic dup rate — go
+    through the exact anti join.  No false negatives means every true
+    drop-list member lands in the suspect branch and is removed
+    exactly, so the union equals the plain anti join row-for-row.
+
+    This is the 100 TB form once the drop-list outgrows a broadcast:
+    the broadcast anti join ships the whole list to every executor and
+    still scans the corpus once; this ships ONE bitmap (m_bits/8 bytes,
+    collected once) and shrinks the anti-join exchange from corpus-size
+    to suspect-size.  Cost: the corpus scan feeds two filter branches
+    (definite-keep, suspect) — two pruned scans or one exchange-reused
+    scan under AQE, either far below the avoided shuffle."""
+    bitmap = bloom_build(drop, drop_key, m_bits=m_bits, k=k)
+    might = bloom_might_contain(F.col(fact_key), bitmap, m_bits, k=k)
+    # NULL fact keys: bloom says False -> kept directly, matching anti
+    # join semantics (a NULL key never equi-matches the drop side)
+    kept_fast = fact.where(~might)
+    suspects = fact.where(might)
+    kept_slow = suspects.join(
+        drop, suspects[fact_key] == drop[drop_key], "left_anti"
+    )
+    return kept_fast.unionByName(kept_slow)

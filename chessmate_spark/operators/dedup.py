@@ -491,10 +491,11 @@ def semantic_neardup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_clusters: int = 8,
+    n_clusters: Optional[int] = None,
     n_probe: int = 2,
     seed: int = 42,
     round_digits: int = 6,
+    target_cell_rows: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: k-means-cluster the
     embedding space, compare only within clusters (Abbas et al. 2023,
@@ -510,11 +511,19 @@ def semantic_neardup_pairs(
     copies per candidate pair (quadratic bytes in cell population;
     measured 8 s → 2 s at sf0.1).  n_probe ≥ 2 catches pairs straddling
     a cell boundary — recall < 1 remains possible by construction and
-    is asserted against the exact pairs at test scale.  At 100 TB:
-    cells ≈ sqrt(N) keeps cell population sublinear — that is the
-    control for hot cells (salting cannot split an all-pairs group
-    without losing cross-bucket pairs); the blocked matmul bounds a
-    pathological cell's task memory to O(block · cell) while its
+    is asserted against the exact pairs at test scale.
+
+    Scaling contract (``n_clusters=None``, the default): the cell count
+    auto-sizes to ``max(8, ceil(N / target_cell_rows))`` — cells grow
+    PROPORTIONALLY with the corpus so the average cell population stays
+    bounded, which is SemDeDup's own configuration (their cluster count
+    tracks corpus size) and what keeps total comparisons
+    O(N · p² · cell) — LINEAR in N.  A fixed cell count is quadratic
+    (O(N²/c) — the round-6 smoke caught the entry at 49× on 10× data);
+    cells ≈ √N is the often-quoted compromise but still N^1.5.  Hot
+    cells remain the residual risk (salting cannot split an all-pairs
+    group without losing cross-bucket pairs); the blocked matmul bounds
+    a pathological cell's task memory to O(block · cell) while its
     quadratic time stays the price of the cell size.
     """
     from ..functions.vector_pandas import nearest_cells_udf
@@ -527,9 +536,13 @@ def semantic_neardup_pairs(
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
+    import math
+
     import numpy as np
     import pandas as pd
 
+    if n_clusters is None:
+        n_clusters = max(8, math.ceil(df.count() / target_cell_rows))
     centroids = train_ivf_centroids(
         df, id_col, vec_col, nlist=n_clusters, seed=seed
     )

@@ -251,24 +251,45 @@ def document_fingerprint(
     )
 
 
+def _corpus_tokens(text_col: str, tokenizer: str):
+    """Tokenizer routing for the corpus operators: "whitespace" (the
+    vocabulary default — lowered text split on whitespace), "ascii"
+    (norm_tokens_expr, byte-ASCII reference parity), or "unicode"
+    (unicode_norm_tokens_expr, \\p{L}\\p{N} classes — the opt-in for
+    non-Latin corpora)."""
+    from ..functions.text import unicode_norm_tokens_expr
+
+    col = F.col(text_col)
+    if tokenizer == "whitespace":
+        return tokenize_expr(F.trim(F.lower(F.coalesce(col, F.lit("")))))
+    if tokenizer == "ascii":
+        return norm_tokens_expr(col)
+    if tokenizer == "unicode":
+        return unicode_norm_tokens_expr(col)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
 def vocabulary(
     df: DataFrame,
     id_col: str,
     text_col: str,
     top_n: int = 50,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
-    """Corpus vocabulary extraction: top-N lower-cased whitespace tokens
-    with total occurrences and document frequency — the counting pass a
+    """Corpus vocabulary extraction: top-N lower-cased tokens with total
+    occurrences and document frequency — the counting pass a
     tokenizer/vocab build (BPE seeding, stopword induction) starts from.
+    ``tokenizer="unicode"`` opts into the UTF-8-safe token classes for
+    non-Latin corpora (_corpus_tokens).
 
     Shape: explode → two partial+final aggregations ((token, doc) then
     token) → TakeOrderedAndProject.  Both shuffles move (token, count)
     pairs with map-side combine, so the exchanged volume is bounded by
     distinct tokens per partition, not corpus size.  Deterministic total
     order (count desc, token asc) makes the top-N oracle-stable."""
-    text = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     toks = df.select(
-        F.col(id_col), F.explode(tokenize_expr(text)).alias("token")
+        F.col(id_col),
+        F.explode(_corpus_tokens(text_col, tokenizer)).alias("token"),
     )
     per_doc = toks.groupBy("token", id_col).agg(
         F.count(F.lit(1)).alias("tf")
@@ -289,6 +310,7 @@ def learn_bpe_merges(
     id_col: str,
     text_col: str,
     n_merges: int = 8,
+    tokenizer: str = "ascii",
 ) -> "list[tuple[str, str, int]]":
     """Distributed BPE merge learning (Sennrich et al. 2016, the
     byte-pair-encoding tokenizer-training loop): returns the first
@@ -307,7 +329,7 @@ def learn_bpe_merges(
     Lineage is truncated per round.
     """
     words = (
-        df.select(F.explode(norm_tokens_expr(F.col(text_col))).alias("word"))
+        df.select(F.explode(_corpus_tokens(text_col, tokenizer)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

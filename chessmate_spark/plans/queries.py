@@ -904,6 +904,21 @@ def _minhash_lsh_oracle(num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
 _LSH_PAIR_CACHE: Dict[tuple, DataFrame] = {}
 
 
+def _prune_lsh_cache() -> None:
+    """Drop cache entries whose SparkSession has stopped: a dead entry
+    pins checkpoint blocks and the session object for process lifetime
+    (a leak in long-lived multi-session processes), and its id(spark)
+    key could even be reused by a new session after GC."""
+    for key in list(_LSH_PAIR_CACHE):
+        try:
+            ctx = _LSH_PAIR_CACHE[key].sparkSession.sparkContext
+            stopped = ctx._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            del _LSH_PAIR_CACHE[key]
+
+
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup candidate pairs, materialized ONCE per
     (session, sf_dir): d2 (pairs), d8 (clusters), d10 (resolution), and
@@ -917,7 +932,9 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist() would store a second copy of the same id-pair data.
     Contract: a cached sf_dir's corpus is immutable (true for the
     driver's read-only testdata); a mutable corpus must not use this
-    cache.  Cache size is bounded by sessions x sf_dirs in-process."""
+    cache.  Cache size is bounded by LIVE sessions x sf_dirs in-process
+    (stopped sessions' entries are pruned on every access)."""
+    _prune_lsh_cache()
     key = (id(spark), sf_dir)
     if key not in _LSH_PAIR_CACHE:
         docs = _docs(spark, sf_dir)
@@ -6213,6 +6230,19 @@ def _register_j15():
             ev = _events(spark, sf_dir)
             ts_type = dict(ev.dtypes)["ts"]
             ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            # watermark delay sized from the corpus's ACTUAL time span
+            # (+1 h slack), computed before the stream starts — a
+            # constant (the old 90 days) silently late-drops rows the
+            # moment a corpus outgrows it and diverges from the oracle
+            bounds = ev.agg(
+                F.min("ts").alias("lo"), F.max("ts").alias("hi")
+            ).first()
+            span_s = (
+                int((bounds["hi"] - bounds["lo"]).total_seconds()) + 3600
+                if bounds["lo"] is not None
+                else 3600
+            )
+            wm = f"{span_s} seconds"
             # one file → one micro-batch: with multiple batches the
             # fixture's unordered arrival could interact with the
             # watermark; the single-batch drain keeps the run equal to
@@ -6228,7 +6258,7 @@ def _register_j15():
                     "user_id",
                     F.col("ts").alias("click_ts"),
                 )
-                .withWatermark("click_ts", "90 days")
+                .withWatermark("click_ts", wm)
             )
             purchases = (
                 stream.filter(F.col("event_type") == "purchase")
@@ -6237,7 +6267,7 @@ def _register_j15():
                     F.col("user_id").alias("p_user_id"),
                     F.col("ts").alias("purchase_ts"),
                 )
-                .withWatermark("purchase_ts", "90 days")
+                .withWatermark("purchase_ts", wm)
             )
             joined = clicks.join(
                 purchases,
@@ -6299,14 +6329,16 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import semantic_neardup_pairs
 
     emb = _emb(spark, sf_dir)
-    # n_probe=4 of 8 cells: the synthetic fixture's embeddings are
-    # near-uniform (no semantic cluster structure for k-means to find),
-    # the worst case for cell-bucketed recall — real text embeddings
-    # cluster tightly and probe 1-2 cells (the scale smoke records the
-    # recall/probe curve on the 10x corpus)
+    # n_clusters auto-sizes with the corpus (cells ∝ N, bounded cell
+    # population — the linear-total-comparisons configuration; at
+    # oracle scale it resolves to the floor of 8 cells, so the exact
+    # oracle regime is unchanged).  n_probe=4: the synthetic fixture's
+    # embeddings are near-uniform (no semantic cluster structure for
+    # k-means to find), the worst case for cell-bucketed recall — real
+    # text embeddings cluster tightly and probe 1-2 cells (the scale
+    # smoke records the recall/probe curve on the 10x corpus)
     out = semantic_neardup_pairs(
-        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD,
-        n_clusters=8, n_probe=4,
+        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, n_probe=4,
     )
     return out.select(
         F.col("id_a"), F.col("id_b"), F.col("score")
@@ -6671,15 +6703,21 @@ def t19_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_oracle(
+    n_merges: int = 8,
+    toks: Optional[str] = None,
+    corpus_cte: str = "",
+    corpus: str = "documents",
+) -> str:
     """Unrolled BPE iteration (d11's CTE-chain trick): each round is a
     pair-count + argmax CTE and a replace-apply CTE; the output unions
-    the per-round argmax rows."""
-    toks = _DUCK_NORM_TOKENS.format(col="text")
+    the per-round argmax rows.  ``toks``/``corpus_cte``/``corpus`` let
+    the unicode twin (t22) swap the tokenizer and inject its corpus."""
+    toks = toks or _DUCK_NORM_TOKENS.format(col="text")
     parts = [
-        f"""w AS MATERIALIZED (
+        f"""{corpus_cte}w AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq
-      FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word),
+      FROM (SELECT unnest({toks}) AS word FROM {corpus}) GROUP BY word),
     v0 AS MATERIALIZED (
       SELECT freq,
              array_to_string(list_transform(string_split(word, ''),
@@ -6740,3 +6778,186 @@ def t20_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, l string, r string, merged string, cnt bigint"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Unicode tokenization twins (round 6): the default corpus tokenizer is
+# byte-ASCII for reference parity (SURVEY §7.3's Unicode note), which
+# mangles non-Latin text.  These entries exercise the opt-in UTF-8-safe
+# tokenizer (\p{L}\p{N} classes — functions/text.py
+# unicode_norm_tokens_expr) end-to-end over a deterministically injected
+# multilingual corpus: German (case-folded umlauts/ß), Cyrillic, Greek,
+# and CJK (no-space script — contiguous runs tokenize as one unit).
+# Both engines lowercase Unicode-aware and both regex engines (Java,
+# RE2) implement \p{L}/\p{N}, so the oracle mirrors the exact pipeline.
+# Phrases avoid the known engine-divergent edge (word-final capital
+# sigma Σ, which Java lowercases contextually to ς).
+
+_UNICODE_PHRASES = [
+    "Grünfeld Verteidigung Großmeister Eröffnung",
+    "Защита Каро-Канн дебют Защита",
+    "Ελληνικά Ανοίγματα Σκάκι",
+    "東京将棋対局",
+]
+
+_DUCK_UNICODE_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(coalesce({col}, ''))"
+    ", '[^\\p{{L}}\\p{{N}}]+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+_DUCK_UNICODE_CORPUS = """
+      SELECT doc_id,
+             coalesce(text, '') || ' ' || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'Grünfeld Verteidigung Großmeister Eröffnung'
+               WHEN 1 THEN 'Защита Каро-Канн дебют Защита'
+               WHEN 2 THEN 'Ελληνικά Ανοίγματα Σκάκι'
+               ELSE '東京将棋対局' END AS text
+      FROM documents"""
+
+
+def _unicode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phrases = F.array(*[F.lit(p) for p in _UNICODE_PHRASES])
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" "),
+            F.element_at(phrases, (F.col("doc_id") % 4 + 1).cast("int")),
+        ).alias("text"),
+    )
+
+
+@_register(
+    "t21_unicode_token_ids",
+    f"""
+    WITH ucorpus AS ({_DUCK_UNICODE_CORPUS}),
+    doc_toks AS (
+      SELECT doc_id,
+             unnest({_DUCK_UNICODE_TOKS.format(col="text")}) AS token,
+             generate_subscripts({_DUCK_UNICODE_TOKS.format(col="text")}, 1) AS pos
+      FROM ucorpus),
+    vocab AS (
+      SELECT token,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS tid
+      FROM doc_toks GROUP BY token
+      QUALIFY row_number() OVER (ORDER BY count(*) DESC, token) <= 50),
+    enc AS (
+      SELECT d.doc_id, d.pos, coalesce(v.tid, 0) AS tid
+      FROM doc_toks d LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM enc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def t21_unicode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18's vocab→token-id encoding run through the UTF-8-safe
+    tokenizer over the multilingual corpus: the byte-ASCII default
+    would shred every injected phrase into separator noise; this entry
+    proves the \\p{L}\\p{N} token classes carry non-Latin text
+    end-to-end (tokenize → corpus-built vocab → id encoding), with the
+    per-doc id stream md5-pinned.  Plan shape identical to t18 (one
+    posexplode feeds vocab count and encoder, 50-row vocab broadcasts,
+    per-doc array_sort reassembly — the ranking window is over distinct
+    TOKEN TYPES)."""
+    from ..functions.text import unicode_norm_tokens_expr
+
+    docs = _unicode_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(unicode_norm_tokens_expr(F.col("text"))).alias(
+            "pos", "token"
+        ),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        counts.withColumn("tid", F.row_number().over(w))
+        .filter(F.col("tid") <= 50)
+        .select("token", "tid")
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("tid"), F.lit(0)).alias("tid")
+    )
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("int")).cast("bigint").alias("n_oov"),
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("_seq"),
+    )
+    ids_md5 = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("_seq"), lambda s: s["tid"].cast("string"))
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_oov", ids_md5.alias("ids_md5")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "t22_unicode_bpe",
+    _bpe_oracle(
+        8,
+        toks=_DUCK_UNICODE_TOKS.format(col="text"),
+        corpus_cte=f"ucorpus AS MATERIALIZED ({_DUCK_UNICODE_CORPUS}),\n    ",
+        corpus="ucorpus",
+    ),
+)
+def t22_unicode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t20's BPE merge learning with ``tokenizer="unicode"`` over the
+    multilingual corpus: merge rules learn over umlauts, Cyrillic,
+    Greek, and CJK symbol strings (character splitting is code-point
+    based in both engines).  Same distributed shape as t20 — one corpus
+    pass to the word-frequency TYPES table, then per round a
+    partial+final pair aggregate + 1-row argmax + literal replace, with
+    per-round lineage truncation; the oracle unrolls the identical 8
+    rounds over the identical injected corpus."""
+    from ..operators.textan import learn_bpe_merges
+
+    merges = learn_bpe_merges(
+        _unicode_docs(spark, sf_dir), "doc_id", "text", 8,
+        tokenizer="unicode",
+    )
+    rows = [
+        (i + 1, l, r, l + r, cnt) for i, (l, r, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, l string, r string, merged string, cnt bigint"
+    ).orderBy("rank")
+
+
+def _register_d16():
+    # shares d10's oracle verbatim: the bloom split must equal the plain
+    # broadcast anti join row-for-row (no false negatives + exact
+    # suspect-branch anti join)
+    d10_oracle = QUERIES["d10_dedup_resolve"][1]
+
+    @_register("d16_dedup_resolve_bloom", d10_oracle)
+    def d16_dedup_resolve_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """d10's dedup resolution routed through the Bloom drop-list
+        split (operators/bloom.py bloom_prune_anti_join) — the
+        production path once the non-canonical drop-list outgrows a
+        broadcast: definite non-members keep without any exchange, only
+        bloom suspects (true drops + false positives) pay the exact
+        anti join.  Identity with the broadcast form is the entry's
+        oracle claim."""
+        from ..operators.bloom import bloom_prune_anti_join
+        from ..operators.graph import dup_clusters
+
+        docs = _docs(spark, sf_dir)
+        drop = (
+            dup_clusters(_lsh_pairs(spark, sf_dir))
+            .filter(~F.col("is_canonical"))
+            .select("doc_id")
+        )
+        return (
+            bloom_prune_anti_join(docs, drop, "doc_id", "doc_id")
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id")
+        )
+
+
+_register_d16()

@@ -23,7 +23,7 @@ from typing import List, Optional, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.embedding import deterministic_embedding_expr
+from ..functions.embedding import v5_embedding_column
 from ..functions.text import tokenize_sources
 
 VECTOR_DIM_DEFAULT = 16
@@ -97,7 +97,7 @@ def build_payload(
     arr = lambda field: F.coalesce(parsed_tags[field], F.array().cast("array<string>"))
     return joined.select(
         F.md5(F.col("fen")).alias("vector_id"),
-        deterministic_embedding_expr(
+        v5_embedding_column(
             tokenize_sources(F.col("fen")), dim
         ).alias("embedding"),
         "game_id", "position_id", "ply",

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.embedding import deterministic_embedding_expr
+from ..functions.embedding import v5_embedding_column
 from ..functions.text import tokenize_sources
 
 POSITIONS_DDL = (
@@ -59,7 +59,7 @@ def embed_positions(batch: DataFrame, dim: int = 16) -> DataFrame:
     """
     return batch.select(
         F.md5(F.col("fen")).alias("vector_id"),
-        deterministic_embedding_expr(tokenize_sources(F.col("fen")), dim).alias(
+        v5_embedding_column(tokenize_sources(F.col("fen")), dim).alias(
             "embedding"
         ),
         F.col("game_id"),

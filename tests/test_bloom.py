@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from chessmate_spark.operators.bloom import (
     bloom_build,
     bloom_might_contain,
+    bloom_prune_anti_join,
     bloom_prune_join,
 )
 
@@ -57,6 +58,34 @@ def test_no_false_negatives_even_with_tiny_filter(spark, frames):
     pruned = bloom_prune_join(fact, dim, "k", "dk", m_bits=64, k=2)
     cols = ["row_id", "k", "val", "dk", "name"]
     assert _sorted_rows(pruned, cols) == _sorted_rows(plain, cols)
+
+
+def test_anti_identity_vs_plain_anti_join(spark, frames):
+    fact, dim = frames
+    plain = fact.join(dim, fact["k"] == dim["dk"], "left_anti")
+    pruned = bloom_prune_anti_join(fact, dim, "k", "dk", m_bits=1 << 12)
+    cols = ["row_id", "k", "val"]
+    assert _sorted_rows(pruned, cols) == _sorted_rows(plain, cols)
+
+
+def test_anti_identity_with_tiny_filter_false_positives(spark, frames):
+    # 64 bits forces false positives into the suspect branch; the exact
+    # anti join there must still keep them, so the union stays identical
+    fact, dim = frames
+    plain = fact.join(dim, fact["k"] == dim["dk"], "left_anti")
+    pruned = bloom_prune_anti_join(fact, dim, "k", "dk", m_bits=64, k=2)
+    cols = ["row_id", "k", "val"]
+    assert _sorted_rows(pruned, cols) == _sorted_rows(plain, cols)
+
+
+def test_anti_join_keeps_null_fact_keys(spark, frames):
+    # NULL keys never equi-match: anti join keeps them; the bloom split
+    # must route them to the fast-keep branch
+    fact, dim = frames
+    pruned = bloom_prune_anti_join(fact, dim, "k", "dk", m_bits=1 << 12)
+    nulls_in = fact.filter(F.col("k").isNull()).count()
+    nulls_out = pruned.filter(F.col("k").isNull()).count()
+    assert nulls_in > 0 and nulls_in == nulls_out
 
 
 def test_membership_has_no_false_negatives(spark, frames):

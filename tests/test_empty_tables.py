@@ -99,6 +99,9 @@ ENTRIES = [
     "d15_jaccard_prefix_join",
     "t19_mixture_sample",
     "t20_bpe_merges",
+    "t21_unicode_token_ids",
+    "t22_unicode_bpe",
+    "d16_dedup_resolve_bloom",
 ]
 
 
