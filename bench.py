@@ -184,6 +184,8 @@ HEADLINE = [
     "t21_unicode_token_ids",
     "t22_unicode_bpe",
     "d16_dedup_resolve_bloom",
+    "d17_paragraph_dedup",
+    "a29_countmin_gate",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -95,3 +95,75 @@ def heavy_hitters_sketch(
         .orderBy(F.desc("event_count"), F.asc(key_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the point-query
+# frequency sibling of the sketch family (HLL cardinality a18, GK
+# quantiles a21, Misra-Gries top-k a15_sketch): fixed depth x width
+# counter grid, est(key) = min over rows of the key's bucket counter.
+# Never undercounts; overcounts by at most (e/width)*N with probability
+# 1 - exp(-depth).  Hashes are md5-derived (engine-portable, the repo's
+# convention), so the sketch is bit-deterministic and oracle-checkable.
+
+
+def _cm_bucket(key, j: int, width: int):
+    digest = F.md5(F.concat(F.lit(f"cm{j}:"), key.cast("string")))
+    return (
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % width
+    )
+
+
+def countmin_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """The CMS as a (depth, bucket, cnt) DataFrame — depth*width rows
+    total regardless of corpus size.
+
+    Scale shape: ONE scan explodes each row into its ``depth`` bucket
+    coordinates; the groupBy's map-side combine collapses to at most
+    depth*width rows per task before the single exchange.  The sketch
+    is mergeable by construction (counts add), which is exactly what
+    partial aggregation exploits."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                _cm_bucket(F.col(key_col), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .select("c.depth", "c.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    probes: DataFrame, cms: DataFrame, key_col: str,
+    depth: int = 4, width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]`` against a
+    ``countmin_table`` frame: join each probe's depth coordinates to the
+    sketch (the probe side is tiny and broadcasts; the sketch is
+    depth*width rows), min over depth."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                _cm_bucket(F.col(key_col), j, width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probe_coords = probes.select(
+        F.col(key_col), F.explode(coords).alias("c")
+    ).select(key_col, "c.depth", "c.bucket")
+    return (
+        probe_coords.join(cms, ["depth", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )

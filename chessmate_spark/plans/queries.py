@@ -6961,3 +6961,186 @@ def _register_d16():
 
 
 _register_d16()
+
+
+_PARA_TOKENS = 8  # tokens per synthetic paragraph (corpus has no newlines)
+
+
+@_register(
+    "d17_paragraph_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_NORM_TOKENS.format(col="text")} AS t
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(t[(CAST(i AS INT)*{_PARA_TOKENS}+1):(CAST(i AS INT)*{_PARA_TOKENS}+{_PARA_TOKENS})], ' ') AS para
+      FROM toks,
+           LATERAL (SELECT unnest(range(0,
+             CAST(ceil(len(t)/{_PARA_TOKENS}.0) AS BIGINT))) AS i) u),
+    ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks),
+    kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(para, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id),
+    meta AS (
+      SELECT doc_id, CAST(ceil(len(t)/{_PARA_TOKENS}.0) AS BIGINT) AS n_paras
+      FROM toks)
+    SELECT m.doc_id, m.n_paras,
+           coalesce(p.n_kept, 0) AS n_kept,
+           coalesce(p.clean_md5, md5('')) AS clean_md5
+    FROM meta m LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+)
+def d17_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the C4/Dolma curation pass between
+    doc-level dedup d1 and shingle near-dup d2): every paragraph keeps
+    only its FIRST corpus occurrence (min (doc_id, pos)); documents are
+    reassembled from their surviving paragraphs and the cleaned text is
+    md5-pinned per doc.  The fixture corpus has no newlines, so
+    paragraphs are deterministic 8-token windows — the operator shape is
+    identical for real newline-split paragraphs.
+
+    Plan: one posexplode scan; the first-occurrence resolution is a
+    groupBy(md5(para)).min(struct(doc_id, pos)) — partial+final with
+    map-side combine, so a hot boilerplate paragraph collapses to one
+    row per task BEFORE the exchange (the skew-safe alternative to a
+    per-hash window sort); the join back broadcasts nothing corpus-sized
+    (paragraph-hash keyed); per-doc reassembly is an in-group
+    array_sort, never a row sort."""
+    from ..functions.text import norm_tokens_expr
+
+    P = _PARA_TOKENS
+    docs = _docs(spark, sf_dir)
+    t = norm_tokens_expr(F.coalesce(F.col("text"), F.lit("")))
+    n_chunks = F.ceil(F.size(t) / F.lit(P)).cast("int")
+    chunks = F.when(
+        F.size(t) <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * P + 1, P)),
+        )
+    )
+    base = docs.select("doc_id", chunks.alias("_chunks"))
+    paras = base.select(
+        "doc_id", F.posexplode("_chunks").alias("pos", "para")
+    ).withColumn("_h", F.md5("para"))
+    firsts = paras.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_f")
+    )
+    kept = (
+        paras.join(firsts, "_h")
+        .filter(
+            (F.col("doc_id") == F.col("_f.doc_id"))
+            & (F.col("pos") == F.col("_f.pos"))
+        )
+        .select("doc_id", "pos", "para")
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("_seq"),
+    )
+    clean = F.concat_ws(
+        " ", F.transform(F.col("_seq"), lambda s: s["para"])
+    )
+    meta = base.select(
+        "doc_id", F.size("_chunks").cast("bigint").alias("n_paras")
+    )
+    return (
+        meta.join(
+            per_doc.select("doc_id", "n_kept", clean.alias("_clean")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias(
+                "n_kept"
+            ),
+            F.md5(F.coalesce(F.col("_clean"), F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 512
+
+
+@_register(
+    "a29_countmin_gate",
+    f"""
+    WITH exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 10),
+    coords AS (
+      SELECT user_id, j,
+             (('0x' || substring(md5('cm' || j || ':' ||
+               CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {_CM_WIDTH})
+               AS bucket
+      FROM events, LATERAL (SELECT unnest(range(0, {_CM_DEPTH})) AS j) u),
+    cms AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM coords GROUP BY j, bucket),
+    probe AS (
+      SELECT e.user_id, e.exact_cnt, j,
+             (('0x' || substring(md5('cm' || j || ':' ||
+               CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % {_CM_WIDTH})
+               AS bucket
+      FROM exact e, LATERAL (SELECT unnest(range(0, {_CM_DEPTH})) AS j) u)
+    SELECT p.user_id, p.exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS est_cnt,
+           min(c.cnt) >= p.exact_cnt AS never_undercounts
+    FROM probe p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.exact_cnt
+    ORDER BY p.exact_cnt DESC, p.user_id
+    """,
+)
+def a29_countmin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency gate — completes the sketch family
+    (HLL cardinality a18, GK quantiles a21, Misra-Gries top-k
+    a15_sketch, CMS point queries): estimate the top-10 users' event
+    counts from a depth 4 x width 512 counter grid and
+    return exact + estimate + the never-undercounts invariant.  Hashes
+    are md5-derived, so the sketch is bit-deterministic and the oracle
+    computes the IDENTICAL estimate — a regression in the bucket
+    arithmetic hash-mismatches instead of hiding inside a tolerance.
+
+    Plan: one scan explodes each event into depth coordinates,
+    map-side combine collapses to ≤ depth·width rows per task before
+    the single exchange (the sketch is mergeable; partial aggregation
+    IS the merge); probes broadcast against the 2048-row sketch."""
+    from ..operators.sketch import countmin_estimate, countmin_table
+
+    ev = _events(spark, sf_dir)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    cms = countmin_table(ev, "user_id", depth=_CM_DEPTH, width=_CM_WIDTH)
+    est = countmin_estimate(
+        exact.select("user_id"), cms, "user_id",
+        depth=_CM_DEPTH, width=_CM_WIDTH,
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    )

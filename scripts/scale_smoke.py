@@ -90,6 +90,13 @@ DEFAULT_QUERIES = [
     "t20_bpe_merges",
     "d13_semantic_dedup",
     "m8_image_resize_stub",
+    # round-6 new entries: unicode corpus ops, bloom anti-join resolve,
+    # paragraph dedup, count-min gate
+    "t21_unicode_token_ids",
+    "t22_unicode_bpe",
+    "d16_dedup_resolve_bloom",
+    "d17_paragraph_dedup",
+    "a29_countmin_gate",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

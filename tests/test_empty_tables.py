@@ -102,6 +102,8 @@ ENTRIES = [
     "t21_unicode_token_ids",
     "t22_unicode_bpe",
     "d16_dedup_resolve_bloom",
+    "d17_paragraph_dedup",
+    "a29_countmin_gate",
 ]
 
 
