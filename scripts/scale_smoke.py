@@ -121,7 +121,7 @@ MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
 
 
 def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
-    if os.path.exists(os.path.join(dst, "_DONE_v2")):
+    if os.path.exists(os.path.join(dst, "_DONE_v3")):
         return
     os.makedirs(dst, exist_ok=True)
     for table, id_cols in ID_COLS.items():
@@ -147,20 +147,42 @@ def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
                         ),
                     )
                 elif table == "embeddings":
-                    c = c.withColumn(
-                        "embedding",
-                        F.transform(
-                            F.col("embedding"),
-                            lambda x: (x + F.lit(i * 0.01)).cast("float"),
-                        ),
-                    )
+                    # decorrelate replicas with a deterministic
+                    # per-(replica, coordinate) SIGN pattern: within one
+                    # replica every vector flips identically, so all
+                    # within-replica cosines are preserved EXACTLY
+                    # (true pairs = replicas x base pairs, linear),
+                    # while cross-replica dot products cancel to ~0.
+                    # The old additive +0.01*i nudge left replicas of
+                    # one base vector mutually near-dup (cosine ~1), so
+                    # the TRUE pair count grew ~replicas^2 — and any
+                    # correct pair-finder then looks quadratic (d13
+                    # tripped the 12x gate at 20x purely on output
+                    # size).  Replica 0 keeps the original vectors.
+                    if i > 0:
+                        c = c.withColumn(
+                            "embedding",
+                            F.transform(
+                                F.col("embedding"),
+                                lambda x, j: (
+                                    x
+                                    * F.when(
+                                        F.pmod(
+                                            F.xxhash64(F.lit(i), j), F.lit(2)
+                                        )
+                                        == 0,
+                                        F.lit(1.0),
+                                    ).otherwise(F.lit(-1.0))
+                                ).cast("float"),
+                            ),
+                        )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:
                 out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
         print(f"built {table}", flush=True)
-    open(os.path.join(dst, "_DONE_v2"), "w").write("ok\n")
+    open(os.path.join(dst, "_DONE_v3"), "w").write("ok\n")
 
 
 DST3 = "/tmp/chessmate_sf03"  # 3x midpoint for the --linearity probe

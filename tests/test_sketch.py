@@ -167,3 +167,54 @@ if HAVE_HYPOTHESIS:
             return  # below the guarantee threshold, nothing to assert
         s = _mg_run(values, capacity)
         assert 7 in s.index
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (round 6)
+
+
+def test_countmin_never_undercounts_and_bounds_overcount(spark):
+    from chessmate_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    # zipf-ish skew: key k appears ~600/k times
+    rows = [(f"u{k}",) for k in range(1, 40) for _ in range(600 // k)]
+    df = spark.createDataFrame(rows, "key string")
+    n = df.count()
+    depth, width = 4, 256
+    cms = countmin_table(df, "key", depth=depth, width=width)
+    # the sketch is exactly depth*width cells at most
+    assert cms.count() <= depth * width
+    probes = df.distinct()
+    est = {
+        r["key"]: r["est_cnt"]
+        for r in countmin_estimate(
+            probes, cms, "key", depth=depth, width=width
+        ).collect()
+    }
+    true = {f"u{k}": 600 // k for k in range(1, 40)}
+    import math
+
+    bound = math.e / width * n  # CMS overcount bound per row, prob 1-e^-d
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)  # NEVER undercounts
+        # generous deterministic sanity ceiling: 8x the e/width*N bound
+        assert est[k] <= t + 8 * bound, (k, est[k], t, bound)
+
+
+def test_countmin_is_deterministic_across_runs(spark):
+    from chessmate_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    rows = [(f"k{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "key string")
+    outs = []
+    for _ in range(2):
+        cms = countmin_table(df, "key", depth=3, width=64)
+        est = countmin_estimate(df.distinct(), cms, "key", depth=3, width=64)
+        outs.append(sorted((r["key"], r["est_cnt"]) for r in est.collect()))
+    assert outs[0] == outs[1]
