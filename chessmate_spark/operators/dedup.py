@@ -294,6 +294,29 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_banding_for(n_rows: int) -> "tuple[int, int]":
+    """The (n_planes, n_tables) autotune ladder for random-hyperplane
+    LSH dedup: candidate volume is ~ n_tables · n² / 2^n_planes, so a
+    FIXED plane count is quadratic in the corpus (the round-6 smoke
+    caught the (4,16) point at 23x on 10x data).  Planes grow with
+    log2(n) — each 10x of corpus adds ~3.3 planes, which multiplies the
+    bucket count by ~10x and keeps CANDIDATE growth ~linear per decade;
+    tables shrink toward a floor of 8.  ≤800 rows keeps the historic
+    (3, 32) recall-1.0 operating point (the entry's oracle regime).
+    Recall at a given similarity decays as planes rise — the documented
+    recall/cost dial (SCALE_SMOKE.json records it per corpus); for
+    LOW-threshold dedup on unclustered vectors prefer the k-means-cell
+    strategy (semantic_neardup_pairs), whose cells ∝ N form is exactly
+    linear."""
+    import math
+
+    if n_rows <= 800:
+        return 3, 32
+    planes = min(16, 3 + math.ceil(math.log2(n_rows / 800)))
+    tables = max(8, 32 >> (planes - 3))
+    return planes, tables
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str,

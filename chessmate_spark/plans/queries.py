@@ -1887,15 +1887,17 @@ def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤800 vectors) the banding is sized for recall 1.0, so the driver row
     hash-checks the full LSH pipeline against the quadratic baseline.
 
-    Banding autotunes to corpus size: candidate volume grows as
-    n_tables·n²/2^n_planes, so bigger corpora get FINER buckets (more
-    planes) and fewer tables — the recall/cost dial every production LSH
-    dedup exposes."""
-    from ..operators.dedup import embedding_neardup_lsh
+    Banding autotunes to corpus size (operators/dedup.py
+    lsh_banding_for): candidate volume grows as n_tables·n²/2^n_planes,
+    so planes scale with log2(n) — each corpus decade multiplies the
+    bucket count ~10x, keeping candidate growth ~linear per decade —
+    the recall/cost dial every production LSH dedup exposes (recall at
+    the measured operating points is recorded in SCALE_SMOKE.json)."""
+    from ..operators.dedup import embedding_neardup_lsh, lsh_banding_for
 
     emb = _emb(spark, sf_dir)
     n = emb.count()
-    planes, tables = (3, 32) if n <= 800 else (4, 16)
+    planes, tables = lsh_banding_for(n)
     return embedding_neardup_lsh(
         emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
         n_planes=planes, n_tables=tables,
