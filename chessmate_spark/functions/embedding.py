@@ -120,8 +120,8 @@ def deterministic_embedding_expr(tokens: Column, dim: int = DEFAULT_DIM) -> Colu
 # SCALE_SMOKE.json `v5_dim1536`): the pure-expression plan wins or ties
 # through dim≈64 (no Python boundary, fuses with surrounding JVM
 # expressions), the Arrow-batched pandas UDF wins decisively above
-# (dim=128: 10.0s vs 6.0s; dim=256: 12.3s vs 4.6s; dim=1536: 198.8s vs
-# 43.0s — the per-dim element updates in the interpreted HOF fold scale
+# (dim=128: 10.0s vs 6.0s; dim=256: 12.3s vs 4.6s; dim=1536: 441.8s vs
+# 30.3s — the per-dim element updates in the interpreted HOF fold scale
 # with dim, the numpy broadcast does not).
 V5_EXPR_MAX_DIM = 64
 

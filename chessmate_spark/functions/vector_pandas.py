@@ -88,8 +88,15 @@ def v5_embedding_udf(dim):
                 total += n
                 j += 1
             flat, lens = [], []
-            for r in rows[i:j]:
+            for idx, r in enumerate(rows[i:j]):
                 if r is None or len(r) == 0:
+                    lens.append(0)
+                elif any(t is None for t in r):
+                    # match the expression form exactly: a NULL token
+                    # poisons the whole fold (md5(NULL) is NULL), and
+                    # the final clamp's greatest(NULL, 0.0) resolves to
+                    # 0.0 (greatest/least skip NULLs) — so the output
+                    # is the ZERO vector, never a hash of 'None'
                     lens.append(0)
                 else:
                     lens.append(len(r))

@@ -61,12 +61,30 @@ def ensure_bucketed(
     since a fresh process rewrites regardless.  Reuse stays
     session-scoped either way.
     """
+    import glob
     import os
+    import re
+    import shutil
 
     spark = df.sparkSession
     if spark.catalog.tableExists(table):
         return
     if path is not None:
+        # reap siblings left by DEAD processes first, or every run
+        # leaks a full table copy under the shared parent dir
+        for stale in glob.glob(f"{path}-pid*"):
+            m = re.search(r"-pid(\d+)$", stale)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)  # raises if the owner is gone
+            except ProcessLookupError:
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid: leave it
         path = f"{path}-pid{os.getpid()}"
     write_bucketed(
         df, table, bucket_cols, n_buckets, sort_cols=sort_cols, path=path

@@ -667,7 +667,12 @@ def ngram_jaccard_pairs_prefix(
         word_shingles_expr(_norm_tokens(F.col(text_col)), shingle_n).alias(
             "_shingles"
         ),
-    ).persist()
+    )
+    # persist only on the materialize path, where this function also
+    # unpersists: a materialize=False caller gets a PURE lazy plan (for
+    # inspection/composition) with no hidden cached state to leak
+    if materialize:
+        shingled = shingled.persist()
     sizes = shingled.select(
         *block_keys, "_id", F.size("_shingles").alias("_sz")
     )
@@ -688,15 +693,13 @@ def ngram_jaccard_pairs_prefix(
     with_pos = ex_rk.withColumn("_pos", F.row_number().over(pos_w)).join(
         sizes.select("_id", "_sz"), "_id"
     )
-    # persisted: both sides of the candidate self-join read this frame
-    prefix = (
-        with_pos.filter(
-            F.col("_pos")
-            <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
-        )
-        .select(*block_keys, "_id", "_sh")
-        .persist()
-    )
+    # persisted on the materialize path: both sides of the candidate
+    # self-join read this frame
+    prefix = with_pos.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+    ).select(*block_keys, "_id", "_sh")
+    if materialize:
+        prefix = prefix.persist()
     right = prefix.select(
         *[F.col(k) for k in block_keys],
         F.col("_id").alias("_idb"),

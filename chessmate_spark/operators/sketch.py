@@ -149,7 +149,13 @@ def countmin_estimate(
     """Point-frequency estimates for ``probes[key_col]`` against a
     ``countmin_table`` frame: join each probe's depth coordinates to the
     sketch (the probe side is tiny and broadcasts; the sketch is
-    depth*width rows), min over depth."""
+    depth*width rows), min over depth.
+
+    The sketch frame stores only NON-zero cells, so the join is LEFT
+    with a 0 fill: a probe key the corpus never touched hits empty
+    buckets and must estimate 0 (and a key whose buckets are only
+    partially populated takes min over zeros, not over the populated
+    subset) — an inner join would instead drop or inflate such keys."""
     coords = F.array(
         *[
             F.struct(
@@ -163,7 +169,11 @@ def countmin_estimate(
         F.col(key_col), F.explode(coords).alias("c")
     ).select(key_col, "c.depth", "c.bucket")
     return (
-        probe_coords.join(cms, ["depth", "bucket"])
+        probe_coords.join(cms, ["depth", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+                "est_cnt"
+            )
+        )
     )

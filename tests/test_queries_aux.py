@@ -80,10 +80,14 @@ def test_prefix_join_plan_has_no_single_partition_exchange(spark):
     unmaterialized plan must carry zero SinglePartition exchanges."""
     from chessmate_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
+    from pyspark.sql import functions as F
+
+    # filter, not limit(): a GlobalLimit on the input would itself plan
+    # an Exchange SinglePartition and mask what this test pins
     docs = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", "text")
-        .limit(50)
+        .filter(F.col("doc_id") < 50)
     )
     out = ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", min_jaccard=0.5, materialize=False

@@ -24,6 +24,10 @@ TOKEN_ROWS = [
     (None,),
     (["sicilian"] * 40 + ["najdorf", "variation"],),
     (["zz", "yy", "xx", "ww"],),
+    # a NULL element poisons the fold (md5(NULL) is NULL) and the final
+    # clamp resolves greatest(NULL, 0.0) to 0.0 — both forms must emit
+    # the ZERO vector, never a hash of the string 'None'
+    (["a", None, "b"],),
 ]
 
 SCHEMA = StructType([StructField("toks", ArrayType(StringType()), True)])
@@ -49,7 +53,13 @@ def test_pandas_v5_matches_driver_reference_at_production_dim(spark):
         "toks", v5_embedding_udf(dim)(F.col("toks")).alias("p")
     ).collect()
     for row in rows:
-        expected = deterministic_embedding(row["toks"] or [], dim)
+        toks = row["toks"]
+        if toks and any(t is None for t in toks):
+            # SQL NULL-poisoning + clamp semantics; the pure-Python
+            # reference has no NULL notion, so pin the zero vector
+            assert row["p"] == [0.0] * dim
+            continue
+        expected = deterministic_embedding(toks or [], dim)
         assert row["p"] == expected
 
 
