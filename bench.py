@@ -186,6 +186,7 @@ HEADLINE = [
     "d16_dedup_resolve_bloom",
     "d17_paragraph_dedup",
     "a29_countmin_gate",
+    "s16_corrupt_record_channel",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

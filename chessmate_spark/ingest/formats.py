@@ -101,3 +101,29 @@ def roundtrip_orc(df: DataFrame, path: str) -> DataFrame:
     natively."""
     df.write.mode("overwrite").orc(path)
     return df.sparkSession.read.schema(df.schema).orc(path)
+
+
+def read_jsonl_permissive(
+    spark: SparkSession, path: str, schema_ddl: str,
+    corrupt_col: str = "_corrupt",
+):
+    """PERMISSIVE JSONL read with a corrupt-record side channel — the
+    connector-level form of the reference's per-game error tolerance
+    (pgn_parser.ml fold_games' on_error: a bad record is captured and
+    reported, never aborts the file).
+
+    Malformed lines parse to all-NULL fields with the raw line in
+    ``corrupt_col``; well-formed lines leave it NULL.  The parsed frame
+    is CACHED before returning: Spark refuses raw-JSON queries that
+    reference only the internal corrupt-record column on an uncached
+    scan (it would have to re-parse per reference), so caching is part
+    of this reader's contract, not an optimization."""
+    schema = f"{schema_ddl}, {corrupt_col} string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    df.cache()
+    return df

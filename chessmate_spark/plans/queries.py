@@ -7146,3 +7146,66 @@ def a29_countmin_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
     )
+
+
+@_register(
+    "s16_corrupt_record_channel",
+    """
+    WITH marks AS (
+      SELECT doc_id, text, (doc_id % 7 = 3) AS is_corrupt FROM documents)
+    SELECT is_corrupt,
+           CASE WHEN is_corrupt
+                THEN md5('{"doc_id": ' || CAST(doc_id AS VARCHAR)
+                         || ', "text": "unterminated')
+                ELSE md5(coalesce(text, '')) END AS payload_md5
+    FROM marks
+    ORDER BY is_corrupt, payload_md5
+    """,
+)
+def s16_corrupt_record_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record side channel for line-format ingest (the
+    connector-level form of the reference's per-game error tolerance,
+    pgn_parser.ml:204-260 fold_games on_error): a JSONL file with
+    deterministically mangled lines (every doc_id % 7 == 3 truncated
+    mid-string) reads under PERMISSIVE mode — good lines parse, bad
+    lines land raw in the `_corrupt` column, and NOTHING aborts the
+    file.  The oracle reconstructs both populations arithmetically from
+    the documents table (it knows which lines were mangled and what the
+    mangled bytes are), so the entry hash-pins the split AND the exact
+    payload bytes on both sides of the channel.
+
+    Plan: file generation is one projection + text write; the
+    PERMISSIVE read is one scan (cached per the corrupt-column
+    contract); the output is a projection over it — no joins, no
+    shuffles beyond the presentation sort."""
+    import shutil
+    import tempfile
+
+    from ..ingest.formats import read_jsonl_permissive
+
+    docs = _docs(spark, sf_dir)
+    line = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "text": "unterminated'),
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "text")))
+    base = tempfile.mkdtemp(prefix="cm_s16_")
+    try:
+        docs.select(line.alias("value")).write.mode("overwrite").text(base)
+        parsed = read_jsonl_permissive(
+            spark, base, "doc_id bigint, text string"
+        )
+        out = parsed.select(
+            F.col("_corrupt").isNotNull().alias("is_corrupt"),
+            F.md5(
+                F.coalesce(F.col("_corrupt"), F.col("text"), F.lit(""))
+            ).alias("payload_md5"),
+        ).orderBy("is_corrupt", "payload_md5")
+        out = out.localCheckpoint(eager=True)
+        parsed.unpersist()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

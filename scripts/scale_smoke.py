@@ -100,6 +100,7 @@ DEFAULT_QUERIES = [
     # heavy embedding-LSH dedup: the d-family's last smoke-uncovered
     # corpus-scale operator
     "d7_embedding_neardup_lsh",
+    "s16_corrupt_record_channel",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

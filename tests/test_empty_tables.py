@@ -104,6 +104,7 @@ ENTRIES = [
     "d16_dedup_resolve_bloom",
     "d17_paragraph_dedup",
     "a29_countmin_gate",
+    "s16_corrupt_record_channel",
 ]
 
 
