@@ -187,6 +187,7 @@ HEADLINE = [
     "d17_paragraph_dedup",
     "a29_countmin_gate",
     "s16_corrupt_record_channel",
+    "t23_inverted_index",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -101,6 +101,7 @@ DEFAULT_QUERIES = [
     # corpus-scale operator
     "d7_embedding_neardup_lsh",
     "s16_corrupt_record_channel",
+    "t23_inverted_index",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -105,6 +105,7 @@ ENTRIES = [
     "d17_paragraph_dedup",
     "a29_countmin_gate",
     "s16_corrupt_record_channel",
+    "t23_inverted_index",
 ]
 
 
