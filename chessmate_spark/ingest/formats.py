@@ -106,6 +106,7 @@ def roundtrip_orc(df: DataFrame, path: str) -> DataFrame:
 def read_jsonl_permissive(
     spark: SparkSession, path: str, schema_ddl: str,
     corrupt_col: str = "_corrupt",
+    cache: bool = False,
 ):
     """PERMISSIVE JSONL read with a corrupt-record side channel — the
     connector-level form of the reference's per-game error tolerance
@@ -113,11 +114,13 @@ def read_jsonl_permissive(
     reported, never aborts the file).
 
     Malformed lines parse to all-NULL fields with the raw line in
-    ``corrupt_col``; well-formed lines leave it NULL.  The parsed frame
-    is CACHED before returning: Spark refuses raw-JSON queries that
-    reference only the internal corrupt-record column on an uncached
-    scan (it would have to re-parse per reference), so caching is part
-    of this reader's contract, not an optimization."""
+    ``corrupt_col``; well-formed lines leave it NULL.  ``cache=True``
+    materializes the parse once — REQUIRED only for queries that
+    reference ONLY the corrupt-record column (Spark refuses those on an
+    uncached scan, since it would have to re-parse per reference); a
+    query that also projects data columns, or that runs a single
+    action, doesn't need the cache and shouldn't pay the
+    materialization."""
     schema = f"{schema_ddl}, {corrupt_col} string"
     df = (
         spark.read.schema(schema)
@@ -125,5 +128,6 @@ def read_jsonl_permissive(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
-    df.cache()
+    if cache:
+        df.cache()
     return df

@@ -7175,9 +7175,11 @@ def s16_corrupt_record_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes on both sides of the channel.
 
     Plan: file generation is one projection + text write; the
-    PERMISSIVE read is one scan (cached per the corrupt-column
-    contract); the output is a projection over it — no joins, no
-    shuffles beyond the presentation sort."""
+    PERMISSIVE read is ONE uncached scan (the single output projection
+    references data columns too, so Spark's corrupt-column-only
+    restriction doesn't apply and a cache would materialize a corpus
+    nothing re-reads); the output is a projection over it — no joins,
+    no shuffles beyond the presentation sort."""
     import shutil
     import tempfile
 
@@ -7205,7 +7207,6 @@ def s16_corrupt_record_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload_md5"),
         ).orderBy("is_corrupt", "payload_md5")
         out = out.localCheckpoint(eager=True)
-        parsed.unpersist()
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
