@@ -312,7 +312,14 @@ def lsh_banding_for(n_rows: int) -> "tuple[int, int]":
 
     if n_rows <= 800:
         return 3, 32
-    planes = min(16, 3 + math.ceil(math.log2(n_rows / 800)))
+    # cap 62: the per-table signature packs one bit per plane into an
+    # int64 (vector_pandas.signatures_udf), so 62 is the representation
+    # limit — it binds only beyond n ≈ 800·2^59, i.e. never, which is
+    # the point: a lower cap (the round-6 property test caught 16)
+    # silently reverts the ladder to quadratic candidates past the cap.
+    # The practical recall dial tops out far earlier; low-threshold
+    # dedup at scale should route to semantic_neardup_pairs instead.
+    planes = min(62, 3 + math.ceil(math.log2(n_rows / 800)))
     tables = max(8, 32 >> (planes - 3))
     return planes, tables
 
