@@ -49,7 +49,7 @@ def pandas_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def v5_embedding_udf(dim):
+def v5_embedding_udf(dim, token_budget=None):
     """array<string> tokens -> array<double>: the V5 deterministic
     embedding (functions/embedding.py) as an Arrow-batched pandas UDF.
 
@@ -70,7 +70,9 @@ def v5_embedding_udf(dim):
     A, B = consts[:, 0], consts[:, 1]
     P = np.uint64(MINHASH_PRIME)
     TEN_K = np.uint64(10_000)
-    token_budget = max(1, (1 << 23) // max(dim, 1))  # block mem ~64 MiB
+    if token_budget is None:
+        token_budget = max(1, (1 << 23) // max(dim, 1))  # block ~64 MiB
+    token_budget = max(1, int(token_budget))
     zero = [0.0] * dim
 
     @pandas_udf(ArrayType(DoubleType()))

@@ -65,6 +65,7 @@ def ensure_bucketed(
     import os
     import re
     import shutil
+    import uuid
 
     spark = df.sparkSession
     if spark.catalog.tableExists(table):
@@ -72,8 +73,10 @@ def ensure_bucketed(
     if path is not None:
         # reap siblings left by DEAD processes first, or every run
         # leaks a full table copy under the shared parent dir
-        for stale in glob.glob(f"{path}-pid*"):
-            m = re.search(r"-pid(\d+)$", stale)
+        # (glob.escape: a path containing glob metacharacters must not
+        # silently match nothing and defeat the reaping)
+        for stale in glob.glob(glob.escape(path) + "-pid*"):
+            m = re.search(r"-pid(\d+)(-[0-9a-f]{8})?$", stale)
             if not m:
                 continue
             pid = int(m.group(1))
@@ -85,7 +88,11 @@ def ensure_bucketed(
                 shutil.rmtree(stale, ignore_errors=True)
             except PermissionError:
                 pass  # alive under another uid: leave it
-        path = f"{path}-pid{os.getpid()}"
+        # pid + random suffix: pid isolates processes, the suffix
+        # isolates multiple SparkSessions WITHIN one process (each has
+        # its own catalog, so both would otherwise see
+        # tableExists=False and overwrite one shared directory)
+        path = f"{path}-pid{os.getpid()}-{uuid.uuid4().hex[:8]}"
     write_bucketed(
         df, table, bucket_cols, n_buckets, sort_cols=sort_cols, path=path
     )

@@ -559,22 +559,40 @@ def semantic_neardup_pairs(
     from ..functions.vector_pandas import nearest_cells_udf
     from .similarity import train_ivf_centroids
 
-    if df.isEmpty():
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    # ONE action serves empty-guard, auto-sizing, AND the trainer's
+    # sample arithmetic (it previously recounted internally)
+    n_rows = df.count()
+    if n_rows == 0:
         # nothing to train centroids on; emit the empty pair frame with
         # the contract schema instead of letting np.stack([]) blow up
         id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
-    import math
-
-    import numpy as np
-    import pandas as pd
-
     if n_clusters is None:
-        n_clusters = max(8, math.ceil(df.count() / target_cell_rows))
+        n_clusters = max(8, math.ceil(n_rows / target_cell_rows))
+    # the centroid trainer's sample must scale with the cell count
+    # (FAISS guidance: >= ~39 training points per centroid) or the
+    # auto-sized cells silently saturate at the sample size and the
+    # within-cell verify reverts to O(N²/sample) — the quadratic mode
+    # this auto-sizing exists to prevent.  The driver-side trainer is
+    # honest up to ~128k sample rows; past that cells cap at
+    # max_train/39 and the linear regime ends at N ≈ cell_cap *
+    # target_cell_rows (~860k at defaults) — larger corpora should
+    # coarse-pre-partition (LSH bucket or metadata shard) and run
+    # SemDeDup per shard, the hierarchical form.
+    max_train = 131_072
+    cell_cap = max(8, max_train // 39)
+    n_clusters = min(n_clusters, cell_cap)
+    sample_size = min(max_train, max(4096, 39 * n_clusters))
     centroids = train_ivf_centroids(
-        df, id_col, vec_col, nlist=n_clusters, seed=seed
+        df, id_col, vec_col, nlist=n_clusters, seed=seed,
+        sample_size=sample_size, corpus_rows=n_rows,
     )
     cells = nearest_cells_udf(centroids, n_probe)
     tagged = df.select(

@@ -108,10 +108,12 @@ def heavy_hitters_sketch(
 
 
 def _cm_bucket(key, j: int, width: int):
-    digest = F.md5(F.concat(F.lit(f"cm{j}:"), key.cast("string")))
-    return (
-        F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % width
-    )
+    # one md5-prefix-to-bigint convention in the codebase: reuse
+    # hashing._hash60 so the bucket derivation can't drift from the
+    # oracle SQL that mirrors it
+    from ..functions.hashing import _hash60
+
+    return _hash60(F.lit(f"cm{j}"), key.cast("string")) % width
 
 
 def countmin_table(

@@ -126,7 +126,7 @@ MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
 
 
 def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
-    if os.path.exists(os.path.join(dst, "_DONE_v4")):
+    if os.path.exists(os.path.join(dst, "_DONE_v5")):
         return
     os.makedirs(dst, exist_ok=True)
     for table, id_cols in ID_COLS.items():
@@ -156,15 +156,25 @@ def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
                     # (d15: 7 pairs at 1x -> 225,710 at 10x) — any
                     # correct pair-finder then measures superlinear on
                     # output size alone.  Replica 0 keeps the original.
+                    # rotate AFTER lowercasing (uppercase source text
+                    # would otherwise pass through untouched and keep
+                    # colliding cross-replica), and rotate digits too
+                    # (numeric tokens are the other residual collision
+                    # class); both maps are per-replica bijections, so
+                    # within-replica token equality is exact
                     alpha = "abcdefghijklmnopqrstuvwxyz"
-                    rot = alpha[i % 26:] + alpha[: i % 26]
+                    digits = "0123456789"
+                    rot_a = alpha[i % 26:] + alpha[: i % 26]
+                    rot_d = digits[i % 10:] + digits[: i % 10]
                     c = c.withColumn(
                         "text",
                         F.concat(
                             F.translate(
-                                F.coalesce(F.col("text"), F.lit("")),
-                                alpha,
-                                rot,
+                                F.lower(
+                                    F.coalesce(F.col("text"), F.lit(""))
+                                ),
+                                alpha + digits,
+                                rot_a + rot_d,
                             ),
                             F.lit(f" replica{i} tag{i} salt{i}"),
                         ),
@@ -205,7 +215,7 @@ def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
                 out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
         print(f"built {table}", flush=True)
-    open(os.path.join(dst, "_DONE_v4"), "w").write("ok\n")
+    open(os.path.join(dst, "_DONE_v5"), "w").write("ok\n")
 
 
 DST3 = "/tmp/chessmate_sf03"  # 3x midpoint for the --linearity probe
@@ -557,6 +567,7 @@ def main() -> int:
             prior = json.load(fh)
         if recall_only:
             record = prior
+            record.setdefault("queries", {})  # prior may be probe-only
             # carry ONLY linearity failures: ann:/semdedup: are both
             # re-measured by this run (keeping them would make a fixed
             # setting un-clearable), and plain query failures are

@@ -64,20 +64,20 @@ def test_pandas_v5_matches_driver_reference_at_production_dim(spark):
 
 
 def test_pandas_v5_block_boundary_regroups_exactly(spark):
-    """Rows larger than the numpy token budget still sum exactly (the
-    cumsum-difference never splits a row across blocks)."""
-    import chessmate_spark.functions.vector_pandas as vp
-
+    """A tiny explicit token budget forces the Arrow batch to split into
+    MANY numpy blocks (50 rows x 5 tokens at budget 7 -> a block every
+    one-to-two rows), exercising the csum/starts block bookkeeping the
+    default 2M-token budget never reaches at test scale; every row must
+    still match the expression form exactly."""
     dim = 4
-    udf = v5_embedding_udf(dim)
-    # shrink the budget by monkeypatching is not possible post-build; use
-    # many small rows so several blocks occur at the default budget
-    big = [(["tok%d" % (i % 7)] * 5,) for i in range(50)]
+    udf = v5_embedding_udf(dim, token_budget=7)
+    big = [(["tok%d" % (i % 7)] * (i % 4 + 3),) for i in range(50)]
     df = spark.createDataFrame(big, SCHEMA).select(
         "toks",
         udf(F.col("toks")).alias("p"),
         deterministic_embedding_expr(F.col("toks"), dim).alias("e"),
     )
-    for row in df.collect():
+    rows = df.collect()
+    assert len(rows) == 50
+    for row in rows:
         assert row["p"] == row["e"]
-    assert vp is not None
