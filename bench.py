@@ -188,6 +188,7 @@ HEADLINE = [
     "a29_countmin_gate",
     "s16_corrupt_record_channel",
     "t23_inverted_index",
+    "t24_bm25_search",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

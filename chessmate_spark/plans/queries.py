@@ -7289,3 +7289,112 @@ def t23_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "df", "tf_total", F.md5(serialized).alias("postings_md5"))
         .orderBy("term")
     )
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@_register(
+    "t24_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WS_TOKS_SQL}) AS token
+      FROM documents),
+    doc_len AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avgdl
+      FROM doc_len),
+    hits AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN {_TFIDF_TERMS!r}
+      GROUP BY doc_id, token),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM hits GROUP BY token),
+    scored AS (
+      SELECT h.doc_id,
+             sum(
+               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (h.tf * ({_BM25_K1} + 1.0))
+               / (h.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B}
+                     + {_BM25_B} * dl.n_tokens / s.avgdl))
+             ) AS raw
+      FROM hits h
+      JOIN doc_len dl USING (doc_id)
+      JOIN df d ON h.token = d.token
+      CROSS JOIN stats s
+      GROUP BY h.doc_id)
+    SELECT doc_id,
+           floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def t24_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson et al.; Lucene's non-negative idf
+    variant) for the fixed query-term set — t12's sibling with the
+    retrieval weighting production search engines actually use:
+    document-length normalization (b=0.75) and tf saturation (k1=1.2),
+    so long documents stop winning on raw term counts and repeated
+    terms saturate instead of growing linearly.
+
+    Plan shape identical to t12's no-explode form: tf per literal term
+    is a pure array expression in the scan projection; pass 1 is ONE
+    scalar partial+final aggregate producing (N, avgdl, df per term);
+    its 1-row result broadcasts back and pass 2 scores +
+    TakeOrderedAndProject in a single map-side stage.  Two corpus
+    scans, zero wide exchanges.  Scores rounded-then-ordered in both
+    engines so LIMIT-boundary ties resolve identically."""
+    docs = _docs(spark, sf_dir)
+    text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    arr = tokenize_expr(text)
+    base = docs.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        *[
+            F.size(F.filter(arr, _eq_term(t))).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(_TFIDF_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(_TFIDF_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    score_sum = None
+    for i in range(len(_TFIDF_TERMS)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + k1 * (
+            1.0 - b + b * F.col("n_tokens") / F.col("avgdl")
+        )
+        term = F.when(tf > 0, idf * (tf * (k1 + 1.0)) / denom).otherwise(
+            F.lit(0.0)
+        )
+        score_sum = term if score_sum is None else score_sum + term
+    any_hit = None
+    for i in range(len(_TFIDF_TERMS)):
+        hit = F.col(f"tf_{i}") > 0
+        any_hit = hit if any_hit is None else any_hit | hit
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", portable_round(score_sum, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -102,6 +102,7 @@ DEFAULT_QUERIES = [
     "d7_embedding_neardup_lsh",
     "s16_corrupt_record_channel",
     "t23_inverted_index",
+    "t24_bm25_search",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -106,6 +106,7 @@ ENTRIES = [
     "a29_countmin_gate",
     "s16_corrupt_record_channel",
     "t23_inverted_index",
+    "t24_bm25_search",
 ]
 
 
