@@ -54,12 +54,15 @@ def ensure_bucketed(
     table name must encode everything the data depends on (the entries
     embed the sf-dir token), because an existing table is trusted as-is.
 
-    External paths are made PROCESS-unique (``<path>-pid<pid>``): the
-    catalog that gates the rewrite is per-process, so two concurrent
-    Spark processes would both see ``tableExists=False`` and race
-    overwriting a shared location — and a shared path buys nothing,
-    since a fresh process rewrites regardless.  Reuse stays
-    session-scoped either way.
+    External paths are made SESSION-unique
+    (``<path>-pid<pid>-<uuid8>``): the catalog that gates the rewrite
+    is per-session, so concurrent Spark processes — or multiple
+    sessions within one process — would otherwise both see
+    ``tableExists=False`` and race overwriting a shared location; a
+    shared path buys nothing, since a fresh session rewrites
+    regardless.  Cost: one table copy per live session under the
+    parent dir; copies of DEAD processes are reaped on entry, live
+    same-process siblings persist until the process exits.
     """
     import glob
     import os

@@ -574,21 +574,23 @@ def semantic_neardup_pairs(
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
-    if n_clusters is None:
-        n_clusters = max(8, math.ceil(n_rows / target_cell_rows))
     # the centroid trainer's sample must scale with the cell count
     # (FAISS guidance: >= ~39 training points per centroid) or the
     # auto-sized cells silently saturate at the sample size and the
     # within-cell verify reverts to O(N²/sample) — the quadratic mode
     # this auto-sizing exists to prevent.  The driver-side trainer is
-    # honest up to ~128k sample rows; past that cells cap at
-    # max_train/39 and the linear regime ends at N ≈ cell_cap *
+    # honest up to ~128k sample rows; the AUTO path therefore caps its
+    # cells at max_train/39, ending the linear regime at N ≈ cell_cap *
     # target_cell_rows (~860k at defaults) — larger corpora should
     # coarse-pre-partition (LSH bucket or metadata shard) and run
-    # SemDeDup per shard, the hierarchical form.
+    # SemDeDup per shard, the hierarchical form.  An EXPLICIT caller
+    # n_clusters is honored as-is (the caller owns its sample budget).
     max_train = 131_072
-    cell_cap = max(8, max_train // 39)
-    n_clusters = min(n_clusters, cell_cap)
+    if n_clusters is None:
+        cell_cap = max(8, max_train // 39)
+        n_clusters = min(
+            max(8, math.ceil(n_rows / target_cell_rows)), cell_cap
+        )
     sample_size = min(max_train, max(4096, 39 * n_clusters))
     centroids = train_ivf_centroids(
         df, id_col, vec_col, nlist=n_clusters, seed=seed,

@@ -217,14 +217,20 @@ def train_ivf_centroids(
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    x_sq = (X**2).sum(1, keepdims=True)
+    # BLOCKED assignment: the auto-sized SemDeDup path passes sample x
+    # nlist up to 131k x 3360 — an unblocked (sample, nlist) distance
+    # matrix is ~3.5 GB of driver temporaries per iteration.  Blocking
+    # caps it at ~128 MB and is bit-identical (per-row argmin is
+    # independent of blocking; the centroid update is untouched).
     for _ in range(iters):
-        # squared distances via ||x||^2 + ||c||^2 - 2 x.c — no 3-D temporaries
-        d = (
-            (X**2).sum(1, keepdims=True)
-            + (centroids**2).sum(1)
-            - 2.0 * X @ centroids.T
-        )
-        assign = d.argmin(1)
+        c_sq = (centroids**2).sum(1)
+        assign = np.empty(len(X), dtype=np.int64)
+        block = max(1, (1 << 24) // max(len(centroids), 1))
+        for lo in range(0, len(X), block):
+            xb = X[lo : lo + block]
+            d = x_sq[lo : lo + block] + c_sq - 2.0 * xb @ centroids.T
+            assign[lo : lo + block] = d.argmin(1)
         for j in range(len(centroids)):
             members = X[assign == j]
             if len(members):

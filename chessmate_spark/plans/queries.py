@@ -7301,8 +7301,11 @@ _BM25_K1, _BM25_B = 1.2, 0.75
       SELECT doc_id, unnest({_WS_TOKS_SQL}) AS token
       FROM documents),
     doc_len AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
-      FROM toks GROUP BY doc_id),
+      -- over ALL documents (len of the token list, not an unnest
+      -- regroup): a zero-token doc must still count into N and avgdl,
+      -- exactly as the Spark side's size(arr) does
+      SELECT doc_id, CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avgdl

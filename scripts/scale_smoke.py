@@ -127,7 +127,7 @@ MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
 
 
 def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
-    if os.path.exists(os.path.join(dst, "_DONE_v5")):
+    if os.path.exists(os.path.join(dst, "_DONE_v6")):
         return
     os.makedirs(dst, exist_ok=True)
     for table, id_cols in ID_COLS.items():
@@ -167,17 +167,18 @@ def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
                     digits = "0123456789"
                     rot_a = alpha[i % 26:] + alpha[: i % 26]
                     rot_d = digits[i % 10:] + digits[: i % 10]
+                    # replica 0 keeps the ORIGINAL bytes (plus the tag)
+                    # so the big corpus contains the small one verbatim;
+                    # only i>0 replicas lower+rotate
+                    body = F.coalesce(F.col("text"), F.lit(""))
+                    if i > 0:
+                        body = F.translate(
+                            F.lower(body), alpha + digits, rot_a + rot_d
+                        )
                     c = c.withColumn(
                         "text",
                         F.concat(
-                            F.translate(
-                                F.lower(
-                                    F.coalesce(F.col("text"), F.lit(""))
-                                ),
-                                alpha + digits,
-                                rot_a + rot_d,
-                            ),
-                            F.lit(f" replica{i} tag{i} salt{i}"),
+                            body, F.lit(f" replica{i} tag{i} salt{i}")
                         ),
                     )
                 elif table == "embeddings":
@@ -216,7 +217,7 @@ def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
                 out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
         print(f"built {table}", flush=True)
-    open(os.path.join(dst, "_DONE_v5"), "w").write("ok\n")
+    open(os.path.join(dst, "_DONE_v6"), "w").write("ok\n")
 
 
 DST3 = "/tmp/chessmate_sf03"  # 3x midpoint for the --linearity probe

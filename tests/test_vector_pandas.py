@@ -71,7 +71,9 @@ def test_pandas_v5_block_boundary_regroups_exactly(spark):
     still match the expression form exactly."""
     dim = 4
     udf = v5_embedding_udf(dim, token_budget=7)
-    big = [(["tok%d" % (i % 7)] * (i % 4 + 3),) for i in range(50)]
+    # i%8+3 -> rows of 3..10 tokens: several EXCEED the budget of 7,
+    # exercising the single-oversized-row block branch too
+    big = [(["tok%d" % (i % 7)] * (i % 8 + 3),) for i in range(50)]
     df = spark.createDataFrame(big, SCHEMA).select(
         "toks",
         udf(F.col("toks")).alias("p"),
