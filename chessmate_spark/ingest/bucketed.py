@@ -39,6 +39,108 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+_LEASE_NAME = "_OWNER_LEASE.json"
+
+
+def _proc_start_time(pid: int) -> Optional[str]:
+    """The owner pid's kernel start time (clock ticks since boot, field
+    22 of ``/proc/<pid>/stat``) — the cheap Linux-native way to tell a
+    REUSED pid from the original owner.  Returns None when the pid is
+    gone or /proc is unavailable (non-Linux)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        # comm (field 2) is parenthesised and may itself contain spaces
+        # or ')' — split AFTER the last ')' so fields stay aligned
+        fields = stat.rsplit(")", 1)[1].split()
+        return fields[19]  # field 22 overall; 20th after comm+state
+    except (OSError, IndexError):
+        return None
+
+
+def _write_lease(path: str) -> None:
+    import json
+    import os
+    import socket
+
+    lease = {
+        "host": socket.gethostname(),
+        "boot_id": _boot_id(),
+        "pid": os.getpid(),
+        "start_time": _proc_start_time(os.getpid()),
+    }
+    try:
+        with open(os.path.join(path, _LEASE_NAME), "w") as fh:
+            json.dump(lease, fh)
+    except OSError:
+        pass  # unleased dirs fall back to the conservative pid probe
+
+
+def _boot_id() -> Optional[str]:
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
+def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
+    """True only when the lease PROVES the owning process is gone.
+
+    The bare ``os.kill(pid, 0)`` probe is wrong in two directions on a
+    shared filesystem: a container with its own pid namespace can hold a
+    LIVE table whose pid looks dead here (rmtree'd out from under it),
+    and pid reuse makes genuinely dead copies look alive forever (disk
+    leak).  The lease pins host identity (hostname + boot_id) and the
+    owner's kernel start time, so:
+
+    - different host/boot_id -> NOT ours to judge; never reap (the
+      single-host assumption is enforced, not assumed);
+    - same host, pid gone -> dead, reap;
+    - same host, pid alive but start_time differs -> the pid was
+      REUSED by an unrelated process; the owner is dead, reap;
+    - no lease (pre-lease dir, or owner died mid-write) -> fall back
+      to the conservative old probe: reap only on ProcessLookupError.
+    """
+    import json
+    import os
+    import socket
+
+    lease_path = os.path.join(stale, _LEASE_NAME)
+    try:
+        with open(lease_path) as fh:
+            lease = json.load(fh)
+    except (OSError, ValueError):
+        lease = None
+    if lease is not None:
+        if lease.get("host") != socket.gethostname():
+            return False
+        if lease.get("boot_id") != _boot_id():
+            # same hostname across containers/reboots: pid space reset,
+            # the recorded pid proves nothing — but a lease from a
+            # PREVIOUS boot of this same host is necessarily dead
+            return lease.get("boot_id") is not None
+        pid = int(lease.get("pid", pid_from_name))
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive under another uid
+        # pid exists — distinguish the original owner from a recycled pid
+        now = _proc_start_time(pid)
+        recorded = lease.get("start_time")
+        return bool(recorded and now and now != recorded)
+    # legacy/incomplete dir: conservative probe only
+    try:
+        os.kill(pid_from_name, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        pass
+    return False
+
+
 def ensure_bucketed(
     df: DataFrame,
     table: str,
@@ -62,7 +164,12 @@ def ensure_bucketed(
     shared path buys nothing, since a fresh session rewrites
     regardless.  Cost: one table copy per live session under the
     parent dir; copies of DEAD processes are reaped on entry, live
-    same-process siblings persist until the process exits.
+    same-process siblings persist until the process exits.  Reaping is
+    gated on an ownership LEASE (hostname + boot_id + pid start time,
+    ``_OWNER_LEASE.json``) so a shared filesystem mounted into several
+    hosts/containers never loses a live sibling's table, and a reused
+    pid can't pin a dead copy forever; dirs from other hosts are left
+    for their owners.
     """
     import glob
     import os
@@ -85,12 +192,12 @@ def ensure_bucketed(
             pid = int(m.group(1))
             if pid == os.getpid():
                 continue
-            try:
-                os.kill(pid, 0)  # raises if the owner is gone
-            except ProcessLookupError:
+            # ownership lease (host + boot_id + pid start time) decides:
+            # a bare pid probe would reap LIVE tables across pid
+            # namespaces on a shared filesystem and leak dirs on pid
+            # reuse (see _lease_owner_dead)
+            if _lease_owner_dead(stale, pid):
                 shutil.rmtree(stale, ignore_errors=True)
-            except PermissionError:
-                pass  # alive under another uid: leave it
         # pid + random suffix: pid isolates processes, the suffix
         # isolates multiple SparkSessions WITHIN one process (each has
         # its own catalog, so both would otherwise see
@@ -99,6 +206,8 @@ def ensure_bucketed(
     write_bucketed(
         df, table, bucket_cols, n_buckets, sort_cols=sort_cols, path=path
     )
+    if path is not None:
+        _write_lease(path)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -179,6 +179,7 @@ def bloom_prune_anti_join(
     drop_key: str,
     m_bits: int = 1 << 20,
     k: int = 5,
+    persist_fact: bool = False,
 ) -> DataFrame:
     """Exact ``fact LEFT ANTI drop`` with a Bloom split on the fact side
     — the drop-list form of ``bloom_prune_join`` (dedup resolution's
@@ -198,7 +199,19 @@ def bloom_prune_anti_join(
     collected once) and shrinks the anti-join exchange from corpus-size
     to suspect-size.  Cost: the corpus scan feeds two filter branches
     (definite-keep, suspect) — two pruned scans or one exchange-reused
-    scan under AQE, either far below the avoided shuffle."""
+    scan under AQE, either far below the avoided shuffle.
+
+    ``fact`` must be DETERMINISTIC (same contract as ``_lsh_pairs``'s
+    cache note): the plan evaluates it twice — once per branch — so a
+    source containing ``rand()``-derived columns, an unordered
+    ``limit()``, or sampling could disagree between the two scans and
+    the union would drop or duplicate rows relative to the plain anti
+    join.  For such inputs pass ``persist_fact=True``, which pins ONE
+    materialization both branches read (costs a persist of the corpus
+    projection; the caller should unpersist via the returned plan's
+    lineage or a surrounding cache scope)."""
+    if persist_fact:
+        fact = fact.persist()
     bitmap = bloom_build(drop, drop_key, m_bits=m_bits, k=k)
     might = bloom_might_contain(F.col(fact_key), bitmap, m_bits, k=k)
     # NULL fact keys: bloom says False -> kept directly, matching anti

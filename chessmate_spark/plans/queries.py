@@ -7293,6 +7293,25 @@ def t23_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 
+# per-(doc, term) BM25 contribution — identical arithmetic shape to the
+# Spark side's `term` expression (left-to-right: (idf * tf*(k1+1)) / denom)
+_BM25_CONTRIB_SQL = (
+    f"ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+    f" * (h.tf * ({_BM25_K1} + 1.0))"
+    f" / (h.tf + {_BM25_K1} * (1.0 - {_BM25_B}"
+    f" + {_BM25_B} * dl.n_tokens / s.avgdl))"
+)
+# FIXED addition order: the Spark side folds term0 + term1 + term2 with
+# 0.0 for non-hit terms; a SQL sum() over per-term rows accumulates in
+# engine-unspecified order, and a last-ulp difference landing exactly on
+# the floor(x*1e6+0.5) half-boundary would flake the hash-pinned oracle.
+# Pivoting each term into its own column (max over the single hit row is
+# exact) and adding left-to-right matches the Spark fold bit-for-bit.
+_BM25_RAW_SQL = "\n             + ".join(
+    f"coalesce(max(CASE WHEN token = '{t}' THEN contrib END), 0.0)"
+    for t in _TFIDF_TERMS
+)
+
 
 @_register(
     "t24_bm25_search",
@@ -7317,20 +7336,18 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     df AS (
       SELECT token, CAST(count(*) AS BIGINT) AS df
       FROM hits GROUP BY token),
-    scored AS (
-      SELECT h.doc_id,
-             sum(
-               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-               * (h.tf * ({_BM25_K1} + 1.0))
-               / (h.tf + {_BM25_K1}
-                  * (1.0 - {_BM25_B}
-                     + {_BM25_B} * dl.n_tokens / s.avgdl))
-             ) AS raw
+    contrib AS (
+      SELECT h.doc_id, h.token,
+             {_BM25_CONTRIB_SQL} AS contrib
       FROM hits h
       JOIN doc_len dl USING (doc_id)
       JOIN df d ON h.token = d.token
-      CROSS JOIN stats s
-      GROUP BY h.doc_id)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id,
+             {_BM25_RAW_SQL} AS raw
+      FROM contrib
+      GROUP BY doc_id)
     SELECT doc_id,
            floor(raw * 1000000.0 + 0.5) / 1000000.0 AS score
     FROM scored

@@ -68,3 +68,117 @@ def test_q18_bucketed_twin_matches_unbucketed(spark):
     twin_rows = QUERIES["q18_bucketed_twin"][0](spark, sf).collect()
     base_rows = QUERIES["q18_large_orders"][0](spark, sf).collect()
     assert twin_rows == base_rows  # bucketing changes the plan, not the answer
+
+
+# --- ownership-lease reaping (ADVICE round 6: a bare os.kill(pid, 0)
+# probe reaps LIVE sibling tables across pid namespaces on a shared
+# filesystem and leaks dirs on pid reuse) ---
+
+
+def _make_lease(d, **over):
+    import json
+    import os
+    import socket
+
+    from chessmate_spark.ingest import bucketed as B
+
+    lease = {
+        "host": socket.gethostname(),
+        "boot_id": B._boot_id(),
+        "pid": os.getpid(),
+        "start_time": B._proc_start_time(os.getpid()),
+    }
+    lease.update(over)
+    (d / B._LEASE_NAME).write_text(json.dumps(lease))
+
+
+def test_lease_live_owner_not_reaped(tmp_path):
+    import os
+
+    from chessmate_spark.ingest import bucketed as B
+
+    d = tmp_path / "tbl-pid99999999-deadbeef"
+    d.mkdir()
+    # lease says: this very process owns it (alive, same start time)
+    _make_lease(d)
+    assert not B._lease_owner_dead(str(d), os.getpid())
+
+
+def test_lease_dead_pid_reaped(tmp_path):
+    from chessmate_spark.ingest import bucketed as B
+
+    d = tmp_path / "tbl-pid99999999-deadbeef"
+    d.mkdir()
+    _make_lease(d, pid=99999999)  # beyond pid_max: guaranteed gone
+    assert B._lease_owner_dead(str(d), 99999999)
+
+
+def test_lease_pid_reuse_detected(tmp_path):
+    import os
+
+    from chessmate_spark.ingest import bucketed as B
+
+    d = tmp_path / "tbl-pid1-00000000"
+    d.mkdir()
+    # pid 1 is alive, but the recorded start time can't match init's:
+    # the original owner is dead and the pid was recycled -> reapable
+    _make_lease(d, pid=os.getpid(), start_time="0")
+    assert B._lease_owner_dead(str(d), os.getpid())
+
+
+def test_lease_foreign_host_never_reaped(tmp_path):
+    from chessmate_spark.ingest import bucketed as B
+
+    d = tmp_path / "tbl-pid99999999-deadbeef"
+    d.mkdir()
+    # dead pid locally, but the lease belongs to ANOTHER host sharing
+    # the filesystem: not ours to judge
+    _make_lease(d, host="some-other-host", pid=99999999)
+    assert not B._lease_owner_dead(str(d), 99999999)
+
+
+def test_lease_previous_boot_reaped(tmp_path):
+    import os
+
+    from chessmate_spark.ingest import bucketed as B
+
+    d = tmp_path / "tbl-pid1-00000000"
+    d.mkdir()
+    # same hostname, different boot_id: a lease from a previous boot of
+    # this host is necessarily dead even though the pid looks alive
+    _make_lease(d, pid=os.getpid(), boot_id="not-this-boot")
+    assert B._lease_owner_dead(str(d), os.getpid())
+
+
+def test_legacy_dir_without_lease_conservative(tmp_path):
+    import os
+
+    from chessmate_spark.ingest import bucketed as B
+
+    live = tmp_path / f"tbl-pid{os.getpid()}-cafecafe"
+    live.mkdir()
+    assert not B._lease_owner_dead(str(live), os.getpid())
+    dead = tmp_path / "tbl-pid99999999-cafecafe"
+    dead.mkdir()
+    assert B._lease_owner_dead(str(dead), 99999999)
+
+
+def test_ensure_bucketed_writes_lease(spark, tmp_path):
+    import json
+    import os
+
+    from chessmate_spark.ingest import bucketed as B
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    try:
+        B.ensure_bucketed(df, "t_lease_probe", ["k"], 2,
+                          path=str(tmp_path / "t_lease_probe"))
+        locs = [p for p in os.listdir(tmp_path) if p.startswith("t_lease_probe")]
+        assert len(locs) == 1
+        lease = json.loads(
+            (tmp_path / locs[0] / B._LEASE_NAME).read_text()
+        )
+        assert lease["pid"] == os.getpid()
+        assert lease["start_time"] == B._proc_start_time(os.getpid())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lease_probe")
