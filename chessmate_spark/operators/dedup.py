@@ -324,6 +324,49 @@ def lsh_banding_for(n_rows: int) -> "tuple[int, int]":
     return planes, tables
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The bucket-collision CANDIDATE stage of ``embedding_neardup_lsh``,
+    exposed on its own: deduped (id_a, id_b) pairs that collide on some
+    (table, hyperplane-signature) bucket, BEFORE exact verification.
+
+    Designed candidate volume is ~ ``n_tables · n² / 2^n_planes`` — the
+    dial ``lsh_banding_for`` trades against recall.  The scale smoke
+    counts this frame at both corpus scales so any wall-clock growth
+    decomposes into (a) that designed volume and (b) plan cost per
+    candidate; a superlinear (b) is a defect, a superlinear (a) is the
+    ladder's documented quantization."""
+    import numpy as np
+
+    from ..functions.vector_pandas import signatures_udf
+    from .similarity import _hyperplanes
+
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    sigs = signatures_udf(planes)
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(sigs(F.col(vec_col))).alias("_table", "_sig"),
+    )
+    right = tagged.select(
+        F.col("_table"), F.col("_sig"), F.col("_id").alias("_idb")
+    )
+    return (
+        tagged.join(right, ["_table", "_sig"])
+        .filter(F.col("_id") < F.col("_idb"))
+        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str,
@@ -349,28 +392,12 @@ def embedding_neardup_lsh(
     opposite holds for the BNLJ exact variant, where pair generation is
     JVM-internal).
     """
-    import numpy as np
-
     from ..functions.scoring import portable_round
-    from ..functions.vector_pandas import pandas_cosine, signatures_udf
-    from .similarity import _hyperplanes
+    from ..functions.vector_pandas import pandas_cosine
 
-    planes = np.stack(
-        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    )
-    sigs = signatures_udf(planes)
-    tagged = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(sigs(F.col(vec_col))).alias("_table", "_sig"),
-    )
-    right = tagged.select(
-        F.col("_table"), F.col("_sig"), F.col("_id").alias("_idb")
-    )
-    pairs = (
-        tagged.join(right, ["_table", "_sig"])
-        .filter(F.col("_id") < F.col("_idb"))
-        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = lsh_candidate_pairs(
+        df, id_col, vec_col, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, seed=seed,
     )
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     # no forced broadcast: AQE broadcasts the (id, vector) projection when
@@ -516,6 +543,68 @@ def incremental_minhash_dedup(
     return out
 
 
+def semantic_cell_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: Optional[int] = None,
+    n_probe: int = 2,
+    seed: int = 42,
+    target_cell_rows: int = 256,
+) -> "tuple[Optional[DataFrame], int, int]":
+    """The CELL-ASSIGNMENT stage of ``semantic_neardup_pairs``, exposed
+    on its own: returns ``(tagged, n_clusters, n_rows)`` where ``tagged``
+    is the (_id, _cell, _v) frame each vector lands in for its
+    ``n_probe`` nearest cells (None on empty input).
+
+    Designed candidate volume is Σ_cells C(pop, 2) — the quantity the
+    scale smoke counts at both corpus scales so wall-clock growth
+    decomposes into designed comparisons vs plan cost (the d7
+    decomposition's k-means sibling).
+
+    Auto-sizing contract (``n_clusters=None``): cells =
+    ``max(8, ceil(N / target_cell_rows))`` so the average cell
+    population stays bounded — total comparisons LINEAR in N.  The
+    centroid trainer's sample must scale with the cell count (FAISS
+    guidance: >= ~39 training points per centroid) or auto-sized cells
+    silently saturate at the sample size and the within-cell verify
+    reverts to O(N²/sample).  The driver-side trainer is honest up to
+    ~128k sample rows, so the AUTO path caps its cells at max_train/39,
+    ending the linear regime at N ≈ cell_cap * target_cell_rows (~860k
+    at defaults) — larger corpora should coarse-pre-partition (LSH
+    bucket or metadata shard) and run SemDeDup per shard, the
+    hierarchical form.  An EXPLICIT caller n_clusters is honored as-is
+    (the caller owns its sample budget)."""
+    import math
+
+    from ..functions.vector_pandas import nearest_cells_udf
+    from .similarity import train_ivf_centroids
+
+    # ONE action serves empty-guard, auto-sizing, AND the trainer's
+    # sample arithmetic (it previously recounted internally)
+    n_rows = df.count()
+    if n_rows == 0:
+        return None, 0, 0
+    max_train = 131_072
+    if n_clusters is None:
+        cell_cap = max(8, max_train // 39)
+        n_clusters = min(
+            max(8, math.ceil(n_rows / target_cell_rows)), cell_cap
+        )
+    sample_size = min(max_train, max(4096, 39 * n_clusters))
+    centroids = train_ivf_centroids(
+        df, id_col, vec_col, nlist=n_clusters, seed=seed,
+        sample_size=sample_size, corpus_rows=n_rows,
+    )
+    cells = nearest_cells_udf(centroids, n_probe)
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(cells(F.col(vec_col))).alias("_cell"),
+        F.col(vec_col).alias("_v"),
+    )
+    return tagged, n_clusters, n_rows
+
+
 def semantic_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -556,52 +645,20 @@ def semantic_neardup_pairs(
     a pathological cell's task memory to O(block · cell) while its
     quadratic time stays the price of the cell size.
     """
-    from ..functions.vector_pandas import nearest_cells_udf
-    from .similarity import train_ivf_centroids
-
-    import math
-
     import numpy as np
     import pandas as pd
 
-    # ONE action serves empty-guard, auto-sizing, AND the trainer's
-    # sample arithmetic (it previously recounted internally)
-    n_rows = df.count()
-    if n_rows == 0:
+    tagged, n_clusters, n_rows = semantic_cell_assignments(
+        df, id_col, vec_col, n_clusters=n_clusters, n_probe=n_probe,
+        seed=seed, target_cell_rows=target_cell_rows,
+    )
+    if tagged is None:
         # nothing to train centroids on; emit the empty pair frame with
         # the contract schema instead of letting np.stack([]) blow up
         id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, score double"
         )
-    # the centroid trainer's sample must scale with the cell count
-    # (FAISS guidance: >= ~39 training points per centroid) or the
-    # auto-sized cells silently saturate at the sample size and the
-    # within-cell verify reverts to O(N²/sample) — the quadratic mode
-    # this auto-sizing exists to prevent.  The driver-side trainer is
-    # honest up to ~128k sample rows; the AUTO path therefore caps its
-    # cells at max_train/39, ending the linear regime at N ≈ cell_cap *
-    # target_cell_rows (~860k at defaults) — larger corpora should
-    # coarse-pre-partition (LSH bucket or metadata shard) and run
-    # SemDeDup per shard, the hierarchical form.  An EXPLICIT caller
-    # n_clusters is honored as-is (the caller owns its sample budget).
-    max_train = 131_072
-    if n_clusters is None:
-        cell_cap = max(8, max_train // 39)
-        n_clusters = min(
-            max(8, math.ceil(n_rows / target_cell_rows)), cell_cap
-        )
-    sample_size = min(max_train, max(4096, 39 * n_clusters))
-    centroids = train_ivf_centroids(
-        df, id_col, vec_col, nlist=n_clusters, seed=seed,
-        sample_size=sample_size, corpus_rows=n_rows,
-    )
-    cells = nearest_cells_udf(centroids, n_probe)
-    tagged = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(cells(F.col(vec_col))).alias("_cell"),
-        F.col(vec_col).alias("_v"),
-    )
 
     scale = 10.0 ** round_digits
     id_type = df.schema[id_col].dataType.simpleString()

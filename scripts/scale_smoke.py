@@ -122,8 +122,28 @@ LINEARITY_QUERIES = [
     "j11_scd2_history",
     "d12_incremental_dedup",
     "d15_jaccard_prefix_join",
+    # round-7: the two bucketed embedding-dedup entries whose two-point
+    # ratios are dominated by DESIGNED candidate volume (the ladder /
+    # cell dials) — the --dedup-decomp probe decomposes those, the
+    # marginal ratio here guards the residual plan cost
+    "d7_embedding_neardup_lsh",
+    "d13_semantic_dedup",
 ]
 MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
+# d7's marginal is NOT linear-ideal by design: the banding ladder steps
+# planes discretely per corpus decade, so candidate volume (and with it
+# wall-clock) grows in designed ~12.5x quanta per 10x of data (see
+# measure_dedup_decomposition, which pins the candidate counts).  The
+# gate for d7 is therefore on the decomposition (plan cost PER CANDIDATE
+# must stay flat), with a wider marginal allowance here.
+MARGINAL_OVERRIDES: dict[str, float] = {"d7_embedding_neardup_lsh": 16.0}
+LINEARITY_REPEATS = 2
+
+
+def _timed(builder, spark, src) -> float:
+    t0 = time.perf_counter()
+    builder(spark, src).collect()
+    return time.perf_counter() - t0
 
 
 def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
@@ -249,16 +269,22 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
         builder(spark, SRC).collect()
         times = {}
         for label, src in (("t1", SRC), ("t3", DST3), ("t10", DST)):
-            t0 = time.perf_counter()
-            builder(spark, src).collect()
-            times[label] = time.perf_counter() - t0
+            # min-of-k cancels co-tenant noise (a transient can only ADD
+            # time), which round-6 showed dominating single-shot
+            # marginals at these 1-10 s wall-clocks (a10 recorded 8.2
+            # one run and 2.9 the next; d12 even went NEGATIVE)
+            times[label] = min(
+                _timed(builder, spark, src)
+                for _ in range(LINEARITY_REPEATS)
+            )
         d_lo = times["t3"] - times["t1"]
         d_hi = times["t10"] - times["t3"]
+        limit = MARGINAL_OVERRIDES.get(name, MARGINAL_LIMIT)
         flag = ""
         if d_lo > 0.2:
             marginal = d_hi / d_lo
             fallback = None
-            if marginal > MARGINAL_LIMIT:
+            if marginal > limit:
                 failures.append(f"linearity:{name}")
                 flag = "  <-- SUPERLINEAR"
         else:
@@ -288,6 +314,110 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
     record["failures"] = [
         f for f in record.get("failures", [])
         if not f.startswith("linearity:")
+    ] + failures
+    record["ok"] = not record["failures"]
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"record written to {out_path}", flush=True)
+    return failures
+
+
+# plan cost PER CANDIDATE PAIR must stay ~flat across scales: fixed
+# costs make the small-scale denominator LARGER (ratio < 1 typically),
+# so anything far above 1 is a real per-candidate plan regression — a
+# hidden quadratic shows up as candidate-count growth instead, which the
+# counts below pin explicitly.
+PER_CANDIDATE_LIMIT = 4.0
+
+
+def measure_dedup_decomposition(spark, out_path: str) -> "list[str]":
+    """Decompose d7/d13 wall-clock growth into DESIGNED candidate volume
+    vs plan cost (the round-6 verdict's #1 ask): at 1x and 10x, record
+    corpus rows, the auto-tuned operating point, the CANDIDATE pair
+    count (bucket collisions for d7, Σ_cells C(pop,2) for d13), the
+    verified OUTPUT pair count, and wall-clock.  A superlinear
+    candidate ratio is the ladder/cell dial's documented quantization
+    (for d7 planes step 5→8 across this decade ⇒ designed ~12.5x
+    candidate growth); a superlinear per-candidate cost is a plan
+    defect and FAILS the smoke.  Updates SCALE_SMOKE.json's
+    `dedup_decomposition` block in place."""
+    import json
+
+    from chessmate_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        lsh_banding_for,
+        lsh_candidate_pairs,
+        semantic_cell_assignments,
+        semantic_neardup_pairs,
+    )
+    from chessmate_spark.plans.queries import _EMBED_DIM, _NEARDUP_THRESHOLD
+
+    block: dict = {"per_candidate_limit": PER_CANDIDATE_LIMIT}
+    for label, src in (("x1", SRC), ("x10", DST)):
+        emb = spark.read.parquet(f"{src}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = emb.count()
+        planes, tables = lsh_banding_for(n)
+        cand = lsh_candidate_pairs(
+            emb, "vec_id", "embedding", dim=_EMBED_DIM,
+            n_planes=planes, n_tables=tables,
+        ).count()
+        t0 = time.perf_counter()
+        out = embedding_neardup_lsh(
+            emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
+            n_planes=planes, n_tables=tables,
+        ).count()
+        d7_secs = time.perf_counter() - t0
+        block[f"d7_{label}"] = {
+            "rows": n, "planes": planes, "tables": tables,
+            # the ladder's designed volume ~ tables * n^2 / 2^planes
+            "designed_volume": int(tables * n * n / 2 / (1 << planes)),
+            "candidate_pairs": cand, "output_pairs": out,
+            "secs": round(d7_secs, 2),
+        }
+        tagged, n_clusters, _ = semantic_cell_assignments(
+            emb, "vec_id", "embedding", n_probe=4,
+        )
+        cand13 = int(
+            tagged.groupBy("_cell").count()
+            .agg(F.sum(F.expr("count * (count - 1) / 2")))
+            .first()[0]
+        )
+        t0 = time.perf_counter()
+        out13 = semantic_neardup_pairs(
+            emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, n_probe=4,
+        ).count()
+        d13_secs = time.perf_counter() - t0
+        block[f"d13_{label}"] = {
+            "rows": n, "n_clusters": n_clusters, "n_probe": 4,
+            "candidate_pairs": cand13, "output_pairs": out13,
+            "secs": round(d13_secs, 2),
+        }
+    failures = []
+    for op in ("d7", "d13"):
+        lo, hi = block[f"{op}_x1"], block[f"{op}_x10"]
+        cand_ratio = hi["candidate_pairs"] / max(lo["candidate_pairs"], 1)
+        secs_ratio = hi["secs"] / max(lo["secs"], 1e-9)
+        per_cand = secs_ratio / max(cand_ratio, 1e-9)
+        block[f"{op}_candidate_ratio"] = round(cand_ratio, 2)
+        block[f"{op}_secs_ratio"] = round(secs_ratio, 2)
+        block[f"{op}_per_candidate_cost_ratio"] = round(per_cand, 2)
+        flag = ""
+        if per_cand > PER_CANDIDATE_LIMIT:
+            failures.append(f"decomp:{op}")
+            flag = "  <-- PER-CANDIDATE REGRESSION"
+        print(f"{op}: candidates x{cand_ratio:.1f} secs x{secs_ratio:.1f} "
+              f"per-candidate cost x{per_cand:.2f}{flag}", flush=True)
+    record = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            record = json.load(fh)
+    record["dedup_decomposition"] = block
+    record["failures"] = [
+        f for f in record.get("failures", [])
+        if not f.startswith("decomp:")
     ] + failures
     record["ok"] = not record["failures"]
     with open(out_path, "w") as fh:
@@ -525,8 +655,10 @@ def main() -> int:
     recall_only = sys.argv[1:] == ["--recall-only"]
     linearity_only = sys.argv[1:] == ["--linearity"]
     v5_only = sys.argv[1:] == ["--v5-width"]
-    names = [] if (recall_only or linearity_only or v5_only) else (
-        sys.argv[1:] or DEFAULT_QUERIES)
+    decomp_only = sys.argv[1:] == ["--dedup-decomp"]
+    names = [] if (
+        recall_only or linearity_only or v5_only or decomp_only
+    ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
@@ -544,6 +676,13 @@ def main() -> int:
             print(f"FAIL: {failures}")
             return 1
         print("OK: all marginal ratios within linear bounds")
+        return 0
+    if decomp_only:
+        failures = measure_dedup_decomposition(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: per-candidate plan cost flat across scales")
         return 0
     import json
 
@@ -570,23 +709,24 @@ def main() -> int:
         if recall_only:
             record = prior
             record.setdefault("queries", {})  # prior may be probe-only
-            # carry ONLY linearity failures: ann:/semdedup: are both
-            # re-measured by this run (keeping them would make a fixed
-            # setting un-clearable), and plain query failures are
+            # carry ONLY linearity/decomp failures: ann:/semdedup: are
+            # both re-measured by this run (keeping them would make a
+            # fixed setting un-clearable), and plain query failures are
             # recomputed from the merged record below
             failures = [f for f in record.get("failures", [])
-                        if f.startswith("linearity:")]
+                        if f.startswith(("linearity:", "decomp:"))]
         else:
             # keep the standing probe blocks, and MERGE prior per-query
             # rows so a targeted rerun (scale_smoke.py <name> ...)
             # updates its entries in place instead of clobbering the
             # cumulative record
-            for block in ("linearity", "v5_dim1536"):
+            for block in ("linearity", "v5_dim1536",
+                          "dedup_decomposition"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))
             failures = [f for f in prior.get("failures", [])
-                        if f.startswith("linearity:")]
+                        if f.startswith(("linearity:", "decomp:"))]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]

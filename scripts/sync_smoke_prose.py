@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Render SCALE_SMOKE.json's tripwire numbers into the marker-delimited
+blocks in EXPLAIN.md and SURVEY.md (`<!-- SMOKE:BEGIN -->` ...
+`<!-- SMOKE:END -->`).
+
+Round 6's closing prose quoted a MID-ROUND smoke run and drifted from
+the committed artifact (worst "5.8x" vs the artifact's 9.5x) — exactly
+how a future regression hides.  This makes the prose a RENDERING of the
+artifact: `--write` regenerates the blocks in place, and
+tests/test_prose_consistency.py asserts block == rendering, so any
+smoke rerun that changes the headline numbers fails the suite until the
+prose is resynced (one command: `python scripts/sync_smoke_prose.py
+--write`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(ROOT, "SCALE_SMOKE.json")
+DOCS = ("EXPLAIN.md", "SURVEY.md")
+BEGIN, END = "<!-- SMOKE:BEGIN -->", "<!-- SMOKE:END -->"
+
+
+def render(record: dict) -> str:
+    q = record["queries"]
+    worst_name = max(q, key=lambda k: q[k]["ratio"])
+    worst = q[worst_name]
+    lines = [
+        BEGIN,
+        f"- two-point tripwire: {len(q)} entries, worst `{worst_name}` "
+        f"{worst['ratio']}x (gate {record['ratio_limit']}x), "
+        f"failures {len(record['failures'])}",
+    ]
+    lin = record.get("linearity", {})
+    for name in sorted(k for k, v in lin.items() if isinstance(v, dict)):
+        v = lin[name]
+        m = v["marginal_ratio"]
+        shown = (
+            f"marginal {m}"
+            if m is not None
+            else f"two-point fallback {v['fallback_two_point']} "
+            "(fixed-cost-dominated through 3x)"
+        )
+        lines.append(
+            f"- linearity `{name}`: t1 {v['t1_s']}s / t3 {v['t3_s']}s / "
+            f"t10 {v['t10_s']}s — {shown} "
+            f"(gate {lin['marginal_limit']}, linear ideal 3.5)"
+        )
+    dd = record.get("dedup_decomposition")
+    if dd:
+        for op in ("d7", "d13"):
+            lo, hi = dd[f"{op}_x1"], dd[f"{op}_x10"]
+            lines.append(
+                f"- decomposition `{op}`: candidates "
+                f"{lo['candidate_pairs']:,} -> {hi['candidate_pairs']:,} "
+                f"(x{dd[f'{op}_candidate_ratio']}), output "
+                f"{lo['output_pairs']:,} -> {hi['output_pairs']:,}, "
+                f"wall x{dd[f'{op}_secs_ratio']}, per-candidate cost "
+                f"x{dd[f'{op}_per_candidate_cost_ratio']} "
+                f"(gate {dd['per_candidate_limit']})"
+            )
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def sync(write: bool) -> int:
+    with open(ARTIFACT) as fh:
+        record = json.load(fh)
+    block = render(record)
+    pattern = re.compile(
+        re.escape(BEGIN) + r".*?" + re.escape(END), re.DOTALL
+    )
+    rc = 0
+    for doc in DOCS:
+        path = os.path.join(ROOT, doc)
+        with open(path) as fh:
+            text = fh.read()
+        m = pattern.search(text)
+        if not m:
+            print(f"{doc}: no {BEGIN} block")
+            rc = 1
+            continue
+        if m.group(0) == block:
+            print(f"{doc}: in sync")
+            continue
+        if write:
+            with open(path, "w") as fh:
+                fh.write(text[: m.start()] + block + text[m.end():])
+            print(f"{doc}: rewritten")
+        else:
+            print(f"{doc}: STALE (run with --write)")
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(sync("--write" in sys.argv[1:]))

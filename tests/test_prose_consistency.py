@@ -1,0 +1,50 @@
+"""Prose == artifact: the SMOKE blocks in EXPLAIN.md / SURVEY.md must be
+the exact rendering of SCALE_SMOKE.json (scripts/sync_smoke_prose.py).
+
+Round 6's closing prose quoted a mid-round smoke run and drifted from
+the committed artifact — exactly how a future regression hides.  This
+is the bench-coverage-test pattern applied to documentation: regenerate
+with `python scripts/sync_smoke_prose.py --write` after any smoke rerun.
+"""
+
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+
+
+def test_smoke_blocks_match_artifact():
+    import json
+
+    import sync_smoke_prose as s
+
+    with open(s.ARTIFACT) as fh:
+        record = json.load(fh)
+    block = s.render(record)
+    pattern = re.compile(
+        re.escape(s.BEGIN) + r".*?" + re.escape(s.END), re.DOTALL
+    )
+    for doc in s.DOCS:
+        with open(os.path.join(ROOT, doc)) as fh:
+            text = fh.read()
+        m = pattern.search(text)
+        assert m, f"{doc} lost its SMOKE block"
+        assert m.group(0) == block, (
+            f"{doc}'s SMOKE block is stale vs SCALE_SMOKE.json — "
+            "run: python scripts/sync_smoke_prose.py --write"
+        )
+
+
+def test_smoke_artifact_is_green():
+    """The committed smoke record itself must be green: a red artifact
+    with synced prose is still a red artifact."""
+    import json
+
+    import sync_smoke_prose as s
+
+    with open(s.ARTIFACT) as fh:
+        record = json.load(fh)
+    assert record["ok"] is True
+    assert record["failures"] == []
