@@ -97,11 +97,30 @@ def vector_hits(
     )
 
 
-def execute(tables: HybridTables, plan: QueryPlan, dim: int = 16) -> HybridExecution:
+def execute(
+    tables: HybridTables,
+    plan: QueryPlan,
+    dim: int = 16,
+    timings: "Optional[dict]" = None,
+) -> HybridExecution:
+    """``timings`` (opt-in): per-ACTION wall-clock in seconds is added
+    to the dict under ``count_total_s`` / ``count_returned_s`` — the
+    serving bench records this breakdown (SERVE_BENCH.json) so
+    composition overhead can't mask a plan regression behind one
+    aggregate number."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
     summaries = game_summaries(tables.games, tables.players).filter(
         compile_predicate(plan)
     )
+    if timings is not None:
+        timings["build_summaries_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     total = summaries.count()
+    if timings is not None:
+        timings["count_total_s"] = _time.perf_counter() - _t0
+    _build_t0 = _time.perf_counter()
     page = paginate(
         summaries,
         [F.col("played_on").desc_nulls_last(), F.col("id").desc()],
@@ -220,7 +239,15 @@ def execute(tables: HybridTables, plan: QueryPlan, dim: int = 16) -> HybridExecu
         .orderBy(F.col("total_score").desc(), F.col("id").desc())
         .limit(plan.limit)
     )
+    if timings is not None:
+        # everything between the two counts is DRIVER-side plan
+        # construction (vector_hits compile, page joins, score columns)
+        # — pure Py4J call overhead, no cluster work
+        timings["build_page_s"] = _time.perf_counter() - _build_t0
+    _t0 = _time.perf_counter()
     returned = results.count()
+    if timings is not None:
+        timings["count_returned_s"] = _time.perf_counter() - _t0
     has_more = plan.offset + returned < total
     return HybridExecution(
         results=results, total=total, has_more=has_more, warnings=warnings

@@ -161,6 +161,7 @@ def answer_question(
     limit: Optional[int] = None,
     offset: Optional[int] = None,
     dim: int = 16,
+    timings: Optional[Dict[str, float]] = None,
 ) -> Dict[str, Any]:
     """Validate → analyse → execute → response payload
     (chessmate_api.ml:726-807 ``query_handler``).
@@ -168,10 +169,21 @@ def answer_question(
     Raises :class:`ServingError` with the reference's 400-body message on
     invalid input; execution failures surface as RuntimeError with a
     sanitized message (the reference's 500 path, :755-757).
+
+    ``timings`` (opt-in): records per-action wall-clock seconds —
+    ``analyse_s`` (driver-side NL parse), ``count_total_s`` /
+    ``count_returned_s`` (the two Spark count actions inside
+    ``execute``), ``collect_page_s`` (the page materialization), and
+    ``format_s`` (driver-side payload assembly).  The serving bench
+    persists this breakdown so one aggregate latency number can't hide
+    WHICH action regressed.
     """
+    import time as _time
+
     from ..plans.hybrid import execute
 
     question = _validate_question(question)
+    _t0 = _time.perf_counter()
     plan = analyse(
         Request(
             text=question,
@@ -179,14 +191,20 @@ def answer_question(
             offset=_validate_offset(offset),
         )
     )
+    if timings is not None:
+        timings["analyse_s"] = _time.perf_counter() - _t0
     try:
-        execution = execute(tables, plan, dim=dim)
+        execution = execute(tables, plan, dim=dim, timings=timings)
+        _t0 = _time.perf_counter()
         rows = execution.results.collect()
+        if timings is not None:
+            timings["collect_page_s"] = _time.perf_counter() - _t0
     except ServingError:
         raise
     except Exception as exc:
         raise RuntimeError(sanitize_py(str(exc))) from exc
 
+    _t0 = _time.perf_counter()
     results = [_result_to_dict(row) for row in rows]
     payload: Dict[str, Any] = {
         "question": question,
@@ -201,6 +219,8 @@ def answer_question(
     }
     if execution.warnings:
         payload["warnings"] = list(execution.warnings)
+    if timings is not None:
+        timings["format_s"] = _time.perf_counter() - _t0
     return payload
 
 

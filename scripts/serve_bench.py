@@ -50,12 +50,16 @@ def main() -> int:
     spark = get_spark(app_name="chessmate_serve_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    t0 = time.perf_counter()
     ingest = ingest_pgn_text(spark, _CHESS_FIXTURE)
+    ingest_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     state = drain_jobs(
         JobsState(jobs=ingest.embedding_jobs),
         ingest.positions, ingest.games, ingest.players,
         batch_size=32, dim=8,
     )
+    drain_s = time.perf_counter() - t0
     # serving posture: the warm service holds its working set cached,
     # exactly as the reference holds Postgres shared buffers + Qdrant
     # in-memory indexes
@@ -89,6 +93,24 @@ def main() -> int:
         one()
     lat = sorted(one() for _ in range(n_requests))
     total = sum(lat)
+
+    # Per-ACTION breakdown of one warm request (round-6 verdict #4:
+    # serve_query_canonical grew 1.39x while its underlying hybrid plan
+    # improved — time the composition's actions separately so serving
+    # overhead can't mask a future plan regression).  Driven through
+    # answer_question directly (no HTTP hop) with the opt-in timings
+    # channel; together with the one-time batch stages this accounts
+    # for the bench entry's wall-clock: serve_query_canonical pays
+    # ingest + drain + this composition once per bench run.
+    from chessmate_spark.query import answer_question
+
+    breakdown: dict = {}
+    t0 = time.perf_counter()
+    answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, timings=breakdown
+    )
+    breakdown["end_to_end_s"] = time.perf_counter() - t0
+
     record = {
         "question": CANONICAL_QUESTION,
         "n_requests": n_requests,
@@ -96,6 +118,17 @@ def main() -> int:
         "warm_p50_ms": round(lat[len(lat) // 2] * 1000, 1),
         "warm_p95_ms": round(lat[int(len(lat) * 0.95)] * 1000, 1),
         "warm_req_per_s_c1": round(n_requests / total, 2),
+        "warm_action_breakdown_s": {
+            k: round(v, 3) for k, v in sorted(breakdown.items())
+        },
+        "canonical_entry_fixed_stages_s": {
+            "ingest_s": round(ingest_s, 2),
+            "drain_s": round(drain_s, 2),
+            "note": (
+                "one-time batch stages the serve_query_canonical bench "
+                "entry pays per run on top of the request composition"
+            ),
+        },
         "reference_baseline": {
             "p50_ms": 110, "p95_ms": 180, "req_per_s_c50": 500,
             "source": "BASELINE.md (LOAD_TESTING.md:113)",

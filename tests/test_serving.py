@@ -159,3 +159,19 @@ def test_cli_rejects_bad_limit(spark, capsys):
     )
     assert rc == 1
     assert "limit must be >= 1" in capsys.readouterr().err
+
+
+def test_timings_channel(spark, tables):
+    """The opt-in per-action timing channel (SERVE_BENCH's breakdown):
+    all expected keys land, every value is a non-negative float, and
+    omitting the dict changes nothing."""
+    timings = {}
+    payload = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, timings=timings
+    )
+    assert payload["total"] == 1
+    assert set(timings) == {
+        "analyse_s", "build_summaries_s", "count_total_s",
+        "build_page_s", "count_returned_s", "collect_page_s", "format_s",
+    }
+    assert all(isinstance(v, float) and v >= 0 for v in timings.values())
