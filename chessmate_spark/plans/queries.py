@@ -7418,3 +7418,152 @@ def t24_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# batch retrieval: queries per md5 bucket of the vocabulary, top-k per query
+_BM25_NQ = 64
+_BM25_TOPK = 5
+# per-(query-term, doc) BM25 contribution in integer MICRO-units:
+# rounding each term's contribution to 1e-6 BEFORE the per-(query, doc)
+# sum makes the aggregation exact int64 arithmetic — order-independent
+# by construction, so neither engine's sum() accumulation order can
+# flake the comparison (the stronger form of t24's fixed-order fix; a
+# variable-length term set has no fixed order to pin).
+_BM25_MICRO_SQL = f"""CAST(floor(
+               (ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                * (p.tf * ({_BM25_K1} + 1.0))
+                / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * dl.n_tokens / s.avgdl)))
+               * 1000000.0 + 0.5) AS BIGINT)"""
+
+
+@_register(
+    "t25_batch_bm25_retrieval",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_WS_TOKS_SQL} AS toks FROM documents),
+    doc_len AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avgdl
+      FROM doc_len),
+    postings AS (
+      SELECT token AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+      GROUP BY term, doc_id),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM postings GROUP BY term),
+    qterms AS (
+      SELECT (('0x' || substring(md5('q:' || term), 1, 15))::BIGINT
+               % {_BM25_NQ}) AS query_id, term, df
+      FROM df WHERE df >= 3),
+    contrib AS (
+      SELECT q.query_id, p.doc_id, {_BM25_MICRO_SQL} AS micro
+      FROM postings p
+      JOIN qterms q ON p.term = q.term
+      JOIN doc_len dl ON p.doc_id = dl.doc_id
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, rank, doc_id, score_micro
+    FROM ranked WHERE rank <= {_BM25_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def t25_batch_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query BM25 retrieval — the LLM-pipeline form of t24
+    (round-6 verdict #5): a QUERIES frame joined against the corpus's
+    posting lists, scores aggregated per (query, doc), top-k per query.
+    This is the hard-negative-mining / eval-retrieval shape: hundreds
+    of queries answered in ONE pass over the index instead of one
+    Spark job per query.  Reference anchor: the hybrid executor's
+    keyword scoring path (hybrid_executor.ml:127-133) generalized
+    beyond a single request's keyword set.
+
+    The query set derives deterministically from the corpus itself:
+    every vocabulary term with df >= 3 (t23's index cut) is assigned to
+    one of {_BM25_NQ} queries by the repo's md5 convention
+    (hashing._hash60 % NQ — engine-portable, so the oracle builds the
+    IDENTICAL query set).  Scores use t24's BM25 weighting
+    (k1={_BM25_K1}, b={_BM25_B}, Lucene non-negative idf), converted
+    per term to integer micro-units BEFORE the per-(query, doc) sum —
+    exact int64 aggregation, immune to either engine's float
+    accumulation order.
+
+    Scale shape: ONE posexplode scan builds (term, doc, tf, doc_len)
+    postings with map-side combine (doc length rides the grouping key,
+    so no doc-keyed join is ever needed); the per-term df aggregate and
+    the query-term table are VOCABULARY-sized and broadcast — the
+    posting lists themselves never reshuffle for the retrieval join;
+    the (query, doc) score aggregate is the single corpus-scale
+    exchange; per-query top-k is the window-top-k (o4's shape) over
+    query-partitioned groups.  At 100 TB the postings come from the
+    materialized t23 index instead of a rescan, and the only growing
+    exchange still carries (query_id, doc_id, int64) triples."""
+    from ..functions.hashing import _hash60
+    from ..operators.topk import topk_per_group
+
+    docs = _docs(spark, sf_dir)
+    text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    arr = tokenize_expr(text)
+    base = docs.select(
+        "doc_id",
+        arr.alias("toks"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    postings = (
+        base.select(
+            "doc_id", "n_tokens", F.explode("toks").alias("term")
+        )
+        .groupBy("term", "doc_id", "n_tokens")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_tbl = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    qterms = df_tbl.filter(F.col("df") >= 3).select(
+        (_hash60(F.lit("q"), F.col("term")) % _BM25_NQ).alias("query_id"),
+        "term",
+        "df",
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("n_tokens") / F.col("avgdl")
+    )
+    micro = F.floor(
+        (idf * (F.col("tf") * (k1 + 1.0)) / denom) * 1e6 + 0.5
+    ).cast("bigint")
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(micro).cast("bigint").alias("score_micro"))
+    )
+    return (
+        topk_per_group(
+            scored,
+            ["query_id"],
+            [F.desc("score_micro"), F.asc("doc_id")],
+            _BM25_TOPK,
+        )
+        .select("query_id", "rank", "doc_id", "score_micro")
+        .orderBy("query_id", "rank")
+    )

@@ -103,6 +103,7 @@ DEFAULT_QUERIES = [
     "s16_corrupt_record_channel",
     "t23_inverted_index",
     "t24_bm25_search",
+    "t25_batch_bm25_retrieval",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

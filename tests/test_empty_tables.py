@@ -107,6 +107,7 @@ ENTRIES = [
     "s16_corrupt_record_channel",
     "t23_inverted_index",
     "t24_bm25_search",
+    "t25_batch_bm25_retrieval",
 ]
 
 
