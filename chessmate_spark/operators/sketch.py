@@ -179,3 +179,63 @@ def countmin_estimate(
             )
         )
     )
+
+
+def countmin_prefilter(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: "int | None" = None,
+) -> DataFrame:
+    """Classic two-pass heavy-hitter PRE-FILTER (Cormode & Muthukrishnan
+    2005 §4): pass 1 builds the CMS over ``df[key_col]``; pass 2 rescans
+    ``df`` and keeps only rows whose key's ESTIMATE reaches
+    ``min_count``.  CMS never undercounts, so every true heavy key
+    survives — the filter is LOSSLESS for the downstream exact count
+    (identity contract, the d16 bloom pattern); false positives pass
+    through and are eliminated by that exact stage.
+
+    Scale shape: the probe is per-ROW — each row's ``depth`` bucket
+    coordinates LEFT-join the sketch's per-depth slices, all BROADCAST
+    (the sketch is ≤ depth·width rows and never leaves the cluster as
+    anything bigger), and the estimate is ``least()`` over the joined
+    counters — so light rows are dropped at the SCAN with zero
+    exchanges, and only the heavy-suspect sliver reaches the exact
+    aggregation's shuffle.  That is the gate's 100 TB value: the exact
+    count's exchange shrinks from corpus-size to suspects-size while
+    the sketch cost stays one map-side-combined aggregate.
+
+    ``width=None`` auto-sizes to the next power of two >= the stream's
+    row count (one extra count action): per-cell load stays <= 1, so
+    P(light key estimates >= min_count) ~ collision^depth stays small.
+    A FIXED width at growing N is the familiar fixed-parameter scale
+    bug — never wrong (estimates stay upper bounds), but the gate's
+    selectivity decays toward "everything is a suspect" and the exact
+    stage silently re-pays the full shuffle.
+
+    ``df`` must be deterministic (same contract as
+    ``bloom_prune_anti_join``): it is evaluated once per pass.
+    """
+    if width is None:
+        n = df.count()
+        width = 1
+        while width < max(n, 512):
+            width <<= 1
+    cms = countmin_table(df, key_col, depth=depth, width=width)
+    est_cols = []
+    out = df
+    for j in range(depth):
+        slice_j = cms.filter(F.col("depth") == j).select(
+            F.col("bucket").alias(f"_b{j}"),
+            F.col("cnt").alias(f"_cnt{j}"),
+        )
+        out = out.withColumn(
+            f"_b{j}", _cm_bucket(F.col(key_col), j, width)
+        ).join(F.broadcast(slice_j), f"_b{j}", "left")
+        # empty buckets estimate 0 (sketch stores non-zero cells only)
+        est_cols.append(F.coalesce(F.col(f"_cnt{j}"), F.lit(0).cast("bigint")))
+    est = F.least(*est_cols) if depth > 1 else est_cols[0]
+    return out.filter(est >= F.lit(min_count)).drop(
+        *[c for j in range(depth) for c in (f"_b{j}", f"_cnt{j}")]
+    )

@@ -7567,3 +7567,57 @@ def t25_batch_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id", "score_micro")
         .orderBy("query_id", "rank")
     )
+
+
+def _register_t26():
+    # shares t14's oracle VERBATIM (the d16/j14 identity pattern): the
+    # CMS gate must be output-invisible — it only re-routes the plan
+    t14_oracle = QUERIES["t14_boilerplate_ngrams"][1]
+
+    @_register("t26_boilerplate_cms_gate", t14_oracle)
+    def t26_boilerplate_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """t14's boilerplate-n-gram pass routed through the Count-Min
+        PRE-FILTER (round-6 verdict #6 — a29's sketch gets a production
+        consumer): pass 1 sketches the per-doc-distinct gram stream;
+        pass 2 drops every gram whose ESTIMATE is already below the
+        doc_count >= 3 threshold at the SCAN — CMS never undercounts,
+        so no true boilerplate gram can be dropped (lossless gate,
+        identity oracle) — and only the suspect sliver (true heavies +
+        sketch collisions) pays the exact groupBy's exchange.
+
+        At 100 TB this inverts t14's cost: the corpus-wide
+        (ngram, doc) exchange — dominated by the quadrillion-strong
+        light tail — shrinks to the suspects, while the sketch pass is
+        one map-side-combined aggregate into depth*width counters and
+        per-row probes against broadcast slices.  Width auto-sizes to
+        the stream (cells ~ N, the d13 discipline): a fixed width
+        would silently decay the gate's selectivity until the exact
+        stage re-pays the full shuffle.
+
+        The in-doc dedup rides ``array_distinct`` inside the scan
+        projection (equivalent to t14's global (doc_id, ngram)
+        distinct because doc_id keys the rows — one less shuffle on
+        BOTH passes)."""
+        from ..operators.sketch import countmin_prefilter
+
+        docs = _docs(spark, sf_dir)
+        w = F.split(F.lower(F.col("text")), " ")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("w") - 5),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, F.lit(5))),
+        )
+        stream = (
+            docs.select("doc_id", w.alias("w"))
+            .filter(F.size("w") >= 5)
+            .select("doc_id", F.explode(F.array_distinct(grams)).alias("ngram"))
+        )
+        suspects = countmin_prefilter(stream, "ngram", min_count=3)
+        return (
+            suspects.groupBy("ngram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+            .filter(F.col("doc_count") >= 3)
+            .orderBy("ngram")
+        )
+
+
+_register_t26()

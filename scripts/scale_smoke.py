@@ -104,6 +104,7 @@ DEFAULT_QUERIES = [
     "t23_inverted_index",
     "t24_bm25_search",
     "t25_batch_bm25_retrieval",
+    "t26_boilerplate_cms_gate",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

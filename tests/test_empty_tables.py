@@ -108,6 +108,7 @@ ENTRIES = [
     "t23_inverted_index",
     "t24_bm25_search",
     "t25_batch_bm25_retrieval",
+    "t26_boilerplate_cms_gate",
 ]
 
 

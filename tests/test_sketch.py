@@ -8,6 +8,7 @@ import datetime as dt
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from chessmate_spark.operators.sketch import heavy_hitters_sketch, mg_partition_summaries
 from chessmate_spark.streaming.structured import (
@@ -218,3 +219,60 @@ def test_countmin_is_deterministic_across_runs(spark):
         est = countmin_estimate(df.distinct(), cms, "key", depth=3, width=64)
         outs.append(sorted((r["key"], r["est_cnt"]) for r in est.collect()))
     assert outs[0] == outs[1]
+
+
+# --- countmin_prefilter: the two-pass heavy-hitter gate (t26) ---
+
+
+def test_prefilter_lossless_for_heavy_keys(spark):
+    """CMS never undercounts, so every key with true count >= min_count
+    must survive the gate — even under a deliberately tiny sketch."""
+    from chessmate_spark.operators.sketch import countmin_prefilter
+
+    rows = [("hot",)] * 10 + [("warm",)] * 3 + [
+        (f"cold{i}",) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    # width 8: heavy collision pressure — false POSITIVES allowed,
+    # false negatives never
+    kept = countmin_prefilter(df, "k", min_count=3, depth=4, width=8)
+    counts = {r["k"]: r["cnt"] for r in kept.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts.get("hot") == 10
+    assert counts.get("warm") == 3
+
+
+def test_prefilter_drops_light_tail_at_ample_width(spark):
+    from chessmate_spark.operators.sketch import countmin_prefilter
+
+    rows = [("hot",)] * 5 + [(f"cold{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    kept = countmin_prefilter(df, "k", min_count=3, depth=4, width=4096)
+    got = {r["k"] for r in kept.select("k").distinct().collect()}
+    assert "hot" in got
+    # ample width: the light tail should essentially vanish (a handful
+    # of collision survivors are tolerated, not the whole tail)
+    assert len(got) <= 5
+
+
+def test_prefilter_schema_and_row_passthrough(spark):
+    """Surviving rows keep the input schema and multiplicity — the gate
+    filters, it must not aggregate or project."""
+    from chessmate_spark.operators.sketch import countmin_prefilter
+
+    rows = [(1, "hot"), (2, "hot"), (3, "hot"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id int, k string")
+    kept = countmin_prefilter(df, "k", min_count=3, depth=3, width=1024)
+    assert kept.columns == ["doc_id", "k"]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_t26_identity_with_t14(spark):
+    """The gated plan must be output-identical to the exact t14 entry
+    (shared-oracle contract) at test scale."""
+    from chessmate_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["t14_boilerplate_ngrams"][0](spark, sf).collect()
+    gated = QUERIES["t26_boilerplate_cms_gate"][0](spark, sf).collect()
+    assert gated == exact
