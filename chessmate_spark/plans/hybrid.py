@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.embedding import deterministic_embedding
@@ -97,11 +97,64 @@ def vector_hits(
     )
 
 
+# Beyond this offset the serving page switches from OFFSET (row_number
+# over the WIDE page frame) to KEYSET: a deep OFFSET materializes and
+# sorts offset+limit fully-assembled rows just to discard the prefix —
+# O(offset) wide-row work per request, the classic deep-pagination
+# pathology at 100x scale.  The keyset form finds the boundary SORT KEY
+# with a narrow (played_on, id)-only prefix scan, then filters the wide
+# frame to rows strictly after it — wide-row assembly happens for
+# `limit` rows only.  The reference implements plain OFFSET
+# (repo_postgres_caqti.ml LIMIT/OFFSET page) and so does O1
+# (relational.paginate, entry-visible, unchanged); this threshold is the
+# serving shim's scale posture on top, as is standard for production
+# APIs (the `after=` cursor O1 already exposes).
+SERVE_KEYSET_THRESHOLD = 512
+
+
+def _keyset_page(
+    summaries: DataFrame, limit: int, offset: int
+) -> DataFrame:
+    """OFFSET semantics via keyset for the serving sort order
+    (``played_on DESC NULLS LAST, id DESC``): locate the offset-th
+    boundary key on a NARROW projection, then keyset-filter.
+
+    Row-identical to ``paginate(...)`` for any offset (the sort key is
+    unique per row — ``id`` is a key), including when the boundary
+    falls inside the NULL-``played_on`` tail."""
+    order = [F.col("played_on").desc_nulls_last(), F.col("id").desc()]
+    if offset == 0:
+        return summaries.orderBy(*order).limit(limit)
+    narrow = summaries.select("played_on", "id").orderBy(*order).limit(offset)
+    w = Window.orderBy(*order)
+    boundary = (
+        narrow.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == offset)
+        .first()
+    )
+    if boundary is None:
+        # fewer than `offset` rows exist: the page is empty
+        return summaries.filter(F.lit(False)).orderBy(*order).limit(limit)
+    p0, i0 = boundary["played_on"], boundary["id"]
+    if p0 is None:
+        # boundary inside the nulls-last tail: remaining rows are the
+        # null-date ones with smaller id
+        after = F.col("played_on").isNull() & (F.col("id") < F.lit(i0))
+    else:
+        after = (
+            (F.col("played_on") < F.lit(p0))
+            | ((F.col("played_on") == F.lit(p0)) & (F.col("id") < F.lit(i0)))
+            | F.col("played_on").isNull()
+        )
+    return summaries.filter(after).orderBy(*order).limit(limit)
+
+
 def execute(
     tables: HybridTables,
     plan: QueryPlan,
     dim: int = 16,
     timings: "Optional[dict]" = None,
+    keyset_threshold: int = SERVE_KEYSET_THRESHOLD,
 ) -> HybridExecution:
     """``timings`` (opt-in): per-ACTION wall-clock in seconds is added
     to the dict under ``count_total_s`` / ``count_returned_s`` — the
@@ -121,12 +174,15 @@ def execute(
     if timings is not None:
         timings["count_total_s"] = _time.perf_counter() - _t0
     _build_t0 = _time.perf_counter()
-    page = paginate(
-        summaries,
-        [F.col("played_on").desc_nulls_last(), F.col("id").desc()],
-        plan.limit,
-        plan.offset,
-    )
+    if plan.offset > keyset_threshold:
+        page = _keyset_page(summaries, plan.limit, plan.offset)
+    else:
+        page = paginate(
+            summaries,
+            [F.col("played_on").desc_nulls_last(), F.col("id").desc()],
+            plan.limit,
+            plan.offset,
+        )
 
     warnings: List[str] = []
     hits = None

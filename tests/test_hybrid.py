@@ -115,3 +115,51 @@ def test_query_vector_deterministic():
     v2 = query_vector(plan, 8)
     assert v1 == v2
     assert len(v1) == 8 and all(0.0 <= x <= 1.0 for x in v1)
+
+
+# --- keyset deep-offset serving page (round-7 #7) ---
+
+
+def _summaries_like(spark, n=200, null_every=7):
+    """A frame with the serving page's sort columns: unique id, dates
+    with a NULL tail (played_on DESC NULLS LAST, id DESC order)."""
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            None
+            if i % null_every == 0
+            else dt.date(2020, 1, 1) + dt.timedelta(days=i % 23),
+            f"g{i}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, played_on date, label string")
+
+
+@pytest.mark.parametrize("offset", [0, 1, 37, 120, 199, 200, 500])
+def test_keyset_page_identical_to_offset_page(spark, offset):
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.operators.relational import paginate
+    from chessmate_spark.plans.hybrid import _keyset_page
+
+    df = _summaries_like(spark)
+    order = [F.col("played_on").desc_nulls_last(), F.col("id").desc()]
+    limit = 10
+    via_offset = paginate(df, order, limit, offset).collect()
+    via_keyset = _keyset_page(df, limit, offset).collect()
+    assert via_keyset == via_offset
+
+
+def test_execute_keyset_path_matches_offset_path(spark, tables):
+    from chessmate_spark.plans.hybrid import execute
+    from chessmate_spark.query.intent import Request, analyse
+
+    plan = analyse(Request(text="games", limit=2, offset=1))
+    by_offset = execute(tables, plan, dim=8, keyset_threshold=10**9)
+    by_keyset = execute(tables, plan, dim=8, keyset_threshold=0)
+    assert by_keyset.results.collect() == by_offset.results.collect()
+    assert by_keyset.total == by_offset.total
+    assert by_keyset.has_more == by_offset.has_more
