@@ -101,6 +101,7 @@ HEADLINE = [
     "j10_salted_skew_join",
     "v6_lsh_ann",
     "v7_ivf_ann",
+    "v10_pq_ann",
     "a9_windowed_event_counts",
     "a10_user_sessions",
     "a11_percentiles",

@@ -147,3 +147,27 @@ def signatures_udf(planes):
         return pd.Series([row.tolist() for row in ints])
 
     return sigs
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """array<float> -> array<int>: product-quantization codes — each
+    vector L2-normalized, then per SUBSPACE the nearest codebook
+    centroid index.  One matmul per (subspace, Arrow batch)."""
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+    half_sq = [0.5 * (books[sub] ** 2).sum(1) for sub in range(m)]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        X = X / norms[:, None]
+        out = np.empty((len(X), m), dtype=np.int32)
+        for sub in range(m):
+            Xs = X[:, sub * dsub : (sub + 1) * dsub]
+            # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+            out[:, sub] = (Xs @ books[sub].T - half_sq[sub]).argmax(1)
+        return pd.Series(list(out))
+
+    return encode

@@ -346,3 +346,195 @@ def load_centroids(path: str) -> np.ndarray:
 
     table = pq.read_table(path).sort_by("cell")
     return np.array(table.column("centroid").to_pylist(), dtype="float64")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, TPAMI 2011 — "Product
+# Quantization for Nearest Neighbor Search"; FAISS IndexPQ semantics).
+# The memory side of the ANN story: IVF/LSH cut WHICH vectors a query
+# touches, PQ cuts what each touched vector COSTS — dim float32 per
+# vector (256 B at dim=64) compresses to m code bytes (8 B at m=8,
+# 32x), and the approximate-scoring scan moves CODES only.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    corpus_rows: Optional[int] = None,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means over ONE driver-side sample →
+    ``(m, ksub, dim/m)`` codebooks.
+
+    Vectors are L2-NORMALIZED before splitting, so inner product over
+    reconstructed subvectors approximates cosine (the IndexPQ-with-
+    METRIC_INNER_PRODUCT posture).  The sample is the same
+    deterministic hash-mod + orderBy-limit draw as
+    ``train_ivf_centroids`` (one column-pruned scan, no shuffle, stable
+    across runs); each subspace's k-means runs on a (sample, dim/m)
+    slice — driver cost is m small Lloyd loops, independent of corpus
+    size."""
+    if corpus_rows is None:
+        corpus_rows = corpus.count()
+    mod = max(1, corpus_rows // max(1, sample_size // 2))
+    sampled = corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod)) == 0
+    )
+    pdf = (
+        sampled.select(id_col, vec_col).orderBy(id_col).limit(sample_size)
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        pdf = (
+            corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).toPandas()
+        )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    dim = X.shape[1]
+    assert dim % m == 0, f"m={m} must divide dim={dim}"
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for sub in range(m):
+        Xs = X[:, sub * dsub : (sub + 1) * dsub]
+        k_eff = min(ksub, len(Xs))
+        cents = Xs[rng.choice(len(Xs), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = Xs[mask].mean(0)
+        if k_eff < ksub:  # degenerate tiny corpus: pad by repetition
+            cents = np.vstack([cents] * ((ksub // k_eff) + 1))[:ksub]
+        books[sub] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """``(id, codes)`` — each vector L2-normalized and quantized to its
+    nearest centroid PER SUBSPACE (one Arrow batch matmul per subspace;
+    vectors cross the Python boundary once).  ``codes`` is an
+    array<int> of length m: the 32x-compressed representation that is
+    all the approximate-scoring scan ever moves."""
+    from ..functions.vector_pandas import pq_encode_udf
+
+    encode = pq_encode_udf(codebooks)
+    return df.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    overfetch: int = 8,
+    codebooks: Optional[np.ndarray] = None,
+    sim_col: str = "score",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ approximate k-NN join with exact re-rank (FAISS IndexPQ + ADC):
+
+    1. encode the corpus once — codes (m ints) replace vectors;
+    2. per query, precompute the ADC lookup table LUT[sub, code] =
+       <q_sub, centroid> (m*ksub doubles, built driver-side from the
+       tiny broadcast query set);
+    3. approximate score per (query, corpus) row is a pure JVM
+       ``aggregate`` over the code array indexing the broadcast LUT —
+       NO vector ever moves, no Python in the scan;
+    4. keep ``k * overfetch`` candidates per query (window top-k), join
+       their true vectors back, exact-cosine re-rank, emit top-k.
+
+    Scale shape: the corpus is scanned once for encoding and once for
+    ADC scoring (codes only); the exact re-rank touches k*overfetch
+    vectors per query.  Recall < 1 by construction — the v7 pattern's
+    recall gate is the correctness contract; overfetch is the dial."""
+    from ..functions.vector import cosine_similarity
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed
+        )
+    m, ksub, _ = codebooks.shape
+    codes = pq_encode(corpus, corpus_id, corpus_vec, codebooks)
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[query_vec], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qv = qv / (n if n else 1.0)
+        dsub = len(qv) // m
+        lut = np.empty(m * ksub, dtype=np.float64)
+        for sub in range(m):
+            lut[sub * ksub : (sub + 1) * ksub] = (
+                codebooks[sub] @ qv[sub * dsub : (sub + 1) * dsub]
+            )
+        lut_rows.append((r[query_id], [float(x) for x in lut]))
+    spark = queries.sparkSession
+    q_type = dict(queries.dtypes)[query_id]
+    luts = spark.createDataFrame(
+        lut_rows, f"_q_id {q_type}, _lut array<double>"
+    )
+    # ADC: sum over subspaces of LUT[sub*ksub + code[sub]] — pure
+    # expression over the broadcast LUT, element_at is 1-based
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("_lut"),
+            (i * ksub + F.element_at(F.col("codes"), i + 1) + 1).cast("int"),
+        ),
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(luts))
+        .withColumn("_adc", adc)
+    )
+    shortlist = topk_per_group(
+        cand.select("_q_id", F.col(corpus_id), "_adc"),
+        ["_q_id"],
+        [F.col("_adc").desc(), F.col(corpus_id).asc()],
+        k * overfetch,
+    ).drop("rank", "_adc")
+    vecs = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec).alias("_c_vec")
+    )
+    qvecs = queries.select(
+        F.col(query_id).alias("_q_id"), F.col(query_vec).alias("_q_vec")
+    )
+    rescored = (
+        shortlist.join(vecs, corpus_id)
+        .join(F.broadcast(qvecs), "_q_id")
+        .withColumn(sim_col, cosine_similarity(F.col("_c_vec"), F.col("_q_vec")))
+    )
+    ranked = topk_per_group(
+        rescored.select(
+            F.col("_q_id").alias(query_id), F.col(corpus_id), F.col(sim_col)
+        ),
+        [query_id],
+        [F.col(sim_col).desc(), F.col(corpus_id).asc()],
+        k,
+    )
+    return ranked.drop("rank")

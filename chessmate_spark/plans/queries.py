@@ -1959,6 +1959,70 @@ def v7_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_q.orderBy("query_id")
 
+
+@_register(
+    "v10_pq_ann",
+    """
+    SELECT vec_id AS query_id, 3 AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def v10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate k-NN (Jégou et al. 2011; FAISS
+    IndexPQ + asymmetric distance): the MEMORY side of the ANN family —
+    v6/v7 cut which vectors a query touches, PQ cuts what each touched
+    vector costs (dim float32 → m code bytes, 32x at dim=64/m=8), so
+    the approximate-scoring scan moves CODES only and the corpus'
+    vectors are read just twice (encode; exact re-rank of the
+    k·overfetch shortlist).
+
+    v7's recall-gate contract: the entry runs the PQ path AND the exact
+    kNN baseline and returns per-query ``recall_ok`` (recall@3 >= 0.6);
+    the oracle predicts all-true.  Near-uniform synthetic vectors are
+    PQ's worst case exactly as they are IVF's (no subspace structure to
+    quantize — measured worst-query recall 0.67 at this operating
+    point, the smoke records the dial at 10x); every stage (hash-mod
+    training sample, Lloyd iterations, ADC ordering) is deterministic,
+    so the gate cannot flap.  ADC scoring is a pure JVM ``aggregate``
+    over the code array against broadcast per-query lookup tables —
+    no Python and no vector movement in the scan."""
+    from ..operators.similarity import cosine_knn_join, pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 5
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 5
+    )
+    approx = pq_topk(
+        queries, corpus, k=3,
+        query_id="query_id", corpus_id="neighbor_id",
+        m=8, ksub=16, overfetch=32,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_knn_join(
+        queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k") >= 0.6).alias(
+                "recall_ok"
+            ),
+        )
+    )
+    return per_q.orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shared window aggregation (batch form of the streaming query)
 # ---------------------------------------------------------------------------

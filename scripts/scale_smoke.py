@@ -451,6 +451,15 @@ ANN_SETTINGS = {
     "ivf_nlist64_nprobe1": 0.0,
     "ivf_nlist64_nprobe4": 0.0,
     "ivf_nlist64_nprobe12": 0.5,
+    # PQ rows (round 7): overfetch is the recall/cost dial; floors set
+    # from the first measured run on this decorrelated corpus (the
+    # round-6 recalibration convention) — near-uniform vectors are PQ's
+    # documented worst case (no subspace structure to quantize), real
+    # embeddings cluster and recall rises sharply
+    "pq_m8_of8": 0.0,
+    # measured 0.485 on the decorrelated 10x corpus (first run) — floor
+    # at 0.4, the lsh_p6_t8 convention
+    "pq_m8_of32": 0.4,
 }
 
 
@@ -519,6 +528,20 @@ def measure_ann_recall(spark) -> dict:
             )
         )
         out[f"ivf_nlist64_nprobe{nprobe}"] = {
+            "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
+        }
+    from chessmate_spark.operators.similarity import pq_topk
+
+    for of in (8, 32):
+        t0 = time.perf_counter()
+        r = recall_of(
+            pq_topk(
+                queries, corpus, k=ANN_K,
+                query_id="query_id", corpus_id="neighbor_id",
+                m=8, ksub=16, overfetch=of,
+            )
+        )
+        out[f"pq_m8_of{of}"] = {
             "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
         }
     exact.unpersist()

@@ -210,3 +210,81 @@ def test_semantic_neardup_no_self_pairs_on_duplicate_ids(spark):
     ).collect()
     assert all(r["id_a"] != r["id_b"] for r in got)
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+# --- product quantization (v10) ---
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    from chessmate_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16)
+    assert books.shape == (8, 16, 8)  # dim 64 / m 8
+    books2 = train_pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16)
+    assert (books == books2).all()  # deterministic sample + Lloyd
+    codes = pq_encode(emb, "vec_id", "embedding", books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    again = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, "vec_id", "embedding", books).collect()
+    }
+    assert all(again[r["vec_id"]] == r["codes"] for r in codes)
+
+
+def test_pq_recall_against_exact(spark, emb):
+    """The v10 operating point must clear the entry's per-query floor
+    at test scale (worst case for PQ: near-uniform vectors)."""
+    from chessmate_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn_join(
+            queries, corpus, k=3, query_id="query_id",
+            corpus_id="neighbor_id",
+        ).select("query_id", "neighbor_id").collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            queries, corpus, k=3, query_id="query_id",
+            corpus_id="neighbor_id", m=8, ksub=16, overfetch=32,
+        ).select("query_id", "neighbor_id").collect()
+    }
+    per_q = {q: 0 for q in range(5)}
+    for q, _ in got & exact:
+        per_q[q] += 1
+    assert all(h / 3 >= 0.6 for h in per_q.values()), per_q
+
+
+def test_pq_full_overfetch_is_exact(spark, emb):
+    """overfetch covering the whole corpus makes the exact re-rank see
+    every row — PQ must then equal exact kNN (the nprobe=nlist analog)."""
+    from chessmate_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    n = corpus.count()
+    exact = cosine_knn_join(
+        queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
+    ).select("query_id", "neighbor_id").collect()
+    full = pq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", m=8, ksub=16, overfetch=(n // 3) + 1,
+    ).select("query_id", "neighbor_id").collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
