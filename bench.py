@@ -192,6 +192,7 @@ HEADLINE = [
     "t24_bm25_search",
     "t25_batch_bm25_retrieval",
     "t26_boilerplate_cms_gate",
+    "d18_semantic_dedup_resolve",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -7633,6 +7633,72 @@ def t25_batch_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_resolve_oracle() -> str:
+    """Embedding-corpus survivors after SEMANTIC dedup resolution: the
+    d10 shape applied to the embedding side — transitive closure of the
+    exact cosine-threshold pair relation (d6's oracle as the pair
+    source), keep the min-id member per component."""
+    pair_sql = _neardup_oracle()
+    return f"""
+    WITH RECURSIVE
+    prs AS (SELECT id_a, id_b FROM ({pair_sql})),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM prs),
+    walk(node, reach) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+    labels AS (
+      SELECT node, least(node, min(reach)) AS component_id
+      FROM walk GROUP BY node)
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (
+      SELECT node FROM labels WHERE node <> component_id)
+    ORDER BY e.vec_id
+    """
+
+
+@_register("d18_semantic_dedup_resolve", _semantic_resolve_oracle())
+def d18_semantic_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup resolution (round 7): the embedding-side
+    twin of d10 — SemDeDup pairs (d13's k-means-cell operator) →
+    transitive closure (d8's large-star/small-star components, id-only
+    edges) → keep the min-id canonical per cluster → surviving corpus
+    via anti join.  This is the pass an LLM pipeline actually ships:
+    pairwise detection alone doesn't shrink a corpus; the
+    cluster-resolve-keep chain does (Abbas et al. 2023 keep one point
+    per semantic cluster; d10 is the lexical sibling).
+
+    At oracle scale d13's operating point has recall 1.0 (its own entry
+    shares d6's exact oracle), so the resolved corpus is checkable
+    against the EXACT pair relation's transitive closure (recursive CTE)
+    — the full pipeline value-hashes end-to-end, not just the pair
+    stage.  Scale shape: pairs move only ids; components are O(log n)
+    id-only rounds; the final anti join broadcasts the non-canonical
+    drop-list (tiny at any realistic dup rate) so the corpus is scanned
+    once and never shuffled — and past broadcast size the d16 bloom
+    split applies unchanged."""
+    from ..operators.dedup import semantic_neardup_pairs
+    from ..operators.graph import dup_clusters
+
+    emb = _emb(spark, sf_dir)
+    pairs = semantic_neardup_pairs(
+        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, n_probe=4
+    ).select(F.col("id_a"), F.col("id_b"))
+    drop = (
+        dup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return (
+        emb.join(F.broadcast(drop), "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 def _register_t26():
     # shares t14's oracle VERBATIM (the d16/j14 identity pattern): the
     # CMS gate must be output-invisible — it only re-routes the plan

@@ -105,6 +105,7 @@ DEFAULT_QUERIES = [
     "t24_bm25_search",
     "t25_batch_bm25_retrieval",
     "t26_boilerplate_cms_gate",
+    "d18_semantic_dedup_resolve",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -109,6 +109,7 @@ ENTRIES = [
     "t24_bm25_search",
     "t25_batch_bm25_retrieval",
     "t26_boilerplate_cms_gate",
+    "d18_semantic_dedup_resolve",
 ]
 
 
