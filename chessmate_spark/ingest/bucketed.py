@@ -99,6 +99,9 @@ def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
     - same host, pid gone -> dead, reap;
     - same host, pid alive but start_time differs -> the pid was
       REUSED by an unrelated process; the owner is dead, reap;
+    - unverifiable boot identity (lease or probe side can't read
+      boot_id) or malformed lease fields -> conservative: a disk leak
+      beats deleting a live sibling's table;
     - no lease (pre-lease dir, or owner died mid-write) -> fall back
       to the conservative old probe: reap only on ProcessLookupError.
     """
@@ -112,25 +115,38 @@ def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
             lease = json.load(fh)
     except (OSError, ValueError):
         lease = None
+    if not isinstance(lease, dict):
+        # a syntactically-valid but non-object lease ([], "x", 42) must
+        # degrade to the conservative probe, not crash every session
+        # sharing this parent path
+        lease = None
     if lease is not None:
-        if lease.get("host") != socket.gethostname():
-            return False
-        if lease.get("boot_id") != _boot_id():
-            # same hostname across containers/reboots: pid space reset,
-            # the recorded pid proves nothing — but a lease from a
-            # PREVIOUS boot of this same host is necessarily dead
-            return lease.get("boot_id") is not None
-        pid = int(lease.get("pid", pid_from_name))
         try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            return True
-        except PermissionError:
-            return False  # alive under another uid
-        # pid exists — distinguish the original owner from a recycled pid
-        now = _proc_start_time(pid)
-        recorded = lease.get("start_time")
-        return bool(recorded and now and now != recorded)
+            if lease.get("host") != socket.gethostname():
+                return False
+            cur_boot = _boot_id()
+            if cur_boot is not None and lease.get("boot_id") != cur_boot:
+                # same hostname across containers/reboots: pid space
+                # reset, the recorded pid proves nothing — but a lease
+                # from a PREVIOUS boot of this same host is necessarily
+                # dead.  If OUR boot_id is unreadable (hardened
+                # container) this comparison proves nothing either way
+                # — fall through to the pid/start-time check instead of
+                # reaping a possibly-live sibling.
+                return lease.get("boot_id") is not None
+            pid = int(lease.get("pid") or pid_from_name)
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                return False  # alive under another uid
+            # pid exists — distinguish the owner from a recycled pid
+            now = _proc_start_time(pid)
+            recorded = lease.get("start_time")
+            return bool(recorded and now and now != recorded)
+        except (AttributeError, TypeError, ValueError):
+            pass  # malformed field values: conservative probe below
     # legacy/incomplete dir: conservative probe only
     try:
         os.kill(pid_from_name, 0)

@@ -169,36 +169,30 @@ def auto_nlist(corpus_rows: int) -> int:
     return max(8, min(65536, int(corpus_rows**0.5)))
 
 
-def train_ivf_centroids(
+def _driver_sample_matrix(
     corpus: DataFrame,
     id_col: str,
-    vec_col: str = "embedding",
-    nlist: int = 16,
-    sample_size: int = 4096,
-    iters: int = 10,
-    seed: int = 42,
-    corpus_rows: Optional[int] = None,
+    vec_col: str,
+    sample_size: int,
+    seed: int,
+    corpus_rows: int,
 ) -> np.ndarray:
-    """Lloyd k-means over a driver-side sample → (nlist, dim) centroids.
-
-    The sample is tiny relative to the corpus (IVF centroid training always
-    is — FAISS trains on ~(39*nlist..256*nlist) points).  Sampling is a
-    hash-mod filter on the id column: one column-pruned scan, NO global
-    sort, NO shuffle, and deterministic for a fixed seed + corpus — the
-    100 TB-safe way to take a few thousand training rows.
-    """
-    if corpus_rows is None:
-        corpus_rows = corpus.count()
+    """The ONE deterministic driver-side training sample every
+    codebook/centroid trainer here draws: hash-mod filter on the id
+    column (one column-pruned scan, NO global sort, NO shuffle) then
+    orderBy+limit.  The orderBy matters: it compiles to
+    TakeOrderedAndProject over the ~2x-sample survivors — cheap — and
+    makes the sample SET deterministic (a bare ``limit()`` keeps
+    whichever partitions answer first, so two runs could train
+    different centroids and every bucketed dedup/ANN entry built on
+    them would flap).  Shared by ``train_ivf_centroids`` and
+    ``train_pq_codebooks`` so the determinism contract cannot diverge
+    between the two trainers."""
     # keep ~2x sample_size survivors so the limit rarely truncates unevenly
     mod = max(1, corpus_rows // max(1, sample_size // 2))
     sampled = corpus.filter(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod)) == 0
     )
-    # orderBy+limit compiles to TakeOrderedAndProject over the ~2x-sample
-    # survivors — cheap, and it makes the sample SET deterministic (a bare
-    # limit() keeps whichever partitions answer first, so two runs could
-    # train different centroids and the bucketed dedup/ANN entries built
-    # on them would flap)
     pdf = (
         sampled.select(id_col, vec_col)
         .orderBy(id_col)
@@ -214,7 +208,30 @@ def train_ivf_centroids(
             .limit(sample_size)
             .toPandas()
         )
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    corpus_rows: Optional[int] = None,
+) -> np.ndarray:
+    """Lloyd k-means over a driver-side sample → (nlist, dim) centroids.
+
+    The sample is tiny relative to the corpus (IVF centroid training always
+    is — FAISS trains on ~(39*nlist..256*nlist) points); see
+    ``_driver_sample_matrix`` for the determinism contract.
+    """
+    if corpus_rows is None:
+        corpus_rows = corpus.count()
+    X = _driver_sample_matrix(
+        corpus, id_col, vec_col, sample_size, seed, corpus_rows
+    )
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
     x_sq = (X**2).sum(1, keepdims=True)
@@ -381,20 +398,9 @@ def train_pq_codebooks(
     size."""
     if corpus_rows is None:
         corpus_rows = corpus.count()
-    mod = max(1, corpus_rows // max(1, sample_size // 2))
-    sampled = corpus.filter(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod)) == 0
+    X = _driver_sample_matrix(
+        corpus, id_col, vec_col, sample_size, seed, corpus_rows
     )
-    pdf = (
-        sampled.select(id_col, vec_col).orderBy(id_col).limit(sample_size)
-        .toPandas()
-    )
-    if len(pdf) == 0:
-        pdf = (
-            corpus.select(id_col, vec_col).orderBy(id_col)
-            .limit(sample_size).toPandas()
-        )
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
     X = X / norms[:, None]

@@ -181,6 +181,14 @@ def countmin_estimate(
     )
 
 
+# Auto-width cap for countmin_prefilter: each per-depth sketch slice
+# carries at most min(width, distinct non-empty cells) (bucket, cnt)
+# rows, and the probe broadcasts one slice per depth — 2^20 cells keeps
+# every forced broadcast <= ~16 MB serialized, safely inside Spark's
+# broadcast limits on any executor sizing.
+_CM_PREFILTER_MAX_WIDTH = 1 << 20
+
+
 def countmin_prefilter(
     df: DataFrame,
     key_col: str,
@@ -198,21 +206,26 @@ def countmin_prefilter(
 
     Scale shape: the probe is per-ROW — each row's ``depth`` bucket
     coordinates LEFT-join the sketch's per-depth slices, all BROADCAST
-    (the sketch is ≤ depth·width rows and never leaves the cluster as
-    anything bigger), and the estimate is ``least()`` over the joined
-    counters — so light rows are dropped at the SCAN with zero
-    exchanges, and only the heavy-suspect sliver reaches the exact
-    aggregation's shuffle.  That is the gate's 100 TB value: the exact
-    count's exchange shrinks from corpus-size to suspects-size while
-    the sketch cost stays one map-side-combined aggregate.
+    (bounded: auto width caps at ``_CM_PREFILTER_MAX_WIDTH`` cells per
+    depth, <= ~16 MB serialized per slice — a width request beyond the
+    cap raises instead of force-broadcasting an unbounded frame), and
+    the estimate is ``least()`` over the joined counters — so light
+    rows are dropped at the SCAN with zero exchanges, and only the
+    heavy-suspect sliver reaches the exact aggregation's shuffle.
 
     ``width=None`` auto-sizes to the next power of two >= the stream's
-    row count (one extra count action): per-cell load stays <= 1, so
-    P(light key estimates >= min_count) ~ collision^depth stays small.
-    A FIXED width at growing N is the familiar fixed-parameter scale
-    bug — never wrong (estimates stay upper bounds), but the gate's
-    selectivity decays toward "everything is a suspect" and the exact
-    stage silently re-pays the full shuffle.
+    row count (one extra count action), capped as above: per-cell load
+    stays <= 1 while the cap is slack, so P(light key estimates >=
+    min_count) ~ collision^depth stays small.  SELECTIVITY contract at
+    the cap: expected overcount per cell is N/width, so the gate stays
+    sharp while N/width << min_count and decays gracefully toward
+    "everything is a suspect" beyond N ≈ cap·min_count — correctness
+    is unaffected either way (estimates remain upper bounds; the exact
+    stage re-pays its full shuffle, i.e. the gate degrades to a no-op,
+    never to a wrong answer).  Heavy-hitter gating at a tiny absolute
+    threshold over a quadrillion-key stream fundamentally needs
+    width ~ N/min_count memory — beyond the cap, pre-partition the
+    stream (by shard/source) and gate per shard.
 
     ``df`` must be deterministic (same contract as
     ``bloom_prune_anti_join``): it is evaluated once per pass.
@@ -222,6 +235,13 @@ def countmin_prefilter(
         width = 1
         while width < max(n, 512):
             width <<= 1
+        width = min(width, _CM_PREFILTER_MAX_WIDTH)
+    elif width > _CM_PREFILTER_MAX_WIDTH:
+        raise ValueError(
+            f"width={width} exceeds the broadcastable cap "
+            f"{_CM_PREFILTER_MAX_WIDTH}; shard the stream and gate per "
+            "shard instead of force-broadcasting an unbounded sketch"
+        )
     cms = countmin_table(df, key_col, depth=depth, width=width)
     est_cols = []
     out = df

@@ -113,7 +113,10 @@ SERVE_KEYSET_THRESHOLD = 512
 
 
 def _keyset_page(
-    summaries: DataFrame, limit: int, offset: int
+    summaries: DataFrame,
+    limit: int,
+    offset: int,
+    timings: "Optional[dict]" = None,
 ) -> DataFrame:
     """OFFSET semantics via keyset for the serving sort order
     (``played_on DESC NULLS LAST, id DESC``): locate the offset-th
@@ -122,16 +125,24 @@ def _keyset_page(
     Row-identical to ``paginate(...)`` for any offset (the sort key is
     unique per row — ``id`` is a key), including when the boundary
     falls inside the NULL-``played_on`` tail."""
+    import time as _time
+
     order = [F.col("played_on").desc_nulls_last(), F.col("id").desc()]
     if offset == 0:
         return summaries.orderBy(*order).limit(limit)
     narrow = summaries.select("played_on", "id").orderBy(*order).limit(offset)
     w = Window.orderBy(*order)
+    # a real Spark ACTION (narrow prefix scan + first), not plan
+    # construction — timed under its own key so the serving breakdown
+    # can't misattribute a boundary-scan regression to build overhead
+    _t0 = _time.perf_counter()
     boundary = (
         narrow.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == offset)
         .first()
     )
+    if timings is not None:
+        timings["keyset_boundary_s"] = _time.perf_counter() - _t0
     if boundary is None:
         # fewer than `offset` rows exist: the page is empty
         return summaries.filter(F.lit(False)).orderBy(*order).limit(limit)
@@ -175,7 +186,9 @@ def execute(
         timings["count_total_s"] = _time.perf_counter() - _t0
     _build_t0 = _time.perf_counter()
     if plan.offset > keyset_threshold:
-        page = _keyset_page(summaries, plan.limit, plan.offset)
+        page = _keyset_page(
+            summaries, plan.limit, plan.offset, timings=timings
+        )
     else:
         page = paginate(
             summaries,
@@ -298,8 +311,13 @@ def execute(
     if timings is not None:
         # everything between the two counts is DRIVER-side plan
         # construction (vector_hits compile, page joins, score columns)
-        # — pure Py4J call overhead, no cluster work
-        timings["build_page_s"] = _time.perf_counter() - _build_t0
+        # — pure Py4J call overhead, no cluster work; the keyset
+        # boundary lookup (a real action inside this window on
+        # deep-offset requests) is subtracted out under its own key
+        timings["build_page_s"] = (
+            _time.perf_counter() - _build_t0
+            - timings.get("keyset_boundary_s", 0.0)
+        )
     _t0 = _time.perf_counter()
     returned = results.count()
     if timings is not None:

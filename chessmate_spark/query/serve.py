@@ -173,10 +173,11 @@ def answer_question(
     ``timings`` (opt-in): records per-action wall-clock seconds —
     ``analyse_s`` (driver-side NL parse), ``count_total_s`` /
     ``count_returned_s`` (the two Spark count actions inside
-    ``execute``), ``collect_page_s`` (the page materialization), and
-    ``format_s`` (driver-side payload assembly).  The serving bench
-    persists this breakdown so one aggregate latency number can't hide
-    WHICH action regressed.
+    ``execute``), ``keyset_boundary_s`` (deep-offset requests only:
+    the narrow boundary-key scan), ``collect_page_s`` (the page
+    materialization), and ``format_s`` (driver-side payload assembly).
+    The serving bench persists this breakdown so one aggregate latency
+    number can't hide WHICH action regressed.
     """
     import time as _time
 

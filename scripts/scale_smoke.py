@@ -141,6 +141,15 @@ MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
 # must stay flat), with a wider marginal allowance here.
 MARGINAL_OVERRIDES: dict[str, float] = {"d7_embedding_neardup_lsh": 16.0}
 LINEARITY_REPEATS = 2
+# A marginal ratio needs a denominator ABOVE host noise to mean
+# anything: identical back-to-back runs on this host swing +-0.5-1 s,
+# so a sub-second t3-t1 delta produced marginals of 22 (d7, d_lo
+# 0.35 s) and -6.5 (d12) for plans whose count-based decomposition is
+# flat.  Below this floor the probe records the two-point fallback
+# instead — a real quadratic still blows the 12x two-point gate, and
+# the --dedup-decomp candidate-count gate (time-free) carries the
+# scale proof for the bucketed dedup entries.
+MARGINAL_MIN_DELTA_S = 1.0
 
 
 def _timed(builder, spark, src) -> float:
@@ -284,7 +293,7 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
         d_hi = times["t10"] - times["t3"]
         limit = MARGINAL_OVERRIDES.get(name, MARGINAL_LIMIT)
         flag = ""
-        if d_lo > 0.2:
+        if d_lo > MARGINAL_MIN_DELTA_S:
             marginal = d_hi / d_lo
             fallback = None
             if marginal > limit:
@@ -308,6 +317,10 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
             "fallback_two_point": (
                 None if fallback is None else round(fallback, 1)
             ),
+            # per-entry effective gate (MARGINAL_OVERRIDES aware) so the
+            # artifact-pinned prose renders the gate that actually
+            # applied, not the global default
+            "gate": limit,
         }
         shown = (
             f"2pt {fallback:5.1f}" if marginal is None else f"{marginal:9.1f}"
@@ -531,15 +544,24 @@ def measure_ann_recall(spark) -> dict:
         out[f"ivf_nlist64_nprobe{nprobe}"] = {
             "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
         }
-    from chessmate_spark.operators.similarity import pq_topk
+    from chessmate_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
 
+    # train ONCE: codebooks are overfetch-independent, so per-setting
+    # retraining would both waste work and charge the training cost to
+    # whichever dial row runs it
+    pq_books = train_pq_codebooks(
+        corpus, "neighbor_id", "embedding", m=8, ksub=16
+    )
     for of in (8, 32):
         t0 = time.perf_counter()
         r = recall_of(
             pq_topk(
                 queries, corpus, k=ANN_K,
                 query_id="query_id", corpus_id="neighbor_id",
-                m=8, ksub=16, overfetch=of,
+                m=8, ksub=16, overfetch=of, codebooks=pq_books,
             )
         )
         out[f"pq_m8_of{of}"] = {

@@ -46,10 +46,11 @@ def render(record: dict) -> str:
             else f"two-point fallback {v['fallback_two_point']} "
             "(fixed-cost-dominated through 3x)"
         )
+        gate = v.get("gate", lin["marginal_limit"])
         lines.append(
             f"- linearity `{name}`: t1 {v['t1_s']}s / t3 {v['t3_s']}s / "
             f"t10 {v['t10_s']}s — {shown} "
-            f"(gate {lin['marginal_limit']}, linear ideal 3.5)"
+            f"(gate {gate}, linear ideal 3.5)"
         )
     dd = record.get("dedup_decomposition")
     if dd:

@@ -182,3 +182,32 @@ def test_ensure_bucketed_writes_lease(spark, tmp_path):
         assert lease["start_time"] == B._proc_start_time(os.getpid())
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lease_probe")
+
+
+def test_malformed_lease_falls_back_conservative(tmp_path):
+    import os
+
+    from chessmate_spark.ingest import bucketed as B
+
+    # syntactically valid JSON that is not an object
+    d1 = tmp_path / f"tbl-pid{os.getpid()}-aaaaaaaa"
+    d1.mkdir()
+    (d1 / B._LEASE_NAME).write_text("[]")
+    assert not B._lease_owner_dead(str(d1), os.getpid())  # owner alive
+    d2 = tmp_path / "tbl-pid99999999-bbbbbbbb"
+    d2.mkdir()
+    (d2 / B._LEASE_NAME).write_text('"just a string"')
+    assert B._lease_owner_dead(str(d2), 99999999)  # legacy probe: dead
+    # object lease missing boot_id on a matching host: unverifiable
+    # boot -> conservative, never reaped (leak beats data loss)
+    d3 = tmp_path / "tbl-pid99999999-cccccccc"
+    d3.mkdir()
+    (d3 / B._LEASE_NAME).write_text('{"host": "%s", "pid": null}'
+                                    % __import__("socket").gethostname())
+    assert not B._lease_owner_dead(str(d3), 99999999)
+    # matching boot_id but null pid: falls back to the name-derived pid
+    # without crashing — dead pid reaps
+    d4 = tmp_path / "tbl-pid99999999-dddddddd"
+    d4.mkdir()
+    _make_lease(d4, pid=None, start_time=None)
+    assert B._lease_owner_dead(str(d4), 99999999)

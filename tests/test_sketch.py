@@ -276,3 +276,19 @@ def test_t26_identity_with_t14(spark):
     exact = QUERIES["t14_boilerplate_ngrams"][0](spark, sf).collect()
     gated = QUERIES["t26_boilerplate_cms_gate"][0](spark, sf).collect()
     assert gated == exact
+
+
+def test_prefilter_auto_width_capped_and_explicit_over_cap_rejected(spark):
+    from chessmate_spark.operators.sketch import (
+        _CM_PREFILTER_MAX_WIDTH,
+        countmin_prefilter,
+    )
+
+    df = spark.createDataFrame([("k",)], "k string")
+    with pytest.raises(ValueError):
+        countmin_prefilter(
+            df, "k", min_count=2, width=_CM_PREFILTER_MAX_WIDTH * 2
+        )
+    # auto width on a tiny stream stays small and functional
+    kept = countmin_prefilter(df, "k", min_count=1)
+    assert kept.count() == 1
