@@ -39,7 +39,17 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-_LEASE_NAME = "_OWNER_LEASE.json"
+# The ownership lease lives BESIDE the table directory
+# (``<path>.lease``), not inside it: it must exist BEFORE the table
+# write begins (saveAsTable can run for minutes, and an unleased
+# in-progress directory would be reapable by a sibling whose pid probe
+# can't see the writer across pid namespaces), and Spark's
+# mode("overwrite") would wipe an in-dir file anyway.
+_LEASE_SUFFIX = ".lease"
+
+
+def _lease_path(table_dir: str) -> str:
+    return table_dir + _LEASE_SUFFIX
 
 
 def _proc_start_time(pid: int) -> Optional[str]:
@@ -70,7 +80,7 @@ def _write_lease(path: str) -> None:
         "start_time": _proc_start_time(os.getpid()),
     }
     try:
-        with open(os.path.join(path, _LEASE_NAME), "w") as fh:
+        with open(_lease_path(path), "w") as fh:
             json.dump(lease, fh)
     except OSError:
         pass  # unleased dirs fall back to the conservative pid probe
@@ -94,24 +104,28 @@ def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
     leak).  The lease pins host identity (hostname + boot_id) and the
     owner's kernel start time, so:
 
-    - different host/boot_id -> NOT ours to judge; never reap (the
-      single-host assumption is enforced, not assumed);
-    - same host, pid gone -> dead, reap;
-    - same host, pid alive but start_time differs -> the pid was
+    - different host OR different boot_id -> NOT ours to judge; never
+      reap.  (A differing boot_id does NOT prove death: two machines —
+      cloned VMs are the classic case — can share a hostname while
+      mounting one filesystem, so "previous boot of this host" is
+      indistinguishable from "current boot of that host".  The cost is
+      that dirs orphaned by a reboot are not auto-reaped; a disk leak
+      beats deleting a live sibling's table, and rebooted-host cleanup
+      is an operator action on the parent dir.);
+    - same host+boot, pid gone -> dead, reap;
+    - same host+boot, pid alive but start_time differs -> the pid was
       REUSED by an unrelated process; the owner is dead, reap;
     - unverifiable boot identity (lease or probe side can't read
-      boot_id) or malformed lease fields -> conservative: a disk leak
-      beats deleting a live sibling's table;
-    - no lease (pre-lease dir, or owner died mid-write) -> fall back
-      to the conservative old probe: reap only on ProcessLookupError.
+      boot_id) or malformed lease fields -> conservative: never reap;
+    - no lease (pre-lease-era dir) -> fall back to the conservative
+      old probe: reap only on ProcessLookupError.
     """
     import json
     import os
     import socket
 
-    lease_path = os.path.join(stale, _LEASE_NAME)
     try:
-        with open(lease_path) as fh:
+        with open(_lease_path(stale)) as fh:
             lease = json.load(fh)
     except (OSError, ValueError):
         lease = None
@@ -125,15 +139,8 @@ def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
             if lease.get("host") != socket.gethostname():
                 return False
             cur_boot = _boot_id()
-            if cur_boot is not None and lease.get("boot_id") != cur_boot:
-                # same hostname across containers/reboots: pid space
-                # reset, the recorded pid proves nothing — but a lease
-                # from a PREVIOUS boot of this same host is necessarily
-                # dead.  If OUR boot_id is unreadable (hardened
-                # container) this comparison proves nothing either way
-                # — fall through to the pid/start-time check instead of
-                # reaping a possibly-live sibling.
-                return lease.get("boot_id") is not None
+            if lease.get("boot_id") != cur_boot or cur_boot is None:
+                return False
             pid = int(lease.get("pid") or pid_from_name)
             try:
                 os.kill(pid, 0)
@@ -182,10 +189,13 @@ def ensure_bucketed(
     parent dir; copies of DEAD processes are reaped on entry, live
     same-process siblings persist until the process exits.  Reaping is
     gated on an ownership LEASE (hostname + boot_id + pid start time,
-    ``_OWNER_LEASE.json``) so a shared filesystem mounted into several
-    hosts/containers never loses a live sibling's table, and a reused
-    pid can't pin a dead copy forever; dirs from other hosts are left
-    for their owners.
+    sibling file ``<dir>.lease``) so a shared filesystem mounted into
+    several hosts/containers never loses a live sibling's table, and a
+    reused pid can't pin a dead copy forever; dirs from other hosts or
+    boots are left for their owners.  The lease is written BEFORE the
+    table write starts — saveAsTable can run for minutes, and an
+    unleased in-progress directory would otherwise sit reapable (via
+    the legacy pid probe) for that whole window.
     """
     import glob
     import os
@@ -202,6 +212,19 @@ def ensure_bucketed(
         # (glob.escape: a path containing glob metacharacters must not
         # silently match nothing and defeat the reaping)
         for stale in glob.glob(glob.escape(path) + "-pid*"):
+            if stale.endswith(_LEASE_SUFFIX):
+                # lease files are handled with their table dir; a lease
+                # whose dir never appeared (owner died before the write
+                # started) is reaped by the same ownership test
+                table_dir = stale[: -len(_LEASE_SUFFIX)]
+                if not os.path.exists(table_dir):
+                    m = re.search(r"-pid(\d+)(-[0-9a-f]{8})?$", table_dir)
+                    if m and _lease_owner_dead(table_dir, int(m.group(1))):
+                        try:
+                            os.remove(stale)
+                        except OSError:
+                            pass
+                continue
             m = re.search(r"-pid(\d+)(-[0-9a-f]{8})?$", stale)
             if not m:
                 continue
@@ -214,16 +237,20 @@ def ensure_bucketed(
             # reuse (see _lease_owner_dead)
             if _lease_owner_dead(stale, pid):
                 shutil.rmtree(stale, ignore_errors=True)
+                try:
+                    os.remove(_lease_path(stale))
+                except OSError:
+                    pass
         # pid + random suffix: pid isolates processes, the suffix
         # isolates multiple SparkSessions WITHIN one process (each has
         # its own catalog, so both would otherwise see
         # tableExists=False and overwrite one shared directory)
         path = f"{path}-pid{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        # lease FIRST: the write window must never be unprotected
+        _write_lease(path)
     write_bucketed(
         df, table, bucket_cols, n_buckets, sort_cols=sort_cols, path=path
     )
-    if path is not None:
-        _write_lease(path)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

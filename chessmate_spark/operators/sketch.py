@@ -256,6 +256,12 @@ def countmin_prefilter(
         # empty buckets estimate 0 (sketch stores non-zero cells only)
         est_cols.append(F.coalesce(F.col(f"_cnt{j}"), F.lit(0).cast("bigint")))
     est = F.least(*est_cols) if depth > 1 else est_cols[0]
-    return out.filter(est >= F.lit(min_count)).drop(
+    # NULL keys hash to NULL buckets — the sketch never counts them and
+    # the probe joins nothing, so est would read 0 and silently drop a
+    # group the ungated exact aggregation WOULD emit (NULL is a groupBy
+    # key).  Lossless contract: NULL-key rows are unconditional
+    # suspects; the exact stage decides their fate exactly as ungated.
+    keep = F.col(key_col).isNull() | (est >= F.lit(min_count))
+    return out.filter(keep).drop(
         *[c for j in range(depth) for c in (f"_b{j}", f"_cnt{j}")]
     )

@@ -174,6 +174,11 @@ def execute(
     aggregate number."""
     import time as _time
 
+    if timings is not None:
+        # a reused dict must not carry a previous request's boundary
+        # scan into this one's build_page_s subtraction (or report a
+        # keyset action a shallow-offset request never ran)
+        timings.pop("keyset_boundary_s", None)
     _t0 = _time.perf_counter()
     summaries = game_summaries(tables.games, tables.players).filter(
         compile_predicate(plan)

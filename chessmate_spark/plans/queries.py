@@ -5567,6 +5567,19 @@ def d11_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _c4_word5_gram_exprs() -> "tuple[Column, Column]":
+    """The C4-style word-5-gram expressions ``(w, grams)`` — SHARED by
+    t14 and its CMS-gated twin t26, whose identity-oracle contract
+    requires the two gram derivations to stay bit-identical: one
+    definition means they cannot drift."""
+    w = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 5),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, F.lit(5))),
+    )
+    return w, grams
+
+
 @_register(
     "t14_boilerplate_ngrams",
     """
@@ -5597,11 +5610,7 @@ def t14_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a classic skew point (the boilerplate grams ARE the hot keys) —
     partial aggregation absorbs them before the exchange."""
     docs = _docs(spark, sf_dir)
-    w = F.split(F.lower(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("w") - 5),
-        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, F.lit(5))),
-    )
+    w, grams = _c4_word5_gram_exprs()
     return (
         docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 5)
@@ -7731,11 +7740,7 @@ def _register_t26():
         from ..operators.sketch import countmin_prefilter
 
         docs = _docs(spark, sf_dir)
-        w = F.split(F.lower(F.col("text")), " ")
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size("w") - 5),
-            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, F.lit(5))),
-        )
+        w, grams = _c4_word5_gram_exprs()
         stream = (
             docs.select("doc_id", w.alias("w"))
             .filter(F.size("w") >= 5)

@@ -78,6 +78,7 @@ def test_q18_bucketed_twin_matches_unbucketed(spark):
 def _make_lease(d, **over):
     import json
     import os
+    import pathlib
     import socket
 
     from chessmate_spark.ingest import bucketed as B
@@ -89,7 +90,7 @@ def _make_lease(d, **over):
         "start_time": B._proc_start_time(os.getpid()),
     }
     lease.update(over)
-    (d / B._LEASE_NAME).write_text(json.dumps(lease))
+    pathlib.Path(B._lease_path(str(d))).write_text(json.dumps(lease))
 
 
 def test_lease_live_owner_not_reaped(tmp_path):
@@ -137,17 +138,18 @@ def test_lease_foreign_host_never_reaped(tmp_path):
     assert not B._lease_owner_dead(str(d), 99999999)
 
 
-def test_lease_previous_boot_reaped(tmp_path):
+def test_lease_foreign_boot_never_reaped(tmp_path):
     import os
 
     from chessmate_spark.ingest import bucketed as B
 
     d = tmp_path / "tbl-pid1-00000000"
     d.mkdir()
-    # same hostname, different boot_id: a lease from a previous boot of
-    # this host is necessarily dead even though the pid looks alive
+    # same hostname, different boot_id: indistinguishable from a LIVE
+    # session on another machine sharing the hostname + filesystem
+    # (cloned VMs), so never reaped — leak beats data loss
     _make_lease(d, pid=os.getpid(), boot_id="not-this-boot")
-    assert B._lease_owner_dead(str(d), os.getpid())
+    assert not B._lease_owner_dead(str(d), os.getpid())
 
 
 def test_legacy_dir_without_lease_conservative(tmp_path):
@@ -173,10 +175,12 @@ def test_ensure_bucketed_writes_lease(spark, tmp_path):
     try:
         B.ensure_bucketed(df, "t_lease_probe", ["k"], 2,
                           path=str(tmp_path / "t_lease_probe"))
-        locs = [p for p in os.listdir(tmp_path) if p.startswith("t_lease_probe")]
+        locs = [p for p in os.listdir(tmp_path)
+                if p.startswith("t_lease_probe")
+                and not p.endswith(B._LEASE_SUFFIX)]
         assert len(locs) == 1
         lease = json.loads(
-            (tmp_path / locs[0] / B._LEASE_NAME).read_text()
+            (tmp_path / (locs[0] + B._LEASE_SUFFIX)).read_text()
         )
         assert lease["pid"] == os.getpid()
         assert lease["start_time"] == B._proc_start_time(os.getpid())
@@ -192,18 +196,19 @@ def test_malformed_lease_falls_back_conservative(tmp_path):
     # syntactically valid JSON that is not an object
     d1 = tmp_path / f"tbl-pid{os.getpid()}-aaaaaaaa"
     d1.mkdir()
-    (d1 / B._LEASE_NAME).write_text("[]")
+    import pathlib
+    pathlib.Path(B._lease_path(str(d1))).write_text("[]")
     assert not B._lease_owner_dead(str(d1), os.getpid())  # owner alive
     d2 = tmp_path / "tbl-pid99999999-bbbbbbbb"
     d2.mkdir()
-    (d2 / B._LEASE_NAME).write_text('"just a string"')
+    pathlib.Path(B._lease_path(str(d2))).write_text('"just a string"')
     assert B._lease_owner_dead(str(d2), 99999999)  # legacy probe: dead
     # object lease missing boot_id on a matching host: unverifiable
     # boot -> conservative, never reaped (leak beats data loss)
     d3 = tmp_path / "tbl-pid99999999-cccccccc"
     d3.mkdir()
-    (d3 / B._LEASE_NAME).write_text('{"host": "%s", "pid": null}'
-                                    % __import__("socket").gethostname())
+    pathlib.Path(B._lease_path(str(d3))).write_text(
+        '{"host": "%s", "pid": null}' % __import__("socket").gethostname())
     assert not B._lease_owner_dead(str(d3), 99999999)
     # matching boot_id but null pid: falls back to the name-derived pid
     # without crashing — dead pid reaps
@@ -211,3 +216,35 @@ def test_malformed_lease_falls_back_conservative(tmp_path):
     d4.mkdir()
     _make_lease(d4, pid=None, start_time=None)
     assert B._lease_owner_dead(str(d4), 99999999)
+
+
+def test_orphan_lease_of_dead_owner_cleaned(spark, tmp_path):
+    """A lease whose table dir never appeared (owner died before the
+    write started) is removed by the reap loop; a live owner's orphan
+    lease is kept (its write may be in flight)."""
+    import os
+    import pathlib
+
+    from chessmate_spark.ingest import bucketed as B
+
+    import json
+    import socket
+
+    parent = str(tmp_path / "t_orphan")
+    dead = f"{parent}-pid99999999-eeeeeeee"
+    pathlib.Path(B._lease_path(dead)).write_text(json.dumps({
+        "host": socket.gethostname(), "boot_id": B._boot_id(),
+        "pid": 99999999, "start_time": "1",
+    }))
+    live = f"{parent}-pid{os.getpid()}-ffffffff"
+    pathlib.Path(B._lease_path(live)).write_text(json.dumps({
+        "host": socket.gethostname(), "boot_id": B._boot_id(),
+        "pid": os.getpid(), "start_time": B._proc_start_time(os.getpid()),
+    }))
+    df = spark.range(5).select(F.col("id").alias("k"))
+    try:
+        B.ensure_bucketed(df, "t_orphan_probe", ["k"], 2, path=parent)
+        assert not os.path.exists(B._lease_path(dead))
+        assert os.path.exists(B._lease_path(live))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orphan_probe")

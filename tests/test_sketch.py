@@ -292,3 +292,20 @@ def test_prefilter_auto_width_capped_and_explicit_over_cap_rejected(spark):
     # auto width on a tiny stream stays small and functional
     kept = countmin_prefilter(df, "k", min_count=1)
     assert kept.count() == 1
+
+
+def test_prefilter_null_keys_pass_through(spark):
+    """NULL keys never enter the sketch (NULL buckets) — they must pass
+    to the exact stage unconditionally or the gated pipeline diverges
+    from the ungated one on any nullable key column."""
+    from chessmate_spark.operators.sketch import countmin_prefilter
+
+    rows = [(None,)] * 5 + [("hot",)] * 4 + [("solo",)]
+    df = spark.createDataFrame(rows, "k string")
+    kept = countmin_prefilter(df, "k", min_count=3, depth=3, width=1024)
+    exact = (
+        kept.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    got = {(r["k"], r["c"]) for r in exact.collect()}
+    assert got == {(None, 5), ("hot", 4)}
