@@ -115,20 +115,32 @@ def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
     - same host+boot, pid gone -> dead, reap;
     - same host+boot, pid alive but start_time differs -> the pid was
       REUSED by an unrelated process; the owner is dead, reap;
-    - unverifiable boot identity (lease or probe side can't read
-      boot_id) or malformed lease fields -> conservative: never reap;
+    - boot identity unverifiable on either side (macOS / hardened
+      containers without /proc boot_id) -> the hostname already
+      matched, so degrade to the pid + start-time probe: disabling
+      reaping wholesale there would leak one table copy per session
+      forever;
+    - malformed lease fields -> conservative: never reap;
     - no lease (pre-lease-era dir) -> fall back to the conservative
-      old probe: reap only on ProcessLookupError.
+      old probe: reap only on ProcessLookupError.  Dirs leased by the
+      earlier in-dir scheme are still honored via a fallback read.
     """
     import json
     import os
     import socket
 
-    try:
-        with open(_lease_path(stale)) as fh:
-            lease = json.load(fh)
-    except (OSError, ValueError):
-        lease = None
+    lease = None
+    # sibling file first; fall back to the in-dir location one earlier
+    # revision of this module wrote, so dirs leased under that scheme
+    # keep their cross-namespace protection instead of degrading to the
+    # bare pid probe
+    for lp in (_lease_path(stale), os.path.join(stale, "_OWNER_LEASE.json")):
+        try:
+            with open(lp) as fh:
+                lease = json.load(fh)
+            break
+        except (OSError, ValueError):
+            continue
     if not isinstance(lease, dict):
         # a syntactically-valid but non-object lease ([], "x", 42) must
         # degrade to the conservative probe, not crash every session
@@ -139,8 +151,20 @@ def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
             if lease.get("host") != socket.gethostname():
                 return False
             cur_boot = _boot_id()
-            if lease.get("boot_id") != cur_boot or cur_boot is None:
+            if (
+                cur_boot is not None
+                and lease.get("boot_id") is not None
+                and lease.get("boot_id") != cur_boot
+            ):
+                # verifiably a DIFFERENT boot: not ours to judge (see
+                # docstring — cloned-VM hostname collisions)
                 return False
+            # boot verified equal, or unverifiable on either side
+            # (macOS/hardened containers have no /proc boot_id): the
+            # hostname already matched, so degrade to the pid +
+            # start-time probe rather than disabling reaping wholesale
+            # — an unconditional False here would leak one full table
+            # copy per session forever on such hosts
             pid = int(lease.get("pid") or pid_from_name)
             try:
                 os.kill(pid, 0)

@@ -235,7 +235,19 @@ def countmin_prefilter(
         width = 1
         while width < max(n, 512):
             width <<= 1
-        width = min(width, _CM_PREFILTER_MAX_WIDTH)
+        if width > _CM_PREFILTER_MAX_WIDTH:
+            # no silent caps: the caller's selectivity contract changes
+            # here (gate sharpness decays once N/width ~ min_count)
+            import warnings
+
+            warnings.warn(
+                f"countmin_prefilter auto width capped at "
+                f"{_CM_PREFILTER_MAX_WIDTH} for a {n}-row stream; gate "
+                f"selectivity decays once rows >> cap*min_count — "
+                f"pre-partition the stream and gate per shard",
+                stacklevel=2,
+            )
+            width = _CM_PREFILTER_MAX_WIDTH
     elif width > _CM_PREFILTER_MAX_WIDTH:
         raise ValueError(
             f"width={width} exceeds the broadcastable cap "

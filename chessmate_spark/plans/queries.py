@@ -7729,9 +7729,13 @@ def _register_t26():
         light tail — shrinks to the suspects, while the sketch pass is
         one map-side-combined aggregate into depth*width counters and
         per-row probes against broadcast slices.  Width auto-sizes to
-        the stream (cells ~ N, the d13 discipline): a fixed width
-        would silently decay the gate's selectivity until the exact
-        stage re-pays the full shuffle.
+        the stream (cells ~ N, the d13 discipline) UP TO the
+        broadcastable cap (2^20 cells, ~16 MB per slice;
+        countmin_prefilter warns when the cap engages): beyond
+        cap·min_count stream rows the gate's selectivity decays toward
+        pass-everything — correctness unaffected, the exact stage just
+        re-pays its shuffle — and the production form pre-partitions
+        the stream (by shard/source) and gates per shard.
 
         The in-doc dedup rides ``array_distinct`` inside the scan
         projection (equivalent to t14's global (doc_id, ngram)

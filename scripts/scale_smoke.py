@@ -146,10 +146,16 @@ LINEARITY_REPEATS = 2
 # so a sub-second t3-t1 delta produced marginals of 22 (d7, d_lo
 # 0.35 s) and -6.5 (d12) for plans whose count-based decomposition is
 # flat.  Below this floor the probe records the two-point fallback
-# instead — a real quadratic still blows the 12x two-point gate, and
-# the --dedup-decomp candidate-count gate (time-free) carries the
-# scale proof for the bucketed dedup entries.
+# instead, gated at FALLBACK_LIMIT — tighter than the general 12x
+# because a fixed-cost-dominated entry (that is what a sub-second
+# delta MEANS) has little data-driven growth, so its honest two-point
+# sits <= ~4 (measured: d7 3.1, d13 2.2) while a quadratic term big
+# enough to matter at 10x (~1 s at 3x -> ~12 s at 10x on a 2-4 s
+# entry) lands ~8-9 and fails.  The --dedup-decomp candidate-count
+# gate (time-free) additionally carries the scale proof for the
+# bucketed dedup entries.
 MARGINAL_MIN_DELTA_S = 1.0
+FALLBACK_LIMIT = 8.0
 
 
 def _timed(builder, spark, src) -> float:
@@ -306,7 +312,7 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
             # flat through 3x still blows at 10x
             marginal = None
             fallback = times["t10"] / max(times["t1"], 1e-9)
-            if fallback > RATIO_LIMIT:
+            if fallback > FALLBACK_LIMIT:
                 failures.append(f"linearity:{name}")
                 flag = "  <-- SUPERLINEAR (two-point fallback)"
         lin[name] = {
@@ -317,10 +323,11 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
             "fallback_two_point": (
                 None if fallback is None else round(fallback, 1)
             ),
-            # per-entry effective gate (MARGINAL_OVERRIDES aware) so the
-            # artifact-pinned prose renders the gate that actually
-            # applied, not the global default
-            "gate": limit,
+            # per-entry gate that ACTUALLY applied: the marginal gate
+            # (MARGINAL_OVERRIDES aware) when a marginal was computed,
+            # the two-point FALLBACK_LIMIT otherwise — so the
+            # artifact-pinned prose can never quote the wrong gate
+            "gate": limit if marginal is not None else FALLBACK_LIMIT,
         }
         shown = (
             f"2pt {fallback:5.1f}" if marginal is None else f"{marginal:9.1f}"
@@ -532,13 +539,21 @@ def measure_ann_recall(spark) -> dict:
         out[f"lsh_p{planes}_t{tables}"] = {
             "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
         }
+    from chessmate_spark.operators.similarity import train_ivf_centroids
+
+    # train ONCE (centroids are nprobe-independent): retraining inside
+    # each timed window both wastes two identical Lloyd runs and makes
+    # the ivf vs pq 'secs' columns incomparable
+    ivf_centroids = train_ivf_centroids(
+        corpus, "neighbor_id", "embedding", nlist=64
+    )
     for nprobe in (1, 4, 12):
         t0 = time.perf_counter()
         r = recall_of(
             ivf_topk(
                 queries, corpus, k=ANN_K,
                 query_id="query_id", corpus_id="neighbor_id",
-                nlist=64, nprobe=nprobe,
+                nlist=64, nprobe=nprobe, centroids=ivf_centroids,
             )
         )
         out[f"ivf_nlist64_nprobe{nprobe}"] = {

@@ -203,13 +203,14 @@ def test_malformed_lease_falls_back_conservative(tmp_path):
     d2.mkdir()
     pathlib.Path(B._lease_path(str(d2))).write_text('"just a string"')
     assert B._lease_owner_dead(str(d2), 99999999)  # legacy probe: dead
-    # object lease missing boot_id on a matching host: unverifiable
-    # boot -> conservative, never reaped (leak beats data loss)
+    # object lease missing boot_id on a matching host: boot identity
+    # unverifiable -> degrade to the pid probe (dead pid reaps) rather
+    # than disabling reaping wholesale on /proc-less hosts
     d3 = tmp_path / "tbl-pid99999999-cccccccc"
     d3.mkdir()
     pathlib.Path(B._lease_path(str(d3))).write_text(
         '{"host": "%s", "pid": null}' % __import__("socket").gethostname())
-    assert not B._lease_owner_dead(str(d3), 99999999)
+    assert B._lease_owner_dead(str(d3), 99999999)
     # matching boot_id but null pid: falls back to the name-derived pid
     # without crashing — dead pid reaps
     d4 = tmp_path / "tbl-pid99999999-dddddddd"
@@ -227,20 +228,11 @@ def test_orphan_lease_of_dead_owner_cleaned(spark, tmp_path):
 
     from chessmate_spark.ingest import bucketed as B
 
-    import json
-    import socket
-
     parent = str(tmp_path / "t_orphan")
     dead = f"{parent}-pid99999999-eeeeeeee"
-    pathlib.Path(B._lease_path(dead)).write_text(json.dumps({
-        "host": socket.gethostname(), "boot_id": B._boot_id(),
-        "pid": 99999999, "start_time": "1",
-    }))
+    _make_lease(pathlib.Path(dead), pid=99999999, start_time="1")
     live = f"{parent}-pid{os.getpid()}-ffffffff"
-    pathlib.Path(B._lease_path(live)).write_text(json.dumps({
-        "host": socket.gethostname(), "boot_id": B._boot_id(),
-        "pid": os.getpid(), "start_time": B._proc_start_time(os.getpid()),
-    }))
+    _make_lease(pathlib.Path(live))
     df = spark.range(5).select(F.col("id").alias("k"))
     try:
         B.ensure_bucketed(df, "t_orphan_probe", ["k"], 2, path=parent)
@@ -248,3 +240,24 @@ def test_orphan_lease_of_dead_owner_cleaned(spark, tmp_path):
         assert os.path.exists(B._lease_path(live))
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orphan_probe")
+
+
+def test_legacy_in_dir_lease_still_honored(tmp_path):
+    """Dirs leased by the earlier in-dir scheme keep their protection:
+    a live foreign-looking owner is not reaped, a dead one is."""
+    import json
+    import os
+    import socket
+
+    from chessmate_spark.ingest import bucketed as B
+
+    d = tmp_path / "tbl-pid99999999-11111111"
+    d.mkdir()
+    (d / "_OWNER_LEASE.json").write_text(json.dumps({
+        "host": socket.gethostname(), "boot_id": B._boot_id(),
+        "pid": os.getpid(),
+        "start_time": B._proc_start_time(os.getpid()),
+    }))
+    # in-dir lease says a LIVE process owns it, even though the dir
+    # name's pid is dead: must not reap
+    assert not B._lease_owner_dead(str(d), 99999999)
