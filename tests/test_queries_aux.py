@@ -104,3 +104,71 @@ def test_semantic_dedup_plan_never_shuffles_vectors(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "embedding" not in line, line
+
+
+# --- round-7 plan pins: the new entries' scale claims, asserted at
+# plan time so a regression shows as a test failure, not a slow run ---
+
+
+def test_t25_retrieval_join_broadcasts_query_terms(spark):
+    """t25's scale claim: posting lists never reshuffle for the
+    retrieval join — the query-term and stats sides are broadcast, so
+    the plan carries no SortMergeJoin and at least two broadcast
+    exchanges; the only hash exchanges key the aggregations (postings
+    build, df build, per-(query,doc) score), never a join side."""
+    df = QUERIES["t25_batch_bm25_retrieval"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_t26_gate_probe_is_exchange_free_until_exact_stage(spark):
+    """t26's scale claim: the per-row sketch probe joins BROADCAST
+    slices — between the first probe join and the documents scan there
+    must be no shuffle Exchange (the stream is filtered at the scan);
+    the plan's only wide exchanges belong to the sketch build and the
+    exact aggregation of survivors."""
+    df = QUERIES["t26_boilerplate_cms_gate"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    # 4 sketch slices -> at least 4 broadcast exchanges on the probe path
+    assert plan.count("BroadcastExchange") >= 4, plan
+
+
+def test_d18_resolution_anti_join_is_broadcast(spark):
+    """d18's scale claim: the surviving-corpus step is ONE broadcast
+    LEFT ANTI against the drop-list — the embeddings scan must not
+    shuffle for it (no SortMergeJoin anti, no exchange keyed on the
+    corpus side of the anti join)."""
+    df = QUERIES["d18_semantic_dedup_resolve"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin LeftAnti" not in plan, plan
+
+
+def test_v10_adc_scoring_has_no_python_and_no_vector_shuffle(spark):
+    """v10's scale claim: ADC scoring is pure JVM over broadcast LUTs —
+    the candidate-generation segment (codes cross-join LUTs through the
+    shortlist window) contains exactly one Python node (the encode UDF
+    at the scan) and the only corpus-side exchange keys the top-k
+    window, which carries (query, id, score) rows, never vectors."""
+    from chessmate_spark.operators.similarity import pq_topk
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    out = pq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", m=8, ksub=16, overfetch=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # encode UDF once per corpus branch (shortlist + re-rank lineage);
+    # ADC itself must not add Python nodes
+    assert plan.count("ArrowEvalPython") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
