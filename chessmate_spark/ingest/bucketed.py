@@ -82,8 +82,20 @@ def _write_lease(path: str) -> None:
     try:
         with open(_lease_path(path), "w") as fh:
             json.dump(lease, fh)
-    except OSError:
-        pass  # unleased dirs fall back to the conservative pid probe
+    except OSError as exc:
+        # an unleased dir degrades to the legacy pid probe on the reap
+        # side — which is exactly the cross-namespace false-dead hazard
+        # the lease exists to remove — so a failed write must be LOUD,
+        # not silent, even though proceeding is still the right call
+        # (refusing to write the table over a lease hiccup is worse)
+        import warnings
+
+        warnings.warn(
+            f"ownership lease write failed ({exc}); {path} is only "
+            "pid-probe-protected against sibling reaping for its "
+            "lifetime",
+            stacklevel=2,
+        )
 
 
 def _boot_id() -> Optional[str]:

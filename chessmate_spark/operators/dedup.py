@@ -615,6 +615,7 @@ def semantic_neardup_pairs(
     seed: int = 42,
     round_digits: int = 6,
     target_cell_rows: int = 256,
+    assignments: "Optional[tuple[Optional[DataFrame], int, int]]" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: k-means-cluster the
     embedding space, compare only within clusters (Abbas et al. 2023,
@@ -648,10 +649,16 @@ def semantic_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    tagged, n_clusters, n_rows = semantic_cell_assignments(
-        df, id_col, vec_col, n_clusters=n_clusters, n_probe=n_probe,
-        seed=seed, target_cell_rows=target_cell_rows,
-    )
+    # `assignments`: a precomputed `semantic_cell_assignments` result —
+    # the scale-smoke decomposition probe counts candidates from the
+    # same tagging it then times, instead of re-paying the count action
+    # and the driver-side k-means a second time
+    if assignments is None:
+        assignments = semantic_cell_assignments(
+            df, id_col, vec_col, n_clusters=n_clusters, n_probe=n_probe,
+            seed=seed, target_cell_rows=target_cell_rows,
+        )
+    tagged, n_clusters, n_rows = assignments
     if tagged is None:
         # nothing to train centroids on; emit the empty pair frame with
         # the contract schema instead of letting np.stack([]) blow up

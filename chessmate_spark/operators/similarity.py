@@ -485,6 +485,12 @@ def pq_topk(
     m, ksub, _ = codebooks.shape
     codes = pq_encode(corpus, corpus_id, corpus_vec, codebooks)
 
+    # the query frame is evaluated EXACTLY ONCE (this collect): both the
+    # ADC lookup tables and the re-rank query vectors derive from these
+    # rows, so a nondeterministic queries source (sample(), unordered
+    # limit()) cannot hand the two stages different vectors — the same
+    # double-evaluation hazard bloom_prune_anti_join documents, closed
+    # here structurally instead of contractually
     q_rows = queries.select(query_id, query_vec).collect()
     lut_rows = []
     for r in q_rows:
@@ -497,11 +503,17 @@ def pq_topk(
             lut[sub * ksub : (sub + 1) * ksub] = (
                 codebooks[sub] @ qv[sub * dsub : (sub + 1) * dsub]
             )
-        lut_rows.append((r[query_id], [float(x) for x in lut]))
+        lut_rows.append(
+            (
+                r[query_id],
+                [float(x) for x in lut],
+                [float(x) for x in r[query_vec]],
+            )
+        )
     spark = queries.sparkSession
     q_type = dict(queries.dtypes)[query_id]
     luts = spark.createDataFrame(
-        lut_rows, f"_q_id {q_type}, _lut array<double>"
+        lut_rows, f"_q_id {q_type}, _lut array<double>, _q_vec array<double>"
     )
     # ADC: sum over subspaces of LUT[sub*ksub + code[sub]] — pure
     # expression over the broadcast LUT, element_at is 1-based
@@ -515,7 +527,7 @@ def pq_topk(
         ),
     )
     cand = (
-        codes.crossJoin(F.broadcast(luts))
+        codes.crossJoin(F.broadcast(luts.select("_q_id", "_lut")))
         .withColumn("_adc", adc)
     )
     shortlist = topk_per_group(
@@ -527,9 +539,9 @@ def pq_topk(
     vecs = corpus.select(
         F.col(corpus_id), F.col(corpus_vec).alias("_c_vec")
     )
-    qvecs = queries.select(
-        F.col(query_id).alias("_q_id"), F.col(query_vec).alias("_q_vec")
-    )
+    # re-rank query vectors come from the SAME collected rows as the
+    # LUTs (see above), never from re-evaluating `queries`
+    qvecs = luts.select("_q_id", "_q_vec")
     rescored = (
         shortlist.join(vecs, corpus_id)
         .join(F.broadcast(qvecs), "_q_id")

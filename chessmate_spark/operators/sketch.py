@@ -254,19 +254,32 @@ def countmin_prefilter(
             f"{_CM_PREFILTER_MAX_WIDTH}; shard the stream and gate per "
             "shard instead of force-broadcasting an unbounded sketch"
         )
+    # working columns use a reserved prefix: a caller frame already
+    # carrying one would either raise an ambiguous-reference error or
+    # have its column silently dropped, breaking the row-passthrough
+    # contract — fail loudly instead
+    _pfx = "_cm_prefilter_"
+    clash = [c for c in df.columns if c.startswith(_pfx)]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with countmin_prefilter's "
+            f"reserved working prefix {_pfx!r}; rename them first"
+        )
     cms = countmin_table(df, key_col, depth=depth, width=width)
     est_cols = []
     out = df
     for j in range(depth):
         slice_j = cms.filter(F.col("depth") == j).select(
-            F.col("bucket").alias(f"_b{j}"),
-            F.col("cnt").alias(f"_cnt{j}"),
+            F.col("bucket").alias(f"{_pfx}b{j}"),
+            F.col("cnt").alias(f"{_pfx}cnt{j}"),
         )
         out = out.withColumn(
-            f"_b{j}", _cm_bucket(F.col(key_col), j, width)
-        ).join(F.broadcast(slice_j), f"_b{j}", "left")
+            f"{_pfx}b{j}", _cm_bucket(F.col(key_col), j, width)
+        ).join(F.broadcast(slice_j), f"{_pfx}b{j}", "left")
         # empty buckets estimate 0 (sketch stores non-zero cells only)
-        est_cols.append(F.coalesce(F.col(f"_cnt{j}"), F.lit(0).cast("bigint")))
+        est_cols.append(
+            F.coalesce(F.col(f"{_pfx}cnt{j}"), F.lit(0).cast("bigint"))
+        )
     est = F.least(*est_cols) if depth > 1 else est_cols[0]
     # NULL keys hash to NULL buckets — the sketch never counts them and
     # the probe joins nothing, so est would read 0 and silently drop a
@@ -275,5 +288,5 @@ def countmin_prefilter(
     # suspects; the exact stage decides their fate exactly as ungated.
     keep = F.col(key_col).isNull() | (est >= F.lit(min_count))
     return out.filter(keep).drop(
-        *[c for j in range(depth) for c in (f"_b{j}", f"_cnt{j}")]
+        *[c for j in range(depth) for c in (f"{_pfx}b{j}", f"{_pfx}cnt{j}")]
     )

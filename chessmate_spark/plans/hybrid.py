@@ -129,7 +129,7 @@ def _keyset_page(
 
     order = [F.col("played_on").desc_nulls_last(), F.col("id").desc()]
     if offset == 0:
-        return summaries.orderBy(*order).limit(limit)
+        return paginate(summaries, order, limit, 0)
     narrow = summaries.select("played_on", "id").orderBy(*order).limit(offset)
     w = Window.orderBy(*order)
     # a real Spark ACTION (narrow prefix scan + first), not plan
@@ -145,19 +145,25 @@ def _keyset_page(
         timings["keyset_boundary_s"] = _time.perf_counter() - _t0
     if boundary is None:
         # fewer than `offset` rows exist: the page is empty
-        return summaries.filter(F.lit(False)).orderBy(*order).limit(limit)
-    p0, i0 = boundary["played_on"], boundary["id"]
-    if p0 is None:
-        # boundary inside the nulls-last tail: remaining rows are the
-        # null-date ones with smaller id
-        after = F.col("played_on").isNull() & (F.col("id") < F.lit(i0))
+        after = F.lit(False)
     else:
-        after = (
-            (F.col("played_on") < F.lit(p0))
-            | ((F.col("played_on") == F.lit(p0)) & (F.col("id") < F.lit(i0)))
-            | F.col("played_on").isNull()
-        )
-    return summaries.filter(after).orderBy(*order).limit(limit)
+        p0, i0 = boundary["played_on"], boundary["id"]
+        if p0 is None:
+            # boundary inside the nulls-last tail: remaining rows are
+            # the null-date ones with smaller id
+            after = F.col("played_on").isNull() & (F.col("id") < F.lit(i0))
+        else:
+            after = (
+                (F.col("played_on") < F.lit(p0))
+                | (
+                    (F.col("played_on") == F.lit(p0))
+                    & (F.col("id") < F.lit(i0))
+                )
+                | F.col("played_on").isNull()
+            )
+    # O1's own keyset mode does the filter+order+limit — one
+    # implementation, so the serving shim and the entry cannot drift
+    return paginate(summaries, order, limit, 0, after=after)
 
 
 def execute(

