@@ -22,6 +22,8 @@ def nearest_cells_udf(centroids: np.ndarray, nprobe: int):
 
     @pandas_udf(ArrayType(IntegerType()))
     def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack([]) raises; a zero-row partition is legal
+            return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         d = (X**2).sum(1, keepdims=True) + c_sq - 2.0 * X @ c.T
         if nprobe == 1:
@@ -41,6 +43,8 @@ def pandas_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise cosine similarity over two array<float> columns, vectorized
     per Arrow batch.  Alternative to the zip_with/aggregate expression when
     vectors are wide (HOFs evaluate interpreted; numpy does not)."""
+    if len(a) == 0:  # np.stack([]) raises; a zero-row partition is legal
+        return pd.Series([], dtype=np.float64)
     A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
     B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
     dots = (A * B).sum(1)
@@ -141,6 +145,8 @@ def signatures_udf(planes):
 
     @pandas_udf(ArrayType(LongType()))
     def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack([]) raises; a zero-row partition is legal
+            return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         bits = (X @ flat.T) >= 0
         ints = bits.reshape(len(X), T, P).astype(np.int64) @ weights
@@ -159,6 +165,8 @@ def pq_encode_udf(codebooks: np.ndarray):
 
     @pandas_udf(ArrayType(IntegerType()))
     def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # np.stack([]) raises; a zero-row partition is legal
+            return pd.Series([], dtype=object)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0

@@ -188,8 +188,13 @@ def _lease_owner_dead(stale: str, pid_from_name: int) -> bool:
             now = _proc_start_time(pid)
             recorded = lease.get("start_time")
             return bool(recorded and now and now != recorded)
-        except (AttributeError, TypeError, ValueError):
-            pass  # malformed field values: conservative probe below
+        except (AttributeError, TypeError, ValueError, OverflowError, OSError):
+            # malformed field values: conservative probe below.
+            # OverflowError: a corrupt lease pid outside the C int range
+            # makes os.kill raise it (not ValueError); OSError covers any
+            # other kill/stat failure mode — the contract is 'malformed
+            # lease -> conservative, never crash the session'.
+            pass
     # legacy/incomplete dir: conservative probe only
     try:
         os.kill(pid_from_name, 0)

@@ -208,8 +208,10 @@ def bloom_prune_anti_join(
     the union would drop or duplicate rows relative to the plain anti
     join.  For such inputs pass ``persist_fact=True``, which pins ONE
     materialization both branches read (costs a persist of the corpus
-    projection; the caller should unpersist via the returned plan's
-    lineage or a surrounding cache scope)."""
+    projection).  The pinned frame rides the returned DataFrame: after
+    materializing the result, call ``release_persisted_fact(result)``
+    to free the executor cache — without it a long-lived session leaks
+    one cached corpus projection per call."""
     if persist_fact:
         fact = fact.persist()
     bitmap = bloom_build(drop, drop_key, m_bits=m_bits, k=k)
@@ -221,4 +223,25 @@ def bloom_prune_anti_join(
     kept_slow = suspects.join(
         drop, suspects[fact_key] == drop[drop_key], "left_anti"
     )
-    return kept_fast.unionByName(kept_slow)
+    out = kept_fast.unionByName(kept_slow)
+    if persist_fact:
+        out._bloom_pinned_fact = fact
+    return out
+
+
+def release_persisted_fact(result: DataFrame) -> bool:
+    """Unpersist the fact frame pinned by
+    ``bloom_prune_anti_join(..., persist_fact=True)``.
+
+    Call AFTER the result has been materialized (collected / written) —
+    unpersisting earlier just re-evaluates both branches from source,
+    reopening the determinism hazard persist_fact exists to close.
+    Returns True when a pinned frame was released, False when the
+    result carried none (persist_fact was False, or already released) —
+    callers can release unconditionally."""
+    pinned = getattr(result, "_bloom_pinned_fact", None)
+    if pinned is None:
+        return False
+    pinned.unpersist()
+    result._bloom_pinned_fact = None
+    return True

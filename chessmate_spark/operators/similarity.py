@@ -459,6 +459,7 @@ def pq_topk(
     codebooks: Optional[np.ndarray] = None,
     sim_col: str = "score",
     seed: int = 42,
+    persist_corpus: bool = False,
 ) -> DataFrame:
     """PQ approximate k-NN join with exact re-rank (FAISS IndexPQ + ADC):
 
@@ -475,9 +476,23 @@ def pq_topk(
     Scale shape: the corpus is scanned once for encoding and once for
     ADC scoring (codes only); the exact re-rank touches k*overfetch
     vectors per query.  Recall < 1 by construction — the v7 pattern's
-    recall gate is the correctness contract; overfetch is the dial."""
+    recall gate is the correctness contract; overfetch is the dial.
+
+    ``corpus`` must be DETERMINISTIC (the bloom_prune_anti_join
+    contract): the plan evaluates it twice — once for the ADC code scan,
+    once for the re-rank vector join — so a source containing
+    ``rand()``-derived columns, an unordered ``limit()``, or sampling
+    could encode one row set and re-rank another.  For such inputs pass
+    ``persist_corpus=True``, which pins ONE materialization of the
+    (id, vector) projection that both stages read; the pinned frame
+    rides the returned DataFrame — call ``release_persisted_corpus``
+    on the result after materializing it to free the executor cache.
+    (``queries`` needs no such contract: it is collected exactly once
+    below and both its uses derive from those rows.)"""
     from ..functions.vector import cosine_similarity
 
+    if persist_corpus:
+        corpus = corpus.select(corpus_id, corpus_vec).persist()
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed
@@ -555,4 +570,20 @@ def pq_topk(
         [F.col(sim_col).desc(), F.col(corpus_id).asc()],
         k,
     )
-    return ranked.drop("rank")
+    out = ranked.drop("rank")
+    if persist_corpus:
+        out._pq_pinned_corpus = corpus
+    return out
+
+
+def release_persisted_corpus(result: DataFrame) -> bool:
+    """Unpersist the corpus projection pinned by
+    ``pq_topk(..., persist_corpus=True)``.  Call after the result has
+    been materialized; returns False when nothing was pinned, so
+    callers can release unconditionally."""
+    pinned = getattr(result, "_pq_pinned_corpus", None)
+    if pinned is None:
+        return False
+    pinned.unpersist()
+    result._pq_pinned_corpus = None
+    return True

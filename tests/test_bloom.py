@@ -191,3 +191,25 @@ def test_positions_distinct_for_power_of_two_m():
     pos = _positions(h1, h2, 64, 8)
     for row in pos:
         assert len(set(row.tolist())) == 8
+
+
+def test_persist_fact_pin_and_release(spark, frames):
+    # persist_fact pins ONE materialization; release_persisted_fact
+    # frees it after the result is materialized (ADVICE r7: without a
+    # handle the executor cache leaks per call)
+    from chessmate_spark.operators.bloom import release_persisted_fact
+
+    fact, dim = frames
+    plain = fact.join(dim, fact["k"] == dim["dk"], "left_anti")
+    pruned = bloom_prune_anti_join(
+        fact, dim, "k", "dk", m_bits=1 << 12, persist_fact=True
+    )
+    cols = ["row_id", "k", "val"]
+    assert _sorted_rows(pruned, cols) == _sorted_rows(plain, cols)
+    pinned = pruned._bloom_pinned_fact
+    assert pinned.storageLevel.useMemory  # actually persisted
+    assert release_persisted_fact(pruned) is True
+    assert not pinned.storageLevel.useMemory  # actually released
+    assert release_persisted_fact(pruned) is False  # idempotent
+    # a plain result carries no pin; release is a safe no-op
+    assert release_persisted_fact(plain) is False

@@ -261,3 +261,19 @@ def test_legacy_in_dir_lease_still_honored(tmp_path):
     # in-dir lease says a LIVE process owns it, even though the dir
     # name's pid is dead: must not reap
     assert not B._lease_owner_dead(str(d), 99999999)
+
+
+def test_lease_overflow_pid_conservative_not_crash(tmp_path):
+    # ADVICE r8: a corrupt lease pid outside the C int range makes
+    # os.kill raise OverflowError, which the malformed-lease net must
+    # swallow — 'malformed lease -> conservative probe', never a crash
+    # for every session sharing the parent path
+    import os
+
+    from chessmate_spark.ingest import bucketed as B
+
+    d = tmp_path / "tbl-pid1-00000000"
+    d.mkdir()
+    _make_lease(d, pid=10**30)
+    # conservative probe on the name pid (this process, alive) -> keep
+    assert not B._lease_owner_dead(str(d), os.getpid())

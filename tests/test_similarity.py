@@ -288,3 +288,37 @@ def test_pq_full_overfetch_is_exact(spark, emb):
         corpus_id="neighbor_id", m=8, ksub=16, overfetch=(n // 3) + 1,
     ).select("query_id", "neighbor_id").collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_pq_persist_corpus_pin_and_release(spark, emb):
+    # persist_corpus pins ONE (id, vector) materialization for both the
+    # ADC encode scan and the re-rank join (ADVICE r7: corpus is
+    # otherwise evaluated twice with no determinism contract)
+    from chessmate_spark.operators.similarity import (
+        pq_topk,
+        release_persisted_corpus,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    plain = pq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", m=8, ksub=16, overfetch=8,
+    ).collect()
+    pinned_res = pq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", m=8, ksub=16, overfetch=8,
+        persist_corpus=True,
+    )
+    assert sorted(map(tuple, pinned_res.collect())) == sorted(
+        map(tuple, plain)
+    )
+    pinned = pinned_res._pq_pinned_corpus
+    assert pinned.storageLevel.useMemory
+    assert release_persisted_corpus(pinned_res) is True
+    assert not pinned.storageLevel.useMemory
+    assert release_persisted_corpus(pinned_res) is False

@@ -83,3 +83,27 @@ def test_pandas_v5_block_boundary_regroups_exactly(spark):
     assert len(rows) == 50
     for row in rows:
         assert row["p"] == row["e"]
+
+
+def test_all_batch_udfs_tolerate_empty_batches():
+    # np.stack([]) raises ValueError; a zero-row Arrow batch (empty
+    # partition after a selective filter) must not fail the task
+    # (ADVICE r7 on pq_encode_udf; guard applied to every sibling)
+    import numpy as np
+    import pandas as pd
+
+    from chessmate_spark.functions.vector_pandas import (
+        nearest_cells_udf,
+        pandas_cosine,
+        pq_encode_udf,
+        signatures_udf,
+    )
+
+    empty = pd.Series([], dtype=object)
+    cents = np.eye(4, dtype=np.float64)
+    assert len(nearest_cells_udf(cents, 2).func(empty)) == 0
+    assert len(pandas_cosine.func(empty, empty)) == 0
+    planes = np.ones((2, 3, 4), dtype=np.float64)
+    assert len(signatures_udf(planes).func(empty)) == 0
+    books = np.ones((2, 4, 2), dtype=np.float64)
+    assert len(pq_encode_udf(books).func(empty)) == 0
