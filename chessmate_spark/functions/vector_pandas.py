@@ -11,7 +11,15 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def nearest_cells_udf(centroids: np.ndarray, nprobe: int):
@@ -155,13 +163,50 @@ def signatures_udf(planes):
     return sigs
 
 
-def pq_encode_udf(codebooks: np.ndarray):
-    """array<float> -> array<int>: product-quantization codes — each
-    vector L2-normalized, then per SUBSPACE the nearest codebook
-    centroid index.  One matmul per (subspace, Arrow batch)."""
-    books = codebooks.astype(np.float64)
+def _pq_codes_matrix(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows, dim) -> (rows, m) int32 nearest-centroid indices per
+    subspace.  One matmul per subspace; argmin ||x - c||^2 ==
+    argmax (x.c - ||c||^2/2)."""
     m, ksub, dsub = books.shape
-    half_sq = [0.5 * (books[sub] ** 2).sum(1) for sub in range(m)]
+    out = np.empty((len(X), m), dtype=np.int32)
+    for sub in range(m):
+        Xs = X[:, sub * dsub : (sub + 1) * dsub]
+        half_sq = 0.5 * (books[sub] ** 2).sum(1)
+        out[:, sub] = (Xs @ books[sub].T - half_sq).argmax(1)
+    return out
+
+
+def pq_encode_udf(codebooks: np.ndarray, packed: bool = False):
+    """array<float> -> product-quantization codes — each vector
+    L2-normalized, then per SUBSPACE the nearest codebook centroid
+    index.  One matmul per (subspace, Arrow batch).
+
+    ``packed=False``: array<int> (one 4-byte element per code).
+    ``packed=True``: binary — ksub <= 256 means one BYTE per code, so
+    the codes column the ADC scan moves is m bytes per vector instead
+    of an m-element int array (the real payload shrink is recorded by
+    scripts/scale_smoke.py --pq-bytes, not claimed from the 32x
+    float->byte arithmetic)."""
+    books = codebooks.astype(np.float64)
+    m, ksub, _dsub = books.shape
+    if packed and ksub > 256:
+        raise ValueError(f"packed codes need ksub <= 256, got {ksub}")
+
+    if packed:
+
+        @pandas_udf(BinaryType())
+        def encode(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:  # np.stack([]) raises on empty partitions
+                return pd.Series([], dtype=object)
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            codes = _pq_codes_matrix(X / norms[:, None], books)
+            return pd.Series(
+                [row.tobytes() for row in codes.astype(np.uint8)]
+            )
+
+        return encode
 
     @pandas_udf(ArrayType(IntegerType()))
     def encode(vs: pd.Series) -> pd.Series:
@@ -170,12 +215,54 @@ def pq_encode_udf(codebooks: np.ndarray):
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
+        codes = _pq_codes_matrix(X / norms[:, None], books)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def ivfpq_encode_udf(centroids: np.ndarray, codebooks: np.ndarray):
+    """array<float> -> struct(cell int, codes binary): the IVFADC corpus
+    index row (Jégou et al. 2011 §V).  Each vector is L2-normalized,
+    assigned to its nearest coarse centroid (trained in normalized
+    space), and the RESIDUAL x_norm - centroid[cell] is PQ-encoded with
+    residual-trained codebooks.  One combined pass: the vector crosses
+    the Arrow boundary once and never again (cell + codes are all the
+    ADC scan reads)."""
+    c = centroids.astype(np.float64)
+    books = codebooks.astype(np.float64)
+    m, ksub, _dsub = books.shape
+    if ksub > 256:
+        raise ValueError(f"packed codes need ksub <= 256, got {ksub}")
+    c_sq = (c**2).sum(1)
+    fields = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", BinaryType()),
+        ]
+    )
+
+    @pandas_udf(fields)
+    def encode(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:  # np.stack([]) raises on empty partitions
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "codes": pd.Series([], dtype=object),
+                }
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
         X = X / norms[:, None]
-        out = np.empty((len(X), m), dtype=np.int32)
-        for sub in range(m):
-            Xs = X[:, sub * dsub : (sub + 1) * dsub]
-            # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
-            out[:, sub] = (Xs @ books[sub].T - half_sq[sub]).argmax(1)
-        return pd.Series(list(out))
+        d = (X**2).sum(1, keepdims=True) + c_sq - 2.0 * X @ c.T
+        assign = d.argmin(1)
+        codes = _pq_codes_matrix(X - c[assign], books)
+        return pd.DataFrame(
+            {
+                "cell": assign.astype(np.int32),
+                "codes": [row.tobytes() for row in codes.astype(np.uint8)],
+            }
+        )
 
     return encode

@@ -220,18 +220,27 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 42,
     corpus_rows: Optional[int] = None,
+    normalize: bool = False,
 ) -> np.ndarray:
     """Lloyd k-means over a driver-side sample → (nlist, dim) centroids.
 
     The sample is tiny relative to the corpus (IVF centroid training always
     is — FAISS trains on ~(39*nlist..256*nlist) points); see
     ``_driver_sample_matrix`` for the determinism contract.
+
+    ``normalize=True`` trains in L2-normalized space — the IVFADC
+    composition uses this so the coarse cells, the PQ residuals, and
+    the inner-product LUTs all live in the same (cosine) geometry.
     """
     if corpus_rows is None:
         corpus_rows = corpus.count()
     X = _driver_sample_matrix(
         corpus, id_col, vec_col, sample_size, seed, corpus_rows
     )
+    if normalize:
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        X = X / norms[:, None]
     rng = np.random.RandomState(seed)
     centroids = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
     x_sq = (X**2).sum(1, keepdims=True)
@@ -384,6 +393,7 @@ def train_pq_codebooks(
     iters: int = 10,
     seed: int = 42,
     corpus_rows: Optional[int] = None,
+    coarse_centroids: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means over ONE driver-side sample →
     ``(m, ksub, dim/m)`` codebooks.
@@ -395,7 +405,14 @@ def train_pq_codebooks(
     ``train_ivf_centroids`` (one column-pruned scan, no shuffle, stable
     across runs); each subspace's k-means runs on a (sample, dim/m)
     slice — driver cost is m small Lloyd loops, independent of corpus
-    size."""
+    size.
+
+    ``coarse_centroids`` (IVFADC, Jégou et al. 2011 §V by_residual):
+    when given, each normalized sample vector is assigned to its
+    nearest coarse centroid and the codebooks are trained on the
+    RESIDUALS x_norm - centroid[cell] — residual energy is far below
+    vector energy, so the same ksub spends its quantization budget on
+    a much smaller space."""
     if corpus_rows is None:
         corpus_rows = corpus.count()
     X = _driver_sample_matrix(
@@ -404,6 +421,14 @@ def train_pq_codebooks(
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
     X = X / norms[:, None]
+    if coarse_centroids is not None:
+        c = coarse_centroids.astype(np.float64)
+        d = (
+            (X**2).sum(1, keepdims=True)
+            + (c**2).sum(1)
+            - 2.0 * X @ c.T
+        )
+        X = X - c[d.argmin(1)]
     dim = X.shape[1]
     assert dim % m == 0, f"m={m} must divide dim={dim}"
     dsub = dim // m
@@ -431,17 +456,52 @@ def pq_encode(
     id_col: str,
     vec_col: str,
     codebooks: np.ndarray,
+    packed: bool = False,
 ) -> DataFrame:
     """``(id, codes)`` — each vector L2-normalized and quantized to its
     nearest centroid PER SUBSPACE (one Arrow batch matmul per subspace;
-    vectors cross the Python boundary once).  ``codes`` is an
-    array<int> of length m: the 32x-compressed representation that is
-    all the approximate-scoring scan ever moves."""
+    vectors cross the Python boundary once).  ``codes`` is the
+    compressed representation that is all the approximate-scoring scan
+    ever moves: array<int> by default, or with ``packed=True`` a
+    ``binary`` of m one-byte codes (ksub <= 256) — the production
+    payload (measured codes-vs-vectors bytes: scripts/scale_smoke.py
+    --pq-bytes)."""
     from ..functions.vector_pandas import pq_encode_udf
 
-    encode = pq_encode_udf(codebooks)
+    encode = pq_encode_udf(codebooks, packed=packed)
     return df.select(
         F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def _adc_sum(m: int, ksub: int, packed: bool) -> Column:
+    """The ADC inner-product estimate: sum over subspaces of
+    LUT[sub*ksub + code[sub]], as a pure JVM expression over the
+    broadcast ``_lut`` column (element_at is 1-based).
+
+    Packed codes are one byte per subspace; Spark has no direct
+    byte->int indexing on binary, so the expression reads the hex
+    rendering (``_hex = hex(codes)``, 2 chars per byte) via
+    substring+conv — still whole-stage-codegen JVM, no Python."""
+    if packed:
+
+        def code_at(i: Column) -> Column:
+            return F.conv(
+                F.substring(F.col("_hex"), i * 2 + 1, F.lit(2)), 16, 10
+            ).cast("int")
+
+    else:
+
+        def code_at(i: Column) -> Column:
+            return F.element_at(F.col("codes"), i + 1)
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("_lut"), (i * ksub + code_at(i) + 1).cast("int")
+        ),
     )
 
 
@@ -460,6 +520,7 @@ def pq_topk(
     sim_col: str = "score",
     seed: int = 42,
     persist_corpus: bool = False,
+    packed: bool = True,
 ) -> DataFrame:
     """PQ approximate k-NN join with exact re-rank (FAISS IndexPQ + ADC):
 
@@ -498,7 +559,10 @@ def pq_topk(
             corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed
         )
     m, ksub, _ = codebooks.shape
-    codes = pq_encode(corpus, corpus_id, corpus_vec, codebooks)
+    codes = pq_encode(corpus, corpus_id, corpus_vec, codebooks, packed=packed)
+    if packed:
+        # hex rendering once per row; _adc_sum indexes it JVM-side
+        codes = codes.withColumn("_hex", F.hex("codes"))
 
     # the query frame is evaluated EXACTLY ONCE (this collect): both the
     # ADC lookup tables and the re-rank query vectors derive from these
@@ -531,19 +595,10 @@ def pq_topk(
         lut_rows, f"_q_id {q_type}, _lut array<double>, _q_vec array<double>"
     )
     # ADC: sum over subspaces of LUT[sub*ksub + code[sub]] — pure
-    # expression over the broadcast LUT, element_at is 1-based
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(
-            F.col("_lut"),
-            (i * ksub + F.element_at(F.col("codes"), i + 1) + 1).cast("int"),
-        ),
-    )
+    # expression over the broadcast LUT (see _adc_sum)
     cand = (
         codes.crossJoin(F.broadcast(luts.select("_q_id", "_lut")))
-        .withColumn("_adc", adc)
+        .withColumn("_adc", _adc_sum(m, ksub, packed))
     )
     shortlist = topk_per_group(
         cand.select("_q_id", F.col(corpus_id), "_adc"),
@@ -578,12 +633,162 @@ def pq_topk(
 
 def release_persisted_corpus(result: DataFrame) -> bool:
     """Unpersist the corpus projection pinned by
-    ``pq_topk(..., persist_corpus=True)``.  Call after the result has
-    been materialized; returns False when nothing was pinned, so
-    callers can release unconditionally."""
+    ``pq_topk(..., persist_corpus=True)`` or ``ivfpq_topk``.  Call
+    after the result has been materialized; returns False when nothing
+    was pinned, so callers can release unconditionally."""
     pinned = getattr(result, "_pq_pinned_corpus", None)
     if pinned is None:
         return False
     pinned.unpersist()
     result._pq_pinned_corpus = None
     return True
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    nlist: Optional[int] = None,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    overfetch: int = 8,
+    centroids: Optional[np.ndarray] = None,
+    codebooks: Optional[np.ndarray] = None,
+    sim_col: str = "score",
+    seed: int = 42,
+    persist_corpus: bool = False,
+) -> DataFrame:
+    """IVFADC approximate k-NN join (FAISS IndexIVFPQ; Jégou et al.
+    2011 §V): the composition of both ANN cuts — IVF cells cut WHICH
+    vectors a query touches, PQ codes cut what each touched vector
+    COSTS.
+
+    Index (one corpus scan, one combined Arrow pass): each vector is
+    L2-normalized, assigned to its nearest coarse centroid (trained in
+    normalized space), and its RESIDUAL x_norm - centroid[cell] is
+    PQ-encoded with residual-trained codebooks into m packed bytes —
+    the (id, cell, codes) row is all the search scan ever reads.
+
+    Search: queries are collected ONCE (the pq_topk single-evaluation
+    contract — LUTs, probe cells, and re-rank vectors all derive from
+    the same rows).  Per query and per probed cell the driver emits
+    (query, cell, LUT, <q, centroid_cell>); the broadcast of those
+    rows equi-joins the codes table ON CELL — a BroadcastHashJoin that
+    prunes the scan to nprobe/nlist of the corpus, vs pq_topk's
+    all-rows cross join.  The ADC estimate is <q, centroid_cell> +
+    sum_sub LUT[code] (exact decomposition of <q, x̂> under residual
+    encoding), pure JVM.  Top k*overfetch per query re-rank with exact
+    cosine; overfetch and nprobe are the two recall dials
+    (nprobe=nlist + corpus-wide overfetch ⇒ exact).
+
+    ``corpus`` must be DETERMINISTIC (evaluated twice: index scan +
+    re-rank join) — ``persist_corpus=True`` pins one materialization;
+    release with ``release_persisted_corpus``."""
+    from ..functions.vector import cosine_similarity
+    from ..functions.vector_pandas import ivfpq_encode_udf
+
+    if persist_corpus:
+        corpus = corpus.select(corpus_id, corpus_vec).persist()
+    if centroids is None or codebooks is None:
+        corpus_rows = corpus.count()
+        if nlist is None:
+            nlist = auto_nlist(corpus_rows)
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
+                corpus_rows=corpus_rows, normalize=True,
+            )
+        if codebooks is None:
+            codebooks = train_pq_codebooks(
+                corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed,
+                corpus_rows=corpus_rows, coarse_centroids=centroids,
+            )
+    m, ksub, _ = codebooks.shape
+    nlist = len(centroids)
+    nprobe = min(nprobe, nlist)
+
+    encode = ivfpq_encode_udf(centroids, codebooks)
+    codes = corpus.select(
+        F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
+    ).select(
+        F.col(corpus_id),
+        F.col("_idx.cell").alias("_cell"),
+        F.hex(F.col("_idx.codes")).alias("_hex"),
+    )
+
+    # ONE evaluation of the query frame feeds probe cells, LUTs, the
+    # per-cell <q, centroid> term, and the re-rank vectors
+    q_rows = queries.select(query_id, query_vec).collect()
+    c = centroids.astype(np.float64)
+    c_sq = (c**2).sum(1)
+    lut_rows = []
+    qvec_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[query_vec], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qv = qv / (n if n else 1.0)
+        dsub = len(qv) // m
+        lut = np.empty(m * ksub, dtype=np.float64)
+        for sub in range(m):
+            lut[sub * ksub : (sub + 1) * ksub] = (
+                codebooks[sub] @ qv[sub * dsub : (sub + 1) * dsub]
+            )
+        lut_list = [float(x) for x in lut]
+        d2 = (qv**2).sum() + c_sq - 2.0 * c @ qv
+        for cell in np.argsort(d2, kind="stable")[:nprobe]:
+            lut_rows.append(
+                (
+                    r[query_id],
+                    int(cell),
+                    lut_list,
+                    float(c[cell] @ qv),
+                )
+            )
+        qvec_rows.append((r[query_id], [float(x) for x in r[query_vec]]))
+    spark = queries.sparkSession
+    q_type = dict(queries.dtypes)[query_id]
+    luts = spark.createDataFrame(
+        lut_rows,
+        f"_q_id {q_type}, _cell int, _lut array<double>, _qc double",
+    )
+    qvecs = spark.createDataFrame(
+        qvec_rows, f"_q_id {q_type}, _q_vec array<double>"
+    )
+
+    # cell-pruned ADC: equi-join on _cell (broadcast), never a cross join
+    cand = codes.join(F.broadcast(luts), "_cell").withColumn(
+        "_adc", F.col("_qc") + _adc_sum(m, ksub, packed=True)
+    )
+    shortlist = topk_per_group(
+        cand.select("_q_id", F.col(corpus_id), "_adc"),
+        ["_q_id"],
+        [F.col("_adc").desc(), F.col(corpus_id).asc()],
+        k * overfetch,
+    ).drop("rank", "_adc")
+    vecs = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec).alias("_c_vec")
+    )
+    rescored = (
+        shortlist.join(vecs, corpus_id)
+        .join(F.broadcast(qvecs), "_q_id")
+        .withColumn(
+            sim_col, cosine_similarity(F.col("_c_vec"), F.col("_q_vec"))
+        )
+    )
+    ranked = topk_per_group(
+        rescored.select(
+            F.col("_q_id").alias(query_id), F.col(corpus_id), F.col(sim_col)
+        ),
+        [query_id],
+        [F.col(sim_col).desc(), F.col(corpus_id).asc()],
+        k,
+    )
+    out = ranked.drop("rank")
+    if persist_corpus:
+        out._pq_pinned_corpus = corpus
+    return out

@@ -48,3 +48,42 @@ def test_smoke_artifact_is_green():
         record = json.load(fh)
     assert record["ok"] is True
     assert record["failures"] == []
+
+
+def test_bench_blocks_match_artifact():
+    """Same contract for the headline bench (round-7 finding: three
+    same-tree single-shot runs spanned 174.5-271.2 s and SURVEY quoted
+    one by hand): the BENCH blocks must be the exact rendering of the
+    committed bench_out.json."""
+    import json
+
+    import sync_bench_prose as b
+
+    with open(b.ARTIFACT) as fh:
+        record = json.load(fh)
+    block = b.render(record)
+    pattern = re.compile(
+        re.escape(b.BEGIN) + r".*?" + re.escape(b.END), re.DOTALL
+    )
+    for doc in b.DOCS:
+        with open(os.path.join(ROOT, doc)) as fh:
+            text = fh.read()
+        m = pattern.search(text)
+        assert m, f"{doc} lost its BENCH block"
+        assert m.group(0) == block, (
+            f"{doc}'s BENCH block is stale vs bench_out.json — "
+            "run: python scripts/sync_bench_prose.py --write"
+        )
+
+
+def test_bench_artifact_is_complete():
+    """The committed bench record must be complete (no errored queries)
+    — an incomplete record sums a smaller suite and its headline number
+    is not comparable across rounds."""
+    import json
+
+    import sync_bench_prose as b
+
+    with open(b.ARTIFACT) as fh:
+        record = json.load(fh)
+    assert record["complete"] is True
