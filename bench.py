@@ -111,6 +111,7 @@ HEADLINE = [
     "v6_lsh_ann",
     "v7_ivf_ann",
     "v10_pq_ann",
+    "v11_ivfpq_ann",
     "a9_windowed_event_counts",
     "a10_user_sessions",
     "a11_percentiles",
@@ -202,6 +203,7 @@ HEADLINE = [
     "t25_batch_bm25_retrieval",
     "t26_boilerplate_cms_gate",
     "d18_semantic_dedup_resolve",
+    "d19_semantic_resolve_bloom",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -379,8 +379,14 @@ def load_centroids(path: str) -> np.ndarray:
 # Quantization for Nearest Neighbor Search"; FAISS IndexPQ semantics).
 # The memory side of the ANN story: IVF/LSH cut WHICH vectors a query
 # touches, PQ cuts what each touched vector COSTS — dim float32 per
-# vector (256 B at dim=64) compresses to m code bytes (8 B at m=8,
-# 32x), and the approximate-scoring scan moves CODES only.
+# vector compresses to m code bytes (32x conceptually at dim=64/m=8),
+# and the approximate-scoring scan moves CODES only.  MEASURED payload
+# (SCALE_SMOKE.json `pq_bytes`, scripts/scale_smoke.py --pq-bytes):
+# packed codes shuffle ~18x smaller than vectors and ~2x smaller than
+# array<int> codes; on PARQUET the array<int> form is smaller than
+# packed binary (dictionary encoding) while both are ~20-30x below
+# vectors — pick array codes when the scan is the bottleneck, packed
+# when the shuffle/memory is.
 
 
 def train_pq_codebooks(

@@ -1971,7 +1971,9 @@ def v10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate k-NN (Jégou et al. 2011; FAISS
     IndexPQ + asymmetric distance): the MEMORY side of the ANN family —
     v6/v7 cut which vectors a query touches, PQ cuts what each touched
-    vector costs (dim float32 → m code bytes, 32x at dim=64/m=8), so
+    vector costs (dim float32 → m code bytes; measured payload in
+    SCALE_SMOKE.json `pq_bytes`: packed codes shuffle ~18x below
+    vectors, parquet scan ~19-30x below), so
     the approximate-scoring scan moves CODES only and the corpus'
     vectors are read just twice (encode; exact re-rank of the
     k·overfetch shortlist).
@@ -1999,6 +2001,73 @@ def v10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=3,
         query_id="query_id", corpus_id="neighbor_id",
         m=8, ksub=16, overfetch=32,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_knn_join(
+        queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k") >= 0.6).alias(
+                "recall_ok"
+            ),
+        )
+    )
+    return per_q.orderBy("query_id")
+
+
+@_register(
+    "v11_ivfpq_ann",
+    """
+    SELECT vec_id AS query_id, 3 AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def v11_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC approximate k-NN (FAISS IndexIVFPQ; Jégou et al. 2011 §V):
+    the composition of both ANN cuts — v7's IVF cells cut WHICH vectors
+    a query touches (the probe join is cell-pruned: a broadcast
+    equi-join on cell, nprobe/nlist of the corpus, vs v10's all-rows
+    cross join), and v10's PQ codes cut what each touched vector COSTS
+    (the scan reads m packed code BYTES per row, never a vector).  PQ
+    here encodes the RESIDUAL x_norm - centroid[cell] with
+    residual-trained codebooks, so the ADC estimate decomposes exactly
+    as <q, centroid_cell> + sum_sub LUT[code] — the production ANN
+    posture for billion-row corpora.
+
+    v7/v10's recall-gate contract: runs IVFADC AND the exact kNN
+    baseline, returns per-query ``recall_ok`` (recall@3 >= 0.6); the
+    oracle predicts all-true.  Every stage (hash-mod training sample,
+    Lloyd iterations, stable cell argsort, ADC ordering) is
+    deterministic, so the gate cannot flap.  nprobe and overfetch are
+    the two dials; the smoke records the (nprobe x overfetch) grid."""
+    from ..operators.similarity import cosine_knn_join, ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 5
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 5
+    )
+    # nprobe 7/8 at the fixture scale: with ~10 vectors per cell a
+    # single unprobed cell can hold a third of one query's exact top-3
+    # (verified: nprobe=6 is green at sf0.01 but one sf0.001 query drops
+    # to 1/3); at real scale auto_nlist ~ sqrt(N) makes nprobe/nlist a
+    # small fraction and the smoke grid records the dial honestly
+    approx = ivfpq_topk(
+        queries, corpus, k=3,
+        query_id="query_id", corpus_id="neighbor_id",
+        nlist=8, nprobe=7, m=8, ksub=16, overfetch=32,
     ).select("query_id", "neighbor_id")
     exact = cosine_knn_join(
         queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
@@ -7706,6 +7775,49 @@ def d18_semantic_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+def _register_d19():
+    # shares d18's oracle VERBATIM (the d16/d10 identity pattern): the
+    # bloom routing must be output-invisible — it only re-routes the plan
+    d18_oracle = QUERIES["d18_semantic_dedup_resolve"][1]
+
+    @_register("d19_semantic_resolve_bloom", d18_oracle)
+    def d19_semantic_resolve_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """d18's semantic dedup resolution routed through the Bloom
+        drop-list split (round-7 verdict #6: d18's docstring claimed
+        "past broadcast size the d16 bloom split applies unchanged"
+        without exercising it — this entry is that sentence as code).
+
+        Same pairs → closure → canonical chain as d18; the survivors
+        step replaces the broadcast anti join with
+        ``bloom_prune_anti_join``: rows the bitmap proves absent from
+        the drop-list keep WITHOUT any exchange, only bloom suspects
+        (true drops + false positives) pay the exact anti join — the
+        production path once the semantic drop-list outgrows a
+        broadcast.  Identity with d18's recursive-CTE oracle is the
+        entry's correctness claim."""
+        from ..operators.bloom import bloom_prune_anti_join
+        from ..operators.dedup import semantic_neardup_pairs
+        from ..operators.graph import dup_clusters
+
+        emb = _emb(spark, sf_dir)
+        pairs = semantic_neardup_pairs(
+            emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, n_probe=4
+        ).select(F.col("id_a"), F.col("id_b"))
+        drop = (
+            dup_clusters(pairs)
+            .filter(~F.col("is_canonical"))
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        return (
+            bloom_prune_anti_join(emb, drop, "vec_id", "vec_id")
+            .select("vec_id", "label")
+            .orderBy("vec_id")
+        )
+
+
+_register_d19()
 
 
 def _register_t26():

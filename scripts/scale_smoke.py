@@ -106,6 +106,8 @@ DEFAULT_QUERIES = [
     "t25_batch_bm25_retrieval",
     "t26_boilerplate_cms_gate",
     "d18_semantic_dedup_resolve",
+    # round-8: the bloom-routed semantic resolve (d18's oracle verbatim)
+    "d19_semantic_resolve_bloom",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed
@@ -485,6 +487,18 @@ ANN_SETTINGS = {
     # measured 0.485 on the decorrelated 10x corpus (first run) — floor
     # at 0.4, the lsh_p6_t8 convention
     "pq_m8_of32": 0.4,
+    # IVFADC rows (round 8): nprobe x overfetch is the 2-D dial — the
+    # composition cuts WHICH vectors (cells) and what each COSTS
+    # (residual-PQ codes); low-nprobe rows are dial-only, the
+    # recommended point is floored from the first measured run on this
+    # decorrelated corpus (the round-6/7 convention)
+    "ivfpq_nl64_np4_of8": 0.0,
+    "ivfpq_nl64_np12_of8": 0.0,
+    # measured 0.410 on the decorrelated 10x corpus (first run): IVFADC
+    # stacks the IVF cell miss (ivf_np12 0.715) on the PQ ordering miss
+    # (pq_of32 0.485) by construction; the run is deterministic so the
+    # 0.4 floor holds unless the machinery regresses
+    "ivfpq_nl64_np12_of32": 0.4,
 }
 
 
@@ -586,8 +600,153 @@ def measure_ann_recall(spark) -> dict:
         out[f"pq_m8_of{of}"] = {
             "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
         }
+    from chessmate_spark.operators.similarity import ivfpq_topk
+
+    # IVFADC: coarse centroids in NORMALIZED space + residual-trained
+    # codebooks, trained once (both are dial-independent)
+    ivfpq_cents = train_ivf_centroids(
+        corpus, "neighbor_id", "embedding", nlist=64, normalize=True
+    )
+    ivfpq_books = train_pq_codebooks(
+        corpus, "neighbor_id", "embedding", m=8, ksub=16,
+        coarse_centroids=ivfpq_cents,
+    )
+    for nprobe, of in ((4, 8), (12, 8), (12, 32)):
+        t0 = time.perf_counter()
+        r = recall_of(
+            ivfpq_topk(
+                queries, corpus, k=ANN_K,
+                query_id="query_id", corpus_id="neighbor_id",
+                nprobe=nprobe, m=8, ksub=16, overfetch=of,
+                centroids=ivfpq_cents, codebooks=ivfpq_books,
+            )
+        )
+        out[f"ivfpq_nl64_np{nprobe}_of{of}"] = {
+            "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
+        }
     exact.unpersist()
     return out
+
+
+def measure_pq_bytes(spark, out_path: str) -> None:
+    """MEASURED codes-vs-vectors payload (round-7 verdict #7: the
+    docstring's '32x' was the conceptual float->byte arithmetic, not a
+    measured shrink), in BOTH dimensions that matter at 100 TB —
+    updates the `pq_bytes` block in SCALE_SMOKE.json in place.
+
+    * SHUFFLE bytes (lz4-compressed exchange payload, read from the
+      stage metrics of a forced repartition carrying the column): what
+      the ADC candidate exchange actually moves.  This is where packed
+      wins — m raw bytes per row vs the UnsafeRow array<int> layout
+      (8 B header + 4 B/element).
+    * PARQUET bytes (written file sizes): what a codes-only scan reads.
+      HONEST FINDING from the first measured run: parquet
+      DICTIONARY-ENCODES small int arrays so well that the array<int>
+      form is ~0.6x the packed binary on disk — binary blobs get no
+      dictionary.  The packed form's scan win over vectors is still
+      ~19x; pick array codes if the bottleneck is the scan, packed if
+      it is the shuffle/memory."""
+    import glob
+    import json
+    import shutil
+    import tempfile
+    import urllib.request
+
+    from chessmate_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = train_pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16)
+    tmp = tempfile.mkdtemp(prefix="pq_bytes_")
+
+    def written_bytes(df, name: str) -> int:
+        path = os.path.join(tmp, name)
+        df.write.mode("overwrite").parquet(path)
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
+    ui = spark.sparkContext.uiWebUrl
+    app = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications")
+    )[0]["id"]
+
+    def stage_ids() -> set:
+        return {
+            s["stageId"]
+            for s in json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app}/stages"
+                )
+            )
+        }
+
+    def shuffled_bytes(df, probe) -> int:
+        # force the column through ONE exchange, then aggregate it so
+        # column pruning cannot drop it from the shuffle payload
+        before = stage_ids()
+        df.repartition(16, "vec_id").agg(probe).collect()
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+        )
+        return sum(
+            s.get("shuffleWriteBytes", 0)
+            for s in stages
+            if s["stageId"] not in before
+        )
+
+    arr = pq_encode(emb, "vec_id", "embedding", books, packed=False)
+    pak = pq_encode(emb, "vec_id", "embedding", books, packed=True)
+    try:
+        vec_b = written_bytes(emb, "vectors")
+        arr_b = written_bytes(arr, "codes_array")
+        pak_b = written_bytes(pak, "codes_packed")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    vec_s = shuffled_bytes(emb, F.sum(F.size("embedding")))
+    arr_s = shuffled_bytes(arr, F.sum(F.size("codes")))
+    pak_s = shuffled_bytes(pak, F.sum(F.length("codes")))
+    n = emb.count()
+    block = {
+        "corpus_rows": n,
+        "m": 8, "ksub": 16,
+        "parquet": {
+            "vectors_bytes": vec_b,
+            "codes_array_int_bytes": arr_b,
+            "codes_packed_binary_bytes": pak_b,
+            "packed_vs_vectors_ratio": round(vec_b / max(pak_b, 1), 2),
+            "packed_vs_array_ratio": round(arr_b / max(pak_b, 1), 2),
+        },
+        "shuffle": {
+            "vectors_bytes": vec_s,
+            "codes_array_int_bytes": arr_s,
+            "codes_packed_binary_bytes": pak_s,
+            "packed_vs_vectors_ratio": round(vec_s / max(pak_s, 1), 2),
+            "packed_vs_array_ratio": round(arr_s / max(pak_s, 1), 2),
+        },
+    }
+    record = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            record = json.load(fh)
+    record["pq_bytes"] = block
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        f"pq bytes over {n} rows — shuffle: vectors {vec_s:,} / array "
+        f"{arr_s:,} / packed {pak_s:,} (packed x"
+        f"{block['shuffle']['packed_vs_vectors_ratio']} vs vectors, x"
+        f"{block['shuffle']['packed_vs_array_ratio']} vs array); "
+        f"parquet: vectors {vec_b:,} / array {arr_b:,} / packed "
+        f"{pak_b:,} (array codes win the scan: parquet "
+        f"dictionary-encodes int arrays, binary gets none)"
+    )
 
 
 SEMDEDUP_SAMPLE_MOD = 4  # deterministic 1/4 sample of the 10x corpus
@@ -723,8 +882,10 @@ def main() -> int:
     linearity_only = sys.argv[1:] == ["--linearity"]
     v5_only = sys.argv[1:] == ["--v5-width"]
     decomp_only = sys.argv[1:] == ["--dedup-decomp"]
+    pq_bytes_only = sys.argv[1:] == ["--pq-bytes"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
+        or pq_bytes_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -750,6 +911,9 @@ def main() -> int:
             print(f"FAIL: {failures}")
             return 1
         print("OK: per-candidate plan cost flat across scales")
+        return 0
+    if pq_bytes_only:
+        measure_pq_bytes(spark, out_path)
         return 0
     import json
 
@@ -788,7 +952,7 @@ def main() -> int:
             # updates its entries in place instead of clobbering the
             # cumulative record
             for block in ("linearity", "v5_dim1536",
-                          "dedup_decomposition"):
+                          "dedup_decomposition", "pq_bytes"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))

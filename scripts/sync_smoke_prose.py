@@ -60,6 +60,21 @@ def render(record: dict) -> str:
             f"t10 {v['t10_s']}s — {shown} "
             f"(gate {gate}, linear ideal 3.5)"
         )
+    pb = record.get("pq_bytes")
+    if pb:
+        sh, pq = pb["shuffle"], pb["parquet"]
+        lines.append(
+            f"- pq payload (measured, {pb['corpus_rows']:,} rows) — "
+            f"shuffle: vectors {sh['vectors_bytes']:,} B / array codes "
+            f"{sh['codes_array_int_bytes']:,} B / packed codes "
+            f"{sh['codes_packed_binary_bytes']:,} B (packed "
+            f"x{sh['packed_vs_vectors_ratio']} vs vectors, "
+            f"x{sh['packed_vs_array_ratio']} vs array); parquet: "
+            f"{pq['vectors_bytes']:,} / {pq['codes_array_int_bytes']:,} / "
+            f"{pq['codes_packed_binary_bytes']:,} B — array codes win the "
+            f"scan (parquet dictionary-encodes int arrays; binary gets "
+            f"none)"
+        )
     dd = record.get("dedup_decomposition")
     if dd:
         for op in ("d7", "d13"):

@@ -110,6 +110,7 @@ ENTRIES = [
     "t25_batch_bm25_retrieval",
     "t26_boilerplate_cms_gate",
     "d18_semantic_dedup_resolve",
+    "d19_semantic_resolve_bloom",
 ]
 
 

@@ -172,3 +172,39 @@ def test_v10_adc_scoring_has_no_python_and_no_vector_shuffle(spark):
     # ADC itself must not add Python nodes
     assert plan.count("ArrowEvalPython") <= 2, plan
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+
+
+# --- round-8 plan pins ---
+
+
+def test_v11_ivfpq_adc_is_cell_pruned_jvm_only(spark):
+    """v11's scale claim: the ADC stage is cell-pruned and JVM-only —
+    the codes scan equi-joins the broadcast (query, cell, LUT) rows on
+    cell (a BroadcastHashJoin, never the cross join v10 pays), Python
+    appears only at the two Arrow boundaries (combined encode at the
+    scan; nothing row-at-a-time), and no corpus-side exchange carries
+    the embedding column before the re-rank join."""
+    from chessmate_spark.operators.similarity import ivfpq_topk
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", nlist=8, nprobe=4, m=8, ksub=16,
+        overfetch=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # combined encode UDF once per corpus branch (shortlist + re-rank
+    # lineage); ADC adds no Python
+    assert plan.count("ArrowEvalPython") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -322,3 +322,117 @@ def test_pq_persist_corpus_pin_and_release(spark, emb):
     assert release_persisted_corpus(pinned_res) is True
     assert not pinned.storageLevel.useMemory
     assert release_persisted_corpus(pinned_res) is False
+
+
+def test_ivfpq_recall_against_exact(spark, emb):
+    """v11's operating point must clear the per-query floor at test
+    scale (near-uniform vectors: worst case for BOTH cuts at once)."""
+    from chessmate_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn_join(
+            queries, corpus, k=3, query_id="query_id",
+            corpus_id="neighbor_id",
+        ).select("query_id", "neighbor_id").collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            queries, corpus, k=3, query_id="query_id",
+            corpus_id="neighbor_id", nlist=8, nprobe=7, m=8, ksub=16,
+            overfetch=32,
+        ).select("query_id", "neighbor_id").collect()
+    }
+    per_q = {q: 0 for q in range(5)}
+    for q, _ in got & exact:
+        per_q[q] += 1
+    assert all(h / 3 >= 0.6 for h in per_q.values()), per_q
+
+
+def test_ivfpq_full_probe_full_overfetch_is_exact(spark, emb):
+    """nprobe=nlist + corpus-wide overfetch makes the exact re-rank see
+    every row — IVFADC must then equal exact kNN (both dials open)."""
+    from chessmate_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    n = corpus.count()
+    exact = cosine_knn_join(
+        queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
+    ).select("query_id", "neighbor_id").collect()
+    full = ivfpq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", nlist=8, nprobe=8, m=8, ksub=16,
+        overfetch=(n // 3) + 1,
+    ).select("query_id", "neighbor_id").collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_ivfpq_deterministic_across_runs(spark, emb):
+    """Training sample, Lloyd loops, stable cell argsort, ADC ordering:
+    two independent builds must emit identical rows (the recall gate
+    cannot flap)."""
+    from chessmate_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    kw = dict(
+        k=3, query_id="query_id", corpus_id="neighbor_id",
+        nlist=8, nprobe=4, m=8, ksub=16, overfetch=8,
+    )
+    a = sorted(map(tuple, ivfpq_topk(queries, corpus, **kw).collect()))
+    b = sorted(map(tuple, ivfpq_topk(queries, corpus, **kw).collect()))
+    assert a == b
+
+
+def test_pq_packed_codes_match_array_codes(spark, emb):
+    """packed=True changes the payload (binary m bytes vs array<int>),
+    never the answer: identical codes, identical top-k."""
+    from chessmate_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16)
+    arr = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, "vec_id", "embedding", books).collect()
+    }
+    pak = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(
+            emb, "vec_id", "embedding", books, packed=True
+        ).collect()
+    }
+    assert arr == pak  # byte-for-byte the same code sequence
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    kw = dict(
+        k=3, query_id="query_id", corpus_id="neighbor_id",
+        m=8, ksub=16, overfetch=8,
+    )
+    packed = sorted(map(tuple, pq_topk(queries, corpus, **kw).collect()))
+    unpacked = sorted(
+        map(tuple, pq_topk(queries, corpus, packed=False, **kw).collect())
+    )
+    assert packed == unpacked
