@@ -1,0 +1,162 @@
+"""Batch multi-query BM25 retrieval over posting lists.
+
+The t25 entry's core (plans/queries.py) extracted and generalized
+(round-7 verdict #5): the query set is an ARBITRARY (query_id, term)
+DataFrame, not just the corpus-derived vocabulary buckets, and the
+postings ⋈ query-terms join can route either through a broadcast (the
+default — query-term tables are tiny next to any corpus) or, once the
+term table outgrows the broadcast threshold, through the d16-style
+Bloom split: posting rows whose term the bitmap proves absent from the
+query set drop BEFORE the exchange, so the exact shuffle join is
+suspect-sized, never corpus-sized.
+
+Reference anchor: the hybrid executor's keyword scoring path
+(hybrid_executor.ml:127-133) generalized beyond one request's keyword
+set.  Weighting: Robertson BM25 with Lucene's non-negative idf;
+per-term contributions round to integer MICRO-units before the
+per-(query, doc) sum so the aggregation is exact int64 arithmetic —
+immune to accumulation order in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_expr
+from .topk import topk_per_group
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def batch_bm25_retrieval(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    term_col: str = "term",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    route: str = "broadcast",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Top-``k`` documents per query: ``(query_id, rank, doc_id,
+    score_micro)``.
+
+    ``queries`` is any (query_id, term) frame — duplicate (query, term)
+    rows are deduplicated (a term contributes once per query, the
+    standard bag-of-terms retrieval contract).  Document frequency is
+    attached FROM the corpus, so queries carry no corpus statistics —
+    unless the frame already HAS a ``df`` column, which is trusted
+    as-is (the t25 entry derives its query set from the corpus
+    vocabulary, so df comes for free and the plan stays join-free on
+    the query side).  In the bloom route df is computed from the
+    SUSPECT postings (exact for every term that passes the bitmap,
+    and every true query term does — no false negatives), so no
+    vocabulary-scale table ever shuffles.
+
+    ``route``:
+      * ``"broadcast"`` — the query-term table ships to every executor;
+        posting lists never reshuffle for the retrieval join.  The
+        right plan while (distinct terms x ~40 B) fits the broadcast
+        budget.
+      * ``"bloom"`` — the 100 TB fallback once the term table outgrows
+        a broadcast (e.g. millions of mined hard-negative queries):
+        ONE m_bits/8-byte bitmap of the query terms ships instead;
+        posting rows whose term is provably absent drop at the scan,
+        and only the suspect sliver pays the exact shuffle join on
+        term.  No false negatives ⇒ identical output (the
+        bloom_prune_join contract).
+
+    Scale shape (both routes): ONE posexplode scan builds
+    (term, doc, tf, doc_len) postings with map-side combine — doc
+    length rides the grouping key, so no doc-keyed join exists; the
+    (query, doc) score aggregate is the single corpus-scale exchange;
+    per-query top-k is window-top-k.  At 100 TB the postings come from
+    the materialized inverted index (t23) instead of a rescan."""
+    if route not in ("broadcast", "bloom"):
+        raise ValueError(f"route must be 'broadcast' or 'bloom', got {route!r}")
+    text = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    arr = tokenize_expr(text)
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        arr.alias("toks"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        base.select("doc_id", "n_tokens", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "n_tokens")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    has_df = "df" in queries.columns
+    q_cols = [
+        F.col(query_id).alias("query_id"),
+        F.col(term_col).alias("_q_term"),
+    ] + ([F.col("df")] if has_df else [])
+    qterms = queries.select(*q_cols).dropDuplicates(["query_id", "_q_term"])
+
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("n_tokens") / F.col("avgdl"))
+    micro = F.floor(
+        (idf * (F.col("tf") * (k1 + 1.0)) / denom) * 1e6 + 0.5
+    ).cast("bigint")
+
+    if route == "broadcast":
+        if not has_df:
+            # vocabulary-scale join, broadcast into the query side —
+            # df then rides the broadcast exactly like a pre-attached df
+            df_tbl = postings.groupBy("term").agg(
+                F.count(F.lit(1)).cast("bigint").alias("df")
+            )
+            qterms = qterms.join(
+                df_tbl, qterms["_q_term"] == df_tbl["term"], "inner"
+            ).select("query_id", "_q_term", "df")
+        joined = postings.join(
+            F.broadcast(qterms), postings["term"] == qterms["_q_term"]
+        )
+    else:
+        from .bloom import bloom_build, bloom_might_contain
+
+        bitmap = bloom_build(qterms, "_q_term", m_bits=m_bits, k=n_hashes)
+        suspects = postings.where(
+            bloom_might_contain(F.col("term"), bitmap, m_bits, k=n_hashes)
+        )
+        if not has_df:
+            # df from the SUSPECT postings: a term passing the bitmap
+            # keeps ALL its posting rows (the bloom keys on term), so
+            # its suspect-side doc count IS its exact corpus df; terms
+            # that fail the bitmap match no query term and need none.
+            # Suspect-scale agg + query-scale join — the full
+            # vocabulary never shuffles.
+            sdf = suspects.groupBy("term").agg(
+                F.count(F.lit(1)).cast("bigint").alias("df")
+            ).withColumnRenamed("term", "_df_term")
+            qterms = qterms.join(
+                sdf, qterms["_q_term"] == sdf["_df_term"], "inner"
+            ).select("query_id", "_q_term", "df")
+        joined = suspects.join(
+            qterms, suspects["term"] == qterms["_q_term"]
+        )
+    scored = (
+        joined.crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(micro).cast("bigint").alias("score_micro"))
+    )
+    return (
+        topk_per_group(
+            scored,
+            ["query_id"],
+            [F.desc("score_micro"), F.asc("doc_id")],
+            k,
+        )
+        .select("query_id", "rank", "doc_id", "score_micro")
+        .orderBy("query_id", "rank")
+    )

@@ -7650,64 +7650,36 @@ def t25_batch_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; per-query top-k is the window-top-k (o4's shape) over
     query-partitioned groups.  At 100 TB the postings come from the
     materialized t23 index instead of a rescan, and the only growing
-    exchange still carries (query_id, doc_id, int64) triples."""
+    exchange still carries (query_id, doc_id, int64) triples.
+
+    Since round 8 the retrieval core lives in
+    operators/retrieval.py ``batch_bm25_retrieval`` (round-7 verdict
+    #5): the entry derives its vocabulary-bucketed query set (df
+    attached for free, so the operator adds no query-side join) and
+    the operator accepts ANY (query_id, term) frame — with a
+    ``route="bloom"`` fallback for term tables past broadcast size,
+    property-tested identical to this broadcast plan."""
     from ..functions.hashing import _hash60
-    from ..operators.topk import topk_per_group
+    from ..operators.retrieval import batch_bm25_retrieval
 
     docs = _docs(spark, sf_dir)
     text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
     arr = tokenize_expr(text)
-    base = docs.select(
-        "doc_id",
-        arr.alias("toks"),
-        F.size(arr).cast("bigint").alias("n_tokens"),
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
-            "avgdl"
-        ),
-    )
-    postings = (
-        base.select(
-            "doc_id", "n_tokens", F.explode("toks").alias("term")
-        )
-        .groupBy("term", "doc_id", "n_tokens")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    df_tbl = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    # df = docs containing the term: per-doc distinct tokens, explode,
+    # count — one scan, map-side combined, identical values to the
+    # postings-derived df (count over (term, doc) groups)
+    df_tbl = (
+        docs.select(F.explode(F.array_distinct(arr)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
     qterms = df_tbl.filter(F.col("df") >= 3).select(
         (_hash60(F.lit("q"), F.col("term")) % _BM25_NQ).alias("query_id"),
         "term",
         "df",
     )
-    k1, b = _BM25_K1, _BM25_B
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + k1 * (
-        1.0 - b + b * F.col("n_tokens") / F.col("avgdl")
-    )
-    micro = F.floor(
-        (idf * (F.col("tf") * (k1 + 1.0)) / denom) * 1e6 + 0.5
-    ).cast("bigint")
-    scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(micro).cast("bigint").alias("score_micro"))
-    )
-    return (
-        topk_per_group(
-            scored,
-            ["query_id"],
-            [F.desc("score_micro"), F.asc("doc_id")],
-            _BM25_TOPK,
-        )
-        .select("query_id", "rank", "doc_id", "score_micro")
-        .orderBy("query_id", "rank")
+    return batch_bm25_retrieval(
+        docs, qterms, k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
     )
 
 
