@@ -204,6 +204,7 @@ HEADLINE = [
     "t26_boilerplate_cms_gate",
     "d18_semantic_dedup_resolve",
     "d19_semantic_resolve_bloom",
+    "s17_commit_log_serializable",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

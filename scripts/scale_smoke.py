@@ -107,7 +107,9 @@ DEFAULT_QUERIES = [
     "t26_boilerplate_cms_gate",
     "d18_semantic_dedup_resolve",
     # round-8: the bloom-routed semantic resolve (d18's oracle verbatim)
+    # and the multi-writer commit protocol (I/O-bound; linear writes)
     "d19_semantic_resolve_bloom",
+    "s17_commit_log_serializable",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -1,0 +1,166 @@
+"""CommitLogTable: the optimistic-concurrency multi-writer protocol
+(ingest/commit_log.py).  The claims under test, per the round-7 verdict
+task: two interleaved writers produce a serializable history (the loser
+retries/rebases, no lost rows), readers never see a torn table, and
+pinned-version reads are time-travel-equivalent to SnapshotManager."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from chessmate_spark.ingest.commit_log import (
+    CommitConflict,
+    CommitLogTable,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "CAST(id * 10 AS LONG) AS val"
+    )
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.latest_version() == 0
+    v1 = t.append(_df(spark, 0, 5))
+    assert v1 == 1
+    v2 = t.append(_df(spark, 5, 8))
+    assert v2 == 2
+    assert {r["id"] for r in t.read().collect()} == set(range(8))
+    assert {r["id"] for r in t.read(1).collect()} == set(range(5))
+
+
+def test_interleaved_writers_serializable_no_lost_rows(spark, tmp_path):
+    """The verdict's exact scenario: A and B both read head v1; A
+    commits first; B's claim of v2 fails and REBASES onto A's commit —
+    the final table holds every row from both writers, and the history
+    is the serial order A then B."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))  # v1, the common base both writers read
+
+    pending_b = t.begin_append(_df(spark, 100, 110))  # B stages at head=v1
+    va = t.append(_df(spark, 50, 60))  # A wins v2
+    vb = pending_b.commit()  # B detects the conflict, rebases to v3
+    assert (va, vb) == (2, 3)
+    got = {r["id"] for r in t.read().collect()}
+    assert got == set(range(10)) | set(range(50, 60)) | set(range(100, 110))
+    # serializable history: v2 == base + A, v3 == v2 + B
+    assert {r["id"] for r in t.read(2).collect()} == set(range(10)) | set(
+        range(50, 60)
+    )
+    actions = [(m["version"], m["parent"]) for m in t.history()]
+    assert actions == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_threaded_contention_all_rows_survive(spark, tmp_path):
+    """8 writers × genuine thread interleaving: every append lands in
+    some serial position, versions are contiguous, zero rows lost."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 1))
+    errors = []
+
+    def writer(i):
+        try:
+            CommitLogTable(spark, str(tmp_path / "t")).append(
+                _df(spark, 1000 * (i + 1), 1000 * (i + 1) + 10)
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert t.versions() == list(range(1, 10))  # contiguous, no gaps
+    got = {r["id"] for r in t.read().collect()}
+    expect = {0} | {
+        1000 * (i + 1) + j for i in range(8) for j in range(10)
+    }
+    assert got == expect
+
+
+def test_overwrite_conflict_raises_not_rebases(spark, tmp_path):
+    """A lost overwrite must surface, never silently drop the winner's
+    commit (the lost-update anomaly)."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    head = t.latest_version()
+    t.append(_df(spark, 5, 10))  # someone else moves the table
+    with pytest.raises(CommitConflict):
+        t.overwrite(_df(spark, 90, 95), expected_version=head)
+    # unguarded overwrite of the CURRENT head succeeds and replaces
+    v = t.overwrite(_df(spark, 90, 95))
+    assert {r["id"] for r in t.read(v).collect()} == set(range(90, 95))
+    # pinned read of the pre-overwrite version is untouched (snapshot
+    # isolation: old versions are immutable)
+    assert {r["id"] for r in t.read(2).collect()} == set(range(10))
+
+
+def test_reader_pinned_during_concurrent_commits(spark, tmp_path):
+    """A plan built against version N keeps reading N's files after
+    later commits — the 'readers never see a torn table' half: the
+    manifest appears atomically and data files are immutable."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    pinned = t.read(1)
+    t.append(_df(spark, 5, 10))
+    t.overwrite(_df(spark, 100, 101))
+    assert {r["id"] for r in pinned.collect()} == set(range(5))
+
+
+def test_schema_mismatch_append_refused(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    other = spark.range(0, 3).selectExpr("CAST(id AS STRING) AS id")
+    with pytest.raises(ValueError, match="schema"):
+        t.append(other)
+    # overwrite IS the schema-change path
+    v = t.overwrite(other)
+    assert t.read(v).schema["id"].dataType.simpleString() == "string"
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    # a writer that died after staging: files exist, no manifest
+    t._stage(_df(spark, 900, 905))
+    removed = t.vacuum()
+    assert len(removed) == 1
+    assert {r["id"] for r in t.read().collect()} == set(range(5))
+    assert t.vacuum() == []  # idempotent; committed data untouched
+
+
+def test_time_travel_parity_with_snapshot_manager(spark, tmp_path):
+    """read(version) must equal a SnapshotManager snapshot taken at
+    that moment — the commit log subsumes the snapshot time-travel
+    contract (same rows, same schema) while adding multi-writer
+    semantics on top."""
+    from chessmate_spark.streaming.snapshots import SnapshotManager
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    mgr = SnapshotManager(spark, str(tmp_path / "snaps"))
+    t.append(_df(spark, 0, 5))
+    snap = mgr.create(t.read(1), "tbl", note="at v1")
+    t.append(_df(spark, 5, 9))
+    t.overwrite(_df(spark, 50, 52))
+    restored = mgr.restore(snap.location)
+    via_log = t.read(1)
+    assert restored.schema == via_log.schema
+    assert sorted(map(tuple, restored.collect())) == sorted(
+        map(tuple, via_log.collect())
+    )
+
+
+def test_empty_append_and_empty_table_read(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        t.read()
+    v = t.append(_df(spark, 0, 0))  # zero-row commit is a real version
+    assert v == 1
+    assert t.read(1).count() == 0
+    assert [f.name for f in t.read(1).schema.fields] == ["id", "val"]

@@ -111,6 +111,7 @@ ENTRIES = [
     "t26_boilerplate_cms_gate",
     "d18_semantic_dedup_resolve",
     "d19_semantic_resolve_bloom",
+    "s17_commit_log_serializable",
 ]
 
 
