@@ -136,6 +136,7 @@ HEADLINE = [
     "f7_eco_catalogue",
     "f19_opening_prettifier",
     "serve_query_canonical",
+    "serve_query_batch",
     "chess_jobs_drain",
     # chess_jobs_stream is excluded like d6: it runs a real checkpointed
     # Structured Streaming query against tmp dirs — correctness-checked by

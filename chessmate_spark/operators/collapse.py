@@ -18,9 +18,16 @@ def _merged_array(col: str) -> F.Column:
     return F.array_sort(F.array_distinct(lowered))
 
 
-def collapse_hits_by_game(hits: DataFrame, game_col: str = "game_id") -> DataFrame:
-    """hits(game_id, score, phases, themes, keywords) → one row per game."""
-    return hits.groupBy(game_col).agg(
+def collapse_hits_by_game(
+    hits: DataFrame,
+    game_col: str = "game_id",
+    extra_keys: tuple = (),
+) -> DataFrame:
+    """hits(game_id, score, phases, themes, keywords) → one row per game.
+
+    ``extra_keys`` prepend grouping columns — the batch serving path
+    collapses per (question_id, game_id) with the same merge semantics."""
+    return hits.groupBy(*extra_keys, game_col).agg(
         F.max("score").alias("score"),
         _merged_array("phases").alias("phases"),
         _merged_array("themes").alias("themes"),

@@ -241,6 +241,34 @@ def execute(
             .withColumn("_hit_keywords", F.lit(None).cast("array<string>"))
         )
 
+    results = _score_page(page, plan)
+    if timings is not None:
+        # everything between the two counts is DRIVER-side plan
+        # construction (vector_hits compile, page joins, score columns)
+        # — pure Py4J call overhead, no cluster work; the keyset
+        # boundary lookup (a real action inside this window on
+        # deep-offset requests) is subtracted out under its own key
+        timings["build_page_s"] = (
+            _time.perf_counter() - _build_t0
+            - timings.get("keyset_boundary_s", 0.0)
+        )
+    _t0 = _time.perf_counter()
+    returned = results.count()
+    if timings is not None:
+        timings["count_returned_s"] = _time.perf_counter() - _t0
+    has_more = plan.offset + returned < total
+    return HybridExecution(
+        results=results, total=total, has_more=has_more, warnings=warnings
+    )
+
+
+def _score_page(page: DataFrame, plan: QueryPlan) -> DataFrame:
+    """The scoring tail of ``execute`` — rating gate (P12), keyword
+    overlap (A4), fallback score (A5/F20), 0.75/0.25 blend (F21),
+    rank (O2) — extracted so the batch executor (hybrid_batch.py)
+    applies the IDENTICAL expressions per question and the two paths
+    cannot drift.  ``page`` must carry the summary columns plus the
+    ``_hit_*`` columns (NULL-typed when the vector side is absent)."""
     rating_ok = rating_matches(
         F.col("white_rating"),
         F.col("black_rating"),
@@ -294,7 +322,7 @@ def execute(
         F.array_sort(F.array_distinct(F.transform(F.concat(base, extra), F.lower))),
     ).otherwise(base)
 
-    results = (
+    return (
         page.withColumn("total_score", total_score)
         .withColumn("vector_score", vector_score)
         .withColumn("keyword_score", kw_score)
@@ -318,24 +346,6 @@ def execute(
         .drop("_hit_score", "_hit_phases", "_hit_themes", "_hit_keywords")
         .orderBy(F.col("total_score").desc(), F.col("id").desc())
         .limit(plan.limit)
-    )
-    if timings is not None:
-        # everything between the two counts is DRIVER-side plan
-        # construction (vector_hits compile, page joins, score columns)
-        # — pure Py4J call overhead, no cluster work; the keyset
-        # boundary lookup (a real action inside this window on
-        # deep-offset requests) is subtracted out under its own key
-        timings["build_page_s"] = (
-            _time.perf_counter() - _build_t0
-            - timings.get("keyset_boundary_s", 0.0)
-        )
-    _t0 = _time.perf_counter()
-    returned = results.count()
-    if timings is not None:
-        timings["count_returned_s"] = _time.perf_counter() - _t0
-    has_more = plan.offset + returned < total
-    return HybridExecution(
-        results=results, total=total, has_more=has_more, warnings=warnings
     )
 
 

@@ -1592,6 +1592,96 @@ def serve_query_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "serve_query_batch",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS INTEGER), CAST(1 AS INTEGER), CAST(2 AS BIGINT),
+       'Strong, Player', 'Weaker, Player', '1-0', 'kings_indian_defense',
+       CAST(0.81647 AS DOUBLE), CAST(1 AS BIGINT), false),
+      (CAST(1 AS INTEGER), CAST(0 AS INTEGER), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(0 AS BIGINT),
+       false),
+      (CAST(2 AS INTEGER), CAST(1 AS INTEGER), CAST(1 AS BIGINT),
+       'Sample White', 'Sample Black', '1-0', 'unknown_opening',
+       CAST(0.793055 AS DOUBLE), CAST(2 AS BIGINT), false),
+      (CAST(2 AS INTEGER), CAST(2 AS INTEGER), CAST(2 AS BIGINT),
+       'Strong, Player', 'Weaker, Player', '1-0', 'kings_indian_defense',
+       CAST(0.66861 AS DOUBLE), CAST(2 AS BIGINT), false)
+    ) t(question_id, rank, game_id, white, black, result, opening_slug,
+        score, total, has_more)
+    ORDER BY question_id, rank
+    """,
+)
+def serve_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-question serving end-to-end (round-8; round-7
+    verdict #4): three questions — the canonical hit, a no-match
+    (Sicilian: empty page with total=0), and a result-filter page —
+    answered by ``batch_answer`` (query/serve.py), which compiles ALL
+    plans into ONE DataFrame program (plans/hybrid_batch.py): the
+    summaries join is scanned once and rows fan out to matching
+    questions by an array-of-predicates explode, totals are one
+    grouped count, pages one question-partitioned window, the vector
+    side one scan with per-question score structs, and the scoring
+    tail is hybrid's own ``_score_page`` (the sequential path's exact
+    expressions).  Three Spark actions for the whole batch vs four per
+    question — the batch answer to the reference's ~500 req/s serving
+    rate (chessmate_api.ml:586-724 generalized to a question batch).
+
+    The golden oracle pins every question's ordered result documents
+    AND the empty-question contract (rank 0, NULL document, total=0);
+    tests/test_serving.py additionally proves payload-identity against
+    the per-question ``answer_question`` loop over a wider set."""
+    import math
+
+    from ..ingest import ingest_pgn_text
+    from ..query import batch_answer
+    from ..streaming import JobsState, drain_jobs
+    from .hybrid import HybridTables
+
+    ingest = ingest_pgn_text(spark, _CHESS_FIXTURE)
+    state = drain_jobs(
+        JobsState(jobs=ingest.embedding_jobs),
+        ingest.positions, ingest.games, ingest.players,
+        batch_size=8, dim=8,
+    )
+    tables = HybridTables(
+        games=ingest.games, players=ingest.players,
+        position_vectors=state.position_vectors,
+    )
+    questions = [
+        "Find King's Indian games where White is 2500 and Black is"
+        " 100 points lower",
+        "Show me Sicilian games",
+        "games won by white",
+    ]
+    payloads = batch_answer(spark, tables, questions, dim=8)
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = []
+    for i, p in enumerate(payloads):
+        if not p["results"]:
+            rows.append(
+                (i, 0, None, None, None, None, None, None,
+                 p["total"], p["has_more"])
+            )
+        for rank, r in enumerate(p["results"], 1):
+            rows.append(
+                (i, rank, r["game_id"], r["white"], r["black"],
+                 r["result"], r["opening_slug"], r6(r["score"]),
+                 p["total"], p["has_more"])
+            )
+    return spark.createDataFrame(
+        rows,
+        "question_id int, rank int, game_id long, white string,"
+        " black string, result string, opening_slug string,"
+        " score double, total long, has_more boolean",
+    ).orderBy("question_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (opaque blobs + typed metadata)
 # ---------------------------------------------------------------------------

@@ -11,6 +11,7 @@ from .intent import (
 from .serve import (
     ServingError,
     answer_question,
+    batch_answer,
     format_response_text,
     plan_to_dict,
     summarize,
@@ -24,6 +25,7 @@ __all__ = [
     "ServingError",
     "analyse",
     "answer_question",
+    "batch_answer",
     "extract_keywords",
     "format_response_text",
     "normalize",

@@ -225,6 +225,96 @@ def answer_question(
     return payload
 
 
+def batch_answer(
+    spark: SparkSession,
+    tables: "HybridTables",
+    questions: List[str],
+    limit: Optional[int] = None,
+    offset: Optional[int] = None,
+    dim: int = 16,
+    timings: Optional[Dict[str, float]] = None,
+) -> List[Dict[str, Any]]:
+    """N questions → N ``answer_question``-shaped payloads from ONE
+    DataFrame program (plans/hybrid_batch.py) — two Spark actions
+    total instead of four per question, with per-question parameters
+    riding a broadcast metadata frame so plan size is O(1) in N.
+    That is the whole economics of batch serving (the per-action and
+    per-plan-construction overhead dominates the warm path): measured
+    ~30x the one-at-a-time rate at N=64 (SERVE_BENCH.json
+    ``batch_mode``).
+
+    Payload-identical to calling ``answer_question`` per question
+    (property-tested): same validation, same plan echo, same result
+    documents in the same order, same totals/has_more/summary.
+    ``limit``/``offset`` apply to every question (per-question values
+    ride the questions' own text, exactly as in the sequential path).
+
+    ``timings`` (opt-in): ``analyse_s`` (driver NL parse, all
+    questions), ``batch_execute_s`` (plan build + the totals action),
+    ``collect_s`` (the single result collect), ``format_s`` (driver
+    payload assembly)."""
+    import time as _time
+
+    from ..plans.hybrid_batch import batch_execute
+
+    if not questions:
+        return []
+    _t0 = _time.perf_counter()
+    cleaned = [_validate_question(q) for q in questions]
+    plans = [
+        analyse(
+            Request(
+                text=q,
+                limit=_validate_limit(limit),
+                offset=_validate_offset(offset),
+            )
+        )
+        for q in cleaned
+    ]
+    if timings is not None:
+        timings["analyse_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    try:
+        execution = batch_execute(tables, plans, dim=dim)
+        if timings is not None:
+            timings["batch_execute_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        rows = execution.results.collect()
+        if timings is not None:
+            timings["collect_s"] = _time.perf_counter() - _t0
+    except ServingError:
+        raise
+    except Exception as exc:
+        raise RuntimeError(sanitize_py(str(exc))) from exc
+
+    _t0 = _time.perf_counter()
+    by_q: Dict[int, list] = {}
+    for row in rows:
+        by_q.setdefault(row["question_id"], []).append(row)
+    payloads: List[Dict[str, Any]] = []
+    for i, (question, plan) in enumerate(zip(cleaned, plans)):
+        ordered = sorted(by_q.get(i, []), key=lambda r: r["_rank"])
+        results = [_result_to_dict(row) for row in ordered]
+        total = execution.totals.get(i, 0)
+        payload: Dict[str, Any] = {
+            "question": question,
+            "plan": plan_to_dict(plan),
+            "summary": summarize(results) if results else SUMMARY_EMPTY,
+            "results": results,
+            "offset": plan.offset,
+            "limit": plan.limit,
+            "total": total,
+            "has_more": plan.offset + len(results) < total,
+            "agent_status": AGENT_STATUS_DISABLED,
+        }
+        if execution.warnings:
+            payload["warnings"] = list(execution.warnings)
+        payloads.append(payload)
+    if timings is not None:
+        timings["format_s"] = _time.perf_counter() - _t0
+    return payloads
+
+
 def format_response_text(payload: Dict[str, Any]) -> str:
     """The CLI renderer (search_command.ml ``parse_success``): summary
     block, plan echo lines, numbered result lines with synopsis."""
