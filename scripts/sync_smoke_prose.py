@@ -75,6 +75,16 @@ def render(record: dict) -> str:
             f"scan (parquet dictionary-encodes int arrays; binary gets "
             f"none)"
         )
+    cp = record.get("chess_pipeline")
+    if cp:
+        lines.append(
+            f"- chess pipeline: ingest {cp['x1']['ingest_s']}s -> "
+            f"{cp['x10']['ingest_s']}s (x{cp['ingest_ratio']}), drain "
+            f"{cp['x1']['drain_s']}s -> {cp['x10']['drain_s']}s "
+            f"(x{cp['drain_ratio']}) over {cp['x1']['games']} -> "
+            f"{cp['x10']['games']} games (gate {cp['gate']}; min-of-2, "
+            f"drain batch ∝ backlog)"
+        )
     dd = record.get("dedup_decomposition")
     if dd:
         for op in ("d7", "d13"):
