@@ -142,11 +142,21 @@ class CommitLogTable:
             os.fsync(fh.fileno())
         try:
             os.link(tmp, final)  # atomic; EEXIST = lost the race
-            return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        # durable-create: fsync the PARENT DIRECTORY too — the file's
+        # own fsync above does not persist its directory entry, so
+        # without this a power loss could drop THIS version's manifest
+        # while a later version's entry survives (non-contiguous
+        # history; read(v) of a claimed version raising FileNotFoundError)
+        dfd = os.open(commits, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        return True
 
     def _manifest_for(
         self, action: str, files: List[str], parent: int, schema: StructType

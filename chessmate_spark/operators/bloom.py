@@ -229,6 +229,24 @@ def bloom_prune_anti_join(
     return out
 
 
+def release_pinned(result: DataFrame, attr: str) -> bool:
+    """Shared release for persist-pin handles (``_bloom_pinned_fact``,
+    ``_pq_pinned_corpus``): unpersist and clear; False when nothing was
+    pinned under ``attr`` so callers can release unconditionally.
+
+    THE PIN RIDES THE EXACT RETURNED OBJECT: any transformation
+    (``.select()``, ``.filter()``, ...) returns a NEW DataFrame without
+    the attribute, so either release on the object the operator
+    returned, or carry the handle yourself
+    (``handle = result._bloom_pinned_fact``) before transforming."""
+    pinned = getattr(result, attr, None)
+    if pinned is None:
+        return False
+    pinned.unpersist()
+    setattr(result, attr, None)
+    return True
+
+
 def release_persisted_fact(result: DataFrame) -> bool:
     """Unpersist the fact frame pinned by
     ``bloom_prune_anti_join(..., persist_fact=True)``.
@@ -236,12 +254,9 @@ def release_persisted_fact(result: DataFrame) -> bool:
     Call AFTER the result has been materialized (collected / written) —
     unpersisting earlier just re-evaluates both branches from source,
     reopening the determinism hazard persist_fact exists to close.
+    Call it on the DataFrame object this module RETURNED (see
+    ``release_pinned``: transformations drop the pin attribute).
     Returns True when a pinned frame was released, False when the
     result carried none (persist_fact was False, or already released) —
     callers can release unconditionally."""
-    pinned = getattr(result, "_bloom_pinned_fact", None)
-    if pinned is None:
-        return False
-    pinned.unpersist()
-    result._bloom_pinned_fact = None
-    return True
+    return release_pinned(result, "_bloom_pinned_fact")

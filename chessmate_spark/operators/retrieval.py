@@ -103,6 +103,19 @@ def batch_bm25_retrieval(
     ] + ([F.col("df")] if has_df else [])
     qterms = queries.select(*q_cols).dropDuplicates(["query_id", "_q_term"])
 
+    def df_from_docs():
+        # df = docs containing the term, from a per-doc distinct-token
+        # explode of the RAW docs — deliberately NOT derived from
+        # `postings`: that subtree (full-token explode + two-level agg)
+        # is the plan's dominant cost, and referencing it here would
+        # evaluate it twice (once to build the broadcast/join side,
+        # once in the retrieval join).  Identical values either way.
+        return (
+            docs.select(F.explode(F.array_distinct(arr)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        )
+
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("n_tokens") / F.col("avgdl"))
     micro = F.floor(
@@ -113,9 +126,7 @@ def batch_bm25_retrieval(
         if not has_df:
             # vocabulary-scale join, broadcast into the query side —
             # df then rides the broadcast exactly like a pre-attached df
-            df_tbl = postings.groupBy("term").agg(
-                F.count(F.lit(1)).cast("bigint").alias("df")
-            )
+            df_tbl = df_from_docs()
             qterms = qterms.join(
                 df_tbl, qterms["_q_term"] == df_tbl["term"], "inner"
             ).select("query_id", "_q_term", "df")
@@ -130,15 +141,27 @@ def batch_bm25_retrieval(
             bloom_might_contain(F.col("term"), bitmap, m_bits, k=n_hashes)
         )
         if not has_df:
-            # df from the SUSPECT postings: a term passing the bitmap
-            # keeps ALL its posting rows (the bloom keys on term), so
-            # its suspect-side doc count IS its exact corpus df; terms
-            # that fail the bitmap match no query term and need none.
-            # Suspect-scale agg + query-scale join — the full
+            # df from the bloom-pruned distinct-token stream: a term
+            # passing the bitmap keeps ALL its per-doc rows (the bloom
+            # keys on term), so its pruned doc count IS its exact
+            # corpus df; terms failing the bitmap match no query term
+            # and need none.  Derived from the RAW docs, not from
+            # `suspects` — referencing the postings subtree here would
+            # evaluate its heavy two-level aggregation twice.  The
+            # filter sheds rows BEFORE the agg's exchange, so the full
             # vocabulary never shuffles.
-            sdf = suspects.groupBy("term").agg(
-                F.count(F.lit(1)).cast("bigint").alias("df")
-            ).withColumnRenamed("term", "_df_term")
+            sdf = (
+                docs.select(
+                    F.explode(F.array_distinct(arr)).alias("_df_term")
+                )
+                .where(
+                    bloom_might_contain(
+                        F.col("_df_term"), bitmap, m_bits, k=n_hashes
+                    )
+                )
+                .groupBy("_df_term")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            )
             qterms = qterms.join(
                 sdf, qterms["_q_term"] == sdf["_df_term"], "inner"
             ).select("query_id", "_q_term", "df")

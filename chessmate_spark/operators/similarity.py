@@ -640,14 +640,15 @@ def pq_topk(
 def release_persisted_corpus(result: DataFrame) -> bool:
     """Unpersist the corpus projection pinned by
     ``pq_topk(..., persist_corpus=True)`` or ``ivfpq_topk``.  Call
-    after the result has been materialized; returns False when nothing
-    was pinned, so callers can release unconditionally."""
-    pinned = getattr(result, "_pq_pinned_corpus", None)
-    if pinned is None:
-        return False
-    pinned.unpersist()
-    result._pq_pinned_corpus = None
-    return True
+    after the result has been materialized, ON THE OBJECT the operator
+    returned — a ``.select()``/``.filter()`` yields a new DataFrame
+    without the pin (bloom.release_pinned documents the contract;
+    carry ``result._pq_pinned_corpus`` yourself before transforming).
+    Returns False when nothing was pinned, so callers can release
+    unconditionally."""
+    from .bloom import release_pinned
+
+    return release_pinned(result, "_pq_pinned_corpus")
 
 
 def ivfpq_topk(

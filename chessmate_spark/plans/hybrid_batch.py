@@ -64,16 +64,21 @@ from .hybrid import (
 class BatchExecution:
     results: DataFrame  # question_id, _rank + hybrid result columns
     totals: Dict[int, int]
-    has_more: Dict[int, bool]
-    returned: Dict[int, int]
+    # has_more/returned per question derive from the final collect and
+    # live with the caller (batch_answer), not here — a pre-collect
+    # dataclass cannot know how many rows each question returns
     warnings: List[str] = field(default_factory=list)
 
 
 def _filter_rows(plan: QueryPlan) -> list:
-    """plan.filters → (field_tag, value, lo, hi) structs with the
-    normalization compile_predicate does in Python done here, so the
-    generic expressions below are plain comparisons.  Unknown fields
-    keep their name and fall through every CASE to its ELSE."""
+    """plan.filters → (field_tag, value variants, lo, hi) structs with
+    EVERY normalization the sequential path does in Python done here —
+    ``v`` raw, ``vs`` = value.strip(), ``vl`` = value.strip().lower(),
+    ``vn`` = value.lower() (no strip; _filter_matches' form) — so the
+    generic expressions below are plain comparisons and cannot drift
+    from str.strip()/str.lower() semantics (F.trim only strips ASCII
+    spaces; Python strip() takes all whitespace).  Unknown fields keep
+    their name and fall through every CASE to its ELSE."""
     rows = []
     for flt in plan.filters:
         f = flt.field.lower()
@@ -91,8 +96,22 @@ def _filter_rows(plan: QueryPlan) -> list:
                 f = "vector_only_true"
             elif v in ("false", "0", "no"):
                 f = "vector_only_false"
-        rows.append((f, flt.value, lo, hi))
+            # unparseable values keep the bare field name and are
+            # IGNORED by every CASE below — compile_predicate's exact
+            # behavior
+        rows.append(
+            (
+                f, flt.value, flt.value.strip(),
+                flt.value.strip().lower(), flt.value.lower(), lo, hi,
+            )
+        )
     return rows
+
+
+_FILTER_STRUCT = (
+    "array<struct<f:string,v:string,vs:string,vl:string,"
+    "vn:string,lo:string,hi:string>>"
+)
 
 
 _QMETA_SCHEMA = (
@@ -100,7 +119,7 @@ _QMETA_SCHEMA = (
     " q_white_min int, q_black_min int, q_max_delta int,"
     " q_keywords array<string>, q_phases array<string>,"
     " q_themes array<string>,"
-    " q_filters array<struct<f:string,v:string,lo:string,hi:string>>,"
+    f" q_filters {_FILTER_STRUCT},"
     " q_vec array<double>, q_k int"
 )
 
@@ -124,7 +143,8 @@ def _qmeta(spark, plans: List[QueryPlan], dim: int) -> DataFrame:
 
 
 def _lv(f) -> F.Column:
-    return F.lower(F.trim(f["v"]))
+    # value.strip().lower(), precomputed driver-side in _filter_rows
+    return f["vl"]
 
 
 def _relational_match(f, has_vector_id: bool) -> F.Column:
@@ -197,7 +217,7 @@ def _payload_match(f) -> F.Column:
         )
         .when(field_ == "phase", F.array_contains(F.col("phases"), _lv(f)))
         .when(field_ == "theme", F.array_contains(F.col("themes"), _lv(f)))
-        .when(field_ == "result", F.col("result") == F.trim(f["v"]))
+        .when(field_ == "result", F.col("result") == f["vs"])
         .otherwise(F.lit(True))
     )
 
@@ -210,7 +230,7 @@ def _recheck_match(f) -> F.Column:
         F.when(
             field_ == "opening",
             F.coalesce(F.col("opening_slug"), F.lit("unknown_opening"))
-            == F.lower(f["v"]),
+            == f["vn"],  # _filter_matches lowers WITHOUT stripping
         )
         .when(
             field_ == "result",
@@ -277,8 +297,15 @@ def batch_execute(
     summaries = game_summaries(tables.games, tables.players)
     has_vid = "vector_id" in summaries.columns
     if not has_vid and any(
-        flt.field.lower() == "vector_only" for p in plans for flt in p.filters
+        flt.field.lower() == "vector_only"
+        and flt.value.strip().lower()
+        in ("true", "1", "yes", "false", "0", "no")
+        for p in plans
+        for flt in p.filters
     ):
+        # only a PARSEABLE vector_only value makes compile_predicate
+        # reference the column (an unparseable one is ignored there,
+        # so it must be ignored here too — payload identity)
         raise ValueError(
             "a plan carries a vector_only filter but the games frame has"
             " no vector_id column (the sequential path fails here too)"
@@ -352,8 +379,6 @@ def batch_execute(
     return BatchExecution(
         results=scored,
         totals=totals,
-        has_more={},  # filled by the caller after the final collect
-        returned={},
         warnings=warnings,
     )
 

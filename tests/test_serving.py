@@ -264,3 +264,41 @@ def test_batch_answer_action_economy(spark, tables):
     # path pays ~42 actions/210 jobs for) — pin the relative economy,
     # which is what batching exists to buy
     assert used_batch * 3 <= used_seq, (used_batch, used_seq)
+
+
+def test_batch_execute_handbuilt_plan_parity_edges(spark, tables):
+    """Review-pass regressions: (a) filter values with non-space
+    whitespace must normalize like Python str.strip() (F.trim only
+    strips ASCII spaces); (b) an UNPARSEABLE vector_only value is
+    ignored by compile_predicate and must be ignored by the batch
+    precheck too, not raise."""
+    from chessmate_spark.plans.hybrid import execute
+    from chessmate_spark.plans.hybrid_batch import batch_execute
+    from chessmate_spark.query.intent import (
+        MetadataFilter,
+        QueryPlan,
+        RatingFilter,
+        Request,
+    )
+
+    def plan(filters):
+        return QueryPlan(
+            original=Request(text="x"), cleaned_text="x",
+            keywords=(), filters=tuple(filters),
+            rating=RatingFilter(None, None, None), limit=10, offset=0,
+        )
+
+    plans = [
+        plan([MetadataFilter("opening", "kings_indian_defense\t")]),
+        plan([MetadataFilter("vector_only", "maybe")]),
+    ]
+    ex = batch_execute(tables, plans, dim=8)
+    rows = ex.results.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["question_id"], set()).add(r["id"])
+    for i, p in enumerate(plans):
+        seq = execute(tables, p, dim=8)
+        seq_ids = {r["id"] for r in seq.results.collect()}
+        assert by_q.get(i, set()) == seq_ids, (i, by_q.get(i), seq_ids)
+        assert ex.totals[i] == seq.total, (i, ex.totals[i], seq.total)
