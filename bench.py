@@ -258,12 +258,14 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings = {}
     errors = {}
+    flaky = {}
     for name in HEADLINE:
         # min-of-k: each rep rebuilds the plan from the registry (plan
         # analysis is part of the charged cost) and fully collects; the
         # min survives as long as ONE rep ran clean
         best = None
         last_err = None
+        n_failed = 0
         for _ in range(repeats):
             start = time.perf_counter()
             # a single broken query must not erase the whole bench record
@@ -279,8 +281,16 @@ def main() -> None:
                 best = elapsed if best is None else min(best, elapsed)
             except Exception as exc:  # noqa: BLE001
                 last_err = f"{type(exc).__name__}: {exc}"[:500]
+                n_failed += 1
         if best is not None:
             timings[name] = round(best, 4)
+            if last_err is not None:
+                # an INTERMITTENT failure must not vanish just because
+                # another rep succeeded: record it visibly (the record
+                # stays complete — the min is a real clean run — but a
+                # flaky entry is a finding, not noise)
+                flaky[name] = f"{n_failed}/{repeats} reps failed: {last_err}"
+                print(f"BENCH FLAKY {name}: {flaky[name]}", file=sys.stderr)
         else:
             errors[name] = last_err
             print(f"BENCH ERROR {name}: {last_err}", file=sys.stderr)
@@ -300,6 +310,8 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    if flaky:
+        full["flaky"] = flaky
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
@@ -318,6 +330,7 @@ def main() -> None:
                 "repeats": repeats,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
+                "n_flaky": len(flaky),
                 "complete": not errors,
                 "queries_file": "bench_out.json",
             }

@@ -43,6 +43,7 @@ def batch_bm25_retrieval(
     route: str = "broadcast",
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
+    persist_queries: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query: ``(query_id, rank, doc_id,
     score_micro)``.
@@ -77,7 +78,18 @@ def batch_bm25_retrieval(
     length rides the grouping key, so no doc-keyed join exists; the
     (query, doc) score aggregate is the single corpus-scale exchange;
     per-query top-k is window-top-k.  At 100 TB the postings come from
-    the materialized inverted index (t23) instead of a rescan."""
+    the materialized inverted index (t23) instead of a rescan.
+
+    In the bloom route ``queries`` must be DETERMINISTIC (the
+    bloom_prune_anti_join contract): it is evaluated once into the
+    bitmap and again in the exact join, and a nondeterministic source
+    (sample(), unordered limit()) could hand the bitmap a DIFFERENT
+    term set — a bloom false NEGATIVE, silently zeroing those terms'
+    scores.  For such inputs pass ``persist_queries=True``, which pins
+    one materialization of the deduplicated (query, term) projection;
+    the pinned frame rides the returned DataFrame — release with
+    ``bloom.release_pinned(result, "_retrieval_pinned_queries")``
+    after materializing."""
     if route not in ("broadcast", "bloom"):
         raise ValueError(f"route must be 'broadcast' or 'bloom', got {route!r}")
     text = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
@@ -102,6 +114,8 @@ def batch_bm25_retrieval(
         F.col(term_col).alias("_q_term"),
     ] + ([F.col("df")] if has_df else [])
     qterms = queries.select(*q_cols).dropDuplicates(["query_id", "_q_term"])
+    if persist_queries:
+        qterms = qterms.persist()
 
     def df_from_docs():
         # df = docs containing the term, from a per-doc distinct-token
@@ -173,7 +187,7 @@ def batch_bm25_retrieval(
         .groupBy("query_id", "doc_id")
         .agg(F.sum(micro).cast("bigint").alias("score_micro"))
     )
-    return (
+    out = (
         topk_per_group(
             scored,
             ["query_id"],
@@ -183,3 +197,6 @@ def batch_bm25_retrieval(
         .select("query_id", "rank", "doc_id", "score_micro")
         .orderBy("query_id", "rank")
     )
+    if persist_queries:
+        out._retrieval_pinned_queries = qterms
+    return out

@@ -526,7 +526,7 @@ def pq_topk(
     sim_col: str = "score",
     seed: int = 42,
     persist_corpus: bool = False,
-    packed: bool = True,
+    packed: Optional[bool] = None,
 ) -> DataFrame:
     """PQ approximate k-NN join with exact re-rank (FAISS IndexPQ + ADC):
 
@@ -565,6 +565,11 @@ def pq_topk(
             corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed
         )
     m, ksub, _ = codebooks.shape
+    if packed is None:
+        # auto: packed bytes need one byte per code; larger codebooks
+        # keep the array<int> form instead of failing a call that never
+        # asked for packing
+        packed = ksub <= 256
     codes = pq_encode(corpus, corpus_id, corpus_vec, codebooks, packed=packed)
     if packed:
         # hex rendering once per row; _adc_sum indexes it JVM-side

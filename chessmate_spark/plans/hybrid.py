@@ -265,10 +265,13 @@ def execute(
 def _score_page(page: DataFrame, plan: QueryPlan) -> DataFrame:
     """The scoring tail of ``execute`` — rating gate (P12), keyword
     overlap (A4), fallback score (A5/F20), 0.75/0.25 blend (F21),
-    rank (O2) — extracted so the batch executor (hybrid_batch.py)
-    applies the IDENTICAL expressions per question and the two paths
-    cannot drift.  ``page`` must carry the summary columns plus the
-    ``_hit_*`` columns (NULL-typed when the vector side is absent)."""
+    rank (O2).  The batch executor's ``_score_page_batch``
+    (hybrid_batch.py) MIRRORS these expressions with plan literals
+    replaced by qmeta columns — it does not share this code, so any
+    edit here must be made there too; the payload-identity tests in
+    test_serving.py are the drift tripwire.  ``page`` must carry the
+    summary columns plus the ``_hit_*`` columns (NULL-typed when the
+    vector side is absent)."""
     rating_ok = rating_matches(
         F.col("white_rating"),
         F.col("black_rating"),

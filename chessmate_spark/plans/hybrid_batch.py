@@ -183,19 +183,27 @@ def _rating_bounds(
     with_delta: bool,
     white_col: str = "white_rating",
     black_col: str = "black_rating",
+    cols: "set | None" = None,
 ) -> F.Column:
     """NULL-aware qmeta rating bounds (rating_matches semantics when a
     bound is present; a NULL bound imposes nothing).  The vector side
     carries the ratings as white_elo/black_elo (payload_filter's
-    columns) — pass those names there."""
+    columns) — pass those names there, plus ``cols`` so a clause is
+    built only when its column exists (a plan that NEEDS a missing
+    column is rejected upstream; when no plan does, the expression
+    must not fail analysis for the whole batch)."""
     white, black = F.col(white_col), F.col(black_col)
-    cond = (
-        F.col("q_white_min").isNull()
-        | (white.isNotNull() & (white >= F.col("q_white_min")))
-    ) & (
-        F.col("q_black_min").isNull()
-        | (black.isNotNull() & (black >= F.col("q_black_min")))
-    )
+    cond = F.lit(True)
+    if cols is None or white_col in cols:
+        cond = cond & (
+            F.col("q_white_min").isNull()
+            | (white.isNotNull() & (white >= F.col("q_white_min")))
+        )
+    if cols is None or black_col in cols:
+        cond = cond & (
+            F.col("q_black_min").isNull()
+            | (black.isNotNull() & (black >= F.col("q_black_min")))
+        )
     if with_delta:
         cond = cond & (
             F.col("q_max_delta").isNull()
@@ -208,18 +216,34 @@ def _rating_bounds(
     return cond
 
 
-def _payload_match(f) -> F.Column:
-    """hybrid.payload_filter's vector-side semantics per filter struct."""
+def _payload_match(f, cols: set) -> F.Column:
+    """hybrid.payload_filter's vector-side semantics per filter struct.
+
+    Branches reference a vectors-frame column only when it EXISTS
+    (``cols``): the sequential payload_filter builds its expression
+    per-plan and never touches a column no filter asks for, so the
+    generic CASE must not fail analysis for the whole batch on an
+    external vectors table lacking e.g. ``result``.  A plan whose
+    filter NEEDS a missing column is handled in batch_execute (the
+    whole vector stage degrades, mirroring the sequential per-question
+    failure — see the docstring there for the mixed-batch caveat)."""
     field_ = f["f"]
-    return (
-        F.when(
+    out = F.when(F.lit(False), F.lit(True))
+    if "opening_slug" in cols:
+        out = out.when(
             field_ == "opening", F.lower(F.col("opening_slug")) == _lv(f)
         )
-        .when(field_ == "phase", F.array_contains(F.col("phases"), _lv(f)))
-        .when(field_ == "theme", F.array_contains(F.col("themes"), _lv(f)))
-        .when(field_ == "result", F.col("result") == f["vs"])
-        .otherwise(F.lit(True))
-    )
+    if "phases" in cols:
+        out = out.when(
+            field_ == "phase", F.array_contains(F.col("phases"), _lv(f))
+        )
+    if "themes" in cols:
+        out = out.when(
+            field_ == "theme", F.array_contains(F.col("themes"), _lv(f))
+        )
+    if "result" in cols:
+        out = out.when(field_ == "result", F.col("result") == f["vs"])
+    return out.otherwise(F.lit(True))
 
 
 def _recheck_match(f) -> F.Column:
@@ -247,14 +271,53 @@ def _recheck_match(f) -> F.Column:
     )
 
 
-def _batch_vector_hits(vectors: DataFrame, qmeta: DataFrame) -> DataFrame:
+_PAYLOAD_NEEDS = {
+    "opening": "opening_slug",
+    "phase": "phases",
+    "theme": "themes",
+    "result": "result",
+}
+
+
+def _batch_vector_hits(
+    vectors: DataFrame, qmeta: DataFrame, plans: List[QueryPlan]
+) -> DataFrame:
     """All questions' filtered cosine top-k in one scan: join the
     vector rows against the broadcast question metadata on the payload
     filter, score cosine(embedding, q_vec) (built once), per-question
     over-fetch top-k (window — scores/ids only), collapse per
-    (question, game)."""
-    pred = F.forall(F.col("q_filters"), _payload_match) & _rating_bounds(
-        with_delta=False, white_col="white_elo", black_col="black_elo"
+    (question, game).
+
+    Column availability mirrors the sequential path: expressions
+    reference only columns the vectors frame HAS; a plan whose filter
+    or rating bound NEEDS a missing column raises here — caught by
+    batch_execute's degradation net, exactly where the sequential
+    path's per-question vector_hits would fail.  (Mixed-batch caveat:
+    sequentially only the NEEDING question degrades to fallback
+    scoring; in a batch the whole vector stage does — the trade is
+    documented, and a frame with the standard columns never hits it.)"""
+    cols = set(vectors.columns)
+    for p in plans:
+        for flt in p.filters:
+            needed = _PAYLOAD_NEEDS.get(flt.field.lower())
+            if needed and needed not in cols:
+                raise ValueError(
+                    f"vectors frame lacks column {needed!r} needed by a"
+                    f" {flt.field!r} filter"
+                )
+        if p.rating.white_min is not None and "white_elo" not in cols:
+            raise ValueError(
+                "vectors frame lacks white_elo needed by a rating bound"
+            )
+        if p.rating.black_min is not None and "black_elo" not in cols:
+            raise ValueError(
+                "vectors frame lacks black_elo needed by a rating bound"
+            )
+    pred = F.forall(
+        F.col("q_filters"), lambda f: _payload_match(f, cols)
+    ) & _rating_bounds(
+        with_delta=False, white_col="white_elo", black_col="black_elo",
+        cols=cols,
     )
     q = qmeta.select(
         "question_id", "q_filters", "q_white_min", "q_black_min",
@@ -333,7 +396,7 @@ def batch_execute(
     hits = None
     if tables.position_vectors is not None:
         try:
-            hits = _batch_vector_hits(tables.position_vectors, qmeta)
+            hits = _batch_vector_hits(tables.position_vectors, qmeta, plans)
         except Exception as exc:  # V7 graceful degradation, batch-wide
             warnings.append(f"Vector search unavailable ({exc})")
             hits = None

@@ -1623,11 +1623,14 @@ def serve_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries join is scanned once and rows fan out to matching
     questions by an array-of-predicates explode, totals are one
     grouped count, pages one question-partitioned window, the vector
-    side one scan with per-question score structs, and the scoring
-    tail is hybrid's own ``_score_page`` (the sequential path's exact
-    expressions).  Three Spark actions for the whole batch vs four per
-    question — the batch answer to the reference's ~500 req/s serving
-    rate (chessmate_api.ml:586-724 generalized to a question batch).
+    side one scan scored against the broadcast query vectors, and the
+    scoring tail MIRRORS hybrid's ``_score_page`` with plan literals
+    replaced by metadata columns (payload identity pinned by
+    test_serving.py).  Two Spark actions for the whole batch vs four
+    per question — the batch answer to the reference's ~500 req/s
+    serving rate (chessmate_api.ml:586-724 generalized to a question
+    batch); measured ~30x the one-at-a-time rate at N=64
+    (SERVE_BENCH.json batch_mode).
 
     The golden oracle pins every question's ordered result documents
     AND the empty-question contract (rank 0, NULL document, total=0);
@@ -7917,29 +7920,36 @@ def s17_commit_log_serializable(spark: SparkSession, sf_dir: str) -> DataFrame:
     link per version); the data writes and the reads are ordinary
     distributed parquet I/O; version reads list files from ONE
     manifest, no log replay."""
+    import shutil
     import tempfile
 
     from ..ingest.commit_log import CommitLogTable
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    t = CommitLogTable(
-        spark, tempfile.mkdtemp(prefix="commit_log_entry_")
-    )
-    t.append(docs.filter(F.col("doc_id") % 3 == 0))  # v1: common base
-    pending_b = t.begin_append(docs.filter(F.col("doc_id") % 3 == 2))
-    va = t.append(docs.filter(F.col("doc_id") % 3 == 1))  # A wins v2
-    vb = pending_b.commit()  # B rebases to v3
-    assert (va, vb) == (2, 3), (va, vb)
-    reads = [
-        t.read(v).select(
-            F.lit(v).cast("int").alias("version"), "doc_id"
-        )
-        for v in (1, 2, 3)
-    ]
-    out = reads[0]
-    for r in reads[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("version", "doc_id")
+    base = tempfile.mkdtemp(prefix="commit_log_entry_")
+    try:
+        t = CommitLogTable(spark, base)
+        t.append(docs.filter(F.col("doc_id") % 3 == 0))  # v1: common base
+        pending_b = t.begin_append(docs.filter(F.col("doc_id") % 3 == 2))
+        va = t.append(docs.filter(F.col("doc_id") % 3 == 1))  # A wins v2
+        vb = pending_b.commit()  # B rebases to v3
+        assert (va, vb) == (2, 3), (va, vb)
+        reads = [
+            t.read(v).select(
+                F.lit(v).cast("int").alias("version"), "doc_id"
+            )
+            for v in (1, 2, 3)
+        ]
+        out = reads[0]
+        for r in reads[1:]:
+            out = out.unionByName(r)
+        # the s16 tmp-dir discipline: materialize, then delete the
+        # table — otherwise every bench/smoke invocation leaks a full
+        # versioned copy of the documents slice into /tmp
+        out = out.orderBy("version", "doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def _register_t26():

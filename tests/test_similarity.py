@@ -436,3 +436,47 @@ def test_pq_packed_codes_match_array_codes(spark, emb):
         map(tuple, pq_topk(queries, corpus, packed=False, **kw).collect())
     )
     assert packed == unpacked
+
+
+def test_ivfpq_persist_corpus_pin_and_release(spark, emb):
+    from chessmate_spark.operators.similarity import (
+        ivfpq_topk,
+        release_persisted_corpus,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    kw = dict(
+        k=3, query_id="query_id", corpus_id="neighbor_id",
+        nlist=8, nprobe=4, m=8, ksub=16, overfetch=8,
+    )
+    plain = sorted(map(tuple, ivfpq_topk(queries, corpus, **kw).collect()))
+    res = ivfpq_topk(queries, corpus, persist_corpus=True, **kw)
+    assert sorted(map(tuple, res.collect())) == plain
+    pinned = res._pq_pinned_corpus
+    assert pinned.storageLevel.useMemory
+    assert release_persisted_corpus(res) is True
+    assert not pinned.storageLevel.useMemory
+    assert release_persisted_corpus(res) is False
+
+
+def test_pq_topk_large_ksub_falls_back_to_array_codes(spark, emb):
+    """packed defaults to auto: ksub > 256 keeps the array<int> form
+    instead of raising for a caller who never asked for packing."""
+    from chessmate_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    out = pq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", m=8, ksub=300, overfetch=4,
+    ).collect()
+    assert len(out) > 0

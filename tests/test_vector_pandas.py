@@ -99,6 +99,8 @@ def test_all_batch_udfs_tolerate_empty_batches():
         signatures_udf,
     )
 
+    from chessmate_spark.functions.vector_pandas import ivfpq_encode_udf
+
     empty = pd.Series([], dtype=object)
     cents = np.eye(4, dtype=np.float64)
     assert len(nearest_cells_udf(cents, 2).func(empty)) == 0
@@ -107,3 +109,5 @@ def test_all_batch_udfs_tolerate_empty_batches():
     assert len(signatures_udf(planes).func(empty)) == 0
     books = np.ones((2, 4, 2), dtype=np.float64)
     assert len(pq_encode_udf(books).func(empty)) == 0
+    assert len(pq_encode_udf(books, packed=True).func(empty)) == 0
+    assert len(ivfpq_encode_udf(cents, books).func(empty)) == 0
