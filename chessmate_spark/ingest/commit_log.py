@@ -214,11 +214,15 @@ class CommitLogTable:
 
     def vacuum(self) -> List[str]:
         """Remove data directories no manifest references (writers that
-        died between staging and committing).  Safe w.r.t. committed
-        data by construction; an IN-FLIGHT PendingCommit's staged dir
-        is not distinguishable from an orphan, so run vacuum only when
-        no writer is mid-commit (the Delta VACUUM retention caveat,
-        minus the retention window)."""
+        died between staging and committing) and ``.tmp-*`` manifests
+        orphaned by a crash between the temp write and the atomic link
+        in ``_try_claim`` (``versions()`` skips dot-files so reads never
+        see them, but without reclamation they accumulate unboundedly).
+        Safe w.r.t. committed data by construction; an IN-FLIGHT
+        PendingCommit's staged dir (or a mid-claim temp manifest) is not
+        distinguishable from an orphan, so run vacuum only when no
+        writer is mid-commit (the Delta VACUUM retention caveat, minus
+        the retention window)."""
         import shutil
 
         referenced = set()
@@ -231,6 +235,11 @@ class CommitLogTable:
             if rel not in referenced:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed.append(rel)
+        commits = self._commits_dir()
+        for name in sorted(os.listdir(commits)):
+            if name.startswith(".tmp-"):
+                os.unlink(os.path.join(commits, name))
+                removed.append(os.path.join(_COMMITS, name))
         return removed
 
 

@@ -114,8 +114,14 @@ def batch_bm25_retrieval(
         F.col(term_col).alias("_q_term"),
     ] + ([F.col("df")] if has_df else [])
     qterms = queries.select(*q_cols).dropDuplicates(["query_id", "_q_term"])
+    pinned = None
     if persist_queries:
         qterms = qterms.persist()
+        # Capture the persisted object NOW: the has_df=False branches
+        # below rebind `qterms` to a derived join, and attaching that
+        # would make release_pinned unpersist a never-persisted frame
+        # (a no-op) while the cached projection leaks for the session.
+        pinned = qterms
 
     def df_from_docs():
         # df = docs containing the term, from a per-doc distinct-token
@@ -198,5 +204,5 @@ def batch_bm25_retrieval(
         .orderBy("query_id", "rank")
     )
     if persist_queries:
-        out._retrieval_pinned_queries = qterms
+        out._retrieval_pinned_queries = pinned
     return out

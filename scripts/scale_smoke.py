@@ -265,6 +265,53 @@ def build(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
 DST3 = "/tmp/chessmate_sf03"  # 3x midpoint for the --linearity probe
 
 
+def merge_smoke_block(
+    out_path: str,
+    block_name: str,
+    block,
+    failures: "list[str] | None" = None,
+    failures_prefix: "str | None" = None,
+    update: bool = False,
+) -> dict:
+    """THE read-merge-write path for a standalone probe's block in
+    SCALE_SMOKE.json (previously re-implemented per probe, with
+    already-divergent semantics).  Loads the existing record (empty
+    when the file is missing), sets ``record[block_name] = block``
+    (``update=True`` dict-merges into the prior block instead, for
+    probes that re-measure a subset of their entries), and when
+    ``failures_prefix`` is given splices ``failures`` in place of the
+    prior entries carrying that prefix and recomputes ``ok``.  Dial-only
+    probes (no prefix) leave ok/failures untouched but ensure both
+    EXIST, so a standalone run against a missing file still writes a
+    record the green-gate test can read instead of KeyError-ing."""
+    import json
+
+    record = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            record = json.load(fh)
+    if update:
+        merged = dict(record.get(block_name, {}))
+        merged.update(block)
+        record[block_name] = merged
+    else:
+        record[block_name] = block
+    if failures_prefix is not None:
+        record["failures"] = [
+            f for f in record.get("failures", [])
+            if not f.startswith(failures_prefix)
+        ] + list(failures or [])
+        record["ok"] = not record["failures"]
+    else:
+        record.setdefault("failures", [])
+        record.setdefault("ok", not record["failures"])
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"record written to {out_path}", flush=True)
+    return record
+
+
 def measure_linearity(spark, out_path: str) -> "list[str]":
     """Three-point (1x/3x/10x) linearity check for the watch-list
     entries: the marginal ratio (t10 - t3) / (t3 - t1) cancels any fixed
@@ -272,15 +319,8 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
     term' — indistinguishable in the two-point ratio — separate cleanly
     (linear ideal 3.5, quadratic ~13).  Updates SCALE_SMOKE.json's
     `linearity` block in place."""
-    import json
-
     build(spark, DST3, replicas=3)
-    record = {}
-    if os.path.exists(out_path):
-        with open(out_path) as fh:
-            record = json.load(fh)
-    lin = record.setdefault("linearity", {})
-    lin["marginal_limit"] = MARGINAL_LIMIT
+    lin = {"marginal_limit": MARGINAL_LIMIT}
     failures = []
     print(f"{'query':32s} {'t1':>7s} {'t3':>7s} {'t10':>7s} {'marginal':>9s}")
     for name in LINEARITY_QUERIES:
@@ -338,15 +378,9 @@ def measure_linearity(spark, out_path: str) -> "list[str]":
         )
         print(f"{name:32s} {times['t1']:7.2f} {times['t3']:7.2f} "
               f"{times['t10']:7.2f} {shown:>9s}{flag}", flush=True)
-    record["failures"] = [
-        f for f in record.get("failures", [])
-        if not f.startswith("linearity:")
-    ] + failures
-    record["ok"] = not record["failures"]
-    with open(out_path, "w") as fh:
-        json.dump(record, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-    print(f"record written to {out_path}", flush=True)
+    merge_smoke_block(
+        out_path, "linearity", lin, failures, "linearity:", update=True
+    )
     return failures
 
 
@@ -369,8 +403,6 @@ def measure_dedup_decomposition(spark, out_path: str) -> "list[str]":
     candidate growth); a superlinear per-candidate cost is a plan
     defect and FAILS the smoke.  Updates SCALE_SMOKE.json's
     `dedup_decomposition` block in place."""
-    import json
-
     from chessmate_spark.operators.dedup import (
         embedding_neardup_lsh,
         lsh_banding_for,
@@ -441,20 +473,9 @@ def measure_dedup_decomposition(spark, out_path: str) -> "list[str]":
             flag = "  <-- PER-CANDIDATE REGRESSION"
         print(f"{op}: candidates x{cand_ratio:.1f} secs x{secs_ratio:.1f} "
               f"per-candidate cost x{per_cand:.2f}{flag}", flush=True)
-    record = {}
-    if os.path.exists(out_path):
-        with open(out_path) as fh:
-            record = json.load(fh)
-    record["dedup_decomposition"] = block
-    record["failures"] = [
-        f for f in record.get("failures", [])
-        if not f.startswith("decomp:")
-    ] + failures
-    record["ok"] = not record["failures"]
-    with open(out_path, "w") as fh:
-        json.dump(record, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-    print(f"record written to {out_path}", flush=True)
+    merge_smoke_block(
+        out_path, "dedup_decomposition", block, failures, "decomp:"
+    )
     return failures
 
 
@@ -732,14 +753,7 @@ def measure_pq_bytes(spark, out_path: str) -> None:
             "packed_vs_array_ratio": round(arr_s / max(pak_s, 1), 2),
         },
     }
-    record = {}
-    if os.path.exists(out_path):
-        with open(out_path) as fh:
-            record = json.load(fh)
-    record["pq_bytes"] = block
-    with open(out_path, "w") as fh:
-        json.dump(record, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    merge_smoke_block(out_path, "pq_bytes", block)
     print(
         f"pq bytes over {n} rows — shuffle: vectors {vec_s:,} / array "
         f"{arr_s:,} / packed {pak_s:,} (packed x"
@@ -897,8 +911,6 @@ def measure_chess_pipeline(spark, out_path: str) -> "list[str]":
     micro-batch driver loops, which would measure loop overhead, not
     the plan).  min-of-2 per point (the linearity probe's lesson).
     Updates the `chess_pipeline` block in SCALE_SMOKE.json in place."""
-    import json
-
     from chessmate_spark.ingest import ingest_pgn_text
     from chessmate_spark.plans.queries import (
         _CHESS_BATCH_LINES,
@@ -976,18 +988,7 @@ def measure_chess_pipeline(spark, out_path: str) -> "list[str]":
         for k in ("ingest_ratio", "drain_ratio")
         if block[k] > CHESS_SMOKE_GATE
     ]
-    record = {}
-    if os.path.exists(out_path):
-        with open(out_path) as fh:
-            record = json.load(fh)
-    record["chess_pipeline"] = block
-    record["failures"] = [
-        f for f in record.get("failures", []) if not f.startswith("chess:")
-    ] + failures
-    record["ok"] = not record["failures"]
-    with open(out_path, "w") as fh:
-        json.dump(record, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    merge_smoke_block(out_path, "chess_pipeline", block, failures, "chess:")
     print(
         f"chess pipeline: ingest {lo['ingest_s']}s -> {hi['ingest_s']}s "
         f"(x{block['ingest_ratio']}), drain {lo['drain_s']}s -> "
@@ -1045,15 +1046,8 @@ def main() -> int:
     import json
 
     if v5_only:
-        rec = {}
-        if os.path.exists(out_path):
-            with open(out_path) as fh:
-                rec = json.load(fh)
         v5 = measure_v5_width(spark)
-        rec["v5_dim1536"] = v5
-        with open(out_path, "w") as fh:
-            json.dump(rec, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+        merge_smoke_block(out_path, "v5_dim1536", v5)
         print(f"v5 dim=1536 over {v5['docs']} docs: expr {v5['expr_s']}s "
               f"vs pandas_udf {v5['pandas_udf_s']}s -> {v5['winner']}")
         return 0

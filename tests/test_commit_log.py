@@ -135,6 +135,25 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert t.vacuum() == []  # idempotent; committed data untouched
 
 
+def test_vacuum_reclaims_orphaned_temp_manifests(spark, tmp_path):
+    """A writer killed between the .tmp-* manifest write and os.link
+    leaves the temp file in _commits/ forever; vacuum must reclaim it
+    (versions() already skips dot-files, so reads are unaffected)."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    commits = t._commits_dir()
+    orphan = os.path.join(commits, ".tmp-deadbeef")
+    with open(orphan, "w") as fh:
+        fh.write("{}")
+    removed = t.vacuum()
+    assert [r for r in removed if ".tmp-" in r]
+    assert not os.path.exists(orphan)
+    assert {r["id"] for r in t.read().collect()} == set(range(5))
+    assert t.vacuum() == []
+
+
 def test_time_travel_parity_with_snapshot_manager(spark, tmp_path):
     """read(version) must equal a SnapshotManager snapshot taken at
     that moment — the commit log subsumes the snapshot time-travel

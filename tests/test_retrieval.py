@@ -147,3 +147,27 @@ def test_bad_route_rejected(spark):
         batch_bm25_retrieval(
             _docs(spark), _external_queries(spark), route="shuffle"
         )
+
+
+def test_persist_queries_pins_the_persisted_frame(spark):
+    """persist_queries must attach the frame that was actually
+    persisted: when the query frame lacks df, both routes rebind
+    qterms to a derived join, and pinning THAT makes release a no-op
+    while the cached projection leaks for the session."""
+    from chessmate_spark.operators.bloom import release_pinned
+
+    docs = _docs(spark)
+    for route in ("broadcast", "bloom"):
+        out = batch_bm25_retrieval(
+            docs, _external_queries(spark), k=3, route=route,
+            persist_queries=True,
+        )
+        pinned = out._retrieval_pinned_queries
+        assert pinned is not None
+        out.collect()
+        assert pinned.storageLevel.useMemory, (
+            route, pinned.storageLevel
+        )
+        assert release_pinned(out, "_retrieval_pinned_queries")
+        assert not pinned.storageLevel.useMemory
+        assert not release_pinned(out, "_retrieval_pinned_queries")

@@ -239,16 +239,19 @@ def test_batch_answer_action_economy(spark, tables):
     ui = spark.sparkContext.uiWebUrl
 
     def n_jobs():
+        # Max job id, not len(jobs): the UI store evicts past
+        # spark.ui.retainedJobs (default 1000), so under a long-lived
+        # session (full-suite run) list length saturates and deltas
+        # read garbage. Job ids are monotonic and eviction-proof.
         app = _json.load(
             urllib.request.urlopen(f"{ui}/api/v1/applications")
         )[0]["id"]
-        return len(
-            _json.load(
-                urllib.request.urlopen(
-                    f"{ui}/api/v1/applications/{app}/jobs"
-                )
+        jobs = _json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/jobs"
             )
         )
+        return max((j["jobId"] for j in jobs), default=0)
 
     batch_answer(spark, tables, BATCH_QUESTIONS, dim=8)  # warm (lazy inits)
     before = n_jobs()
