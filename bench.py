@@ -206,6 +206,7 @@ HEADLINE = [
     "d18_semantic_dedup_resolve",
     "d19_semantic_resolve_bloom",
     "s17_commit_log_serializable",
+    "v12_ann_index_persist",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.
@@ -234,6 +235,14 @@ EXCLUDED = {
     "j15_stream_interval_join": (
         "real checkpointed stream-stream join run; j9_interval_join is "
         "its batch plan and is benchmarked"
+    ),
+    "d20_stream_dedup": (
+        "real checkpointed streaming dedup run; d1_exact_dedup_groups is "
+        "the batch dedup plan and is benchmarked"
+    ),
+    "s18_stream_commit_log_sink": (
+        "real checkpointed stream into the commit log; "
+        "s17_commit_log_serializable benches the commit protocol itself"
     ),
 }
 

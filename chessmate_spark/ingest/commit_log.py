@@ -173,6 +173,45 @@ class CommitLogTable:
             ),
         }
 
+    def txn_version(self, app_id: str) -> Optional[int]:
+        """Highest writer-supplied txn version committed under
+        ``app_id`` (None when that app never committed).  Scans the
+        manifest history — manifests are small metadata files, so this
+        is O(versions) driver-side reads; a production log would fold
+        the per-app high-water mark into a checkpoint."""
+        best = None
+        for m in self.history():
+            txn = m.get("txn")
+            if txn and txn.get("app_id") == app_id:
+                v = int(txn["version"])
+                best = v if best is None else max(best, v)
+        return best
+
+    def append_idempotent(
+        self, df: DataFrame, app_id: str, version: int, max_retries: int = 20
+    ) -> Optional[int]:
+        """Exactly-once append under a writer-supplied monotonic
+        ``(app_id, version)`` — the Delta txnAppId/txnVersion pattern
+        that turns an at-least-once producer (a Structured Streaming
+        ``foreachBatch`` replaying a micro-batch after a failure, with
+        ``version=batch_id``) into an exactly-once sink.
+
+        If any committed manifest already records a txn for ``app_id``
+        with version >= ``version``, this call is a REPLAY: it returns
+        None without writing anything.  ``version`` must be monotonic
+        per app (streaming batch ids are) — the >= check means a replay
+        of batch N after batch N+1 committed is also skipped, exactly
+        the restart-from-older-checkpoint case.  The check re-runs
+        inside the claim loop (PendingCommit.commit), so a duplicate of
+        this txn racing this call cannot double-append; the loser's
+        staged files become vacuum()-reclaimable orphans."""
+        prior = self.txn_version(app_id)
+        if prior is not None and prior >= version:
+            return None  # replay detected before staging: no data write
+        pending = self.begin_append(df)
+        pending.txn = {"app_id": str(app_id), "version": int(version)}
+        return pending.commit(max_retries=max_retries)
+
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
         """Transactionally add ``df``'s rows; returns the committed
         version.  Concurrent appends REBASE on conflict: the staged
@@ -261,12 +300,24 @@ class PendingCommit:
         self.staged = staged
         self.schema = schema
         self.committed_version: Optional[int] = None
+        # exactly-once append marker, set by append_idempotent:
+        # {"app_id": ..., "version": ...} recorded in the manifest
+        self.txn: Optional[dict] = None
 
-    def commit(self, max_retries: int = 20) -> int:
+    def commit(self, max_retries: int = 20) -> Optional[int]:
         if self.committed_version is not None:
             return self.committed_version  # idempotent
         t = self.table
         for _ in range(max_retries + 1):
+            if self.txn is not None:
+                # re-check INSIDE the loop: a concurrent duplicate of
+                # this very txn may have landed between staging and this
+                # claim attempt (or between retries) — committing anyway
+                # would double-append.  Our staged files become orphans
+                # vacuum() reclaims.
+                prior = t.txn_version(self.txn["app_id"])
+                if prior is not None and prior >= self.txn["version"]:
+                    return None
             head = t.latest_version()
             parent_files: List[str] = []
             if head:
@@ -283,6 +334,8 @@ class PendingCommit:
             manifest = t._manifest_for(
                 self.action, parent_files + self.staged, head, self.schema
             )
+            if self.txn is not None:
+                manifest["txn"] = dict(self.txn)
             if t._try_claim(head + 1, manifest):
                 self.committed_version = head + 1
                 return self.committed_version

@@ -20,11 +20,12 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, query_vector_lit
@@ -374,6 +375,116 @@ def load_centroids(path: str) -> np.ndarray:
     return np.array(table.column("centroid").to_pylist(), dtype="float64")
 
 
+def save_pq_codebooks(codebooks: np.ndarray, path: str) -> None:
+    """Persist ``(m, ksub, dsub)`` PQ codebooks as parquet rows
+    ``(sub, code, centroid)`` — float64 round-trips parquet exactly, so
+    a loaded index reproduces the in-memory search bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m, ksub, _ = codebooks.shape
+    table = pa.table(
+        {
+            "sub": pa.array(
+                [s for s in range(m) for _ in range(ksub)], type=pa.int32()
+            ),
+            "code": pa.array(
+                [c for _ in range(m) for c in range(ksub)], type=pa.int32()
+            ),
+            "centroid": pa.array(
+                [
+                    codebooks[s, c].astype("float64").tolist()
+                    for s in range(m)
+                    for c in range(ksub)
+                ],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def load_pq_codebooks(path: str) -> np.ndarray:
+    """Load persisted PQ codebooks back to ``(m, ksub, dsub)``."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path).sort_by([("sub", "ascending"), ("code", "ascending")])
+    subs = table.column("sub").to_pylist()
+    cents = table.column("centroid").to_pylist()
+    m = subs[-1] + 1
+    ksub = len(subs) // m
+    return np.array(cents, dtype="float64").reshape(m, ksub, -1)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    index_dir: str,
+    corpus_vec: str = "embedding",
+    nlist: Optional[int] = None,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+) -> None:
+    """The BUILD half of the production ANN posture (FAISS
+    write_index analog, split build/serve jobs): train the coarse
+    centroids and residual PQ codebooks, encode the corpus, and write
+    the three index artifacts under ``index_dir``:
+
+      * ``centroids.parquet``  — (cell, centroid)        [driver-size]
+      * ``codebooks.parquet``  — (sub, code, centroid)    [driver-size]
+      * ``codes/``             — (id, cell, codes binary) [corpus-size,
+                                 written distributed]
+
+    The expensive parts — the training sample scan and the one Arrow
+    encode pass over every vector — happen HERE, once; any number of
+    later serve jobs (``load_ivfpq_index`` + ``ivfpq_topk(codes=...)``)
+    reuse the artifacts without retraining or re-encoding.  Everything
+    is deterministic (seeded sample, Lloyd, stable argmin), and floats
+    persist exactly, so serve-from-disk output is bit-identical to an
+    inline run with the same parameters."""
+    from ..functions.vector_pandas import ivfpq_encode_udf
+
+    corpus = corpus.select(corpus_id, corpus_vec)
+    corpus_rows = corpus.count()
+    if nlist is None:
+        nlist = auto_nlist(corpus_rows)
+    centroids = train_ivf_centroids(
+        corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
+        corpus_rows=corpus_rows, normalize=True,
+    )
+    codebooks = train_pq_codebooks(
+        corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed,
+        corpus_rows=corpus_rows, coarse_centroids=centroids,
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    save_centroids(centroids, os.path.join(index_dir, "centroids.parquet"))
+    save_pq_codebooks(
+        codebooks, os.path.join(index_dir, "codebooks.parquet")
+    )
+    encode = ivfpq_encode_udf(centroids, codebooks)
+    codes = corpus.select(
+        F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
+    ).select(
+        F.col(corpus_id),
+        F.col("_idx.cell").alias("cell"),
+        F.col("_idx.codes").alias("codes"),
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+
+
+def load_ivfpq_index(spark: SparkSession, index_dir: str):
+    """Load a persisted IVFADC index: ``(centroids, codebooks,
+    codes_df)`` — pass all three to ``ivfpq_topk`` to serve without
+    retraining or re-encoding."""
+    centroids = load_centroids(os.path.join(index_dir, "centroids.parquet"))
+    codebooks = load_pq_codebooks(
+        os.path.join(index_dir, "codebooks.parquet")
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    return centroids, codebooks, codes
+
+
 # --------------------------------------------------------------------------
 # Product quantization (Jégou, Douze & Schmid, TPAMI 2011 — "Product
 # Quantization for Nearest Neighbor Search"; FAISS IndexPQ semantics).
@@ -671,6 +782,7 @@ def ivfpq_topk(
     overfetch: int = 8,
     centroids: Optional[np.ndarray] = None,
     codebooks: Optional[np.ndarray] = None,
+    codes: Optional[DataFrame] = None,
     sim_col: str = "score",
     seed: int = 42,
     persist_corpus: bool = False,
@@ -700,10 +812,22 @@ def ivfpq_topk(
 
     ``corpus`` must be DETERMINISTIC (evaluated twice: index scan +
     re-rank join) — ``persist_corpus=True`` pins one materialization;
-    release with ``release_persisted_corpus``."""
+    release with ``release_persisted_corpus``.
+
+    ``codes`` (with ``centroids`` + ``codebooks``): serve from a
+    PERSISTED index (``build_ivfpq_index`` / ``load_ivfpq_index``) —
+    a ``(corpus_id, cell, codes binary)`` frame replaces the inline
+    encode pass, so the corpus vectors are only touched by the exact
+    re-rank join.  With one evaluation per artifact and float64
+    persistence, serve-from-disk output is bit-identical to the inline
+    run that built the index."""
     from ..functions.vector import cosine_similarity
     from ..functions.vector_pandas import ivfpq_encode_udf
 
+    if codes is not None and (centroids is None or codebooks is None):
+        raise ValueError(
+            "codes= requires the centroids and codebooks that encoded it"
+        )
     if persist_corpus:
         corpus = corpus.select(corpus_id, corpus_vec).persist()
     if centroids is None or codebooks is None:
@@ -724,14 +848,21 @@ def ivfpq_topk(
     nlist = len(centroids)
     nprobe = min(nprobe, nlist)
 
-    encode = ivfpq_encode_udf(centroids, codebooks)
-    codes = corpus.select(
-        F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
-    ).select(
-        F.col(corpus_id),
-        F.col("_idx.cell").alias("_cell"),
-        F.hex(F.col("_idx.codes")).alias("_hex"),
-    )
+    if codes is None:
+        encode = ivfpq_encode_udf(centroids, codebooks)
+        codes = corpus.select(
+            F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
+        ).select(
+            F.col(corpus_id),
+            F.col("_idx.cell").alias("_cell"),
+            F.hex(F.col("_idx.codes")).alias("_hex"),
+        )
+    else:
+        codes = codes.select(
+            F.col(corpus_id),
+            F.col("cell").alias("_cell"),
+            F.hex(F.col("codes")).alias("_hex"),
+        )
 
     # ONE evaluation of the query frame feeds probe cells, LUTs, the
     # per-cell <q, centroid> term, and the re-rank vectors

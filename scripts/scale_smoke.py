@@ -110,6 +110,7 @@ DEFAULT_QUERIES = [
     # and the multi-writer commit protocol (I/O-bound; linear writes)
     "d19_semantic_resolve_bloom",
     "s17_commit_log_serializable",
+    "v12_ann_index_persist",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

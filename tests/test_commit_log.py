@@ -183,3 +183,54 @@ def test_empty_append_and_empty_table_read(spark, tmp_path):
     assert v == 1
     assert t.read(1).count() == 0
     assert [f.name for f in t.read(1).schema.fields] == ["id", "val"]
+
+
+def test_append_idempotent_replay_skipped(spark, tmp_path):
+    """The txnAppId/txnVersion contract: the first (app, version)
+    commits; an exact replay is detected and skipped (returns None, no
+    new version, no duplicate rows); versions are monotonic per app so
+    an OLDER version replayed after a newer one is also skipped."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    v = t.append_idempotent(_df(spark, 0, 5), "app", 0)
+    assert v == 1
+    assert t.append_idempotent(_df(spark, 0, 5), "app", 0) is None
+    v = t.append_idempotent(_df(spark, 5, 8), "app", 1)
+    assert v == 2
+    # restart from an older checkpoint: batch 0 replays AFTER batch 1
+    assert t.append_idempotent(_df(spark, 0, 5), "app", 0) is None
+    assert t.latest_version() == 2
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(8))
+    # the txn marker is in the manifest (restart recovery reads it)
+    assert t.manifest(1)["txn"] == {"app_id": "app", "version": 0}
+    assert t.txn_version("app") == 1
+    assert t.txn_version("other") is None
+
+
+def test_append_idempotent_apps_are_independent(spark, tmp_path):
+    """Two producers with distinct app_ids share version numbers
+    without colliding; plain appends (no txn) never affect either."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.append_idempotent(_df(spark, 0, 2), "a", 0) == 1
+    assert t.append_idempotent(_df(spark, 2, 4), "b", 0) == 2
+    t.append(_df(spark, 4, 6))  # non-txn writer interleaves freely
+    assert t.append_idempotent(_df(spark, 6, 8), "a", 1) == 4
+    assert t.append_idempotent(_df(spark, 0, 2), "a", 0) is None
+    assert t.append_idempotent(_df(spark, 2, 4), "b", 0) is None
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(8))
+
+
+def test_append_idempotent_race_rechecked_in_claim_loop(spark, tmp_path):
+    """A duplicate of the SAME txn landing between this writer's
+    staging and its claim (two foreachBatch replicas racing) must not
+    double-append: the claim loop re-checks the txn marker after every
+    lost race, so the loser returns None and its staged files become
+    vacuum()-reclaimable orphans."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    pending = t.begin_append(_df(spark, 0, 4))
+    pending.txn = {"app_id": "app", "version": 0}
+    # the concurrent duplicate wins the txn first
+    assert t.append_idempotent(_df(spark, 0, 4), "app", 0) == 1
+    assert pending.commit() is None
+    assert t.latest_version() == 1
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(4))
+    assert len(t.vacuum()) == 1  # the loser's orphaned staging dir

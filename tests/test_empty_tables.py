@@ -110,6 +110,8 @@ ENTRIES = [
     "t25_batch_bm25_retrieval",
     "t26_boilerplate_cms_gate",
     "d18_semantic_dedup_resolve",
+    "d20_stream_dedup",
+    "s18_stream_commit_log_sink",
     "d19_semantic_resolve_bloom",
     "s17_commit_log_serializable",
 ]

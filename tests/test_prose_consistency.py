@@ -87,3 +87,23 @@ def test_bench_artifact_is_complete():
     with open(b.ARTIFACT) as fh:
         record = json.load(fh)
     assert record["complete"] is True
+
+
+def test_bench_artifact_matches_headline():
+    """The committed bench record must cover exactly bench.HEADLINE:
+    'complete' is computed against the HEADLINE of the run that
+    produced the artifact, so adding entries to HEADLINE without
+    rerunning the bench would otherwise ship a silently-stale record —
+    a pathologically slow new entry would be invisible until the next
+    driver run (the round-8 third-review finding)."""
+    import json
+
+    import bench
+    import sync_bench_prose as b
+
+    with open(b.ARTIFACT) as fh:
+        record = json.load(fh)
+    assert set(record["queries"]) == set(bench.HEADLINE), (
+        "bench_out.json's query set drifted from bench.HEADLINE — "
+        "rerun: python bench.py && python scripts/sync_bench_prose.py --write"
+    )

@@ -208,3 +208,40 @@ def test_v11_ivfpq_adc_is_cell_pruned_jvm_only(spark):
     # lineage); ADC adds no Python
     assert plan.count("ArrowEvalPython") <= 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_v12_serve_from_index_plan_has_no_python(spark, tmp_path):
+    """v12's scale claim: serving from a persisted index never runs
+    Python — the encode UDF belongs to the BUILD job only, so the serve
+    plan (codes scan -> broadcast LUT equi-join -> JVM ADC -> exact
+    re-rank) must contain zero Arrow/Batch eval nodes and stay
+    cell-pruned (BroadcastHashJoin, no cross join)."""
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(corpus, "neighbor_id", idx, nlist=8, m=8, ksub=16)
+    centroids, codebooks, codes = load_ivfpq_index(spark, idx)
+    out = ivfpq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id", nprobe=4, overfetch=8,
+        centroids=centroids, codebooks=codebooks, codes=codes,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

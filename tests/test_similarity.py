@@ -480,3 +480,92 @@ def test_pq_topk_large_ksub_falls_back_to_array_codes(spark, emb):
         corpus_id="neighbor_id", m=8, ksub=300, overfetch=4,
     ).collect()
     assert len(out) > 0
+
+
+def test_ivfpq_index_persist_roundtrip_identical(spark, emb, tmp_path):
+    """build_ivfpq_index -> load_ivfpq_index -> ivfpq_topk(codes=...)
+    must equal the inline run bit-for-bit: float64 round-trips parquet
+    exactly and every stage is deterministic, so serve-from-disk is
+    output-invisible (the v12 contract)."""
+    from chessmate_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    kw = dict(
+        k=3, query_id="query_id", corpus_id="neighbor_id",
+        nprobe=4, overfetch=8,
+    )
+    inline = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                queries, corpus, nlist=8, m=8, ksub=16, **kw
+            ).collect(),
+        )
+    )
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(corpus, "neighbor_id", idx, nlist=8, m=8, ksub=16)
+    centroids, codebooks, codes = load_ivfpq_index(spark, idx)
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                queries, corpus,
+                centroids=centroids, codebooks=codebooks, codes=codes,
+                **kw,
+            ).collect(),
+        )
+    )
+    assert served == inline
+
+
+def test_pq_codebooks_save_load_exact(tmp_path):
+    """Codebook persistence is exact: (m, ksub, dsub) float64 in == out."""
+    import numpy as np
+
+    from chessmate_spark.operators.similarity import (
+        load_pq_codebooks,
+        save_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    books = rng.randn(4, 16, 8)
+    p = str(tmp_path / "books.parquet")
+    save_pq_codebooks(books, p)
+    loaded = load_pq_codebooks(p)
+    assert loaded.shape == books.shape
+    assert np.array_equal(loaded, books)
+
+
+def test_ivfpq_codes_requires_its_codebooks(spark, emb):
+    """codes= without the centroids/codebooks that encoded it is a
+    contract violation, not a silent retrain (which would score codes
+    against MISMATCHED LUTs)."""
+    import pytest as _pytest
+
+    from chessmate_spark.operators.similarity import ivfpq_topk
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    fake_codes = corpus.select(
+        "neighbor_id",
+        F.lit(0).alias("cell"),
+        F.lit(b"\x00").alias("codes"),
+    )
+    with _pytest.raises(ValueError, match="codes="):
+        ivfpq_topk(
+            queries, corpus, k=3, query_id="query_id",
+            corpus_id="neighbor_id", codes=fake_codes,
+        )
