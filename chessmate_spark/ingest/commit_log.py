@@ -178,7 +178,10 @@ class CommitLogTable:
         ``app_id`` (None when that app never committed).  Scans the
         manifest history — manifests are small metadata files, so this
         is O(versions) driver-side reads; a production log would fold
-        the per-app high-water mark into a checkpoint."""
+        the per-app high-water mark into a checkpoint.  ``app_id`` is
+        normalized to str — manifests store the str form, so a raw int
+        id would otherwise silently never match."""
+        app_id = str(app_id)
         best = None
         for m in self.history():
             txn = m.get("txn")
@@ -205,6 +208,11 @@ class CommitLogTable:
         inside the claim loop (PendingCommit.commit), so a duplicate of
         this txn racing this call cannot double-append; the loser's
         staged files become vacuum()-reclaimable orphans."""
+        # normalize BEFORE the fast-path check: manifests store the str
+        # form, so a raw int app_id would never match here and every
+        # replay would stage a full parquet write only to be skipped by
+        # the in-loop check (orphaning a staging dir per replay)
+        app_id = str(app_id)
         prior = self.txn_version(app_id)
         if prior is not None and prior >= version:
             return None  # replay detected before staging: no data write

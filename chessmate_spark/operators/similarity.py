@@ -442,35 +442,50 @@ def build_ivfpq_index(
     reuse the artifacts without retraining or re-encoding.  Everything
     is deterministic (seeded sample, Lloyd, stable argmin), and floats
     persist exactly, so serve-from-disk output is bit-identical to an
-    inline run with the same parameters."""
+    inline run with the same parameters.
+
+    The corpus is persisted for the duration of the build (and released
+    before returning): the build evaluates it four times — count, the
+    two training sample scans, and the encode+write — so one pinned
+    materialization both saves three source rescans and guarantees the
+    codebooks and the codes derive from the SAME rows even for a
+    nondeterministic source (the ivfpq_topk determinism contract,
+    enforced here instead of documented)."""
     from ..functions.vector_pandas import ivfpq_encode_udf
 
-    corpus = corpus.select(corpus_id, corpus_vec)
-    corpus_rows = corpus.count()
-    if nlist is None:
-        nlist = auto_nlist(corpus_rows)
-    centroids = train_ivf_centroids(
-        corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
-        corpus_rows=corpus_rows, normalize=True,
-    )
-    codebooks = train_pq_codebooks(
-        corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed,
-        corpus_rows=corpus_rows, coarse_centroids=centroids,
-    )
-    os.makedirs(index_dir, exist_ok=True)
-    save_centroids(centroids, os.path.join(index_dir, "centroids.parquet"))
-    save_pq_codebooks(
-        codebooks, os.path.join(index_dir, "codebooks.parquet")
-    )
-    encode = ivfpq_encode_udf(centroids, codebooks)
-    codes = corpus.select(
-        F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
-    ).select(
-        F.col(corpus_id),
-        F.col("_idx.cell").alias("cell"),
-        F.col("_idx.codes").alias("codes"),
-    )
-    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    corpus = corpus.select(corpus_id, corpus_vec).persist()
+    try:
+        corpus_rows = corpus.count()
+        if nlist is None:
+            nlist = auto_nlist(corpus_rows)
+        centroids = train_ivf_centroids(
+            corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
+            corpus_rows=corpus_rows, normalize=True,
+        )
+        codebooks = train_pq_codebooks(
+            corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed,
+            corpus_rows=corpus_rows, coarse_centroids=centroids,
+        )
+        os.makedirs(index_dir, exist_ok=True)
+        save_centroids(
+            centroids, os.path.join(index_dir, "centroids.parquet")
+        )
+        save_pq_codebooks(
+            codebooks, os.path.join(index_dir, "codebooks.parquet")
+        )
+        encode = ivfpq_encode_udf(centroids, codebooks)
+        codes = corpus.select(
+            F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
+        ).select(
+            F.col(corpus_id),
+            F.col("_idx.cell").alias("cell"),
+            F.col("_idx.codes").alias("codes"),
+        )
+        codes.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "codes")
+        )
+    finally:
+        corpus.unpersist()
 
 
 def load_ivfpq_index(spark: SparkSession, index_dir: str):
@@ -828,6 +843,13 @@ def ivfpq_topk(
         raise ValueError(
             "codes= requires the centroids and codebooks that encoded it"
         )
+    if persist_corpus and codes is not None:
+        # with persisted codes the corpus is evaluated exactly once
+        # (the re-rank join) — pinning a full corpus projection for
+        # zero reuse wastes executor cache, so the flag is a no-op and
+        # no pin attribute is attached (release_persisted_corpus
+        # returns False, by contract callable unconditionally)
+        persist_corpus = False
     if persist_corpus:
         corpus = corpus.select(corpus_id, corpus_vec).persist()
     if centroids is None or codebooks is None:

@@ -298,9 +298,19 @@ def merge_smoke_block(
     else:
         record[block_name] = block
     if failures_prefix is not None:
+        def stands(f: str) -> bool:
+            if not f.startswith(failures_prefix):
+                return True  # another probe's failure: not ours to touch
+            if not update:
+                return False  # full re-measure: this run's list replaces all
+            # subset re-measure (update=True): a standing failure for an
+            # entry NOT re-measured this run must SURVIVE the splice —
+            # its red row is still in the merged block, and dropping the
+            # tag would let test_smoke_artifact_is_green pass on a
+            # record containing a failing measurement
+            return f[len(failures_prefix):] not in set(map(str, block))
         record["failures"] = [
-            f for f in record.get("failures", [])
-            if not f.startswith(failures_prefix)
+            f for f in record.get("failures", []) if stands(f)
         ] + list(failures or [])
         record["ok"] = not record["failures"]
     else:

@@ -234,3 +234,20 @@ def test_append_idempotent_race_rechecked_in_claim_loop(spark, tmp_path):
     assert t.latest_version() == 1
     assert sorted(r["id"] for r in t.read().collect()) == list(range(4))
     assert len(t.vacuum()) == 1  # the loser's orphaned staging dir
+
+
+def test_append_idempotent_int_app_id_normalized(spark, tmp_path):
+    """Manifests store str(app_id); a raw int id must hit the SAME txn
+    high-water mark on both the pre-staging fast path and txn_version —
+    otherwise every replay stages a full parquet write just to be
+    skipped in the claim loop, orphaning a staging dir per replay."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.append_idempotent(_df(spark, 0, 3), 7, 0) == 1
+    data_root = str(tmp_path / "t" / "data")
+    before = len(os.listdir(data_root))
+    assert t.append_idempotent(_df(spark, 0, 3), 7, 0) is None
+    assert len(os.listdir(data_root)) == before  # fast path: no staging
+    assert t.txn_version(7) == 0
+    assert t.txn_version("7") == 0

@@ -107,3 +107,24 @@ def test_bench_artifact_matches_headline():
         "bench_out.json's query set drifted from bench.HEADLINE — "
         "rerun: python bench.py && python scripts/sync_bench_prose.py --write"
     )
+
+
+def test_smoke_artifact_covers_default_queries():
+    """Same gate for the smoke record as for the bench record: every
+    DEFAULT_QUERIES entry must have a row in the committed
+    SCALE_SMOKE.json queries block — adding an entry to the list
+    without rerunning (at least a targeted) smoke would otherwise ship
+    a silently-stale record in which a superlinear new entry is
+    invisible until the next full rerun."""
+    import json
+
+    import scale_smoke as ss
+    import sync_smoke_prose as s
+
+    with open(s.ARTIFACT) as fh:
+        record = json.load(fh)
+    missing = set(ss.DEFAULT_QUERIES) - set(record.get("queries", {}))
+    assert not missing, (
+        f"SCALE_SMOKE.json has no row for {sorted(missing)} — run: "
+        "python scripts/scale_smoke.py <name> (targeted two-point merge)"
+    )

@@ -569,3 +569,32 @@ def test_ivfpq_codes_requires_its_codebooks(spark, emb):
             queries, corpus, k=3, query_id="query_id",
             corpus_id="neighbor_id", codes=fake_codes,
         )
+
+
+def test_ivfpq_persist_corpus_noop_with_codes(spark, emb, tmp_path):
+    """With persisted codes the corpus is evaluated exactly once (the
+    re-rank join), so persist_corpus=True must be a no-op — no pin
+    attached, release returns False, no corpus projection left cached."""
+    from chessmate_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+        release_persisted_corpus,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(corpus, "neighbor_id", idx, nlist=8, m=8, ksub=16)
+    c, b, codes = load_ivfpq_index(spark, idx)
+    out = ivfpq_topk(
+        queries, corpus, k=3, query_id="query_id",
+        corpus_id="neighbor_id",
+        centroids=c, codebooks=b, codes=codes, persist_corpus=True,
+    )
+    out.collect()
+    assert release_persisted_corpus(out) is False
