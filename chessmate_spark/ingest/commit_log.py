@@ -343,7 +343,14 @@ class PendingCommit:
                 self.action, parent_files + self.staged, head, self.schema
             )
             if self.txn is not None:
-                manifest["txn"] = dict(self.txn)
+                # normalize at the WRITE boundary — the one place every
+                # txn marker flows through — so a raw int app_id set
+                # directly on a PendingCommit can never write a marker
+                # the (str-normalizing) readers would fail to match
+                manifest["txn"] = {
+                    "app_id": str(self.txn["app_id"]),
+                    "version": int(self.txn["version"]),
+                }
             if t._try_claim(head + 1, manifest):
                 self.committed_version = head + 1
                 return self.committed_version

@@ -425,6 +425,7 @@ def build_ivfpq_index(
     m: int = 8,
     ksub: int = 16,
     seed: int = 42,
+    persist_corpus: bool = False,
 ) -> None:
     """The BUILD half of the production ANN posture (FAISS
     write_index analog, split build/serve jobs): train the coarse
@@ -444,16 +445,21 @@ def build_ivfpq_index(
     persist exactly, so serve-from-disk output is bit-identical to an
     inline run with the same parameters.
 
-    The corpus is persisted for the duration of the build (and released
-    before returning): the build evaluates it four times — count, the
-    two training sample scans, and the encode+write — so one pinned
-    materialization both saves three source rescans and guarantees the
-    codebooks and the codes derive from the SAME rows even for a
-    nondeterministic source (the ivfpq_topk determinism contract,
-    enforced here instead of documented)."""
+    ``corpus`` must be DETERMINISTIC (the build evaluates it four
+    times: count, the two training sample scans, and the encode+write)
+    — the same contract as ``ivfpq_topk``.  ``persist_corpus=True``
+    pins one best-effort materialization (saves three source rescans at
+    moderate scale; best-effort because Spark recomputes lost cached
+    partitions from lineage — a truly nondeterministic source needs a
+    deterministic snapshot first, e.g. ``localCheckpoint``).  The
+    default streams four column-pruned scans, the right posture when
+    the corpus exceeds cluster cache capacity — the build job's
+    advertised scale."""
     from ..functions.vector_pandas import ivfpq_encode_udf
 
-    corpus = corpus.select(corpus_id, corpus_vec).persist()
+    corpus = corpus.select(corpus_id, corpus_vec)
+    if persist_corpus:
+        corpus = corpus.persist()
     try:
         corpus_rows = corpus.count()
         if nlist is None:
@@ -485,7 +491,8 @@ def build_ivfpq_index(
             os.path.join(index_dir, "codes")
         )
     finally:
-        corpus.unpersist()
+        if persist_corpus:
+            corpus.unpersist()
 
 
 def load_ivfpq_index(spark: SparkSession, index_dir: str):
@@ -843,13 +850,11 @@ def ivfpq_topk(
         raise ValueError(
             "codes= requires the centroids and codebooks that encoded it"
         )
-    if persist_corpus and codes is not None:
-        # with persisted codes the corpus is evaluated exactly once
-        # (the re-rank join) — pinning a full corpus projection for
-        # zero reuse wastes executor cache, so the flag is a no-op and
-        # no pin attribute is attached (release_persisted_corpus
-        # returns False, by contract callable unconditionally)
-        persist_corpus = False
+    # with codes= the corpus appears once PER PLAN (the re-rank join),
+    # but an explicit persist_corpus=True is still honored: the pin is
+    # what keeps repeated ACTIONS on the result consistent for a
+    # nondeterministic corpus (count() then collect() would otherwise
+    # re-evaluate the source independently each time)
     if persist_corpus:
         corpus = corpus.select(corpus_id, corpus_vec).persist()
     if centroids is None or codebooks is None:

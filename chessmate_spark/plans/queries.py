@@ -8055,6 +8055,8 @@ def v12_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         build_ivfpq_index(
             corpus, "neighbor_id", index_dir, nlist=8, m=8, ksub=16,
+            persist_corpus=True,  # deterministic parquet source; the
+            # pin saves three of the build's four corpus scans
         )
         centroids, codebooks, codes = load_ivfpq_index(spark, index_dir)
         approx = ivfpq_topk(

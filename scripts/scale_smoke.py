@@ -273,6 +273,7 @@ def merge_smoke_block(
     failures: "list[str] | None" = None,
     failures_prefix: "str | None" = None,
     update: bool = False,
+    remeasured: "set[str] | None" = None,
 ) -> dict:
     """THE read-merge-write path for a standalone probe's block in
     SCALE_SMOKE.json (previously re-implemented per probe, with
@@ -298,17 +299,25 @@ def merge_smoke_block(
     else:
         record[block_name] = block
     if failures_prefix is not None:
+        # which entry names did this run actually re-measure?  Needed
+        # under update=True so a standing failure for an entry NOT
+        # re-measured SURVIVES the splice (its red row is still in the
+        # merged block; dropping the tag would let the green gate pass
+        # on a record containing a failing measurement).  Defaults to
+        # the block's keys — correct when keys ARE entry names (the
+        # linearity shape); a probe whose block keys are derived (e.g.
+        # decomp's d7_x1/d7_candidate_ratio) must pass `remeasured`
+        # explicitly or its standing failures become un-clearable.
+        if remeasured is None:
+            remeasured = set(map(str, block))
+
         def stands(f: str) -> bool:
             if not f.startswith(failures_prefix):
                 return True  # another probe's failure: not ours to touch
             if not update:
                 return False  # full re-measure: this run's list replaces all
-            # subset re-measure (update=True): a standing failure for an
-            # entry NOT re-measured this run must SURVIVE the splice —
-            # its red row is still in the merged block, and dropping the
-            # tag would let test_smoke_artifact_is_green pass on a
-            # record containing a failing measurement
-            return f[len(failures_prefix):] not in set(map(str, block))
+            return f[len(failures_prefix):] not in remeasured
+
         record["failures"] = [
             f for f in record.get("failures", []) if stands(f)
         ] + list(failures or [])

@@ -251,3 +251,21 @@ def test_append_idempotent_int_app_id_normalized(spark, tmp_path):
     assert len(os.listdir(data_root)) == before  # fast path: no staging
     assert t.txn_version(7) == 0
     assert t.txn_version("7") == 0
+
+
+def test_pending_commit_txn_normalized_at_write(spark, tmp_path):
+    """The write boundary normalizes: a raw int app_id set directly on
+    a PendingCommit writes a str marker, so both (str-normalizing)
+    readers match it and a replay skips before staging."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    p = t.begin_append(_df(spark, 0, 4))
+    p.txn = {"app_id": 42, "version": 3}
+    assert p.commit() == 1
+    assert t.manifest(1)["txn"] == {"app_id": "42", "version": 3}
+    assert t.txn_version(42) == 3
+    data_root = str(tmp_path / "t" / "data")
+    before = len(os.listdir(data_root))
+    assert t.append_idempotent(_df(spark, 0, 4), 42, 3) is None
+    assert len(os.listdir(data_root)) == before

@@ -123,8 +123,11 @@ def test_smoke_artifact_covers_default_queries():
 
     with open(s.ARTIFACT) as fh:
         record = json.load(fh)
-    missing = set(ss.DEFAULT_QUERIES) - set(record.get("queries", {}))
-    assert not missing, (
-        f"SCALE_SMOKE.json has no row for {sorted(missing)} — run: "
-        "python scripts/scale_smoke.py <name> (targeted two-point merge)"
+    have = set(record.get("queries", {}))
+    want = set(ss.DEFAULT_QUERIES)
+    assert have == want, (
+        f"SCALE_SMOKE.json rows drifted from DEFAULT_QUERIES — "
+        f"missing {sorted(want - have)}, stale {sorted(have - want)}; "
+        "targeted rerun: python scripts/scale_smoke.py <name> "
+        "(a removed entry needs its stale row pruned by a full rerun)"
     )

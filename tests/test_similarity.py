@@ -571,10 +571,12 @@ def test_ivfpq_codes_requires_its_codebooks(spark, emb):
         )
 
 
-def test_ivfpq_persist_corpus_noop_with_codes(spark, emb, tmp_path):
-    """With persisted codes the corpus is evaluated exactly once (the
-    re-rank join), so persist_corpus=True must be a no-op — no pin
-    attached, release returns False, no corpus projection left cached."""
+def test_ivfpq_persist_corpus_honored_with_codes(spark, emb, tmp_path):
+    """An EXPLICIT persist_corpus=True is honored even when serving
+    from persisted codes: with codes= the corpus appears once per plan,
+    but the pin is what keeps repeated ACTIONS consistent for a
+    nondeterministic corpus — silently dropping it would lose that.
+    Default (no flag): nothing pinned, release returns False."""
     from chessmate_spark.operators.similarity import (
         build_ivfpq_index,
         ivfpq_topk,
@@ -591,10 +593,16 @@ def test_ivfpq_persist_corpus_noop_with_codes(spark, emb, tmp_path):
     idx = str(tmp_path / "index")
     build_ivfpq_index(corpus, "neighbor_id", idx, nlist=8, m=8, ksub=16)
     c, b, codes = load_ivfpq_index(spark, idx)
-    out = ivfpq_topk(
-        queries, corpus, k=3, query_id="query_id",
-        corpus_id="neighbor_id",
-        centroids=c, codebooks=b, codes=codes, persist_corpus=True,
+    kw = dict(
+        k=3, query_id="query_id", corpus_id="neighbor_id",
+        centroids=c, codebooks=b, codes=codes,
     )
+    out = ivfpq_topk(queries, corpus, persist_corpus=True, **kw)
+    pin = out._pq_pinned_corpus
     out.collect()
-    assert release_persisted_corpus(out) is False
+    assert pin.storageLevel.useMemory
+    assert release_persisted_corpus(out) is True
+    assert not pin.storageLevel.useMemory
+    plain = ivfpq_topk(queries, corpus, **kw)
+    plain.collect()
+    assert release_persisted_corpus(plain) is False
