@@ -207,6 +207,9 @@ HEADLINE = [
     "d19_semantic_resolve_bloom",
     "s17_commit_log_serializable",
     "v12_ann_index_persist",
+    "d21_substring_dedup",
+    "v13_rrf_fusion",
+    "a31_constraint_audit",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -7606,6 +7606,17 @@ def t24_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, zero wide exchanges.  Scores rounded-then-ordered in both
     engines so LIMIT-boundary ties resolve identically."""
     docs = _docs(spark, sf_dir)
+    return (
+        _bm25_scored_frame(docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_scored_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, score) for every document hitting >= 1 fixed query term
+    — t24's BM25 arithmetic, unlimited, shared with the v13 RRF fusion
+    so both entries rank the IDENTICAL lexical score."""
     text = F.trim(F.lower(F.coalesce(F.col("text"), F.lit(""))))
     arr = tokenize_expr(text)
     base = docs.select(
@@ -7650,8 +7661,6 @@ def t24_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.crossJoin(F.broadcast(stats))
         .filter(any_hit)
         .select("doc_id", portable_round(score_sum, 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
     )
 
 
@@ -8250,3 +8259,322 @@ def s18_stream_commit_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+_SUBSTR_K = 8  # tokens per rolling window (Lee et al. use 50; fixture docs are 10-99 tokens)
+
+
+@_register(
+    "d21_substring_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_NORM_TOKENS.format(col="text")} AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(t[(CAST(i AS INT)+1):(CAST(i AS INT)+{_SUBSTR_K})], ' ') AS g
+      FROM toks,
+           LATERAL (SELECT unnest(range(0,
+             greatest(len(t) - {_SUBSTR_K} + 1, 0))) AS i) u),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+    cov AS (
+      -- O(n*k) toy-scale form of the span union: explode each marked
+      -- window into its k token indices and count distinct
+      SELECT doc_id,
+             CAST(count(DISTINCT pos) AS BIGINT) AS dup_grams,
+             CAST(count(DISTINCT pos + j) AS BIGINT) AS dup_tokens
+      FROM marked,
+           LATERAL (SELECT unnest(range(0, {_SUBSTR_K})) AS j) v
+      GROUP BY doc_id),
+    meta AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(greatest(len(t) - {_SUBSTR_K} + 1, 0) AS BIGINT) AS n_grams
+      FROM toks)
+    SELECT m.doc_id, m.n_tokens, m.n_grams, c.dup_grams, c.dup_tokens,
+           CAST(c.dup_tokens AS DOUBLE) / m.n_tokens AS dup_fraction
+    FROM meta m JOIN cov c USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+)
+def d21_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (token-span) duplication — Lee et al. 2022's
+    EXACTSUBSTR pass, the granularity the dedup ladder was missing
+    (d1 whole-document -> d17 paragraph -> THIS, k-token spans): every
+    {k}-token rolling window repeated anywhere in the corpus marks its
+    span duplicated; per doc we report duplicated window starts and the
+    merged-interval token coverage Lee et al. trim, plus the fraction.
+
+    The distributed plan replaces their single-node suffix array with a
+    rolling-gram frequency join: grams fold to xxhash64 IN the scan
+    projection (the corpus-scale exchanges carry int64, never k-token
+    strings), the frequency aggregate is partial+final (hot boilerplate
+    grams collapse map-side — the d17 skew discipline), the mark-back
+    is a hash-keyed shuffle join, and the per-doc span union is an
+    in-group sorted-interval merge via F.aggregate (O(dup_grams) per
+    doc, no k-way explode; the oracle's count-distinct trick is the
+    O(n*k) toy-scale form of the same number).  See
+    operators/dedup.py substring_dup_stats for the collision bound."""
+    from ..operators.dedup import substring_dup_stats
+
+    docs = _docs(spark, sf_dir)
+    return (
+        substring_dup_stats(docs, "doc_id", "text", k=_SUBSTR_K)
+        .orderBy("doc_id")
+    )
+
+
+d21_substring_dedup.__doc__ = d21_substring_dedup.__doc__.replace(
+    "{k}", str(_SUBSTR_K)
+)
+
+
+_RRF_B = 50  # depth of each system's candidate list
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_TOPK = 20
+
+
+def _rrf_oracle() -> str:
+    cos = _duck_cosine("embedding", _duck_vec_literal())
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WS_TOKS_SQL}) AS token
+      FROM documents),
+    doc_len AS (
+      SELECT doc_id, CAST(len({_WS_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avgdl
+      FROM doc_len),
+    hits AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN {_TFIDF_TERMS!r}
+      GROUP BY doc_id, token),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM hits GROUP BY token),
+    contrib AS (
+      SELECT h.doc_id, h.token,
+             {_BM25_CONTRIB_SQL} AS contrib
+      FROM hits h
+      JOIN doc_len dl USING (doc_id)
+      JOIN df d ON h.token = d.token
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id,
+             {_BM25_RAW_SQL} AS raw
+      FROM contrib
+      GROUP BY doc_id),
+    bm AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY floor(raw * 1000000.0 + 0.5) / 1000000.0 DESC,
+                        doc_id) AS INTEGER) AS bm25_rank
+      FROM scored
+      QUALIFY bm25_rank <= {_RRF_B}),
+    cosr AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY round({cos}, 6) DESC, vec_id) AS INTEGER)
+               AS cos_rank
+      FROM embeddings
+      QUALIFY cos_rank <= {_RRF_B})
+    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           b.bm25_rank, c.cos_rank,
+           coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + b.bm25_rank), 0.0)
+             + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + c.cos_rank), 0.0)
+             AS rrf_score
+    FROM bm b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_TOPK}
+    """
+
+
+@_register("v13_rrf_fusion", _rrf_oracle())
+def v13_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of lexical and semantic retrieval (Cormack
+    et al. SIGIR 2009; the fusion Elasticsearch/Vespa hybrid search
+    ships): BM25 top-{b} (t24's scorer, shared arithmetic via
+    _bm25_scored_frame) and cosine top-{b} over the 1:1-aligned
+    embeddings table are fused by score = sum over systems of
+    1/({c} + rank), then global top-{k}.  Rank-based fusion needs no
+    score calibration between systems — exactly why it is the standard
+    first fusion for hybrid RAG retrieval, and the rank-space
+    counterpart of the reference's weighted SCORE blend
+    (hybrid_executor.ml's vector+keyword mix, F21).
+
+    Scale shape: each system's list is a TakeOrderedAndProject (t24's
+    two-scan zero-wide-exchange lexical plan; one corpus scan for the
+    cosine side) cut to a CONSTANT {b} rows; ranks come from a window
+    over those {b}-row frames (single-partition by construction and by
+    intent — never over the corpus); the fusion join and final sort
+    touch at most 2*{b} rows regardless of corpus size.  Scores
+    rounded-then-ranked in both engines (t24/v2's tie discipline) so
+    every cut is deterministic."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (
+        _bm25_scored_frame(docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_B)
+        .select(
+            "doc_id",
+            F.row_number().over(rank_w).cast("int").alias("bm25_rank"),
+        )
+    )
+    cos = portable_round(
+        cosine_similarity(F.col("embedding"), query_vector_lit(_query_vec())),
+        6,
+    )
+    cosr = (
+        emb.select(F.col("vec_id").alias("doc_id"), cos.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_B)
+        .select(
+            "doc_id",
+            F.row_number().over(rank_w).cast("int").alias("cos_rank"),
+        )
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("cos_rank")), F.lit(0.0)
+    )
+    return (
+        bm.join(cosr, "doc_id", "full")
+        .select("doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
+    )
+
+
+v13_rrf_fusion.__doc__ = (
+    v13_rrf_fusion.__doc__.replace("{b}", str(_RRF_B))
+    .replace("{c}", str(_RRF_C))
+    .replace("{k}", str(_RRF_TOPK))
+)
+
+
+def _audit_oracle() -> str:
+    # one CTE per table (mirroring the one-scan-per-table plan), long
+    # form via UNION ALL; every metric is exact-count DOUBLE division
+    return """
+    WITH o AS (
+      SELECT
+        CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS comp_ocust,
+        CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS uniq_okey,
+        CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1
+                 ELSE 0 END) AS DOUBLE) / count(*) AS acc_status
+      FROM orders),
+    l AS (
+      SELECT
+        CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1
+                 ELSE 0 END) AS DOUBLE) / count(*) AS rng_disc,
+        CAST(sum(CASE WHEN l_extendedprice >= 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS nneg_price,
+        CAST(count(DISTINCT l_orderkey) AS DOUBLE) / count(*) AS uniq_lokey
+      FROM lineitem),
+    ri AS (
+      SELECT
+        CAST((SELECT count(*) FROM lineitem li
+              WHERE li.l_orderkey IN (SELECT o_orderkey FROM orders))
+             AS DOUBLE) / (SELECT count(*) FROM lineitem) AS li_orders,
+        CAST((SELECT count(*) FROM orders oo
+              WHERE oo.o_custkey IN (SELECT c_custkey FROM customer))
+             AS DOUBLE) / (SELECT count(*) FROM orders) AS o_cust),
+    long AS (
+      SELECT 'orders.completeness(o_custkey)' AS constraint_name,
+             comp_ocust AS metric, CAST(1.0 AS DOUBLE) AS threshold FROM o
+      UNION ALL
+      SELECT 'orders.uniqueness(o_orderkey)', uniq_okey,
+             CAST(1.0 AS DOUBLE) FROM o
+      UNION ALL
+      SELECT 'orders.accepted_values(o_orderstatus)', acc_status,
+             CAST(1.0 AS DOUBLE) FROM o
+      UNION ALL
+      SELECT 'lineitem.in_range(l_discount)', rng_disc,
+             CAST(1.0 AS DOUBLE) FROM l
+      UNION ALL
+      SELECT 'lineitem.non_negative(l_extendedprice)', nneg_price,
+             CAST(1.0 AS DOUBLE) FROM l
+      UNION ALL
+      SELECT 'lineitem.uniqueness(l_orderkey)', uniq_lokey,
+             CAST(1.0 AS DOUBLE) FROM l
+      UNION ALL
+      SELECT 'lineitem.referential(l_orderkey -> orders.o_orderkey)',
+             li_orders, CAST(1.0 AS DOUBLE) FROM ri
+      UNION ALL
+      SELECT 'orders.referential(o_custkey -> customer.c_custkey)',
+             o_cust, CAST(1.0 AS DOUBLE) FROM ri)
+    SELECT constraint_name, metric, threshold,
+           metric >= threshold AS passed
+    FROM long
+    ORDER BY constraint_name
+    """
+
+
+@_register("a31_constraint_audit", _audit_oracle())
+def a31_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the Deequ pattern (Schelter et
+    al. VLDB 2018), the validation gate a pipeline runs before any
+    training data ships: completeness, key uniqueness, accepted values,
+    ranges, and referential integrity as named constraints with
+    measured metrics and pass/fail verdicts.  The suite includes one
+    deliberately failing constraint (lineitem.l_orderkey declared
+    unique — it is not, orders have multiple lines) so the verdict
+    path is exercised with a real measured metric, not just all-green.
+
+    Scale shape (operators/audit.py): all row-local constraints on a
+    table compile into ONE aggregate — a whole suite is a single
+    partial+final scan per table, constant-size output; uniqueness adds
+    an exact count-distinct to the same scan; referential integrity is
+    a broadcast LEFT SEMI count (dimension-sized distinct key side),
+    never a materialized join.  Adding a constraint adds a column,
+    never a scan."""
+    from ..operators.audit import (
+        accepted_values,
+        audit_table,
+        completeness,
+        in_range,
+        non_negative,
+        referential_integrity,
+        uniqueness,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    o = audit_table(
+        orders,
+        "orders",
+        [
+            completeness("o_custkey"),
+            uniqueness("o_orderkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ],
+    )
+    li = audit_table(
+        lineitem,
+        "lineitem",
+        [
+            in_range("l_discount", 0.0, 0.1),
+            non_negative("l_extendedprice"),
+            uniqueness("l_orderkey"),
+        ],
+    )
+    r1 = referential_integrity(
+        lineitem, "l_orderkey", orders, "o_orderkey", "lineitem", "orders"
+    )
+    r2 = referential_integrity(
+        orders, "o_custkey", customer, "c_custkey", "orders", "customer"
+    )
+    return (
+        o.unionByName(li)
+        .unionByName(r1)
+        .unionByName(r2)
+        .withColumnRenamed("constraint", "constraint_name")
+        .orderBy("constraint_name")
+    )

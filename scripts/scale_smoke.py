@@ -111,6 +111,12 @@ DEFAULT_QUERIES = [
     "d19_semantic_resolve_bloom",
     "s17_commit_log_serializable",
     "v12_ann_index_persist",
+    # round-8 late additions: token-span dedup (gram volume scales with
+    # corpus tokens; hash-only exchanges) and rank fusion (constant-size
+    # candidate lists — its growth should be ~flat)
+    "d21_substring_dedup",
+    "v13_rrf_fusion",
+    "a31_constraint_audit",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -114,6 +114,8 @@ ENTRIES = [
     "s18_stream_commit_log_sink",
     "d19_semantic_resolve_bloom",
     "s17_commit_log_serializable",
+    "d21_substring_dedup",
+    "v13_rrf_fusion",
 ]
 
 

@@ -1,0 +1,212 @@
+"""Round-8 additions: exact substring dedup (d21, Lee et al. 2022
+EXACTSUBSTR) and reciprocal-rank fusion (v13, Cormack et al. 2009).
+
+The oracle entries pin end-to-end values at sf0.01; these tests pin the
+operator-level semantics a value hash can't localize — the interval
+merge, the min_count contract, short-doc exclusion — against a
+brute-force Python reference, plus the plan-shape scale claims.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from chessmate_spark.operators.dedup import substring_dup_stats
+from chessmate_spark.plans.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- brute-force reference: O(n*k) exact span-union, gram strings ---
+
+
+def _norm(text: str) -> list:
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+
+
+def _reference(corpus: dict, k: int, min_count: int = 2) -> dict:
+    grams: dict = {}
+    for doc_id, text in corpus.items():
+        toks = _norm(text)
+        for i in range(max(len(toks) - k + 1, 0)):
+            g = " ".join(toks[i : i + k])
+            grams.setdefault(g, []).append((doc_id, i))
+    dup = {g for g, occ in grams.items() if len(occ) >= min_count}
+    out = {}
+    for doc_id, text in corpus.items():
+        toks = _norm(text)
+        starts = [
+            i
+            for i in range(max(len(toks) - k + 1, 0))
+            if " ".join(toks[i : i + k]) in dup
+        ]
+        if not starts:
+            continue
+        covered = set()
+        for p in starts:
+            covered.update(range(p, p + k))
+        out[doc_id] = {
+            "n_tokens": len(toks),
+            "n_grams": max(len(toks) - k + 1, 0),
+            "dup_grams": len(starts),
+            "dup_tokens": len(covered),
+        }
+    return out
+
+
+def _run(spark, corpus: dict, k: int, min_count: int = 2) -> dict:
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, text string"
+    )
+    rows = substring_dup_stats(
+        df, "doc_id", "text", k=k, min_count=min_count
+    ).collect()
+    return {
+        r["doc_id"]: {
+            "n_tokens": r["n_tokens"],
+            "n_grams": r["n_grams"],
+            "dup_grams": r["dup_grams"],
+            "dup_tokens": r["dup_tokens"],
+        }
+        for r in rows
+    }
+
+
+def _words(lo, hi):
+    return " ".join(f"w{i}" for i in range(lo, hi))
+
+
+def test_shared_span_at_different_offsets_merges_intervals(spark):
+    # docs 1 and 2 share tokens w100..w111 (12 tokens) at different
+    # offsets: with k=4 that is 9 duplicated window starts per doc whose
+    # union is exactly the 12 shared tokens — the merge must not count
+    # overlapping windows twice.
+    shared = _words(100, 112)
+    corpus = {
+        1: _words(0, 10) + " " + shared + " " + _words(20, 30),
+        2: shared + " " + _words(40, 60),
+        3: _words(60, 99),  # no duplication anywhere
+    }
+    got = _run(spark, corpus, k=4)
+    assert got == _reference(corpus, k=4)
+    assert got[1]["dup_grams"] == 9
+    assert got[1]["dup_tokens"] == 12
+    assert 3 not in got
+
+
+def test_disjoint_spans_sum_and_adjacent_spans_merge(spark):
+    # doc 1 shares two DISJOINT 4-token spans with docs 2 and 3 -> union
+    # is 8 tokens; doc 4 shares two ADJACENT spans with doc 5 -> one
+    # 8-token run, still 8 (boundary windows between the two spans are
+    # themselves shared, so the run is continuous in doc 4 and 5).
+    a, b = _words(200, 204), _words(300, 304)
+    corpus = {
+        1: a + " " + _words(0, 7) + " " + b,
+        2: _words(50, 61) + " " + a,
+        3: b + " " + _words(70, 80),
+        4: _words(400, 408),
+        5: _words(400, 408) + " " + _words(500, 510),
+    }
+    got = _run(spark, corpus, k=4)
+    assert got == _reference(corpus, k=4)
+    assert got[1]["dup_tokens"] == 8
+    assert got[4]["dup_tokens"] == 8
+
+
+def test_within_doc_repetition_counts_toward_min_count(spark):
+    # Lee et al. count ANY second occurrence, including within one doc:
+    # a doc repeating its own 4-token phrase is flagged with no partner.
+    phrase = _words(600, 604)
+    corpus = {
+        1: phrase + " " + _words(0, 10) + " " + phrase,
+        2: _words(20, 40),
+    }
+    got = _run(spark, corpus, k=4)
+    assert got == _reference(corpus, k=4)
+    assert 1 in got and 2 not in got
+    # min_count=3 un-flags it (two occurrences only)
+    assert _run(spark, corpus, k=4, min_count=3) == {}
+
+
+def test_short_docs_and_normalization(spark):
+    # docs shorter than k have zero grams and can never be flagged; the
+    # shared normalization (case/punctuation) applies before gramming.
+    corpus = {
+        1: "Alpha, Beta; GAMMA delta epsilon!",
+        2: "alpha beta gamma delta zeta",
+        3: "too short",  # 2 tokens < k
+        4: "too short",  # exact dup of 3, still below k
+    }
+    got = _run(spark, corpus, k=4)
+    assert got == _reference(corpus, k=4)
+    assert got[1]["dup_grams"] == 1  # "alpha beta gamma delta"
+    assert got[1]["dup_tokens"] == 4
+    assert 3 not in got and 4 not in got
+
+
+def test_randomized_corpus_matches_reference(spark):
+    # deterministic pseudo-random corpus over a tiny vocabulary so
+    # repeated k-grams arise by chance; exact parity with the reference.
+    state = 12345
+    vocab = [f"v{i}" for i in range(7)]
+    corpus = {}
+    for doc_id in range(30):
+        toks = []
+        for _ in range(25):
+            state = (state * 1103515245 + 12345) % (2**31)
+            toks.append(vocab[state % len(vocab)])
+        corpus[doc_id] = " ".join(toks)
+    assert _run(spark, corpus, k=5) == _reference(corpus, k=5)
+
+
+def test_d21_plan_never_shuffles_gram_text(spark):
+    """d21's scale claim: grams fold to xxhash64 inside the scan
+    projection, so no Exchange carries the token array or any gram
+    string — every wide exchange keys int64 hashes or doc ids."""
+    df = QUERIES["d21_substring_dedup"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "_t" not in line and "concat_ws" not in line, line
+
+
+def test_v13_fusion_arithmetic_and_ordering(spark):
+    """Every output row's rrf_score must equal the recomputed
+    1/(60+rank) sum from its own rank columns (exact float equality —
+    same IEEE ops), ranks must be within the list depth, and the output
+    must be sorted by (score desc, doc_id asc)."""
+    rows = QUERIES["v13_rrf_fusion"][0](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["bm25_rank"] is not None or r["cos_rank"] is not None
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            assert 1 <= r["bm25_rank"] <= 50
+            expect += 1.0 / (60 + r["bm25_rank"])
+        if r["cos_rank"] is not None:
+            assert 1 <= r["cos_rank"] <= 50
+            expect += 1.0 / (60 + r["cos_rank"])
+        assert r["rrf_score"] == expect, r
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # fusion is real: at least one doc carries BOTH ranks at sf0.001
+    assert any(
+        r["bm25_rank"] is not None and r["cos_rank"] is not None
+        for r in rows
+    )
+
+
+def test_v13_candidate_lists_are_constant_size_cuts(spark):
+    """v13's scale claim: the only global sorts feeding the rank windows
+    are TakeOrderedAndProject cuts to the constant list depth — the
+    corpus is never globally sorted as rows."""
+    df = QUERIES["v13_rrf_fusion"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # no full-corpus Sort outside the 50-row rank windows: every Sort
+    # node must sit above a GlobalLimit/TakeOrdered boundary, which in
+    # this plan means no Exchange rangepartitioning (a distributed
+    # row sort) anywhere
+    assert "rangepartitioning" not in plan, plan
