@@ -210,6 +210,8 @@ HEADLINE = [
     "d21_substring_dedup",
     "v13_rrf_fusion",
     "a31_constraint_audit",
+    "d22_substring_dedup_resolve",
+    "v14_ann_index_append",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -814,6 +814,24 @@ def ngram_jaccard_pairs_prefix(
     return out
 
 
+def _rolling_gram_hashes(base: DataFrame, k: int) -> DataFrame:
+    """(_id, _pos, _gh) for every k-token rolling window of ``_t`` —
+    each gram folds to xxhash64 INSIDE the scan projection, so nothing
+    downstream ever moves gram text.  Docs shorter than k emit no
+    grams."""
+    n = F.size("_t")
+    gram_hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select(
+        "_id", F.posexplode(gram_hashes).alias("_pos", "_gh")
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     id_col: str,
@@ -851,19 +869,12 @@ def substring_dup_stats(
     number).  Collision bound: two distinct grams sharing an xxhash64
     can only OVER-mark a span; P(any collision) < n_grams^2 / 2^64.
     """
-    t = _norm_tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
-    n = F.size("_t")
-    gram_hashes = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    grams = base.select(
-        "_id", F.posexplode(gram_hashes).alias("_pos", "_gh")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _norm_tokens(F.col(text_col)).alias("_t"),
     )
+    n = F.size("_t")
+    grams = _rolling_gram_hashes(base, k)
     dup_hashes = (
         grams.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -913,4 +924,95 @@ def substring_dup_stats(
         (dup_tokens.cast("double") / F.col("n_tokens")).alias(
             "dup_fraction"
         ),
+    )
+
+
+def substring_dedup_resolve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring dedup RESOLUTION — the trimming step of Lee et
+    al. 2022 that ``substring_dup_stats`` only measures: every
+    duplicated k-token window occurrence EXCEPT the corpus-first one
+    (min (doc_id, pos) per gram — within-doc repeats resolve the same
+    way) is dropped; each document is reassembled from its surviving
+    tokens and the cleaned text is md5-pinned (d17's paragraph-level
+    contract at token granularity).  The first occurrence always
+    survives, so no content is lost from the corpus — only repeats.
+
+    Returns ``(id_col, n_tokens, n_kept, n_dropped, clean_md5)`` for
+    ALL documents (untouched docs keep their full text), ordered by
+    nothing — callers order.
+
+    Scale shape: shares ``_rolling_gram_hashes`` (hash-only exchanges);
+    first-occurrence resolution is groupBy(gh).agg(min(struct(doc,
+    pos)), count) — partial+final, hot grams collapse map-side (the
+    d17 discipline); the drop-window mark-back is a hash-keyed join;
+    per-doc reassembly is pure array arithmetic in one projection
+    (flatten drop starts to covered indices, array_except against the
+    index range, element_at gather) — no per-token explode, no second
+    corpus shuffle beyond the per-doc drop-start gather.  Same xxhash64
+    collision bound as the stats form; a collision can only over-drop,
+    and the oracle (exact gram strings) would catch it.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _norm_tokens(F.col(text_col)).alias("_t"),
+    )
+    grams = _rolling_gram_hashes(base, k)
+    # struct field order IS the resolution order: (_id, _pos) = corpus
+    # order, so min() picks the first occurrence by (doc, pos)
+    firsts = grams.groupBy("_gh").agg(
+        F.min(F.struct("_id", "_pos")).alias("_f"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    dropw = (
+        grams.join(firsts.filter(F.col("_c") >= min_count), "_gh")
+        .filter(
+            ~(
+                (F.col("_id") == F.col("_f._id"))
+                & (F.col("_pos") == F.col("_f._pos"))
+            )
+        )
+        .select("_id", "_pos")
+    )
+    per_doc = dropw.groupBy("_id").agg(
+        F.collect_set("_pos").alias("_ps")
+    )
+    n = F.size("_t").cast("bigint")
+    ps = F.coalesce(
+        F.col("_ps"), F.array().cast("array<int>")
+    )
+    dropped_idx = F.array_distinct(
+        F.flatten(
+            F.transform(
+                ps,
+                lambda p: F.sequence(
+                    p.cast("bigint"), p.cast("bigint") + F.lit(k - 1)
+                ),
+            )
+        )
+    )
+    all_idx = F.when(n > 0, F.sequence(F.lit(0).cast("bigint"), n - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    # array_except preserves the order of its first argument (and the
+    # index range is built ascending), so the gather below reassembles
+    # tokens in original document order
+    kept_idx = F.array_except(all_idx, dropped_idx)
+    kept_tokens = F.transform(
+        kept_idx, lambda i: F.element_at("_t", (i + 1).cast("int"))
+    )
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            n.alias("n_tokens"),
+            F.size(kept_idx).cast("bigint").alias("n_kept"),
+            (n - F.size(kept_idx)).cast("bigint").alias("n_dropped"),
+            F.md5(F.concat_ws(" ", kept_tokens)).alias("clean_md5"),
+        )
     )

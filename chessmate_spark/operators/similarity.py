@@ -507,6 +507,55 @@ def load_ivfpq_index(spark: SparkSession, index_dir: str):
     return centroids, codebooks, codes
 
 
+def append_to_ivfpq_index(
+    new_rows: DataFrame,
+    corpus_id: str,
+    index_dir: str,
+    corpus_vec: str = "embedding",
+) -> None:
+    """The MAINTAIN half of the index lifecycle (FAISS ``index.add``
+    analog; build → serve → APPEND): encode new vectors with the
+    EXISTING centroids and codebooks — no retraining, exactly FAISS's
+    add semantics, so the index geometry stays frozen at build time —
+    and append their (id, cell, codes) rows to the distributed codes
+    table.  Serving from the appended index is bit-identical to
+    encoding the grown corpus inline with the SAME frozen model
+    (pinned in tests), which is the correctness contract that makes
+    incremental maintenance safe: append changes WHAT is indexed,
+    never HOW.
+
+    Quality note (FAISS's too): appended vectors are quantized by
+    codebooks trained on the ORIGINAL distribution — fine for
+    stationary corpora; distribution drift is the production reindex
+    trigger, and the build/append split is exactly what makes that
+    reindex a background job.
+
+    Scale shape: one column-pruned scan of the new rows through the
+    same combined Arrow encode pass as the build, written distributed
+    with ``mode("append")`` — cost scales with the DELTA, not the
+    index (the entire point vs rebuild).  Concurrency contract:
+    parquet append is single-writer (two simultaneous appenders can
+    interleave safely only because files are immutable, but a reader
+    racing the append may see a partial delta); concurrent maintainers
+    should write through ``ingest.commit_log.CommitLogTable`` instead,
+    which serializes appends and keeps readers snapshot-isolated."""
+    from ..functions.vector_pandas import ivfpq_encode_udf
+
+    centroids = load_centroids(os.path.join(index_dir, "centroids.parquet"))
+    codebooks = load_pq_codebooks(
+        os.path.join(index_dir, "codebooks.parquet")
+    )
+    encode = ivfpq_encode_udf(centroids, codebooks)
+    codes = new_rows.select(
+        F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
+    ).select(
+        F.col(corpus_id),
+        F.col("_idx.cell").alias("cell"),
+        F.col("_idx.codes").alias("codes"),
+    )
+    codes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+
+
 # --------------------------------------------------------------------------
 # Product quantization (Jégou, Douze & Schmid, TPAMI 2011 — "Product
 # Quantization for Nearest Neighbor Search"; FAISS IndexPQ semantics).

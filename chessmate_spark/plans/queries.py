@@ -8578,3 +8578,164 @@ def a31_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("constraint", "constraint_name")
         .orderBy("constraint_name")
     )
+
+
+@_register(
+    "d22_substring_dedup_resolve",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_NORM_TOKENS.format(col="text")} AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(t[(CAST(i AS INT)+1):(CAST(i AS INT)+{_SUBSTR_K})], ' ') AS g
+      FROM toks,
+           LATERAL (SELECT unnest(range(0,
+             greatest(len(t) - {_SUBSTR_K} + 1, 0))) AS i) u),
+    ranked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS occ,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY doc_id, pos) AS rn
+      FROM grams),
+    dropw AS (SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rn > 1),
+    droptok AS (
+      SELECT DISTINCT doc_id, pos + j AS tpos
+      FROM dropw,
+           LATERAL (SELECT unnest(range(0, {_SUBSTR_K})) AS j) v),
+    tok_rows AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS tpos,
+             t[CAST(u.i AS INT)+1] AS token
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t))) AS i) u),
+    kept AS (
+      SELECT tr.doc_id, tr.tpos, tr.token
+      FROM tok_rows tr
+      ANTI JOIN droptok d
+        ON tr.doc_id = d.doc_id AND tr.tpos = d.tpos),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(token, ' ' ORDER BY tpos)) AS clean_md5
+      FROM kept GROUP BY doc_id),
+    meta AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT m.doc_id, m.n_tokens,
+           coalesce(p.n_kept, 0) AS n_kept,
+           m.n_tokens - coalesce(p.n_kept, 0) AS n_dropped,
+           coalesce(p.clean_md5, md5('')) AS clean_md5
+    FROM meta m LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+)
+def d22_substring_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup RESOLUTION — the trimming step Lee et al.
+    2022 actually apply (d21 measures; this rewrites): every duplicated
+    k-token window occurrence except the corpus-first one (min
+    (doc_id, pos) per gram) is dropped, documents reassemble from their
+    surviving tokens, and the cleaned text is md5-pinned per doc —
+    d17's paragraph-level resolution contract at token granularity.
+    The first occurrence always survives, so the corpus loses only
+    repeats, never content.
+
+    Scale shape (operators/dedup.py substring_dedup_resolve): shares
+    d21's hash-only gram exchanges; first-occurrence resolution is
+    groupBy(gram_hash).agg(min(struct(doc, pos)), count) — map-side
+    combined, the d17 skew discipline; reassembly is pure array
+    arithmetic in one projection (no per-token explode — the oracle's
+    tok_rows unnest is the toy-scale form)."""
+    from ..operators.dedup import substring_dedup_resolve
+
+    docs = _docs(spark, sf_dir)
+    return substring_dedup_resolve(
+        docs, "doc_id", "text", k=_SUBSTR_K
+    ).orderBy("doc_id")
+
+
+@_register(
+    "v14_ann_index_append",
+    """
+    SELECT vec_id AS query_id, 3 AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC index MAINTENANCE (FAISS ``index.add``; completes the
+    lifecycle v12 split into build/serve): the index is built on the
+    older 80% of the corpus, the newest 20% arrives later and is
+    APPENDED — encoded with the frozen build-time centroids/codebooks,
+    cost ∝ the delta — and the serve job answers over the grown index
+    without any retraining or corpus re-encode.  v12's recall-gate
+    contract, now with exact kNN computed over the FULL corpus, so the
+    gate only passes if the appended rows are genuinely searchable
+    (drop the append and the newest vectors are unfindable).
+
+    tests/test_similarity.py pins the stronger identity: serving from
+    the appended index is row-identical to encoding the grown corpus
+    inline with the same frozen model — append changes WHAT is
+    indexed, never HOW.
+
+    At 100 TB this is the nightly-delta posture: the build's
+    full-corpus Arrow encode runs once per reindex cadence; each delta
+    pays one encode pass over the NEW rows plus a distributed parquet
+    append (concurrent maintainers route through the commit log — the
+    operator docstring states the single-writer contract)."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        cosine_knn_join,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        F.col("query_id") < 5
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
+        F.col("neighbor_id") >= 5
+    )
+    split = corpus.agg(
+        F.percentile_approx("neighbor_id", 0.8, 10000).alias("p")
+    ).first()["p"]
+    old = corpus.filter(F.col("neighbor_id") <= split)
+    new = corpus.filter(F.col("neighbor_id") > split)
+    index_dir = tempfile.mkdtemp(prefix="cm_v14_index_")
+    try:
+        build_ivfpq_index(
+            old, "neighbor_id", index_dir, nlist=8, m=8, ksub=16,
+            persist_corpus=True,  # deterministic parquet source
+        )
+        append_to_ivfpq_index(new, "neighbor_id", index_dir)
+        centroids, codebooks, codes = load_ivfpq_index(spark, index_dir)
+        approx = ivfpq_topk(
+            queries, corpus, k=3,
+            query_id="query_id", corpus_id="neighbor_id",
+            nprobe=7, overfetch=32,
+            centroids=centroids, codebooks=codebooks, codes=codes,
+        ).select("query_id", "neighbor_id")
+        exact = cosine_knn_join(
+            queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_q = (
+            exact.groupBy("query_id")
+            .agg(F.count("*").alias("k"))
+            .join(
+                hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                F.col("k").cast("int").alias("k"),
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k") >= 0.6
+                ).alias("recall_ok"),
+            )
+            .orderBy("query_id")
+        )
+        out = per_q.localCheckpoint(eager=True)  # tmp index: s16 discipline
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return out

@@ -117,6 +117,8 @@ DEFAULT_QUERIES = [
     "d21_substring_dedup",
     "v13_rrf_fusion",
     "a31_constraint_audit",
+    "d22_substring_dedup_resolve",
+    "v14_ann_index_append",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -116,6 +116,7 @@ ENTRIES = [
     "s17_commit_log_serializable",
     "d21_substring_dedup",
     "v13_rrf_fusion",
+    "d22_substring_dedup_resolve",
 ]
 
 

@@ -606,3 +606,73 @@ def test_ivfpq_persist_corpus_honored_with_codes(spark, emb, tmp_path):
     plain = ivfpq_topk(queries, corpus, **kw)
     plain.collect()
     assert release_persisted_corpus(plain) is False
+
+
+def test_ivfpq_append_identical_to_inline_frozen_model(spark, emb, tmp_path):
+    """v14's contract: build on the old slice, APPEND the new slice,
+    serve — row-identical to ivfpq_topk over the grown corpus with the
+    SAME frozen centroids/codebooks (append changes WHAT is indexed,
+    never HOW), and the appended codes equal the inline encode of the
+    new rows."""
+    from chessmate_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    old = corpus.filter(F.col("neighbor_id") < 40)
+    new = corpus.filter(F.col("neighbor_id") >= 40)
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(old, "neighbor_id", idx, nlist=8, m=8, ksub=16)
+    n_old = spark.read.parquet(f"{idx}/codes").count()
+    append_to_ivfpq_index(new, "neighbor_id", idx)
+    centroids, codebooks, codes = load_ivfpq_index(spark, idx)
+    # delta landed, nothing lost, ids disjoint-union
+    assert codes.count() == corpus.count()
+    assert n_old == old.count()
+    assert codes.select("neighbor_id").distinct().count() == corpus.count()
+    kw = dict(
+        k=3, query_id="query_id", corpus_id="neighbor_id",
+        nprobe=4, overfetch=8,
+    )
+    served = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                queries, corpus,
+                centroids=centroids, codebooks=codebooks, codes=codes,
+                **kw,
+            ).collect(),
+        )
+    )
+    inline = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                queries, corpus,
+                centroids=centroids, codebooks=codebooks,
+                **kw,
+            ).collect(),
+        )
+    )
+    assert served == inline
+    # the appended rows are genuinely searchable: a query that IS one of
+    # the new vectors must find itself (cosine 1.0 beats everything)
+    self_q = new.limit(1).select(
+        F.col("neighbor_id").alias("query_id"), "embedding"
+    )
+    self_id = self_q.first()["query_id"]
+    hit = ivfpq_topk(
+        self_q, corpus,
+        centroids=centroids, codebooks=codebooks, codes=codes,
+        k=1, query_id="query_id", corpus_id="neighbor_id",
+        nprobe=8, overfetch=32,
+    ).first()
+    assert hit["neighbor_id"] == self_id

@@ -1,10 +1,12 @@
-"""Round-8 additions: exact substring dedup (d21, Lee et al. 2022
-EXACTSUBSTR) and reciprocal-rank fusion (v13, Cormack et al. 2009).
+"""Round-8 additions: exact substring dedup (d21) and its resolution /
+trimming twin (d22) — Lee et al. 2022 EXACTSUBSTR — plus
+reciprocal-rank fusion (v13, Cormack et al. 2009).
 
 The oracle entries pin end-to-end values at sf0.01; these tests pin the
 operator-level semantics a value hash can't localize — the interval
-merge, the min_count contract, short-doc exclusion — against a
-brute-force Python reference, plus the plan-shape scale claims.
+merge, the min_count contract, short-doc exclusion, first-occurrence
+survival — against brute-force Python references, plus the plan-shape
+scale claims.
 """
 
 from __future__ import annotations
@@ -210,3 +212,136 @@ def test_v13_candidate_lists_are_constant_size_cuts(spark):
     # this plan means no Exchange rangepartitioning (a distributed
     # row sort) anywhere
     assert "rangepartitioning" not in plan, plan
+
+
+# --- d22: substring dedup RESOLUTION (trimming) ---
+
+
+def _reference_resolve(corpus: dict, k: int, min_count: int = 2) -> dict:
+    import hashlib
+
+    grams: dict = {}
+    for doc_id in sorted(corpus):
+        toks = _norm(corpus[doc_id])
+        for i in range(max(len(toks) - k + 1, 0)):
+            g = " ".join(toks[i : i + k])
+            grams.setdefault(g, []).append((doc_id, i))
+    drop: dict = {}
+    for g, occ in grams.items():
+        if len(occ) >= min_count:
+            for doc_id, pos in sorted(occ)[1:]:  # corpus-first survives
+                drop.setdefault(doc_id, set()).update(range(pos, pos + k))
+    out = {}
+    for doc_id in corpus:
+        toks = _norm(corpus[doc_id])
+        kept = [
+            t
+            for i, t in enumerate(toks)
+            if i not in drop.get(doc_id, set())
+        ]
+        out[doc_id] = {
+            "n_tokens": len(toks),
+            "n_kept": len(kept),
+            "n_dropped": len(toks) - len(kept),
+            "clean_md5": hashlib.md5(
+                " ".join(kept).encode()
+            ).hexdigest(),
+        }
+    return out
+
+
+def _run_resolve(spark, corpus: dict, k: int, min_count: int = 2) -> dict:
+    from chessmate_spark.operators.dedup import substring_dedup_resolve
+
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, text string"
+    )
+    rows = substring_dedup_resolve(
+        df, "doc_id", "text", k=k, min_count=min_count
+    ).collect()
+    return {
+        r["doc_id"]: {
+            "n_tokens": r["n_tokens"],
+            "n_kept": r["n_kept"],
+            "n_dropped": r["n_dropped"],
+            "clean_md5": r["clean_md5"],
+        }
+        for r in rows
+    }
+
+
+def test_resolve_first_occurrence_survives_exact_dup_collapses(spark):
+    # doc 1 and doc 2 are exact copies (>= k tokens): the lower doc_id
+    # holds every gram's first occurrence, so doc 1 keeps ALL tokens and
+    # doc 2 drops ALL; doc 3 is untouched.
+    body = _words(0, 12)
+    corpus = {1: body, 2: body, 3: _words(100, 120)}
+    got = _run_resolve(spark, corpus, k=4)
+    assert got == _reference_resolve(corpus, k=4)
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["n_kept"] == 0
+    assert got[3]["n_dropped"] == 0
+    import hashlib
+
+    # survivor keeps the full normalized body; the collapsed copy is empty
+    assert got[1]["clean_md5"] == hashlib.md5(body.encode()).hexdigest()
+    assert got[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_resolve_partial_overlap_trims_only_repeat_side(spark):
+    # doc 2 repeats doc 1's middle span: doc 1 (first occurrence) keeps
+    # everything; doc 2 loses exactly the shared-window coverage.
+    shared = _words(200, 210)
+    corpus = {
+        1: _words(0, 5) + " " + shared + " " + _words(20, 25),
+        2: _words(50, 55) + " " + shared + " " + _words(60, 70),
+    }
+    got = _run_resolve(spark, corpus, k=4)
+    ref = _reference_resolve(corpus, k=4)
+    assert got == ref
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["n_dropped"] == 10  # the shared 10-token span
+
+
+def test_resolve_within_doc_repeat_keeps_first_copy(spark):
+    phrase = _words(300, 304)
+    corpus = {7: phrase + " " + _words(0, 10) + " " + phrase}
+    got = _run_resolve(spark, corpus, k=4)
+    ref = _reference_resolve(corpus, k=4)
+    assert got == ref
+    assert got[7]["n_dropped"] == 4  # only the second copy drops
+
+
+def test_resolve_randomized_matches_reference(spark):
+    state = 777
+    vocab = [f"v{i}" for i in range(6)]
+    corpus = {}
+    for doc_id in range(25):
+        toks = []
+        for _ in range(20):
+            state = (state * 1103515245 + 12345) % (2**31)
+            toks.append(vocab[state % len(vocab)])
+        corpus[doc_id] = " ".join(toks)
+    assert _run_resolve(spark, corpus, k=5) == _reference_resolve(
+        corpus, k=5
+    )
+
+
+def test_resolve_stats_consistency(spark):
+    """Cross-twin invariant: a doc's resolve-dropped count can never
+    exceed its stats-measured duplicated-span coverage (resolution
+    spares first occurrences; stats counts them)."""
+    state = 4242
+    vocab = [f"w{i}" for i in range(8)]
+    corpus = {}
+    for doc_id in range(20):
+        toks = []
+        for _ in range(30):
+            state = (state * 1103515245 + 12345) % (2**31)
+            toks.append(vocab[state % len(vocab)])
+        corpus[doc_id] = " ".join(toks)
+    stats = _run(spark, corpus, k=5)
+    resolve = _run_resolve(spark, corpus, k=5)
+    for doc_id, r in resolve.items():
+        cap = stats.get(doc_id, {}).get("dup_tokens", 0)
+        assert r["n_dropped"] <= cap, (doc_id, r, stats.get(doc_id))
