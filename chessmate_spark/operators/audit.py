@@ -36,11 +36,16 @@ class Constraint:
 
 
 def _frac(pred: Column) -> Column:
-    """Fraction of rows satisfying ``pred`` — 0.0 on an empty table (a
-    vacuous audit must not report success via NULL)."""
+    """Fraction of rows satisfying ``pred`` — 0.0 on an empty table,
+    and the sum is coalesced so an ALL-NULL predicate column (sum over
+    no non-NULL inputs is NULL) also reports 0.0/fail instead of a
+    NULL metric a ``passed == False`` gate would sail past (the audit
+    must never fail OPEN via NULL)."""
     n = F.count(F.lit(1))
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.sum(pred.cast("bigint")).cast("double") / n
+        F.coalesce(F.sum(pred.cast("bigint")), F.lit(0))
+        .cast("double")
+        / n
     )
 
 

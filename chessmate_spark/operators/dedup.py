@@ -838,6 +838,7 @@ def substring_dup_stats(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact substring (k-token span) duplication statistics — the
     distributed form of Lee et al. 2022 ("Deduplicating Training Data
@@ -868,13 +869,27 @@ def substring_dup_stats(
     count-distinct-token trick is the O(n*k) toy-scale form of the same
     number).  Collision bound: two distinct grams sharing an xxhash64
     can only OVER-mark a span; P(any collision) < n_grams^2 / 2^64.
+
+    ``materialize`` as in ``minhash_lsh_candidates``: eager per-doc
+    result + released gram cache by default; ``False`` returns the
+    pure lazy plan (for inspection/composition) and the caller accepts
+    the double gram-projection evaluation.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
-        _norm_tokens(F.col(text_col)).alias("_t"),
+        _norm_tokens(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("_t"),  # NULL text == empty doc (the d17/oracle convention)
     )
     n = F.size("_t")
+    # the gram projection (tokenize + per-window slice/concat/xxhash64)
+    # is the operator's dominant cost and feeds BOTH the frequency
+    # aggregate and the mark-back join probe — persist it once (the
+    # minhash_lsh_candidates discipline); materialize=True computes the
+    # small per-doc result eagerly and releases the cache
     grams = _rolling_gram_hashes(base, k)
+    if materialize:
+        grams = grams.persist()
     dup_hashes = (
         grams.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -915,7 +930,7 @@ def substring_dup_stats(
         n.cast("bigint").alias("n_tokens"),
         F.greatest(n - k + 1, F.lit(0)).cast("bigint").alias("n_grams"),
     )
-    return meta.join(per_doc, "_id").select(
+    out = meta.join(per_doc, "_id").select(
         F.col("_id").alias(id_col),
         "n_tokens",
         "n_grams",
@@ -925,6 +940,10 @@ def substring_dup_stats(
             "dup_fraction"
         ),
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+    return out
 
 
 def substring_dedup_resolve(
@@ -933,6 +952,7 @@ def substring_dedup_resolve(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact substring dedup RESOLUTION — the trimming step of Lee et
     al. 2022 that ``substring_dup_stats`` only measures: every
@@ -956,13 +976,18 @@ def substring_dedup_resolve(
     index range, element_at gather) — no per-token explode, no second
     corpus shuffle beyond the per-doc drop-start gather.  Same xxhash64
     collision bound as the stats form; a collision can only over-drop,
-    and the oracle (exact gram strings) would catch it.
+    and the oracle (exact gram strings) would catch it.  ``materialize``
+    as in ``substring_dup_stats``.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
-        _norm_tokens(F.col(text_col)).alias("_t"),
+        _norm_tokens(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("_t"),  # NULL text == empty doc (the d17/oracle convention)
     )
     grams = _rolling_gram_hashes(base, k)
+    if materialize:  # grams feeds the firsts aggregate AND the join probe
+        grams = grams.persist()
     # struct field order IS the resolution order: (_id, _pos) = corpus
     # order, so min() picks the first occurrence by (doc, pos)
     firsts = grams.groupBy("_gh").agg(
@@ -1006,13 +1031,14 @@ def substring_dedup_resolve(
     kept_tokens = F.transform(
         kept_idx, lambda i: F.element_at("_t", (i + 1).cast("int"))
     )
-    return (
-        base.join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            n.alias("n_tokens"),
-            F.size(kept_idx).cast("bigint").alias("n_kept"),
-            (n - F.size(kept_idx)).cast("bigint").alias("n_dropped"),
-            F.md5(F.concat_ws(" ", kept_tokens)).alias("clean_md5"),
-        )
+    out = base.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        n.alias("n_tokens"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        (n - F.size(kept_idx)).cast("bigint").alias("n_dropped"),
+        F.md5(F.concat_ws(" ", kept_tokens)).alias("clean_md5"),
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+    return out

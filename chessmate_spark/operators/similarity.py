@@ -416,6 +416,28 @@ def load_pq_codebooks(path: str) -> np.ndarray:
     return np.array(cents, dtype="float64").reshape(m, ksub, -1)
 
 
+def _encode_codes(
+    rows: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """(id, cell, codes) via the combined Arrow encode pass — THE single
+    definition of the codes-table schema; build and append both write
+    through here, so their parquet schemas cannot diverge."""
+    from ..functions.vector_pandas import ivfpq_encode_udf
+
+    encode = ivfpq_encode_udf(centroids, codebooks)
+    return rows.select(
+        F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
+    ).select(
+        F.col(corpus_id),
+        F.col("_idx.cell").alias("cell"),
+        F.col("_idx.codes").alias("codes"),
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     corpus_id: str,
@@ -455,8 +477,6 @@ def build_ivfpq_index(
     default streams four column-pruned scans, the right posture when
     the corpus exceeds cluster cache capacity — the build job's
     advertised scale."""
-    from ..functions.vector_pandas import ivfpq_encode_udf
-
     corpus = corpus.select(corpus_id, corpus_vec)
     if persist_corpus:
         corpus = corpus.persist()
@@ -479,13 +499,8 @@ def build_ivfpq_index(
         save_pq_codebooks(
             codebooks, os.path.join(index_dir, "codebooks.parquet")
         )
-        encode = ivfpq_encode_udf(centroids, codebooks)
-        codes = corpus.select(
-            F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
-        ).select(
-            F.col(corpus_id),
-            F.col("_idx.cell").alias("cell"),
-            F.col("_idx.codes").alias("codes"),
+        codes = _encode_codes(
+            corpus, corpus_id, corpus_vec, centroids, codebooks
         )
         codes.write.mode("overwrite").parquet(
             os.path.join(index_dir, "codes")
@@ -539,21 +554,29 @@ def append_to_ivfpq_index(
     racing the append may see a partial delta); concurrent maintainers
     should write through ``ingest.commit_log.CommitLogTable`` instead,
     which serializes appends and keeps readers snapshot-isolated."""
-    from ..functions.vector_pandas import ivfpq_encode_udf
-
     centroids = load_centroids(os.path.join(index_dir, "centroids.parquet"))
     codebooks = load_pq_codebooks(
         os.path.join(index_dir, "codebooks.parquet")
     )
-    encode = ivfpq_encode_udf(centroids, codebooks)
-    codes = new_rows.select(
-        F.col(corpus_id), encode(F.col(corpus_vec)).alias("_idx")
-    ).select(
-        F.col(corpus_id),
-        F.col("_idx.cell").alias("cell"),
-        F.col("_idx.codes").alias("codes"),
+    codes_dir = os.path.join(index_dir, "codes")
+    # fail FAST on an id-column mismatch: parquet append with a
+    # different id name would land a second schema in the same dir and
+    # load_ivfpq_index (schema from one footer) would surface the other
+    # file's rows with a NULL id — a silently corrupted index
+    existing = [
+        f for f in new_rows.sparkSession.read.parquet(codes_dir).schema.names
+    ]
+    expected = [corpus_id, "cell", "codes"]
+    if existing != expected:
+        raise ValueError(
+            f"codes table at {codes_dir} has columns {existing}; "
+            f"append would write {expected} — pass corpus_id="
+            f"{existing[0]!r} (the name the build used)"
+        )
+    codes = _encode_codes(
+        new_rows, corpus_id, corpus_vec, centroids, codebooks
     )
-    codes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+    codes.write.mode("append").parquet(codes_dir)
 
 
 # --------------------------------------------------------------------------

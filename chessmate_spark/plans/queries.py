@@ -8374,9 +8374,12 @@ def _rrf_oracle() -> str:
       FROM scored
       QUALIFY bm25_rank <= {_RRF_B}),
     cosr AS (
+      -- floor(x*1e6+0.5) mirrors portable_round bit-for-bit (DuckDB
+      -- round() can differ at FP half-boundaries — scoring.py:25)
       SELECT vec_id AS doc_id,
              CAST(row_number() OVER (
-               ORDER BY round({cos}, 6) DESC, vec_id) AS INTEGER)
+               ORDER BY floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                        vec_id) AS INTEGER)
                AS cos_rank
       FROM embeddings
       QUALIFY cos_rank <= {_RRF_B})

@@ -132,3 +132,22 @@ def test_a31_entry_referential_side_broadcasts(spark):
     assert byname[
         "lineitem.referential(l_orderkey -> orders.o_orderkey)"
     ]["passed"]
+
+
+def test_all_null_column_fails_closed(spark):
+    """Review regression: sum over an all-NULL predicate column is NULL;
+    the metric must coalesce to 0.0/fail — a passed=None row would sail
+    through a `passed == False` gate (fail-open)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, tag string"
+    )
+    rows = {
+        r["constraint"]: r
+        for r in audit_table(
+            df, "t", [accepted_values("tag", ["a"]), in_range("id", 5, 9)]
+        ).collect()
+    }
+    acc = rows["t.accepted_values(tag)"]
+    assert acc["metric"] == 0.0 and acc["passed"] is False
+    # in_range on non-NULL ids is unaffected by the coalesce
+    assert rows["t.in_range(id)"]["metric"] == 0.0

@@ -676,3 +676,29 @@ def test_ivfpq_append_identical_to_inline_frozen_model(spark, emb, tmp_path):
         nprobe=8, overfetch=32,
     ).first()
     assert hit["neighbor_id"] == self_id
+
+
+def test_ivfpq_append_rejects_mismatched_id_column(spark, emb, tmp_path):
+    """Review regression: appending under a different id-column name
+    would land a second schema in codes/ and silently corrupt the index
+    at read time — it must fail fast instead."""
+    import pytest
+
+    from chessmate_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(
+        corpus.filter(F.col("neighbor_id") < 40),
+        "neighbor_id", idx, nlist=8, m=8, ksub=16,
+    )
+    renamed = corpus.filter(F.col("neighbor_id") >= 40).select(
+        F.col("neighbor_id").alias("other_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="neighbor_id"):
+        append_to_ivfpq_index(renamed, "other_id", idx)

@@ -166,8 +166,13 @@ def test_randomized_corpus_matches_reference(spark):
 def test_d21_plan_never_shuffles_gram_text(spark):
     """d21's scale claim: grams fold to xxhash64 inside the scan
     projection, so no Exchange carries the token array or any gram
-    string — every wide exchange keys int64 hashes or doc ids."""
-    df = QUERIES["d21_substring_dedup"][0](spark, SF_DIR)
+    string — every wide exchange keys int64 hashes or doc ids.
+    Inspected on the materialize=False lazy plan (the default path
+    checkpoints eagerly, which would hide the exchanges)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = substring_dup_stats(
+        docs, "doc_id", "text", k=8, materialize=False
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
@@ -345,3 +350,27 @@ def test_resolve_stats_consistency(spark):
     for doc_id, r in resolve.items():
         cap = stats.get(doc_id, {}).get("dup_tokens", 0)
         assert r["n_dropped"] <= cap, (doc_id, r, stats.get(doc_id))
+
+
+def test_null_text_is_empty_doc_in_both_operators(spark):
+    """Review regression: NULL text must behave as the empty document
+    (the d17/oracle coalesce convention) — n_tokens 0, nothing flagged,
+    resolve row (0, 0, 0, md5('')) — not NULL n_tokens."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, None), (2, _words(0, 12)), (3, _words(0, 12))],
+        "doc_id bigint, text string",
+    )
+    stats = substring_dup_stats(df, "doc_id", "text", k=4).collect()
+    assert {r["doc_id"] for r in stats} == {2, 3}
+    from chessmate_spark.operators.dedup import substring_dedup_resolve
+
+    res = {
+        r["doc_id"]: r
+        for r in substring_dedup_resolve(df, "doc_id", "text", k=4).collect()
+    }
+    assert res[1]["n_tokens"] == 0
+    assert res[1]["n_kept"] == 0
+    assert res[1]["n_dropped"] == 0
+    assert res[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
