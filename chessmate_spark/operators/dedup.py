@@ -115,9 +115,11 @@ def minhash_lsh_candidates(
     inter = _candidate_intersections(pairs, exploded)
     out = _jaccard_from_inter(inter, sizes, min_jaccard)
     if materialize:
-        out = out.localCheckpoint(eager=True)
-        shingled.unpersist()
-        banded.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            shingled.unpersist()
+            banded.unpersist()
     return out
 
 
@@ -203,8 +205,10 @@ def ngram_jaccard_pairs(
     )
     out = _jaccard_from_inter(inter, sizes, min_jaccard)
     if materialize:
-        out = out.localCheckpoint(eager=True)
-        shingled.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            shingled.unpersist()
     return out
 
 
@@ -537,9 +541,11 @@ def incremental_minhash_dedup(
             "jaccard",
         )
     )
-    out = best.localCheckpoint(eager=True)
-    shingled.unpersist()
-    banded.unpersist()
+    try:
+        out = best.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
+        banded.unpersist()
     return out
 
 
@@ -808,9 +814,11 @@ def ngram_jaccard_pairs_prefix(
     inter = _candidate_intersections(cand, ex)
     out = _jaccard_from_inter(inter, sizes.select("_id", "_sz"), t)
     if materialize:
-        out = out.localCheckpoint(eager=True)
-        shingled.unpersist()
-        prefix.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            shingled.unpersist()
+            prefix.unpersist()
     return out
 
 
@@ -941,8 +949,12 @@ def substring_dup_stats(
         ),
     )
     if materialize:
-        out = out.localCheckpoint(eager=True)
-        grams.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            # unpersist even when the checkpoint action fails — the
+            # corpus-scale gram cache must not outlive the call
+            grams.unpersist()
     return out
 
 
@@ -1039,6 +1051,8 @@ def substring_dedup_resolve(
         F.md5(F.concat_ws(" ", kept_tokens)).alias("clean_md5"),
     )
     if materialize:
-        out = out.localCheckpoint(eager=True)
-        grams.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            grams.unpersist()
     return out

@@ -563,15 +563,26 @@ def append_to_ivfpq_index(
     # different id name would land a second schema in the same dir and
     # load_ivfpq_index (schema from one footer) would surface the other
     # file's rows with a NULL id — a silently corrupted index
-    existing = [
-        f for f in new_rows.sparkSession.read.parquet(codes_dir).schema.names
-    ]
-    expected = [corpus_id, "cell", "codes"]
-    if existing != expected:
+    existing = new_rows.sparkSession.read.parquet(codes_dir).schema
+    expected_names = [corpus_id, "cell", "codes"]
+    if list(existing.names) != expected_names:
         raise ValueError(
-            f"codes table at {codes_dir} has columns {existing}; "
-            f"append would write {expected} — pass corpus_id="
-            f"{existing[0]!r} (the name the build used)"
+            f"codes table at {codes_dir} has columns {list(existing.names)};"
+            f" append would write {expected_names} — pass corpus_id="
+            f"{existing.names[0]!r} (the name the build used)"
+        )
+    # name alone is not the schema: an id of the same name but a
+    # different TYPE (e.g. a string-typed delta from CSV) would still
+    # land a second physical schema in codes/ and surface as corrupt
+    # ids at read time — compare the id field's type too
+    new_id_type = new_rows.schema[corpus_id].dataType
+    old_id_type = existing[corpus_id].dataType
+    if new_id_type != old_id_type:
+        raise ValueError(
+            f"codes table at {codes_dir} has {corpus_id}: "
+            f"{old_id_type.simpleString()}; the append's {corpus_id} is "
+            f"{new_id_type.simpleString()} — cast the delta's id column "
+            f"to the build's type before appending"
         )
     codes = _encode_codes(
         new_rows, corpus_id, corpus_vec, centroids, codebooks

@@ -702,3 +702,30 @@ def test_ivfpq_append_rejects_mismatched_id_column(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="neighbor_id"):
         append_to_ivfpq_index(renamed, "other_id", idx)
+
+
+def test_ivfpq_append_rejects_mismatched_id_type(spark, emb, tmp_path):
+    """Review regression: same id NAME but a different TYPE (a
+    string-typed delta) must also fail fast — a name-only guard would
+    land a second physical schema in codes/."""
+    import pytest
+
+    from chessmate_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(
+        corpus.filter(F.col("neighbor_id") < 40),
+        "neighbor_id", idx, nlist=8, m=8, ksub=16,
+    )
+    stringy = corpus.filter(F.col("neighbor_id") >= 40).select(
+        F.col("neighbor_id").cast("string").alias("neighbor_id"),
+        "embedding",
+    )
+    with pytest.raises(ValueError, match="cast the delta"):
+        append_to_ivfpq_index(stringy, "neighbor_id", idx)
