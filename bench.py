@@ -212,6 +212,7 @@ HEADLINE = [
     "a31_constraint_audit",
     "d22_substring_dedup_resolve",
     "v14_ann_index_append",
+    "d23_semantic_decontaminate",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -1056,3 +1056,56 @@ def substring_dedup_resolve(
         finally:
             grams.unpersist()
     return out
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Semantic eval-set decontamination — the embedding-space twin of
+    ``textan.decontaminate`` (d9's lexical shingle overlap): flag every
+    training row whose vector is within ``threshold`` cosine of ANY
+    benchmark row.  Lexical decontamination misses paraphrases; this is
+    the second scrub modern pipelines run against held-out benchmarks
+    (the d13/SemDeDup similarity notion applied to the d9 task).
+
+    Returns ``(id_col, n_matches, max_cos, contaminated_by)`` for
+    flagged rows only — count of benchmark hits, the best (rounded)
+    cosine, and the smallest matching benchmark id.  The threshold
+    applies to the RAW cosine (d6's convention); only the reported
+    ``max_cos`` is rounded.
+
+    Scale shape: benchmarks are dimension-sized by nature (thousands of
+    rows against a corpus of billions), so the eval side BROADCASTS and
+    the corpus is scanned exactly once — the cosine is a per-(row,
+    benchmark) JVM expression on the broadcast nested-loop, the flag
+    aggregate is partial+final on the corpus id, and nothing
+    corpus-sized shuffles.  A benchmark too large to broadcast routes
+    through the d13 cell pattern instead (assign both sides to coarse
+    cells, compare within cells).
+    """
+    from ..functions.scoring import portable_round
+    from ..functions.vector import cosine_similarity
+
+    ev = eval_df.select(
+        F.col(id_col).alias("_e_id"), F.col(vec_col).alias("_e_vec")
+    )
+    cos = cosine_similarity(F.col(vec_col), F.col("_e_vec"))
+    hits = (
+        train.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(ev))
+        .filter(cos >= F.lit(threshold))
+        .select(
+            id_col,
+            F.col("_e_id"),
+            portable_round(cos, 6).alias("_cos"),
+        )
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.max("_cos").alias("max_cos"),
+        F.min("_e_id").alias("contaminated_by"),
+    )

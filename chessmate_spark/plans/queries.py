@@ -8742,3 +8742,54 @@ def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
     return out
+
+
+def _semantic_decontaminate_oracle() -> str:
+    cos = _duck_cosine("t.embedding", "e.embedding")
+    return f"""
+    WITH ev AS (SELECT * FROM embeddings WHERE vec_id % 97 = 0),
+    tr AS (SELECT * FROM embeddings WHERE vec_id % 97 <> 0),
+    hits AS (
+      -- threshold on the RAW cosine (d6's convention); only the
+      -- reported max_cos is rounded (floor form = portable_round)
+      SELECT t.vec_id, e.vec_id AS eval_id,
+             floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cos_r
+      FROM tr t, ev e
+      WHERE ({cos}) >= {_NEARDUP_THRESHOLD})
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           max(cos_r) AS max_cos,
+           min(eval_id) AS contaminated_by
+    FROM hits
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+@_register("d23_semantic_decontaminate", _semantic_decontaminate_oracle())
+def d23_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination — d9's benchmark scrub in
+    embedding space (lexical shingle overlap misses paraphrases; modern
+    pipelines run BOTH before training): flag every training vector
+    within cosine {thr} of ANY benchmark vector.  Benchmark set:
+    vec_id % 97 = 0 (d9's eval-set convention on the embeddings table).
+
+    Scale shape (operators/dedup.py semantic_decontaminate): benchmarks
+    are dimension-sized by nature, so the eval side broadcasts and the
+    corpus scans ONCE — per-(row, benchmark) JVM cosine on the
+    broadcast, partial+final flag aggregate on the corpus id, nothing
+    corpus-sized shuffles; a benchmark past broadcast size routes
+    through the d13 cell pattern."""
+    from ..operators.dedup import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(
+        train, ev, "vec_id", "embedding", _NEARDUP_THRESHOLD
+    ).orderBy("vec_id")
+
+
+d23_semantic_decontaminate.__doc__ = d23_semantic_decontaminate.__doc__.replace(
+    "{thr}", str(_NEARDUP_THRESHOLD)
+)

@@ -119,6 +119,7 @@ DEFAULT_QUERIES = [
     "a31_constraint_audit",
     "d22_substring_dedup_resolve",
     "v14_ann_index_append",
+    "d23_semantic_decontaminate",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -117,6 +117,7 @@ ENTRIES = [
     "d21_substring_dedup",
     "v13_rrf_fusion",
     "d22_substring_dedup_resolve",
+    "d23_semantic_decontaminate",
 ]
 
 

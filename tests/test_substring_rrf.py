@@ -374,3 +374,41 @@ def test_null_text_is_empty_doc_in_both_operators(spark):
     assert res[1]["n_kept"] == 0
     assert res[1]["n_dropped"] == 0
     assert res[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+# --- d23: semantic decontamination ---
+
+
+def test_semantic_decontaminate_semantics_and_plan(spark):
+    """Hand-built benchmark: train rows at known cosines to the eval
+    vectors; the flag set, match counts, and best-match id must be
+    exact, the threshold must apply to the RAW cosine, and the plan
+    must broadcast the eval side (no SortMergeJoin — the corpus is
+    scanned once, nothing corpus-sized shuffles)."""
+    from chessmate_spark.operators.dedup import semantic_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # cos 1.0 to eval 100, 0.0 to 101
+            (2, [0.6, 0.8]),      # cos 0.6 to 100, 0.8 to 101
+            (3, [0.0, -1.0]),     # cos 0.0 / -1.0 -> clean at 0.5
+            (4, [0.0, 0.0]),      # zero vector -> cosine 0.0 -> clean
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = semantic_decontaminate(train, ev, "vec_id", "embedding", 0.5)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_matches"] == 1
+    assert rows[1]["max_cos"] == 1.0
+    assert rows[1]["contaminated_by"] == 100
+    assert rows[2]["n_matches"] == 2  # both evals within 0.5
+    assert rows[2]["max_cos"] == 0.8
+    assert rows[2]["contaminated_by"] == 100
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
