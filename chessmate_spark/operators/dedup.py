@@ -1064,6 +1064,10 @@ def semantic_decontaminate(
     id_col: str,
     vec_col: str,
     threshold: float,
+    route: str = "broadcast",
+    n_clusters: Optional[int] = None,
+    n_probe: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
     """Semantic eval-set decontamination — the embedding-space twin of
     ``textan.decontaminate`` (d9's lexical shingle overlap): flag every
@@ -1078,34 +1082,94 @@ def semantic_decontaminate(
     applies to the RAW cosine (d6's convention); only the reported
     ``max_cos`` is rounded.
 
-    Scale shape: benchmarks are dimension-sized by nature (thousands of
-    rows against a corpus of billions), so the eval side BROADCASTS and
-    the corpus is scanned exactly once — the cosine is a per-(row,
-    benchmark) JVM expression on the broadcast nested-loop, the flag
-    aggregate is partial+final on the corpus id, and nothing
-    corpus-sized shuffles.  A benchmark too large to broadcast routes
-    through the d13 cell pattern instead (assign both sides to coarse
-    cells, compare within cells).
+    ``route="broadcast"`` (default): benchmarks are dimension-sized by
+    nature (thousands of rows against a corpus of billions), so the
+    eval side BROADCASTS and the corpus is scanned exactly once — the
+    cosine is a per-(row, benchmark) JVM expression on the broadcast
+    nested-loop, the flag aggregate is partial+final on the corpus id,
+    and nothing corpus-sized shuffles.  EXACT.
+
+    ``route="cells"``: the past-broadcast posture — d13's k-means cell
+    assignment applied to BOTH sides (centroids trained on the train
+    corpus; each vector lands in its ``n_probe`` nearest cells), pairs
+    compared only within shared cells.  Unlike the d16/d19 bloom
+    routes this is NOT output-invisible at partial probe: recall is
+    the ``n_probe`` dial exactly as in ``semantic_neardup_pairs``, the
+    flagged set is always a SUBSET of the broadcast route's, and
+    ``n_probe == n_clusters`` reproduces it exactly (every vector in
+    every cell) — both contracts are pinned in tests.
     """
     from ..functions.scoring import portable_round
     from ..functions.vector import cosine_similarity
 
+    if route not in ("broadcast", "cells"):
+        raise ValueError(f"unknown route {route!r}")
+    tr = train.select(F.col(id_col), F.col(vec_col))
     ev = eval_df.select(
         F.col(id_col).alias("_e_id"), F.col(vec_col).alias("_e_vec")
     )
-    cos = cosine_similarity(F.col(vec_col), F.col("_e_vec"))
-    hits = (
-        train.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(ev))
-        .filter(cos >= F.lit(threshold))
-        .select(
-            id_col,
-            F.col("_e_id"),
-            portable_round(cos, 6).alias("_cos"),
+    if route == "cells":
+        pairs = _cell_paired(
+            tr, ev, id_col, vec_col, n_clusters, n_probe, seed
         )
+    else:
+        pairs = tr.crossJoin(F.broadcast(ev))
+    cos = cosine_similarity(F.col(vec_col), F.col("_e_vec"))
+    hits = pairs.filter(cos >= F.lit(threshold)).select(
+        id_col,
+        F.col("_e_id"),
+        portable_round(cos, 6).alias("_cos"),
     )
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.max("_cos").alias("max_cos"),
         F.min("_e_id").alias("contaminated_by"),
+    )
+
+
+def _cell_paired(
+    tr: DataFrame,
+    ev: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: Optional[int],
+    n_probe: int,
+    seed: int,
+) -> DataFrame:
+    """(train row, eval row) candidate pairs via shared k-means cells —
+    the decontamination form of d13's candidate stage: ONE set of
+    centroids (trained on the train corpus, the big side) tags both
+    frames with their n_probe nearest cells; the join is cell-keyed
+    (id-and-vector rows shuffle only into their few cells, never
+    all-pairs) and multi-cell collisions dedupe per (train, eval) id
+    pair before any scoring."""
+    import math
+
+    from ..functions.vector_pandas import nearest_cells_udf
+    from .similarity import train_ivf_centroids
+
+    n_rows = tr.count()
+    if n_rows == 0:
+        # no candidates; an empty cell-route equals the empty exact set
+        return tr.crossJoin(ev.limit(0))
+    if n_clusters is None:
+        n_clusters = max(8, math.ceil(n_rows / 256))
+    centroids = train_ivf_centroids(
+        tr, id_col, vec_col, nlist=n_clusters, seed=seed,
+        corpus_rows=n_rows,
+    )
+    n_probe = min(n_probe, n_clusters)
+    cells = nearest_cells_udf(centroids, n_probe)
+    t_tag = tr.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(cells(F.col(vec_col))).alias("_cell"),
+    )
+    e_tag = ev.select(
+        "_e_id", "_e_vec", F.explode(cells(F.col("_e_vec"))).alias("_cell")
+    )
+    return (
+        t_tag.join(e_tag, "_cell")
+        .dropDuplicates([id_col, "_e_id"])
+        .select(id_col, vec_col, "_e_id", "_e_vec")
     )

@@ -412,3 +412,44 @@ def test_semantic_decontaminate_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_semantic_decontaminate_cell_route_contracts(spark):
+    """The past-broadcast route's two pinned contracts: at partial
+    probe the flagged set (and every per-row match count) is a SUBSET
+    of the exact broadcast route's; at n_probe == n_clusters it
+    reproduces the broadcast output exactly (every vector lands in
+    every cell)."""
+    from chessmate_spark.operators.dedup import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.35
+        ).collect()
+    }
+    assert exact  # the fixture has contamination at this threshold
+    full = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.35,
+            route="cells", n_clusters=8, n_probe=8,
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in full.items()} == {
+        k: tuple(v) for k, v in exact.items()
+    }
+    partial = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.35,
+            route="cells", n_clusters=8, n_probe=2,
+        ).collect()
+    }
+    assert set(partial) <= set(exact)
+    for k, r in partial.items():
+        assert r["n_matches"] <= exact[k]["n_matches"]
+        assert r["max_cos"] <= exact[k]["max_cos"]
