@@ -549,6 +549,31 @@ def incremental_minhash_dedup(
     return out
 
 
+_MAX_CELL_TRAIN = 131_072  # honest driver-side trainer sample ceiling
+
+
+def _cell_sizing(
+    n_rows: int, n_clusters: Optional[int], target_cell_rows: int = 256
+) -> "tuple[int, int]":
+    """THE auto-sizing arithmetic for k-means cell stages (SemDeDup
+    d13 and the d23 cell route share it, so the saturation guard
+    cannot silently diverge): cells = max(8, ceil(N / target)) capped
+    at max_train/39 (FAISS guidance: >= ~39 training points per
+    centroid — past the cap the trainer sample saturates and cells
+    degenerate), and the trainer sample scales with the cell count.
+    An explicit ``n_clusters`` is honored as-is (the caller owns its
+    sample budget) but the sample still scales to it."""
+    import math
+
+    cell_cap = max(8, _MAX_CELL_TRAIN // 39)
+    if n_clusters is None:
+        n_clusters = min(
+            max(8, math.ceil(n_rows / target_cell_rows)), cell_cap
+        )
+    sample_size = min(_MAX_CELL_TRAIN, max(4096, 39 * n_clusters))
+    return n_clusters, sample_size
+
+
 def semantic_cell_assignments(
     df: DataFrame,
     id_col: str,
@@ -591,13 +616,9 @@ def semantic_cell_assignments(
     n_rows = df.count()
     if n_rows == 0:
         return None, 0, 0
-    max_train = 131_072
-    if n_clusters is None:
-        cell_cap = max(8, max_train // 39)
-        n_clusters = min(
-            max(8, math.ceil(n_rows / target_cell_rows)), cell_cap
-        )
-    sample_size = min(max_train, max(4096, 39 * n_clusters))
+    n_clusters, sample_size = _cell_sizing(
+        n_rows, n_clusters, target_cell_rows
+    )
     centroids = train_ivf_centroids(
         df, id_col, vec_col, nlist=n_clusters, seed=seed,
         sample_size=sample_size, corpus_rows=n_rows,
@@ -1077,10 +1098,13 @@ def semantic_decontaminate(
     (the d13/SemDeDup similarity notion applied to the d9 task).
 
     Returns ``(id_col, n_matches, max_cos, contaminated_by)`` for
-    flagged rows only — count of benchmark hits, the best (rounded)
-    cosine, and the smallest matching benchmark id.  The threshold
-    applies to the RAW cosine (d6's convention); only the reported
-    ``max_cos`` is rounded.
+    flagged rows only — count of benchmark hits, the best cosine, and
+    the smallest matching benchmark id.  The cosine is rounded (the
+    portable floor form) BEFORE thresholding — d6's actual convention
+    (embedding_neardup_pairs: "rounded BEFORE thresholding so Spark
+    and an external oracle agree at FP boundaries"); thresholding raw
+    would let a pair within 1 ulp of the threshold flag in one engine
+    and not the other.
 
     ``route="broadcast"`` (default): benchmarks are dimension-sized by
     nature (thousands of rows against a corpus of billions), so the
@@ -1100,13 +1124,20 @@ def semantic_decontaminate(
     every cell) — both contracts are pinned in tests.
     """
     from ..functions.scoring import portable_round
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_from_norms, l2_norm
 
     if route not in ("broadcast", "cells"):
         raise ValueError(f"unknown route {route!r}")
-    tr = train.select(F.col(id_col), F.col(vec_col))
+    # norms once per ROW, not per pair: cosine_from_norms is
+    # FP-identical to cosine_similarity at a third of the interpreted
+    # HOF cost on the (corpus x benchmark) hot path
+    tr = train.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n_t")
+    )
     ev = eval_df.select(
-        F.col(id_col).alias("_e_id"), F.col(vec_col).alias("_e_vec")
+        F.col(id_col).alias("_e_id"),
+        F.col(vec_col).alias("_e_vec"),
+        l2_norm(F.col(vec_col)).alias("_n_e"),
     )
     if route == "cells":
         pairs = _cell_paired(
@@ -1114,12 +1145,14 @@ def semantic_decontaminate(
         )
     else:
         pairs = tr.crossJoin(F.broadcast(ev))
-    cos = cosine_similarity(F.col(vec_col), F.col("_e_vec"))
-    hits = pairs.filter(cos >= F.lit(threshold)).select(
-        id_col,
-        F.col("_e_id"),
-        portable_round(cos, 6).alias("_cos"),
+    cos = cosine_from_norms(
+        F.col(vec_col), F.col("_e_vec"), F.col("_n_t"), F.col("_n_e")
     )
+    # score ONCE in the projection, threshold the rounded column
+    scored = pairs.select(
+        id_col, F.col("_e_id"), portable_round(cos, 6).alias("_cos")
+    )
+    hits = scored.filter(F.col("_cos") >= F.lit(threshold))
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.max("_cos").alias("max_cos"),
@@ -1143,8 +1176,6 @@ def _cell_paired(
     (id-and-vector rows shuffle only into their few cells, never
     all-pairs) and multi-cell collisions dedupe per (train, eval) id
     pair before any scoring."""
-    import math
-
     from ..functions.vector_pandas import nearest_cells_udf
     from .similarity import train_ivf_centroids
 
@@ -1152,24 +1183,31 @@ def _cell_paired(
     if n_rows == 0:
         # no candidates; an empty cell-route equals the empty exact set
         return tr.crossJoin(ev.limit(0))
-    if n_clusters is None:
-        n_clusters = max(8, math.ceil(n_rows / 256))
+    # shared sizing with semantic_cell_assignments: the cell cap and
+    # sample scaling are what keep this route from degenerating at the
+    # past-broadcast scale it exists for (trainer saturation -> giant
+    # cells -> candidate blow-up)
+    n_clusters, sample_size = _cell_sizing(n_rows, n_clusters)
     centroids = train_ivf_centroids(
         tr, id_col, vec_col, nlist=n_clusters, seed=seed,
-        corpus_rows=n_rows,
+        sample_size=sample_size, corpus_rows=n_rows,
     )
     n_probe = min(n_probe, n_clusters)
     cells = nearest_cells_udf(centroids, n_probe)
     t_tag = tr.select(
         F.col(id_col),
         F.col(vec_col),
+        "_n_t",
         F.explode(cells(F.col(vec_col))).alias("_cell"),
     )
     e_tag = ev.select(
-        "_e_id", "_e_vec", F.explode(cells(F.col("_e_vec"))).alias("_cell")
+        "_e_id",
+        "_e_vec",
+        "_n_e",
+        F.explode(cells(F.col("_e_vec"))).alias("_cell"),
     )
     return (
         t_tag.join(e_tag, "_cell")
         .dropDuplicates([id_col, "_e_id"])
-        .select(id_col, vec_col, "_e_id", "_e_vec")
+        .select(id_col, vec_col, "_n_t", "_e_id", "_e_vec", "_n_e")
     )

@@ -8749,13 +8749,15 @@ def _semantic_decontaminate_oracle() -> str:
     return f"""
     WITH ev AS (SELECT * FROM embeddings WHERE vec_id % 97 = 0),
     tr AS (SELECT * FROM embeddings WHERE vec_id % 97 <> 0),
-    hits AS (
-      -- threshold on the RAW cosine (d6's convention); only the
-      -- reported max_cos is rounded (floor form = portable_round)
+    scored AS (
+      -- rounded (floor form = portable_round) BEFORE thresholding —
+      -- d6's boundary convention, so a pair within 1 ulp of the
+      -- threshold cannot flag in one engine and not the other
       SELECT t.vec_id, e.vec_id AS eval_id,
              floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cos_r
-      FROM tr t, ev e
-      WHERE ({cos}) >= {_NEARDUP_THRESHOLD})
+      FROM tr t, ev e),
+    hits AS (
+      SELECT * FROM scored WHERE cos_r >= {_NEARDUP_THRESHOLD})
     SELECT vec_id,
            CAST(count(*) AS BIGINT) AS n_matches,
            max(cos_r) AS max_cos,
@@ -8771,7 +8773,8 @@ def d23_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic eval-set decontamination — d9's benchmark scrub in
     embedding space (lexical shingle overlap misses paraphrases; modern
     pipelines run BOTH before training): flag every training vector
-    within cosine {thr} of ANY benchmark vector.  Benchmark set:
+    within cosine {thr} of ANY benchmark vector (rounded before
+    thresholding — d6's FP-boundary convention).  Benchmark set:
     vec_id % 97 = 0 (d9's eval-set convention on the embeddings table).
 
     Scale shape (operators/dedup.py semantic_decontaminate): benchmarks

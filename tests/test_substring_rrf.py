@@ -382,17 +382,26 @@ def test_null_text_is_empty_doc_in_both_operators(spark):
 def test_semantic_decontaminate_semantics_and_plan(spark):
     """Hand-built benchmark: train rows at known cosines to the eval
     vectors; the flag set, match counts, and best-match id must be
-    exact, the threshold must apply to the RAW cosine, and the plan
-    must broadcast the eval side (no SortMergeJoin — the corpus is
-    scanned once, nothing corpus-sized shuffles)."""
+    exact, the cosine must be ROUNDED before thresholding (d6's
+    FP-boundary convention — doc 5 sits at raw 0.4999996, which only
+    flags because the rounded value is exactly 0.5), and the plan must
+    broadcast the eval side (no SortMergeJoin — the corpus is scanned
+    once, nothing corpus-sized shuffles)."""
+    import math
+
     from chessmate_spark.operators.dedup import semantic_decontaminate
 
+    c = 0.4999996  # rounds to 0.500000; raw is below the threshold
     train = spark.createDataFrame(
         [
             (1, [1.0, 0.0]),      # cos 1.0 to eval 100, 0.0 to 101
             (2, [0.6, 0.8]),      # cos 0.6 to 100, 0.8 to 101
             (3, [0.0, -1.0]),     # cos 0.0 / -1.0 -> clean at 0.5
             (4, [0.0, 0.0]),      # zero vector -> cosine 0.0 -> clean
+            # boundary case: cos to eval 100 is c (flags only via
+            # rounding); the NEGATIVE second component keeps the cos
+            # to eval 101 below zero so exactly one match fires
+            (5, [c, -math.sqrt(1.0 - c * c)]),
         ],
         "vec_id bigint, embedding array<double>",
     )
@@ -402,7 +411,9 @@ def test_semantic_decontaminate_semantics_and_plan(spark):
     )
     out = semantic_decontaminate(train, ev, "vec_id", "embedding", 0.5)
     rows = {r["vec_id"]: r for r in out.collect()}
-    assert set(rows) == {1, 2}
+    assert set(rows) == {1, 2, 5}
+    assert rows[5]["n_matches"] == 1
+    assert rows[5]["max_cos"] == 0.5  # rounded-then-thresholded
     assert rows[1]["n_matches"] == 1
     assert rows[1]["max_cos"] == 1.0
     assert rows[1]["contaminated_by"] == 100
