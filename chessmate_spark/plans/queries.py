@@ -7927,8 +7927,10 @@ def s17_commit_log_serializable(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong rebase parent, torn read) breaks the value hash, not just a
     unit test.  Scale shape: commits are metadata-only (one fsync'd
     link per version); the data writes and the reads are ordinary
-    distributed parquet I/O; version reads list files from ONE
-    manifest, no log replay."""
+    distributed parquet I/O; version reads reconstruct the file set
+    from the nearest checkpoint + a bounded manifest tail (round-9:
+    delta manifests + every-Nth-commit checkpoints keep manifest bytes
+    and reads-per-commit O(1) in history length)."""
     import shutil
     import tempfile
 

@@ -129,10 +129,10 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     t.append(_df(spark, 0, 5))
     # a writer that died after staging: files exist, no manifest
     t._stage(_df(spark, 900, 905))
-    removed = t.vacuum()
+    removed = t.vacuum(retention_seconds=0)
     assert len(removed) == 1
     assert {r["id"] for r in t.read().collect()} == set(range(5))
-    assert t.vacuum() == []  # idempotent; committed data untouched
+    assert t.vacuum(retention_seconds=0) == []  # idempotent
 
 
 def test_vacuum_reclaims_orphaned_temp_manifests(spark, tmp_path):
@@ -147,11 +147,11 @@ def test_vacuum_reclaims_orphaned_temp_manifests(spark, tmp_path):
     orphan = os.path.join(commits, ".tmp-deadbeef")
     with open(orphan, "w") as fh:
         fh.write("{}")
-    removed = t.vacuum()
+    removed = t.vacuum(retention_seconds=0)
     assert [r for r in removed if ".tmp-" in r]
     assert not os.path.exists(orphan)
     assert {r["id"] for r in t.read().collect()} == set(range(5))
-    assert t.vacuum() == []
+    assert t.vacuum(retention_seconds=0) == []
 
 
 def test_time_travel_parity_with_snapshot_manager(spark, tmp_path):
@@ -233,7 +233,9 @@ def test_append_idempotent_race_rechecked_in_claim_loop(spark, tmp_path):
     assert pending.commit() is None
     assert t.latest_version() == 1
     assert sorted(r["id"] for r in t.read().collect()) == list(range(4))
-    assert len(t.vacuum()) == 1  # the loser's orphaned staging dir
+    # the loser's orphaned staging dir (retention=0: test KNOWS no
+    # writer is in flight)
+    assert len(t.vacuum(retention_seconds=0)) == 1
 
 
 def test_append_idempotent_int_app_id_normalized(spark, tmp_path):
@@ -269,3 +271,164 @@ def test_pending_commit_txn_normalized_at_write(spark, tmp_path):
     before = len(os.listdir(data_root))
     assert t.append_idempotent(_df(spark, 0, 4), 42, 3) is None
     assert len(os.listdir(data_root)) == before
+
+
+# -- round-9: checkpointed metadata (verdict #1) and vacuum retention
+# (verdict #6) -----------------------------------------------------------
+
+
+def _metadata_append(t, tmp_path, template_rel, schema, n):
+    """Drive ``n`` appends paying only the METADATA cost: each version
+    references a fresh copy of one already-staged parquet dir, so the
+    loop measures the commit protocol (manifest/checkpoint I/O), not
+    Spark write throughput — exactly the long-lived-streaming-sink
+    shape the round-8 verdict flagged as O(N^2)."""
+    import os
+    import shutil
+    import uuid
+
+    from chessmate_spark.ingest.commit_log import PendingCommit
+
+    template = os.path.join(str(tmp_path / "t"), template_rel)
+    for _ in range(n):
+        rel = os.path.join("data", uuid.uuid4().hex)
+        shutil.copytree(template, os.path.join(str(tmp_path / "t"), rel))
+        assert PendingCommit(t, "append", [rel], schema).commit() is not None
+
+
+def test_checkpoint_bounds_manifest_size_and_reads(spark, tmp_path):
+    """The round-8 verdict's O(N^2) finding, closed: after 1,000+
+    appends (a) every manifest is O(1) bytes (lists only its own add),
+    (b) total manifest bytes are O(N), (c) a commit late in the history
+    does the same bounded number of metadata reads as an early one, and
+    (d) read()/txn_version() reconstruct from one checkpoint + at most
+    checkpoint_interval tail manifests."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=10)
+    df = _df(spark, 0, 2)
+    t.append(df)  # v1: the one REAL staged write, reused as template
+    template_rel = t.manifest(1)["add"][0]
+    _metadata_append(t, tmp_path, template_rel, df.schema, 1049)
+    head = t.latest_version()
+    assert head == 1050
+
+    commits = t._commits_dir()
+    sizes = [
+        os.path.getsize(os.path.join(commits, f"{v:020d}.json"))
+        for v in (1, 100, 1000, head)
+    ]
+    # every manifest lists ONE staged dir: bytes are flat, not ~ version
+    assert max(sizes) < 2048
+    assert max(sizes) - min(sizes) < 256
+
+    # reads-per-commit is flat: an append at head≈1050 touches the head
+    # manifest + (every interval-th commit) one checkpoint fold — never
+    # the whole history
+    t.reset_metadata_reads()
+    _metadata_append(t, tmp_path, template_rel, df.schema, 1)
+    late_reads = t.metadata_reads
+    assert late_reads <= t.checkpoint_interval + 5
+
+    # reconstruction is checkpoint + bounded tail at ANY version
+    t.reset_metadata_reads()
+    files, _ = t._state_at(1045)
+    assert t.metadata_reads <= t.checkpoint_interval + 5
+    assert len(files) == 1045  # one dir per version: nothing dropped
+
+    # the data itself round-trips: 1051 versions x 2 rows
+    assert t.read().count() == 2 * t.latest_version()
+    # time travel at and just past a checkpoint boundary
+    assert t.read(10).count() == 20
+    assert t.read(11).count() == 22
+
+
+def test_checkpoint_folds_txn_high_water_marks(spark, tmp_path):
+    """append_idempotent's replay check must be O(interval) via the
+    checkpoint's folded txns map — including a replay of a batch that
+    committed BEFORE the newest checkpoint (the restart-from-older-
+    checkpoint case crossing a checkpoint boundary)."""
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    for b in range(10):
+        assert t.append_idempotent(_df(spark, b, b + 1), "app", b) == b + 1
+    # checkpoints exist at 4 and 8; batch 2's marker lives only in the
+    # pre-checkpoint tail that the fold must have absorbed
+    assert t._checkpoint_versions() == [4, 8]
+    assert t._read_checkpoint(8)["txns"] == {"app": 7}
+    t.reset_metadata_reads()
+    assert t.append_idempotent(_df(spark, 2, 3), "app", 2) is None
+    assert t.metadata_reads <= t.checkpoint_interval + 5
+    assert t.txn_version("app") == 9
+    assert t.read().count() == 10  # exactly once despite the replay
+
+
+def test_checkpoint_survives_overwrite_reset(spark, tmp_path):
+    """An overwrite between checkpoints resets the FILE fold but keeps
+    txn markers (Delta posture: SetTransaction survives data
+    replacement); reads on both sides of the overwrite stay correct."""
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    t.append_idempotent(_df(spark, 0, 5), "app", 0)  # v1
+    t.append(_df(spark, 5, 8))  # v2
+    t.overwrite(_df(spark, 100, 102))  # v3 — checkpoint fires here
+    t.append(_df(spark, 102, 104))  # v4
+    assert 3 in t._checkpoint_versions()
+    assert {r["id"] for r in t.read().collect()} == {100, 101, 102, 103}
+    assert {r["id"] for r in t.read(2).collect()} == set(range(8))
+    assert t.txn_version("app") == 0  # marker survives the overwrite
+    # replay after overwrite is still detected (no duplicate rows)
+    assert t.append_idempotent(_df(spark, 0, 5), "app", 0) is None
+
+
+def test_legacy_full_file_set_manifest_still_readable(spark, tmp_path):
+    """Pre-checkpoint manifests listed the COMPLETE file set under
+    ``files``; the fold treats one as a reset, so a table whose early
+    history predates the delta format keeps reading correctly."""
+    import json
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))  # v1
+    t.append(_df(spark, 5, 8))  # v2
+    # rewrite v2's manifest into the legacy shape (files = full set)
+    m2 = t.manifest(2)
+    m1 = t.manifest(1)
+    legacy = {k: v for k, v in m2.items() if k != "add"}
+    legacy["files"] = m1["add"] + m2["add"]
+    with open(os.path.join(t._commits_dir(), f"{2:020d}.json"), "w") as fh:
+        json.dump(legacy, fh)
+    t.append(_df(spark, 8, 10))  # v3: new-format delta on legacy base
+    assert {r["id"] for r in t.read().collect()} == set(range(10))
+    assert {r["id"] for r in t.read(2).collect()} == set(range(8))
+    # vacuum still sees legacy-referenced dirs as live
+    assert t.vacuum(retention_seconds=0) == []
+    assert {r["id"] for r in t.read().collect()} == set(range(10))
+
+
+def test_vacuum_retention_spares_in_flight_writer(spark, tmp_path):
+    """Verdict #6: vacuum with the default retention window must NOT
+    reclaim a mid-commit writer's freshly staged dir — the pending
+    commit survives vacuum and still lands; a genuinely old orphan
+    (mtime back-dated past the window) is reclaimed in the same run."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    # an old dead writer's orphan: stage, then age it past the window
+    old_rel = t._stage(_df(spark, 900, 905))
+    old_full = os.path.join(str(tmp_path / "t"), old_rel)
+    os.utime(old_full, (1, 1))
+    # a LIVE writer mid-commit: staged seconds ago, manifest not linked
+    pending = t.begin_append(_df(spark, 50, 55))
+    removed = t.vacuum()  # default retention
+    assert removed == [old_rel]
+    assert pending.commit() == 2  # the in-flight commit still lands
+    assert {r["id"] for r in t.read().collect()} == set(range(5)) | set(
+        range(50, 55)
+    )
+    # a young .tmp manifest is likewise spared; an aged one is not
+    young_tmp = os.path.join(t._commits_dir(), ".tmp-live")
+    with open(young_tmp, "w") as fh:
+        fh.write("{}")
+    assert t.vacuum() == []
+    os.utime(young_tmp, (1, 1))
+    assert t.vacuum() == [os.path.join("_commits", ".tmp-live")]
