@@ -4,10 +4,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
 Output contract: the FULL payload (with per-query seconds) goes to
-bench_out.json and is printed as one JSON line for humans; the LAST
-stdout line is a SHORT JSON record {"metric", "value", "unit", "sf",
-"n_queries", "queries_file"} so a tail-window parser always sees the
-headline number even when per-query timings make the full line long
+bench_out.local.json (untracked; `--commit` instead overwrites the
+committed bench_out.json AND resyncs the SURVEY/EXPLAIN prose blocks,
+`--out PATH` redirects) and is printed as one JSON line for humans; the
+LAST stdout line is a SHORT JSON record {"metric", "value", "unit",
+"sf", "n_queries", "queries_file"} so a tail-window parser always sees
+the headline number even when per-query timings make the full line long
 (round 2's full line outgrew the driver's tail window and parsed null).
 
 Per-query time = logical plan build + full execution (collect), measured
@@ -254,6 +256,30 @@ EXCLUDED = {
 
 
 def main() -> None:
+    import argparse
+
+    # Round-8 verdict finding: a bare rerun used to overwrite the
+    # COMMITTED bench_out.json (the file test_prose_consistency pins the
+    # SURVEY/EXPLAIN BENCH blocks to), leaving the tree failing pytest
+    # until a checkout.  A measurement must not mutate the record it is
+    # judged against: fresh runs now land in the untracked
+    # bench_out.local.json; `--commit` is the explicit act of updating
+    # the pinned artifact AND regenerating the prose blocks in one step.
+    parser = argparse.ArgumentParser(description=__doc__)
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument(
+        "--commit",
+        action="store_true",
+        help="overwrite the committed bench_out.json and resync the "
+        "SURVEY/EXPLAIN BENCH prose blocks from it",
+    )
+    group.add_argument(
+        "--out",
+        help="write the full record to this path instead of "
+        "bench_out.local.json",
+    )
+    args = parser.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -327,12 +353,24 @@ def main() -> None:
         full["errors"] = errors
     if flaky:
         full["flaky"] = flaky
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
-    )
+    root = os.path.dirname(os.path.abspath(__file__))
+    if args.out:
+        out_path = args.out
+    elif args.commit:
+        out_path = os.path.join(root, "bench_out.json")
+    else:
+        out_path = os.path.join(root, "bench_out.local.json")
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
+    if args.commit:
+        # artifact + prose move together or not at all: a --commit run
+        # that updated the artifact but left stale prose would recreate
+        # the exact drift the pinning test exists to catch
+        sys.path.insert(0, os.path.join(root, "scripts"))
+        import sync_bench_prose
+
+        sync_bench_prose.sync(write=True)
     print(json.dumps(full))
     # short record LAST: always inside any output tail window
     print(
@@ -347,7 +385,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "n_flaky": len(flaky),
                 "complete": not errors,
-                "queries_file": "bench_out.json",
+                "queries_file": os.path.basename(out_path),
             }
         )
     )

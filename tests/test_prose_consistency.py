@@ -131,3 +131,22 @@ def test_smoke_artifact_covers_default_queries():
         "targeted rerun: python scripts/scale_smoke.py <name> "
         "(a removed entry needs its stale row pruned by a full rerun)"
     )
+
+
+def test_bench_default_run_does_not_touch_committed_artifact():
+    """Round-8 verdict finding: a bare `python bench.py` must never
+    overwrite the committed bench_out.json (it left the driver's tree
+    failing this very suite until a checkout).  Pin the contract
+    statically: the default out path is the UNTRACKED local file, the
+    committed artifact is only written under --commit, and .gitignore
+    covers the local file so a rerun leaves `git status` clean."""
+    import bench  # noqa: F401 — import proves the module parses
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    # the committed artifact name appears only on the --commit branch
+    assert 'args.commit' in src
+    assert src.count('"bench_out.json"') == 1
+    assert '"bench_out.local.json"' in src
+    with open(os.path.join(ROOT, ".gitignore")) as fh:
+        assert "bench_out.local.json" in fh.read().splitlines()
