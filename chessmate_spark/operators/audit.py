@@ -130,17 +130,28 @@ def referential_integrity(
     child_table: str,
     parent_table: str,
     threshold: float = 1.0,
-    broadcast_parent_keys: bool = True,
+    broadcast_parent_keys: Optional[bool] = None,
 ) -> DataFrame:
     """Fraction of child rows whose foreign key exists in the parent —
-    counted via LEFT SEMI join (never materializing the join), with the
-    distinct parent-key side broadcast when it is dimension-sized (the
-    default here; pass False to let AQE pick a shuffle semi-join for
-    fact-sized parents).  NULL foreign keys fail the constraint (they
-    reference nothing), matching the SQL semi-join semantics exactly."""
+    counted via LEFT SEMI join, never materializing the join.  NULL
+    foreign keys fail the constraint (they reference nothing), matching
+    the SQL semi-join semantics exactly.
+
+    ``broadcast_parent_keys=None`` (default): no hint — Spark's own
+    size estimate / AQE picks broadcast for small distinct-key sets and
+    a shuffle semi-join past the threshold, so an auditor pointing this
+    at a fact-sized parent cannot OOM the driver by default (round-8
+    ADVICE: the old force-broadcast default was the unsafe posture).
+    ``True``: force broadcast — the explicit opt-in for KNOWN
+    dimension-sized parents where the caller wants the pinned
+    no-shuffle plan.  ``False``: force the shuffle semi-join (the
+    fact-parent posture, e.g. when statistics are missing and the size
+    estimate would over-broadcast)."""
     keys = parent.select(F.col(pk).alias("_pk")).distinct()
-    if broadcast_parent_keys:
+    if broadcast_parent_keys is True:
         keys = F.broadcast(keys)
+    elif broadcast_parent_keys is False:
+        keys = keys.hint("shuffle_hash")
     total = child.agg(F.count(F.lit(1)).alias("_n"))
     matched = (
         child.join(keys, F.col(fk) == F.col("_pk"), "left_semi")

@@ -843,19 +843,39 @@ def ngram_jaccard_pairs_prefix(
     return out
 
 
-def _rolling_gram_hashes(base: DataFrame, k: int) -> DataFrame:
+def _rolling_gram_hashes(
+    base: DataFrame, k: int, wide: bool = False
+) -> DataFrame:
     """(_id, _pos, _gh) for every k-token rolling window of ``_t`` —
-    each gram folds to xxhash64 INSIDE the scan projection, so nothing
+    each gram folds to a hash INSIDE the scan projection, so nothing
     downstream ever moves gram text.  Docs shorter than k emit no
-    grams."""
+    grams.
+
+    ``wide=False``: ``_gh`` is one xxhash64 (8-byte exchanges) — enough
+    for the MEASURE path, where a collision only over-counts.
+    ``wide=True``: ``_gh`` is a struct of two independent xxhash64
+    values (the second salts the input with a literal, giving a
+    distinct keyed hash) — a 128-bit key for the RESOLVE path, where a
+    collision would silently over-DROP non-duplicate content: at the
+    advertised 100 TB posture (order 10^12-10^13 grams) the 64-bit
+    birthday bound n^2/2^64 exceeds 1, while the 128-bit bound stays
+    below 10^-12.  Exchanges carry 16 bytes instead of 8 — still hash
+    rows, never gram text."""
     n = F.size("_t")
+
+    def _h(i):
+        g = F.concat_ws(" ", F.slice("_t", i + 1, k))
+        if not wide:
+            return F.xxhash64(g)
+        return F.struct(
+            F.xxhash64(g).alias("h1"),
+            F.xxhash64(F.lit("salt2"), g).alias("h2"),
+        )
+
+    empty_t = "array<struct<h1:bigint,h2:bigint>>" if wide else "array<bigint>"
     gram_hashes = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+        n >= k, F.transform(F.sequence(F.lit(0), n - k), _h)
+    ).otherwise(F.array().cast(empty_t))
     return base.select(
         "_id", F.posexplode(gram_hashes).alias("_pos", "_gh")
     )
@@ -910,6 +930,15 @@ def substring_dup_stats(
             F.coalesce(F.col(text_col), F.lit(""))
         ).alias("_t"),  # NULL text == empty doc (the d17/oracle convention)
     )
+    # base (the tokenized corpus) feeds the gram projection AND the
+    # meta join below — persist it too, or every document is tokenized
+    # twice per call (round-8 ADVICE).  Tradeoff: caching the token
+    # arrays costs ~corpus memory (MEMORY_AND_DISK spills past it) to
+    # save a second full tokenization scan — the right trade whenever
+    # tokenization dominates, which it does (regex split + lowercase
+    # over every byte vs a column projection)
+    if materialize:
+        base = base.persist()
     n = F.size("_t")
     # the gram projection (tokenize + per-window slice/concat/xxhash64)
     # is the operator's dominant cost and feeds BOTH the frequency
@@ -974,8 +1003,9 @@ def substring_dup_stats(
             out = out.localCheckpoint(eager=True)
         finally:
             # unpersist even when the checkpoint action fails — the
-            # corpus-scale gram cache must not outlive the call
+            # corpus-scale gram/token caches must not outlive the call
             grams.unpersist()
+            base.unpersist()
     return out
 
 
@@ -1007,10 +1037,14 @@ def substring_dedup_resolve(
     per-doc reassembly is pure array arithmetic in one projection
     (flatten drop starts to covered indices, array_except against the
     index range, element_at gather) — no per-token explode, no second
-    corpus shuffle beyond the per-doc drop-start gather.  Same xxhash64
-    collision bound as the stats form; a collision can only over-drop,
-    and the oracle (exact gram strings) would catch it.  ``materialize``
-    as in ``substring_dup_stats``.
+    corpus shuffle beyond the per-doc drop-start gather.  Unlike the
+    measure path, the gram key here is 128-bit (``wide=True``: a struct
+    of two independently-keyed xxhash64 values): this path MUTATES the
+    corpus, and at trillions of grams the 64-bit birthday bound exceeds
+    1 — a collision would silently over-drop non-duplicate content the
+    sf-scale exact-string oracle could never see (round-8 ADVICE).  The
+    128-bit bound stays < 1e-12 at 10^13 grams.  ``materialize`` as in
+    ``substring_dup_stats``.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -1018,7 +1052,12 @@ def substring_dedup_resolve(
             F.coalesce(F.col(text_col), F.lit(""))
         ).alias("_t"),  # NULL text == empty doc (the d17/oracle convention)
     )
-    grams = _rolling_gram_hashes(base, k)
+    # persist the tokenized corpus too: it feeds the gram projection AND
+    # the final reassembly join — without this every doc is tokenized
+    # twice (round-8 ADVICE; see substring_dup_stats for the tradeoff)
+    if materialize:
+        base = base.persist()
+    grams = _rolling_gram_hashes(base, k, wide=True)
     if materialize:  # grams feeds the firsts aggregate AND the join probe
         grams = grams.persist()
     # struct field order IS the resolution order: (_id, _pos) = corpus
@@ -1076,6 +1115,7 @@ def substring_dedup_resolve(
             out = out.localCheckpoint(eager=True)
         finally:
             grams.unpersist()
+            base.unpersist()
     return out
 
 
@@ -1174,8 +1214,12 @@ def _cell_paired(
     centroids (trained on the train corpus, the big side) tags both
     frames with their n_probe nearest cells; the join is cell-keyed
     (id-and-vector rows shuffle only into their few cells, never
-    all-pairs) and multi-cell collisions dedupe per (train, eval) id
-    pair before any scoring."""
+    all-pairs).  Multi-cell collisions dedupe per (train ROW, eval id)
+    — the row nonce is assigned BEFORE the cell explode, so two train
+    rows sharing an id (duplicate ids, different vectors) each keep
+    their own candidates exactly as the broadcast route counts them
+    (round-8 ADVICE: deduping on the id alone collapsed such rows and
+    broke the n_probe == n_clusters == exact contract)."""
     from ..functions.vector_pandas import nearest_cells_udf
     from .similarity import train_ivf_centroids
 
@@ -1194,9 +1238,18 @@ def _cell_paired(
     )
     n_probe = min(n_probe, n_clusters)
     cells = nearest_cells_udf(centroids, n_probe)
+    # the nonce is per PRE-explode row: stable within the plan (assigned
+    # in the projection that feeds the explode), never leaves this
+    # function, and only ever compared for equality
     t_tag = tr.select(
+        F.monotonically_increasing_id().alias("_rowid"),
         F.col(id_col),
         F.col(vec_col),
+        "_n_t",
+    ).select(
+        "_rowid",
+        id_col,
+        vec_col,
         "_n_t",
         F.explode(cells(F.col(vec_col))).alias("_cell"),
     )
@@ -1208,6 +1261,6 @@ def _cell_paired(
     )
     return (
         t_tag.join(e_tag, "_cell")
-        .dropDuplicates([id_col, "_e_id"])
+        .dropDuplicates(["_rowid", "_e_id"])
         .select(id_col, vec_col, "_n_t", "_e_id", "_e_vec", "_n_e")
     )

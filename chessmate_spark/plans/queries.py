@@ -8570,11 +8570,17 @@ def a31_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             uniqueness("l_orderkey"),
         ],
     )
+    # explicit broadcast opt-in: orders/customer KEY SETS are known
+    # dimension-sized here, and the entry's plan pin (no SortMergeJoin)
+    # wants the deterministic broadcast semi — the operator default is
+    # now hint-free so unknown parents cannot OOM the driver
     r1 = referential_integrity(
-        lineitem, "l_orderkey", orders, "o_orderkey", "lineitem", "orders"
+        lineitem, "l_orderkey", orders, "o_orderkey", "lineitem", "orders",
+        broadcast_parent_keys=True,
     )
     r2 = referential_integrity(
-        orders, "o_custkey", customer, "c_custkey", "orders", "customer"
+        orders, "o_custkey", customer, "c_custkey", "orders", "customer",
+        broadcast_parent_keys=True,
     )
     return (
         o.unionByName(li)

@@ -151,3 +151,34 @@ def test_all_null_column_fails_closed(spark):
     assert acc["metric"] == 0.0 and acc["passed"] is False
     # in_range on non-NULL ids is unaffected by the coalesce
     assert rows["t.in_range(id)"]["metric"] == 0.0
+
+
+def test_referential_broadcast_posture_is_explicit(spark):
+    """Round-8 ADVICE: the default must not force-broadcast an unknown
+    parent's key set.  True pins the broadcast semi; False pins a
+    non-broadcast semi; the hint-free default still computes the same
+    metric (plan choice is Spark's, correctness is ours)."""
+    child = spark.range(0, 1000).selectExpr("id", "id % 100 AS fk")
+    parent = spark.range(0, 90).selectExpr("id AS pk")
+
+    forced = referential_integrity(
+        child, "fk", parent, "pk", "c", "p", broadcast_parent_keys=True
+    )
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    shuffled = referential_integrity(
+        child, "fk", parent, "pk", "c", "p", broadcast_parent_keys=False
+    )
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+
+    rows = [
+        f.collect()[0]["metric"]
+        for f in (
+            forced,
+            shuffled,
+            referential_integrity(child, "fk", parent, "pk", "c", "p"),
+        )
+    ]
+    assert rows == [0.9, 0.9, 0.9]

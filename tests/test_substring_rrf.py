@@ -464,3 +464,46 @@ def test_semantic_decontaminate_cell_route_contracts(spark):
     for k, r in partial.items():
         assert r["n_matches"] <= exact[k]["n_matches"]
         assert r["max_cos"] <= exact[k]["max_cos"]
+
+
+def test_semantic_decontaminate_cell_route_duplicate_train_ids(spark):
+    """Round-8 ADVICE: with DUPLICATE train ids (same id, different
+    vectors) the cells route used to dedupe candidates on the id alone
+    and collapse rows the broadcast route counts separately, breaking
+    the n_probe == n_clusters == exact contract.  The row nonce fix
+    must count each physical row's hits exactly as broadcast does."""
+    from chessmate_spark.operators.dedup import semantic_decontaminate
+
+    # id 1 twice with near-orthogonal vectors; both near some eval row
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.5, 0.5, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, [1.0, 0.05, 0.0, 0.0]),
+            (101, [0.05, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    exact = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.6
+        ).collect()
+    }
+    # both copies of id 1 hit (one eval row each): n_matches must be 2
+    assert exact[1][1] == 2
+    cells = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.6,
+            route="cells", n_clusters=2, n_probe=2,
+        ).collect()
+    }
+    assert cells == exact
