@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -119,6 +119,149 @@ def audit_table(
         agg.select(F.explode(pairs).alias("_c"))
         .select("_c.constraint", "_c.metric", "_c.threshold")
         .withColumn("passed", F.col("metric") >= F.col("threshold"))
+    )
+
+
+def distribution_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    n_bins: int = 10,
+    epsilon: float = 1e-4,
+    stable_below: float = 0.1,
+    major_at: float = 0.25,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of the same
+    table — the drift monitor a training pipeline runs when a new data
+    dump lands, BEFORE mixing it into the corpus (the audit sibling of
+    the constraint suite: constraints ask "is this snapshot sane",
+    drift asks "is it the same distribution we trained on").
+
+    PSI per feature = Σ_buckets (cur_frac - ref_frac) ·
+    ln(cur_frac / ref_frac), with the standard industry verdicts
+    (< 0.1 stable, < 0.25 moderate, else major).  Numeric features are
+    bucketed into ``n_bins`` FIXED-WIDTH bins over the REFERENCE
+    min/max (current-side out-of-range values clamp into the end bins
+    — exactly the drift signal); categoricals bucket by value.  Empty
+    buckets take ``epsilon`` (the PSI zero-substitution convention) so
+    a category appearing or vanishing contributes a large finite term
+    instead of ±inf.  NULLs are excluded from both sides (PSI is over
+    the observed distribution; completeness drift is ``completeness``'s
+    job).  Output: one ``(feature, psi, verdict)`` row per feature.
+
+    Scale shape: feature count never adds scans — ONE min/max
+    aggregate over the reference, then ONE scan per side emitting
+    (feature, bucket) rows for ALL features via a constant-width
+    explode, partial+final counted; everything after the two counted
+    aggregates is bucket-cardinality-sized (Σ n_bins + distinct
+    categories), so the join/window/PSI arithmetic touches hundreds of
+    rows no matter how big the snapshots are.  All arithmetic is
+    portable (floor-form rounding, natural log, double division in a
+    pinned order), so an external SQL engine reproduces the psi values
+    bit-for-bit — the a32 oracle does.
+    """
+    from ..functions.scoring import portable_round
+
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("distribution_drift needs at least one feature")
+    stats = None
+    if numeric_cols:
+        stats = F.broadcast(
+            reference.agg(
+                *[
+                    agg(F.col(c)).alias(f"_{tag}_{c}")
+                    for c in numeric_cols
+                    for tag, agg in (("mn", F.min), ("mx", F.max))
+                ]
+            )
+        )
+
+    def bucket_fracs(df: DataFrame) -> DataFrame:
+        if stats is not None:
+            df = df.crossJoin(stats)
+        entries = []
+        for c in numeric_cols:
+            mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+            # fixed-width bin over the REFERENCE range; clamp keeps
+            # current-side outliers in the end bins; a constant
+            # reference column (mx == mn) degenerates to one bin
+            raw = F.floor(
+                (F.col(c) - mn) * F.lit(float(n_bins)) / (mx - mn)
+            )
+            b = F.when(mx == mn, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_bins - 1), F.greatest(F.lit(0), raw)
+                )
+            )
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.when(F.col(c).isNull(), F.lit(None))
+                    .otherwise(b)
+                    .cast("string")
+                    .alias("bucket"),
+                )
+            )
+        for c in categorical_cols:
+            entries.append(
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.col(c).cast("string").alias("bucket"),
+                )
+            )
+        counts = (
+            df.select(F.explode(F.array(*entries)).alias("_e"))
+            .select("_e.feature", "_e.bucket")
+            .where(F.col("bucket").isNotNull())
+            .groupBy("feature", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        total = F.sum("cnt").over(Window.partitionBy("feature"))
+        return counts.select(
+            "feature",
+            "bucket",
+            (F.col("cnt").cast("double") / total).alias("frac"),
+        )
+
+    ref = bucket_fracs(reference).select(
+        F.col("feature").alias("_rf"),
+        F.col("bucket").alias("_rb"),
+        F.col("frac").alias("_rfrac"),
+    )
+    cur = bucket_fracs(current).select(
+        F.col("feature").alias("_cf"),
+        F.col("bucket").alias("_cb"),
+        F.col("frac").alias("_cfrac"),
+    )
+    joined = ref.join(
+        cur,
+        (F.col("_rf") == F.col("_cf")) & (F.col("_rb") == F.col("_cb")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("_rf"), F.col("_cf")).alias("feature"),
+        F.greatest(
+            F.coalesce(F.col("_rfrac"), F.lit(0.0)), F.lit(epsilon)
+        ).alias("fr"),
+        F.greatest(
+            F.coalesce(F.col("_cfrac"), F.lit(0.0)), F.lit(epsilon)
+        ).alias("fc"),
+    )
+    psi = portable_round(
+        F.sum((F.col("fc") - F.col("fr")) * F.log(F.col("fc") / F.col("fr"))),
+        6,
+    )
+    return (
+        joined.groupBy("feature")
+        .agg(psi.alias("psi"))
+        .select(
+            "feature",
+            "psi",
+            F.when(F.col("psi") < stable_below, F.lit("stable"))
+            .when(F.col("psi") < major_at, F.lit("moderate"))
+            .otherwise(F.lit("major"))
+            .alias("verdict"),
+        )
     )
 
 

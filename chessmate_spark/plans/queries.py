@@ -8804,3 +8804,152 @@ def d23_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 d23_semantic_decontaminate.__doc__ = d23_semantic_decontaminate.__doc__.replace(
     "{thr}", str(_NEARDUP_THRESHOLD)
 )
+
+
+_DRIFT_SCALE = 1.5  # synthetic drift factor on the current snapshot
+
+
+def _drift_oracle() -> str:
+    # mirrors distribution_drift's arithmetic EXACTLY (fixed-width bins
+    # over the reference min/max, epsilon zero-substitution, natural
+    # log, floor-form rounding) so psi matches bit-for-bit
+    return """
+    WITH stats AS (
+      SELECT min(value) AS mn, max(value) AS mx
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    buckets AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+             'value' AS feature,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                       CAST(FLOOR((CASE WHEN event_id % 2 = 0 THEN value
+                                   ELSE value * 1.5 END - mn) * 10.0
+                                  / (mx - mn)) AS BIGINT)))
+                  END AS VARCHAR) AS bucket
+      FROM events CROSS JOIN stats
+      WHERE value IS NOT NULL
+      UNION ALL
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END,
+             'event_type', CAST(event_type AS VARCHAR)
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    fracs AS (
+      SELECT side, feature, bucket,
+             CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY side, feature) AS frac
+      FROM buckets GROUP BY side, feature, bucket
+    ),
+    j AS (
+      SELECT COALESCE(r.feature, c.feature) AS feature,
+             GREATEST(COALESCE(r.frac, 0.0), 0.0001) AS fr,
+             GREATEST(COALESCE(c.frac, 0.0), 0.0001) AS fc
+      FROM (SELECT * FROM fracs WHERE side = 'ref') r
+      FULL OUTER JOIN (SELECT * FROM fracs WHERE side = 'cur') c
+        ON r.feature = c.feature AND r.bucket = c.bucket
+    ),
+    psis AS (
+      SELECT feature,
+             FLOOR(sum((fc - fr) * LN(fc / fr)) * 1000000.0 + 0.5)
+               / 1000000.0 AS psi
+      FROM j GROUP BY feature
+    )
+    SELECT feature, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'major' END AS verdict
+    FROM psis ORDER BY feature
+    """
+
+
+@_register("a32_drift_psi", _drift_oracle())
+def a32_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (Population Stability Index) between
+    two snapshots — the monitor a training pipeline runs when a new
+    data dump lands, BEFORE mixing it into the corpus: a31's constraint
+    suite asks "is this snapshot sane", this asks "is it the same
+    distribution the model was trained on".  Snapshots: even/odd
+    event_id halves of events; the current side's `value` is scaled by
+    {scale} (a synthetic drift, the a31 deliberately-failing-constraint
+    convention) so the verdict ladder is exercised with a real measured
+    psi — `value` reads non-stable (0.19, moderate, at sf0.01),
+    `event_type` (genuinely undrifted) reads stable.
+
+    Scale shape (operators/audit.py distribution_drift): feature count
+    never adds scans — one min/max aggregate over the reference, one
+    (feature, bucket) explode-and-count scan per side (partial+final),
+    then everything downstream is bucket-cardinality-sized; PSI
+    arithmetic is fully portable (floor-form rounding, natural log,
+    pinned division order), which the oracle reproduces bit-for-bit."""
+    from ..operators.audit import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "value", F.col("value") * F.lit(_DRIFT_SCALE)
+    )
+    return distribution_drift(
+        ref, cur, numeric_cols=["value"], categorical_cols=["event_type"]
+    ).orderBy("feature")
+
+
+a32_drift_psi.__doc__ = a32_drift_psi.__doc__.replace(
+    "{scale}", str(_DRIFT_SCALE)
+)
+
+
+@_register(
+    "s19_schema_evolution",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_value,
+           FLOOR(sum(CASE WHEN event_id % 2 = 1 THEN value END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def s19_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches of the SAME logical
+    table written months apart — the older batch predates the `value`
+    column — read back as ONE table with ``mergeSchema=true``, the
+    missing column null-filled.  The 100 TB reality this models: a
+    year of daily dumps where the schema gained columns along the way;
+    a plain multi-path parquet read adopts ONE footer's schema
+    (silently dropping the new column for every batch if it picks an
+    old footer), so the merged-footer read is a correctness feature,
+    not a convenience.  The aggregate proves the null-fill semantics:
+    per event_type, rows from the pre-`value` batch count into n_rows
+    but never into n_with_value/sum_value.
+
+    Scale shape: schema merge reads FOOTERS (one small read per file,
+    driver-side), not data; the scan itself stays one pass with
+    column pruning intact.  Write-side: batches land under distinct
+    directories exactly as a date-partitioned sink would."""
+    token = _sf_token(sf_dir)
+    base = f"/tmp/chessmate_evolution/{token}"
+    ev = _t(spark, sf_dir, "events")
+    # batch 1: the OLD schema (no value column), even ids
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    ).write.mode("overwrite").parquet(f"{base}/batch1")
+    # batch 2: the evolved schema, odd ids
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(f"{base}/batch2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch1", f"{base}/batch2"
+    )
+    from ..functions.scoring import portable_round
+
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_with_value"),
+            portable_round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

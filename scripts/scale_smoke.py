@@ -120,6 +120,10 @@ DEFAULT_QUERIES = [
     "d22_substring_dedup_resolve",
     "v14_ann_index_append",
     "d23_semantic_decontaminate",
+    # round 9: PSI drift audit (two counted scans + bucket-sized tail)
+    # and the schema-evolution read (footer merge + one pruned scan)
+    "a32_drift_psi",
+    "s19_schema_evolution",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed
@@ -551,6 +555,30 @@ ANN_SETTINGS = {
     # (pq_of32 0.485) by construction; the run is deterministic so the
     # 0.4 floor holds unless the machinery regresses
     "ivfpq_nl64_np12_of32": 0.4,
+    # ksub=256 IVFADC family (round-8 verdict #3: commit a COMPETITIVE
+    # operating point).  ksub 16 and 256 both pack to ONE byte per code,
+    # so 256 buys 16x finer codebooks at identical payload; nprobe is
+    # the hard recall ceiling regardless (the exact re-rank cannot
+    # recover a vector in an unprobed cell: recall(ivfpq_npX) <=
+    # recall(ivf_npX)), so the sweep climbs nprobe alongside.  Dial
+    # rows 0.0; the recommended point's floor is set from the first
+    # measured run (the standing recalibration convention).
+    # measured on the decorrelated 10x corpus (first run): 0.560 /
+    # 0.650 / 0.735 — the frontier ksub=16 could not reach (its best
+    # committed point was 0.410): finer codebooks fix the PQ ordering
+    # miss, after which nprobe is the remaining (and hard) ceiling
+    "ivfpq_nl64_np12_of32_k256": 0.0,
+    "ivfpq_nl64_np16_of64_k256": 0.0,
+    "ivfpq_nl64_np24_of64_k256": 0.0,
+    # RECOMMENDED IVFADC point — measured 0.830 (first run, same
+    # corpus): 32/64 cells probed, 64x overfetch, one-byte codes, at
+    # ~4.3 s vs exact's all-pairs.  Floor 0.7 (the round-8 verdict's
+    # competitiveness bar, with the same measured-to-floor margin the
+    # LSH rows carry) — comfortably clear, unlike the old ksub=16
+    # point's 0.41-vs-0.4 watch item.  Near-uniform synthetic vectors
+    # are the documented PQ worst case; clustered real embeddings sit
+    # above these numbers at every dial point.
+    "ivfpq_nl64_np32_of64_k256": 0.7,
 }
 
 
@@ -674,6 +702,29 @@ def measure_ann_recall(spark) -> dict:
             )
         )
         out[f"ivfpq_nl64_np{nprobe}_of{of}"] = {
+            "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
+        }
+    # ksub=256 sweep: same coarse centroids (nlist-dial unchanged, rows
+    # stay comparable), residual codebooks retrained once at the finer
+    # ksub.  Payload is IDENTICAL to ksub=16 (one packed byte per code
+    # either way); the LUT each (query, cell) broadcast row carries
+    # grows 16x (m*ksub = 2048 doubles) — still driver-trivial at any
+    # realistic nprobe * n_queries.
+    ivfpq256_books = train_pq_codebooks(
+        corpus, "neighbor_id", "embedding", m=8, ksub=256,
+        coarse_centroids=ivfpq_cents,
+    )
+    for nprobe, of in ((12, 32), (16, 64), (24, 64), (32, 64)):
+        t0 = time.perf_counter()
+        r = recall_of(
+            ivfpq_topk(
+                queries, corpus, k=ANN_K,
+                query_id="query_id", corpus_id="neighbor_id",
+                nprobe=nprobe, m=8, ksub=256, overfetch=of,
+                centroids=ivfpq_cents, codebooks=ivfpq256_books,
+            )
+        )
+        out[f"ivfpq_nl64_np{nprobe}_of{of}_k256"] = {
             "recall": round(r, 4), "secs": round(time.perf_counter() - t0, 2),
         }
     exact.unpersist()
@@ -1026,6 +1077,215 @@ def measure_chess_pipeline(spark, out_path: str) -> "list[str]":
     return failures
 
 
+DECONTAM_THRESHOLD = 0.35   # the semdedup probe's threshold: same corpus
+DECONTAM_EVAL_ROWS = 200    # benchmark-sized eval side (replica-0 ids)
+DECONTAM_CLUSTERS = 16      # the d13-gated cell sizing on this corpus
+# (n_probe, floor): {1,2,4} document the dial; the recommended point's
+# floor is set from the first measured run (standing convention)
+DECONTAM_SETTINGS = [(1, 0.0), (2, 0.0), (4, 0.9)]
+
+
+def measure_decontam_recall(spark, out_path: str) -> "list[str]":
+    """Flagged-set recall of d23's past-broadcast ``route="cells"`` vs
+    the exact broadcast route, on the 10x corpus (round-8 verdict #4:
+    the subset/equality contracts are unit-pinned at toy scale; this is
+    the committed recall number at 10x across the n_probe dial).
+
+    The broadcast route is EXACT (every (train, eval) pair scored), so
+    its flagged-id set is the reference; the cells route's set must be
+    a SUBSET (asserted — a violation is a correctness bug, not a dial
+    miss), and recall is |cells ∩ exact| / |exact|.  Timings include
+    the k-means training each call pays (what a user pays).  Updates
+    SCALE_SMOKE.json's `decontam_recall` block in place."""
+    from chessmate_spark.operators.dedup import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).cache()
+    ev = emb.filter(F.col("vec_id") < DECONTAM_EVAL_ROWS)
+    tr = emb.filter(F.col("vec_id") >= DECONTAM_EVAL_ROWS)
+    t0 = time.perf_counter()
+    exact = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            tr, ev, "vec_id", "embedding", DECONTAM_THRESHOLD,
+            route="broadcast",
+        ).collect()
+    }
+    block: dict = {
+        "eval_rows": DECONTAM_EVAL_ROWS,
+        "n_clusters": DECONTAM_CLUSTERS,
+        "threshold": DECONTAM_THRESHOLD,
+        "exact_flagged": len(exact),
+        "broadcast_secs": round(time.perf_counter() - t0, 2),
+    }
+    failures = []
+    for n_probe, floor in DECONTAM_SETTINGS:
+        t0 = time.perf_counter()
+        got = {
+            r["vec_id"]
+            for r in semantic_decontaminate(
+                tr, ev, "vec_id", "embedding", DECONTAM_THRESHOLD,
+                route="cells", n_clusters=DECONTAM_CLUSTERS,
+                n_probe=n_probe,
+            ).collect()
+        }
+        # unconditional, the semdedup probe's discipline: the cells
+        # route may only MISS, never invent a flag
+        assert got <= exact, "cells route flagged a row broadcast did not"
+        recall = len(got & exact) / max(len(exact), 1)
+        block[f"cells_p{n_probe}"] = {
+            "recall": round(recall, 4),
+            "floor": floor,
+            "secs": round(time.perf_counter() - t0, 2),
+        }
+        if recall < floor:
+            failures.append(f"decontam:cells_p{n_probe}")
+        print(f"  cells n_probe={n_probe} recall={recall:.3f} "
+              f"floor={floor} ({block[f'cells_p{n_probe}']['secs']}s)",
+              flush=True)
+    emb.unpersist()
+    merge_smoke_block(
+        out_path, "decontam_recall", block, failures, "decontam:"
+    )
+    return failures
+
+
+BLOOM_ROUTE_N_QUERIES = 2048   # mined-query-batch shape
+BLOOM_ROUTE_VOCAB_MOD = 3      # ~1/3 of the corpus vocabulary as terms
+# the synthetic corpus has a TINY vocabulary (~340 distinct tokens at
+# 10x — generated text), so "a third of the vocabulary" alone can
+# never stress the broadcast.  A real mined-query workload's term
+# table is dominated by terms that DON'T occur in this corpus (typos,
+# other-domain tokens, other languages); the miss set is what makes
+# the term table big — and it is exactly what the bitmap exists to
+# shed at the scan.  200k terms x ~40 B is ~8 MB, past Spark's 10 MB
+# default broadcast comfort for the term table, vs the 128 KB bitmap.
+BLOOM_ROUTE_MISS_TERMS = 200_000
+# bloom/broadcast wall gate: the bloom route pays a bitmap build + a
+# suspect-side df aggregate to avoid the broadcast; at this corpus
+# scale (where the broadcast is still cheap) it must stay within a
+# small constant of the broadcast plan, or the 100 TB fallback story
+# is costing more than the bitmap saves
+BLOOM_ROUTE_WALL_GATE = 3.0
+
+
+def measure_bloom_route(spark, out_path: str) -> "list[str]":
+    """t25's bloom route at a genuinely query-table-scale frame on the
+    10x corpus (round-8 verdict #7: the broadcast==bloom identity was
+    pinned at toy scale only).
+
+    Query frame: ~1/3 of the CORPUS vocabulary (hash-selected, so
+    deterministic) UNION ~200k synthetic miss terms, hashed into 2048
+    query ids — the mined-hard-negative shape the bloom route exists
+    for: the term table is dominated by terms absent from the corpus,
+    so it is big while the bitmap is 128 KB.  Records: the suspect
+    fraction (distinct corpus terms passing the bitmap / all distinct
+    terms — true query terms plus REAL measured bloom false positives
+    at this key count), both walls, and asserts the two routes'
+    (query, rank, doc, score) outputs are IDENTICAL (no false
+    negatives).  Updates the `bloom_route` block in SCALE_SMOKE.json
+    in place."""
+    from chessmate_spark.functions.text import tokenize_expr
+    from chessmate_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from chessmate_spark.operators.retrieval import batch_bm25_retrieval
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # the SAME normalization batch_bm25_retrieval applies, so the query
+    # terms genuinely hit the posting vocabulary
+    arr = tokenize_expr(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))))
+    vocab = (
+        docs.select(F.explode(F.array_distinct(arr)).alias("term"))
+        .distinct()
+        .cache()
+    )
+    n_vocab = vocab.count()
+    true_terms = vocab.filter(
+        F.pmod(F.xxhash64(F.lit("pick"), F.col("term")), F.lit(
+            BLOOM_ROUTE_VOCAB_MOD)) == 0
+    ).select("term")
+    n_true = true_terms.count()
+    # miss terms: deterministic tokens guaranteed absent from the
+    # corpus (the tokenizer lowercases, so an uppercase prefix can
+    # never collide with a real posting term)
+    miss_terms = spark.range(BLOOM_ROUTE_MISS_TERMS).select(
+        F.concat(F.lit("MISSTERM"), F.col("id").cast("string")).alias(
+            "term"
+        )
+    )
+    qterms = (
+        true_terms.unionByName(miss_terms)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit("route"), F.col("term")),
+                F.lit(BLOOM_ROUTE_N_QUERIES),
+            ).cast("bigint").alias("query_id"),
+            "term",
+        )
+        .cache()
+    )
+    n_qterms = qterms.count()
+
+    def run(route: str):
+        t0 = time.perf_counter()
+        rows = batch_bm25_retrieval(
+            docs, qterms, k=5, route=route
+        ).collect()
+        secs = time.perf_counter() - t0
+        key = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score_micro"])
+            for r in rows
+        }
+        return key, secs
+
+    bc_rows, bc_secs = run("broadcast")
+    bl_rows, bl_secs = run("bloom")
+    assert bl_rows == bc_rows, (
+        "bloom route diverged from broadcast at scale "
+        f"({len(bl_rows)} vs {len(bc_rows)} rows)"
+    )
+    # the scan-shed the bitmap buys: distinct corpus terms that pass
+    # (true query terms + bitmap false positives) over all terms
+    bitmap = bloom_build(qterms.select("term").distinct(), "term")
+    passing = vocab.where(
+        bloom_might_contain(F.col("term"), bitmap, 1 << 20, k=5)
+    ).count()
+    vocab.unpersist()
+    qterms.unpersist()
+    wall_ratio = bl_secs / max(bc_secs, 1e-9)
+    block = {
+        "corpus_docs": docs.count(),
+        "vocab_terms": n_vocab,
+        "query_terms": n_qterms,
+        "true_query_terms": n_true,
+        "miss_query_terms": BLOOM_ROUTE_MISS_TERMS,
+        "n_queries": BLOOM_ROUTE_N_QUERIES,
+        "suspect_fraction": round(passing / max(n_vocab, 1), 4),
+        "broadcast_secs": round(bc_secs, 2),
+        "bloom_secs": round(bl_secs, 2),
+        "wall_ratio_vs_broadcast": round(wall_ratio, 2),
+        "wall_gate": BLOOM_ROUTE_WALL_GATE,
+        "outputs_identical": True,
+        "result_rows": len(bc_rows),
+    }
+    failures = (
+        ["bloom:wall_ratio"] if wall_ratio > BLOOM_ROUTE_WALL_GATE else []
+    )
+    merge_smoke_block(out_path, "bloom_route", block, failures, "bloom:")
+    print(
+        f"bloom route over {n_qterms:,} query terms / {n_vocab:,} vocab: "
+        f"suspect fraction {block['suspect_fraction']}, broadcast "
+        f"{bc_secs:.2f}s vs bloom {bl_secs:.2f}s (x{wall_ratio:.2f}, "
+        f"gate {BLOOM_ROUTE_WALL_GATE}), outputs identical"
+    )
+    return failures
+
+
 def main() -> int:
     recall_only = sys.argv[1:] == ["--recall-only"]
     linearity_only = sys.argv[1:] == ["--linearity"]
@@ -1033,9 +1293,11 @@ def main() -> int:
     decomp_only = sys.argv[1:] == ["--dedup-decomp"]
     pq_bytes_only = sys.argv[1:] == ["--pq-bytes"]
     chess_only = sys.argv[1:] == ["--chess"]
+    decontam_only = sys.argv[1:] == ["--decontam"]
+    bloom_only = sys.argv[1:] == ["--bloom-route"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
-        or pq_bytes_only or chess_only
+        or pq_bytes_only or chess_only or decontam_only or bloom_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1072,6 +1334,20 @@ def main() -> int:
             return 1
         print("OK: chess pipeline two-point ratios within gate")
         return 0
+    if decontam_only:
+        failures = measure_decontam_recall(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: d23 cells-route recall above its floors")
+        return 0
+    if bloom_only:
+        failures = measure_bloom_route(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: bloom route identical to broadcast, wall within gate")
+        return 0
     import json
 
     if v5_only:
@@ -1090,12 +1366,13 @@ def main() -> int:
         if recall_only:
             record = prior
             record.setdefault("queries", {})  # prior may be probe-only
-            # carry ONLY linearity/decomp failures: ann:/semdedup: are
+            # carry ONLY other probes' failures: ann:/semdedup: are
             # both re-measured by this run (keeping them would make a
             # fixed setting un-clearable), and plain query failures are
             # recomputed from the merged record below
             failures = [f for f in record.get("failures", [])
-                        if f.startswith(("linearity:", "decomp:", "chess:"))]
+                        if f.startswith(("linearity:", "decomp:", "chess:",
+                                         "decontam:", "bloom:"))]
         else:
             # keep the standing probe blocks, and MERGE prior per-query
             # rows so a targeted rerun (scale_smoke.py <name> ...)
@@ -1103,12 +1380,14 @@ def main() -> int:
             # cumulative record
             for block in ("linearity", "v5_dim1536",
                           "dedup_decomposition", "pq_bytes",
-                          "chess_pipeline"):
+                          "chess_pipeline", "decontam_recall",
+                          "bloom_route"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))
             failures = [f for f in prior.get("failures", [])
-                        if f.startswith(("linearity:", "decomp:", "chess:"))]
+                        if f.startswith(("linearity:", "decomp:", "chess:",
+                                         "decontam:", "bloom:"))]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]

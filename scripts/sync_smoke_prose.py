@@ -85,6 +85,51 @@ def render(record: dict) -> str:
             f"{cp['x10']['games']} games (gate {cp['gate']}; min-of-2, "
             f"drain batch ∝ backlog)"
         )
+    ann = record.get("ann_recall")
+    if ann:
+        rows = {k: v for k, v in ann.items() if isinstance(v, dict)}
+        shown = ", ".join(
+            f"`{k}` {v['recall']}" for k, v in sorted(rows.items())
+        )
+        lines.append(
+            f"- ann recall@{ann['k']} at 10x ({ann['corpus_rows']:,} "
+            f"vectors, {ann['n_queries']} queries): {shown}"
+        )
+    sem = record.get("semdedup_recall")
+    if sem:
+        rows = {k: v for k, v in sem.items() if isinstance(v, dict)}
+        shown = ", ".join(
+            f"`{k}` {v['recall']}" for k, v in sorted(rows.items())
+        )
+        lines.append(
+            f"- semdedup recall at 10x ({sem['sample_rows']:,} sample "
+            f"rows, {sem['exact_pairs']:,} exact pairs): {shown}"
+        )
+    dc = record.get("decontam_recall")
+    if dc:
+        pts = ", ".join(
+            f"n_probe={p} {dc[f'cells_p{p}']['recall']} "
+            f"(floor {dc[f'cells_p{p}']['floor']})"
+            for p in (1, 2, 4)
+            if f"cells_p{p}" in dc
+        )
+        lines.append(
+            f"- d23 cells-route recall vs exact broadcast at 10x "
+            f"({dc['eval_rows']} eval rows, {dc['exact_flagged']} exact "
+            f"flagged, {dc['n_clusters']} cells): {pts}"
+        )
+    br = record.get("bloom_route")
+    if br:
+        lines.append(
+            f"- t25 bloom route at query-table scale "
+            f"({br['query_terms']:,} query terms = "
+            f"{br['true_query_terms']:,} true + "
+            f"{br['miss_query_terms']:,} miss, over "
+            f"{br['vocab_terms']:,} corpus vocab, {br['n_queries']:,} "
+            f"queries): suspect fraction {br['suspect_fraction']}, wall "
+            f"x{br['wall_ratio_vs_broadcast']} vs broadcast (gate "
+            f"{br['wall_gate']}), outputs identical"
+        )
     dd = record.get("dedup_decomposition")
     if dd:
         for op in ("d7", "d13"):

@@ -182,3 +182,141 @@ def test_referential_broadcast_posture_is_explicit(spark):
         )
     ]
     assert rows == [0.9, 0.9, 0.9]
+
+
+# ---------------------------------------------------------------------------
+# distribution_drift (PSI)
+
+
+def _psi(ref_fracs, cur_fracs, eps=1e-4):
+    """Reference implementation: PSI over aligned bucket dicts."""
+    import math
+
+    buckets = set(ref_fracs) | set(cur_fracs)
+    total = 0.0
+    for b in buckets:
+        fr = max(ref_fracs.get(b, 0.0), eps)
+        fc = max(cur_fracs.get(b, 0.0), eps)
+        total += (fc - fr) * math.log(fc / fr)
+    return total
+
+
+def test_drift_categorical_hand_computed(spark):
+    from chessmate_spark.operators.audit import distribution_drift
+
+    ref = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 2, "cat string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 1 + [("b",)] * 3, "cat string"
+    )
+    rows = distribution_drift(
+        ref, cur, categorical_cols=["cat"]
+    ).collect()
+    assert len(rows) == 1
+    want = _psi({"a": 0.5, "b": 0.5}, {"a": 0.25, "b": 0.75})
+    assert rows[0]["feature"] == "cat"
+    assert abs(rows[0]["psi"] - want) < 1e-6
+    assert rows[0]["verdict"] == "major"  # 0.2747 >= 0.25
+
+
+def test_drift_identical_distributions_stable(spark):
+    from chessmate_spark.operators.audit import distribution_drift
+
+    df = spark.createDataFrame(
+        [(float(i % 10), str(i % 3)) for i in range(30)],
+        "num double, cat string",
+    )
+    rows = {
+        r["feature"]: r
+        for r in distribution_drift(
+            df, df, numeric_cols=["num"], categorical_cols=["cat"]
+        ).collect()
+    }
+    assert rows["num"]["psi"] == 0.0 and rows["num"]["verdict"] == "stable"
+    assert rows["cat"]["psi"] == 0.0 and rows["cat"]["verdict"] == "stable"
+
+
+def test_drift_vanished_category_epsilon(spark):
+    """A category present in ref but absent in cur takes the epsilon
+    substitute, contributing a large FINITE term (never ±inf/NaN)."""
+    import math
+
+    from chessmate_spark.operators.audit import distribution_drift
+
+    ref = spark.createDataFrame(
+        [("a",)] * 4 + [("gone",)], "cat string"
+    )
+    cur = spark.createDataFrame([("a",)] * 5, "cat string")
+    row = distribution_drift(ref, cur, categorical_cols=["cat"]).first()
+    want = _psi({"a": 0.8, "gone": 0.2}, {"a": 1.0})
+    assert math.isfinite(row["psi"])
+    assert abs(row["psi"] - want) < 1e-6
+    assert row["verdict"] == "major"
+
+
+def test_drift_numeric_binning_and_clamp(spark):
+    """Fixed-width bins come from the REFERENCE range; current-side
+    out-of-range values clamp into the end bins (the drift signal)."""
+    from chessmate_spark.operators.audit import distribution_drift
+
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(10)], "num double"
+    )  # range [0, 9], 10 bins: floor((v-0)*10/9) clamped to 9
+    cur = spark.createDataFrame(
+        [(float(v),) for v in (0, 1, 2, 50, 60, -5, -6, 3, 4, 5)],
+        "num double",
+    )
+
+    def bin_of(v):
+        return min(9, max(0, int((v - 0.0) * 10.0 // 9.0)))
+
+    ref_fr = {}
+    for v in range(10):
+        b = str(bin_of(v))
+        ref_fr[b] = ref_fr.get(b, 0.0) + 0.1
+    cur_fr = {}
+    for v in (0, 1, 2, 50, 60, -5, -6, 3, 4, 5):
+        b = str(bin_of(v))
+        cur_fr[b] = cur_fr.get(b, 0.0) + 0.1
+    row = distribution_drift(ref, cur, numeric_cols=["num"]).first()
+    assert abs(row["psi"] - _psi(ref_fr, cur_fr)) < 1e-6
+
+
+def test_drift_nulls_excluded_and_constant_reference(spark):
+    from chessmate_spark.operators.audit import distribution_drift
+
+    ref = spark.createDataFrame(
+        [(5.0,), (5.0,), (None,)], "num double"
+    )
+    cur = spark.createDataFrame(
+        [(5.0,), (None,), (None,)], "num double"
+    )
+    # constant reference range (mx == mn): everything lands in bin 0 on
+    # both sides; NULLs drop entirely -> identical one-bucket dists
+    row = distribution_drift(ref, cur, numeric_cols=["num"]).first()
+    assert row["psi"] == 0.0
+    assert row["verdict"] == "stable"
+
+
+def test_drift_requires_features(spark):
+    from chessmate_spark.operators.audit import distribution_drift
+
+    df = spark.createDataFrame([(1.0,)], "num double")
+    with pytest.raises(ValueError):
+        distribution_drift(df, df)
+
+
+def test_drift_plan_is_jvm_only(spark):
+    """No Python evaluation nodes anywhere in the drift plan — the PSI
+    arithmetic is pure expressions (the portability the oracle needs)."""
+    from chessmate_spark.operators.audit import distribution_drift
+
+    df = spark.createDataFrame(
+        [(float(i), str(i % 2)) for i in range(8)], "num double, cat string"
+    )
+    plan = distribution_drift(
+        df, df, numeric_cols=["num"], categorical_cols=["cat"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

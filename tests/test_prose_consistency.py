@@ -133,6 +133,60 @@ def test_smoke_artifact_covers_default_queries():
     )
 
 
+def test_serve_blocks_match_artifact():
+    """Round-8 verdict #8: the serving claims (q/s, speedup vs
+    sequential) were quoted by hand in SURVEY/EXPLAIN the way bench
+    numbers used to be.  Same contract as BENCH/SMOKE: the SERVE
+    blocks must be the exact rendering of the committed
+    SERVE_BENCH.json."""
+    import json
+
+    import sync_serve_prose as sv
+
+    with open(sv.ARTIFACT) as fh:
+        record = json.load(fh)
+    block = sv.render(record)
+    pattern = re.compile(
+        re.escape(sv.BEGIN) + r".*?" + re.escape(sv.END), re.DOTALL
+    )
+    for doc in sv.DOCS:
+        with open(os.path.join(ROOT, doc)) as fh:
+            text = fh.read()
+        m = pattern.search(text)
+        assert m, f"{doc} lost its SERVE block"
+        assert m.group(0) == block, (
+            f"{doc}'s SERVE block is stale vs SERVE_BENCH.json — "
+            "run: python scripts/sync_serve_prose.py --write"
+        )
+
+
+def test_serve_artifact_has_ladder():
+    """The committed serving record must carry the N-ladder (round-8
+    verdict #5: batch serving beyond N=64 was unmeasured) with a
+    flat-or-falling marginal per-question cost — the measured pin on
+    the 'plan is O(1) in N' claim."""
+    import json
+
+    import sync_serve_prose as sv
+
+    with open(sv.ARTIFACT) as fh:
+        record = json.load(fh)
+    ladder = record["batch_mode"]["ladder"]
+    assert [r["n_questions"] for r in ladder] == [64, 256, 1024]
+    marginals = [
+        r["marginal_ms_per_question"] for r in ladder[1:]
+    ]
+    # each rung's marginal cost must not GROW vs the previous rung
+    # (a growing marginal means per-question work that scales with N —
+    # the O(1)-plan claim would be false).  25% slack absorbs host
+    # noise on min-of-2 wall-clocks; a real O(N) term quadruples the
+    # marginal between the 256 and 1024 rungs and cannot hide in it
+    assert all(
+        later <= earlier * 1.25
+        for earlier, later in zip(marginals, marginals[1:])
+    ), f"marginal per-question cost grew along the ladder: {marginals}"
+
+
 def test_bench_default_run_does_not_touch_committed_artifact():
     """Round-8 verdict finding: a bare `python bench.py` must never
     overwrite the committed bench_out.json (it left the driver's tree
