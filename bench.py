@@ -373,7 +373,17 @@ def main() -> None:
         sys.path.insert(0, os.path.join(root, "scripts"))
         import sync_bench_prose
 
-        sync_bench_prose.sync(write=True)
+        rc = sync_bench_prose.sync(write=True)
+        if rc != 0:
+            # fail LOUDLY: the artifact is already overwritten, and
+            # exiting 0 here would ship exactly the artifact/prose
+            # drift --commit exists to prevent (e.g. a doc lost its
+            # BENCH marker block)
+            raise SystemExit(
+                f"--commit: prose resync failed (rc={rc}) — artifact "
+                "updated but a BENCH block was not; restore the marker "
+                "and rerun sync_bench_prose --write"
+            )
     print(json.dumps(full))
     # short record LAST: always inside any output tail window
     print(

@@ -45,6 +45,10 @@ manifest references them) and reclaimable by ``vacuum()``, which only
 removes data directories no manifest references AND older than its
 retention window (so an in-flight writer's freshly staged directory is
 never mistaken for an orphan — the Delta VACUUM retention posture).
+The one writer that CAN outlive the window — a ``begin_append`` held
+open — is guarded at ``commit()``: staged paths are verified to still
+exist before the claim, so a reclaimed stage fails loudly instead of
+committing a manifest whose files are gone.
 """
 
 from __future__ import annotations
@@ -185,10 +189,16 @@ class CommitLogTable:
         candidates = [
             v for v in self._checkpoint_versions() if v <= max_version
         ]
-        if not candidates:
-            return None
-        v = candidates[-1]
-        return v, self._read_checkpoint(v)
+        # newest first; a candidate pruned by a concurrent vacuum
+        # between the listdir and this read falls through to the next
+        # older one (and ultimately to the full manifest fold) — a
+        # vanished checkpoint can cost a longer walk, never a wrong read
+        for v in reversed(candidates):
+            try:
+                return v, self._read_checkpoint(v)
+            except FileNotFoundError:
+                continue
+        return None
 
     def _state_at(
         self, version: int
@@ -437,24 +447,44 @@ class CommitLogTable:
         return head + 1
 
     def vacuum(
-        self, retention_seconds: float = _DEFAULT_RETENTION_SECONDS
+        self,
+        retention_seconds: float = _DEFAULT_RETENTION_SECONDS,
+        keep_checkpoints: int = 2,
     ) -> List[str]:
         """Remove data directories no manifest references (writers that
-        died between staging and committing) and ``.tmp-*`` manifests
+        died between staging and committing), ``.tmp-*`` manifests
         orphaned by a crash between the temp write and the atomic link
         in ``_try_claim`` (``versions()`` skips dot-files so reads never
-        see them, but without reclamation they accumulate unboundedly).
+        see them, but without reclamation they accumulate unboundedly),
+        and SUPERSEDED checkpoints past the newest ``keep_checkpoints``
+        — each checkpoint stores the complete file set at its version,
+        so without pruning, total checkpoint bytes grow
+        O(versions^2 / interval); pruning one is output-invisible
+        (``_state_at`` folds from version 0 when no checkpoint <= v
+        survives — deep time travel pays a longer manifest walk, never
+        a wrong answer).
 
         Safe to run WHILE writers are mid-commit: anything younger than
         ``retention_seconds`` (by mtime) is skipped, and a live
         writer's staged dir is by construction younger than that window
         — staging directly precedes the metadata-only commit, which is
         milliseconds, not minutes (the Delta VACUUM retention posture).
-        Pass ``retention_seconds=0`` only when no writer can be in
-        flight.  Committed data is never touched: every referenced
-        directory appears in some manifest's ``add`` (or legacy
-        ``files``) list, and overwrites keep older versions' files
-        referenced for time travel."""
+        The one exception is a ``begin_append`` deliberately held open
+        past the window: its staged dirs ARE reclaimable, and
+        ``PendingCommit.commit`` guards by verifying its staged paths
+        still exist before claiming (fail-loud re-stage, never a
+        manifest referencing deleted files).  Concurrent vacuums are
+        safe too: a path removed by the other vacuum between listdir
+        and stat is skipped.  Pass ``retention_seconds=0`` only when no
+        writer can be in flight.  Committed data is never touched:
+        every referenced directory appears in some manifest's ``add``
+        (or legacy ``files``) list, and overwrites keep older versions'
+        files referenced for time travel — which is also why the
+        reference fold reads the FULL manifest history (O(versions)
+        small O(1)-sized files, a maintenance-path cost): folding from
+        the newest checkpoint alone would miss files only pre-overwrite
+        versions reference and reclaim them out from under time
+        travel."""
         import shutil
 
         referenced = set()
@@ -466,16 +496,36 @@ class CommitLogTable:
         for name in sorted(os.listdir(data_root)):
             rel = os.path.join(_DATA, name)
             full = os.path.join(data_root, name)
-            if rel not in referenced and os.path.getmtime(full) <= cutoff:
-                shutil.rmtree(full)
-                removed.append(rel)
+            try:
+                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                    shutil.rmtree(full)
+                    removed.append(rel)
+            except FileNotFoundError:
+                continue  # a concurrent vacuum got there first
         commits = self._commits_dir()
         for name in sorted(os.listdir(commits)):
             if name.startswith(".tmp-"):
                 full = os.path.join(commits, name)
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                        removed.append(os.path.join(_COMMITS, name))
+                except FileNotFoundError:
+                    continue
+        # superseded checkpoints: keep the newest ``keep_checkpoints``
+        # (>= 1 enforced — the newest is what bounds read cost), prune
+        # the rest once older than the retention window (a reader that
+        # listed an old checkpoint pre-prune falls back per
+        # _latest_checkpoint's missing-file handling)
+        ckpts = self._checkpoint_versions()
+        for v in ckpts[: -max(1, int(keep_checkpoints))]:
+            full = os.path.join(commits, _checkpoint_name(v))
+            try:
                 if os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
-                    removed.append(os.path.join(_COMMITS, name))
+                    removed.append(os.path.join(_COMMITS, _checkpoint_name(v)))
+            except FileNotFoundError:
+                continue
         return removed
 
 
@@ -505,6 +555,20 @@ class PendingCommit:
         if self.committed_version is not None:
             return self.committed_version  # idempotent
         t = self.table
+        # A pending commit held open past vacuum()'s retention window
+        # can lose its staged (still-unreferenced) data directories to
+        # reclamation; linking a manifest anyway would commit a version
+        # whose files are gone — silent data loss surfacing only at
+        # read().  Fail loudly instead: the caller re-stages.  The
+        # check-then-link window is milliseconds against a retention
+        # window of minutes, so a commit that passes this check cannot
+        # be vacuumed before its manifest lands.
+        for rel in self.staged:
+            if not os.path.isdir(os.path.join(t.path, rel)):
+                raise CommitConflict(
+                    f"staged data {rel} no longer exists (held past the "
+                    "vacuum retention window?) — re-stage and retry"
+                )
         for _ in range(max_retries + 1):
             if self.txn is not None:
                 # re-check INSIDE the loop: a concurrent duplicate of

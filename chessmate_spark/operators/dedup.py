@@ -1214,12 +1214,15 @@ def _cell_paired(
     centroids (trained on the train corpus, the big side) tags both
     frames with their n_probe nearest cells; the join is cell-keyed
     (id-and-vector rows shuffle only into their few cells, never
-    all-pairs).  Multi-cell collisions dedupe per (train ROW, eval id)
-    — the row nonce is assigned BEFORE the cell explode, so two train
-    rows sharing an id (duplicate ids, different vectors) each keep
-    their own candidates exactly as the broadcast route counts them
-    (round-8 ADVICE: deduping on the id alone collapsed such rows and
-    broke the n_probe == n_clusters == exact contract)."""
+    all-pairs).  Multi-cell collisions dedupe per (train ROW, eval
+    ROW) — BOTH sides get a row nonce assigned BEFORE their cell
+    explode, so duplicate ids (same id, different vectors) on either
+    side each keep their own candidates exactly as the broadcast
+    route's crossJoin counts them (round-8 ADVICE fixed the train
+    side; the round-9 review found the eval side had the same
+    collapse: two eval rows sharing an id would dedupe to one
+    arbitrary candidate, undercounting n_matches and able to drop a
+    flag the broadcast route raises)."""
     from ..functions.vector_pandas import nearest_cells_udf
     from .similarity import train_ivf_centroids
 
@@ -1254,6 +1257,12 @@ def _cell_paired(
         F.explode(cells(F.col(vec_col))).alias("_cell"),
     )
     e_tag = ev.select(
+        F.monotonically_increasing_id().alias("_e_rowid"),
+        "_e_id",
+        "_e_vec",
+        "_n_e",
+    ).select(
+        "_e_rowid",
         "_e_id",
         "_e_vec",
         "_n_e",
@@ -1261,6 +1270,6 @@ def _cell_paired(
     )
     return (
         t_tag.join(e_tag, "_cell")
-        .dropDuplicates(["_rowid", "_e_id"])
+        .dropDuplicates(["_rowid", "_e_rowid"])
         .select(id_col, vec_col, "_n_t", "_e_id", "_e_vec", "_n_e")
     )

@@ -8903,7 +8903,8 @@ a32_drift_psi.__doc__ = a32_drift_psi.__doc__.replace(
     """
     SELECT event_type,
            count(*) AS n_rows,
-           count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_value,
+           count(CASE WHEN event_id % 2 = 1 AND value IS NOT NULL
+                 THEN 1 END) AS n_with_value,
            FLOOR(sum(CASE WHEN event_id % 2 = 1 THEN value END)
                  * 1000000.0 + 0.5) / 1000000.0 AS sum_value
     FROM events

@@ -432,3 +432,56 @@ def test_vacuum_retention_spares_in_flight_writer(spark, tmp_path):
     assert t.vacuum() == []
     os.utime(young_tmp, (1, 1))
     assert t.vacuum() == [os.path.join("_commits", ".tmp-live")]
+
+
+def test_commit_fails_loudly_when_stage_vacuumed(spark, tmp_path):
+    """Round-9 review: a begin_append held open past the retention
+    window loses its staged dirs to vacuum(); commit() must then FAIL
+    (the staged-paths-exist guard) instead of linking a manifest that
+    references deleted files — which would be silent data loss
+    surfacing only at read()."""
+    import os
+
+    import pytest
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    pending = t.begin_append(_df(spark, 50, 55))
+    # the writer stalls past the retention window: age its staged dir
+    staged_full = os.path.join(str(tmp_path / "t"), pending.staged[0])
+    os.utime(staged_full, (1, 1))
+    removed = t.vacuum()  # default retention reclaims the aged stage
+    assert pending.staged[0] in removed
+    with pytest.raises(CommitConflict, match="no longer exists"):
+        pending.commit()
+    # the table is untouched: head is still v1 with the original rows
+    assert t.latest_version() == 1
+    assert {r["id"] for r in t.read().collect()} == set(range(5))
+
+
+def test_vacuum_prunes_superseded_checkpoints(spark, tmp_path):
+    """Round-9 review: each checkpoint stores the complete file set at
+    its version, so unpruned checkpoints re-grow O(N^2/interval) total
+    metadata bytes.  vacuum() keeps the newest ``keep_checkpoints`` and
+    prunes the rest (once past retention); pruning is output-invisible
+    — the latest read is unchanged and DEEP time travel (a version
+    older than every surviving checkpoint) folds from version 0 and
+    still answers correctly."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    for i in range(10):
+        t.append(_df(spark, i * 10, i * 10 + 3))
+    assert t._checkpoint_versions() == [2, 4, 6, 8, 10]
+    before_deep = {r["id"] for r in t.read(version=3).collect()}
+    before_head = {r["id"] for r in t.read().collect()}
+    removed = t.vacuum(retention_seconds=0)
+    assert t._checkpoint_versions() == [8, 10]
+    assert any("checkpoint" in r for r in removed)
+    # reads unchanged: head via the surviving checkpoints, v3 via the
+    # full manifest fold (no checkpoint <= 3 survives)
+    assert {r["id"] for r in t.read().collect()} == before_head
+    assert {r["id"] for r in t.read(version=3).collect()} == before_deep
+    # keep_checkpoints floors at 1: the newest always survives
+    t.vacuum(retention_seconds=0, keep_checkpoints=0)
+    assert t._checkpoint_versions() == [10]

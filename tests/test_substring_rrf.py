@@ -507,3 +507,52 @@ def test_semantic_decontaminate_cell_route_duplicate_train_ids(spark):
         ).collect()
     }
     assert cells == exact
+
+
+def test_semantic_decontaminate_cell_route_duplicate_eval_ids(spark):
+    """Round-9 review: the train side got the row nonce (round-8
+    ADVICE) but the eval side kept deduping on _e_id alone — two eval
+    rows sharing an id (same id, different vectors) collapsed to one
+    arbitrary candidate, undercounting n_matches and able to drop a
+    flag the broadcast route raises.  Both sides now carry nonces; the
+    n_probe == n_clusters == exact contract must hold under duplicate
+    ids on EITHER side."""
+    from chessmate_spark.operators.dedup import semantic_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    # eval id 100 appears TWICE with near-orthogonal vectors: train row
+    # 1 matches only the first copy, train row 2 only the second — the
+    # old id-keyed dedupe kept one arbitrary copy and could silently
+    # unflag one of them
+    ev = spark.createDataFrame(
+        [
+            (100, [1.0, 0.05, 0.0, 0.0]),
+            (100, [0.05, 1.0, 0.0, 0.0]),
+            (101, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    exact = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.6
+        ).collect()
+    }
+    # all three train rows flag; train rows 1 and 2 each hit one copy
+    assert set(exact) == {1, 2, 3}
+    assert exact[1][1] == 1 and exact[2][1] == 1
+    cells = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.6,
+            route="cells", n_clusters=2, n_probe=2,
+        ).collect()
+    }
+    assert cells == exact
