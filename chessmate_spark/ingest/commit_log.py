@@ -288,7 +288,13 @@ class CommitLogTable:
             raise FileNotFoundError(
                 f"commit-log table has no committed version yet: {self.path}"
             )
-        m = self.manifest(version)
+        try:
+            m = self.manifest(version)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"version {version} of {self.path} is not readable — "
+                "expired by expire_versions() or never committed"
+            ) from None
         schema = StructType.fromJson(m["schema"])
         files, _ = self._state_at(version)
         paths = [os.path.join(self.path, f) for f in files]
@@ -490,6 +496,16 @@ class CommitLogTable:
         referenced = set()
         for m in self.history():
             referenced.update(m["add"] if "add" in m else m["files"])
+        # surviving checkpoints' COMPLETE file lists too: after
+        # expire_versions() a file added in an expired version but
+        # still live at the checkpoint appears in NO surviving
+        # manifest's add list — folding manifests alone would reclaim
+        # live data
+        for v in self._checkpoint_versions():
+            try:
+                referenced.update(self._read_checkpoint(v)["files"])
+            except FileNotFoundError:
+                continue  # pruned concurrently
         cutoff = time.time() - retention_seconds
         removed = []
         data_root = os.path.join(self.path, _DATA)
@@ -516,9 +532,18 @@ class CommitLogTable:
         # (>= 1 enforced — the newest is what bounds read cost), prune
         # the rest once older than the retention window (a reader that
         # listed an old checkpoint pre-prune falls back per
-        # _latest_checkpoint's missing-file handling)
+        # _latest_checkpoint's missing-file handling).  After
+        # expire_versions() the checkpoint at the expiry floor (the
+        # oldest surviving version) is LOAD-BEARING: versions in
+        # [floor, next checkpoint) cannot fold from scratch because
+        # their prefix manifests are expired — that checkpoint is
+        # never pruned while it is the floor.
+        vs = self.versions()
+        floor = vs[0] if vs else 1
         ckpts = self._checkpoint_versions()
         for v in ckpts[: -max(1, int(keep_checkpoints))]:
+            if v == floor and floor > 1:
+                continue  # the expiry base checkpoint: reads depend on it
             full = os.path.join(commits, _checkpoint_name(v))
             try:
                 if os.path.getmtime(full) <= cutoff:
@@ -526,6 +551,56 @@ class CommitLogTable:
                     removed.append(os.path.join(_COMMITS, _checkpoint_name(v)))
             except FileNotFoundError:
                 continue
+        return removed
+
+
+    def expire_versions(self, keep_last: int) -> List[str]:
+        """Bound the manifest log itself — the Delta
+        ``logRetentionDuration`` posture, and the last unbounded
+        metadata path over an infinite stream (checkpoints are pruned
+        by ``vacuum()``; manifests previously accumulated forever, one
+        O(1) file per commit but O(versions) files and O(versions)
+        ``vacuum()`` fold reads).
+
+        Deletes every manifest OLDER than the newest checkpoint that
+        still covers the most recent ``keep_last`` versions — i.e. the
+        largest checkpoint version <= head - keep_last + 1 (no-op when
+        no such checkpoint exists).  Cutting at a checkpoint is what
+        keeps every surviving version readable: ``_state_at(v)`` for
+        any surviving ``v`` folds from that (or a newer) checkpoint and
+        never needs an expired manifest.  Time travel to expired
+        versions is GONE by design — ``read(v)`` raises
+        ``FileNotFoundError`` — and data files referenced ONLY by
+        expired versions (e.g. pre-overwrite history) become
+        ``vacuum()``-reclaimable, exactly Delta's bounded-retention
+        semantics.  Live files stay safe: the surviving checkpoints'
+        complete file lists join vacuum's reference fold.
+
+        Returns the deleted manifest paths (table-relative).  Run it
+        from maintenance (e.g. alongside ``vacuum()``), not from the
+        hot commit path."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.latest_version()
+        if head == 0:
+            return []
+        boundary = head - keep_last + 1
+        candidates = [
+            v for v in self._checkpoint_versions() if v <= boundary
+        ]
+        if not candidates:
+            return []
+        cut = candidates[-1]
+        removed = []
+        commits = self._commits_dir()
+        for v in self.versions():
+            if v >= cut:
+                break  # versions() is sorted ascending
+            try:
+                os.unlink(os.path.join(commits, _version_name(v)))
+                removed.append(os.path.join(_COMMITS, _version_name(v)))
+            except FileNotFoundError:
+                continue  # a concurrent expire got there first
         return removed
 
 

@@ -485,3 +485,68 @@ def test_vacuum_prunes_superseded_checkpoints(spark, tmp_path):
     # keep_checkpoints floors at 1: the newest always survives
     t.vacuum(retention_seconds=0, keep_checkpoints=0)
     assert t._checkpoint_versions() == [10]
+
+
+def test_expire_versions_bounds_log_and_frees_history(spark, tmp_path):
+    """expire_versions (the Delta logRetentionDuration posture): the
+    manifest log itself is bounded — manifests older than the newest
+    checkpoint covering the keep_last window are deleted.  Surviving
+    versions stay readable (including ones between the expiry floor
+    and the next checkpoint), expired versions fail with a clear
+    error, txn high-water marks survive via the checkpoint fold, data
+    referenced ONLY by expired versions becomes vacuum-reclaimable,
+    and live data is protected by the checkpoint file lists joining
+    vacuum's reference fold."""
+    import os
+
+    import pytest
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    t.append(_df(spark, 0, 3))                      # v1
+    t.append_idempotent(_df(spark, 10, 13), "app", 7)   # v2, txn marker
+    pre_overwrite_dirs = [t.manifest(1)["add"][0], t.manifest(2)["add"][0]]
+    t.overwrite(_df(spark, 100, 103))               # v3 drops v1/v2 data
+    for i in range(3, 25):
+        t.append(_df(spark, i * 10, i * 10 + 2))    # v4..v25
+    assert t.latest_version() == 25
+    head_rows = {r["id"] for r in t.read().collect()}
+    v16_rows = {r["id"] for r in t.read(version=16).collect()}
+
+    removed = t.expire_versions(keep_last=8)
+    # newest checkpoint <= 25-8+1=18 is 15: manifests 1..14 expire
+    assert t.versions()[0] == 15
+    assert len(removed) == 14
+    # surviving reads unchanged — including v16 (floor < 16 < next ckpt)
+    assert {r["id"] for r in t.read().collect()} == head_rows
+    assert {r["id"] for r in t.read(version=16).collect()} == v16_rows
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.read(version=3)
+    # txn high-water marks folded through checkpoints survive expiry:
+    # the same (app, version) is still a replay, nothing double-appends
+    assert t.append_idempotent(_df(spark, 900, 903), "app", 7) is None
+    assert {r["id"] for r in t.read().collect()} == head_rows
+
+    # vacuum after expiry: the pre-overwrite dirs (referenced only by
+    # expired manifests) are reclaimed; live data survives because the
+    # checkpoints' file lists join the reference fold
+    reclaimed = t.vacuum(retention_seconds=0)
+    assert set(pre_overwrite_dirs) <= set(reclaimed)
+    assert {r["id"] for r in t.read().collect()} == head_rows
+    # the floor checkpoint (15) is load-bearing and never pruned while
+    # floor > 1, even though only the newest 2 are otherwise kept
+    assert 15 in t._checkpoint_versions()
+    assert {r["id"] for r in t.read(version=16).collect()} == v16_rows
+
+
+def test_expire_versions_noop_without_covering_checkpoint(spark, tmp_path):
+    """No checkpoint at or below head - keep_last + 1 -> no-op (never
+    delete a manifest a read might need to fold from scratch)."""
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=10)
+    for i in range(5):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    assert t.expire_versions(keep_last=2) == []
+    assert t.versions()[0] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.expire_versions(keep_last=0)
