@@ -215,9 +215,36 @@ class CommitLogTable:
             files = list(ckpt["files"])
             txns = {k: int(v) for k, v in ckpt.get("txns", {}).items()}
         else:
+            # fold-from-scratch is only sound while the manifest prefix
+            # is intact.  After expire_versions() the prefix is gone by
+            # design and the base checkpoint is the ONLY reconstruction
+            # path — if it is missing (pruned out from under us, or the
+            # log is corrupted) fail LOUDLY here instead of letting the
+            # fold below raise a bare missing-manifest error (or worse,
+            # letting a caller misread a partial fold as the answer).
+            vs = self.versions()
+            if vs and vs[0] > 1 and version >= vs[0]:
+                raise RuntimeError(
+                    f"no checkpoint covers surviving version {version} of "
+                    f"{self.path} while the manifest prefix (< v{vs[0]}) is "
+                    "expired — the base checkpoint is missing; restore it "
+                    "or treat the segment as expired"
+                )
             start, files, txns = 0, [], {}
         for v in range(start + 1, version + 1):
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                # a surviving version whose fold path crosses a missing
+                # manifest: the base checkpoint that should have bridged
+                # the expired gap is gone — fail with the real story,
+                # not a bare missing-file path
+                raise RuntimeError(
+                    f"cannot reconstruct version {version} of "
+                    f"{self.path}: manifest v{v} is missing (expired "
+                    "without a covering checkpoint, or the segment's "
+                    "base checkpoint was pruned)"
+                ) from None
             if "add" in m:
                 if m["action"] == "overwrite":
                     files = list(m["add"])
@@ -231,6 +258,32 @@ class CommitLogTable:
                 v_txn = int(txn["version"])
                 txns[app] = max(txns.get(app, v_txn), v_txn)
         return files, txns
+
+    def _segment_bases(self) -> Tuple[set, List[int]]:
+        """(protected checkpoint versions, segment starts whose base is
+        MISSING).  A contiguous segment of surviving versions that does
+        not start at version 1 lost its manifest prefix to expiry, so
+        fold-from-scratch is impossible; its only reconstruction path
+        is a checkpoint at EXACTLY the segment start (a lower
+        checkpoint cannot fold through the expired gap, and a higher
+        one cannot serve the versions below it).  expire_versions()
+        always cuts at a checkpoint, so in a healthy log every segment
+        start > 1 has its base; a missing base means the log is
+        damaged for that segment.  With an intact prefix (segment
+        starting at 1) nothing is load-bearing — every checkpoint is a
+        pure accelerator."""
+        vs = self.versions()
+        ckpts = set(self._checkpoint_versions())
+        protected, missing = set(), []
+        prev = None
+        for v in vs:
+            if v > 1 and (prev is None or prev != v - 1):
+                if v in ckpts:
+                    protected.add(v)
+                else:
+                    missing.append(v)
+            prev = v
+        return protected, missing
 
     def _write_checkpoint(self, version: int) -> None:
         """Fold the state at ``version`` into ``<v>.checkpoint.json``
@@ -494,18 +547,44 @@ class CommitLogTable:
         import shutil
 
         referenced = set()
-        for m in self.history():
+        for v in self.versions():
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                # a concurrent expire_versions() unlinked it between the
+                # listing and this read.  Safe to skip: expiry only
+                # deletes manifests below a checkpoint cut, so any LIVE
+                # file this manifest added is re-referenced by that
+                # (protected) checkpoint's file list below, and its
+                # history-only files are reclaimable by design.
+                continue
             referenced.update(m["add"] if "add" in m else m["files"])
         # surviving checkpoints' COMPLETE file lists too: after
         # expire_versions() a file added in an expired version but
         # still live at the checkpoint appears in NO surviving
         # manifest's add list — folding manifests alone would reclaim
-        # live data
+        # live data.  A segment whose base checkpoint is MISSING means
+        # that segment's live files may be referenced by NOTHING
+        # readable: abort rather than reclaim live data.
+        protected, missing_bases = self._segment_bases()
+        if missing_bases:
+            raise RuntimeError(
+                f"load-bearing checkpoint(s) v{missing_bases} of "
+                f"{self.path} are missing — aborting vacuum to protect "
+                "live data"
+            )
         for v in self._checkpoint_versions():
             try:
                 referenced.update(self._read_checkpoint(v)["files"])
             except FileNotFoundError:
-                continue  # pruned concurrently
+                if v in protected:
+                    # vanished between the listing and this read — the
+                    # same damage class as missing_bases above
+                    raise RuntimeError(
+                        f"load-bearing checkpoint v{v} of {self.path} is "
+                        "missing — aborting vacuum to protect live data"
+                    )
+                continue  # a redundant accelerator, pruned concurrently
         cutoff = time.time() - retention_seconds
         removed = []
         data_root = os.path.join(self.path, _DATA)
@@ -532,18 +611,18 @@ class CommitLogTable:
         # (>= 1 enforced — the newest is what bounds read cost), prune
         # the rest once older than the retention window (a reader that
         # listed an old checkpoint pre-prune falls back per
-        # _latest_checkpoint's missing-file handling).  After
-        # expire_versions() the checkpoint at the expiry floor (the
-        # oldest surviving version) is LOAD-BEARING: versions in
-        # [floor, next checkpoint) cannot fold from scratch because
-        # their prefix manifests are expired — that checkpoint is
-        # never pruned while it is the floor.
-        vs = self.versions()
-        floor = vs[0] if vs else 1
+        # _latest_checkpoint's missing-file handling).  Load-bearing
+        # checkpoints (the base of any expired-prefix segment) are
+        # never pruned; the protected set is recomputed HERE, after
+        # the data scan above, so a concurrent expire_versions() that
+        # just created a new base has the narrowest possible window to
+        # be missed (see the concurrency note in expire_versions —
+        # run both from one maintenance actor).
+        protected, _ = self._segment_bases()
         ckpts = self._checkpoint_versions()
         for v in ckpts[: -max(1, int(keep_checkpoints))]:
-            if v == floor and floor > 1:
-                continue  # the expiry base checkpoint: reads depend on it
+            if v in protected:
+                continue  # an expired-prefix segment's base: reads depend on it
             full = os.path.join(commits, _checkpoint_name(v))
             try:
                 if os.path.getmtime(full) <= cutoff:
@@ -576,9 +655,25 @@ class CommitLogTable:
         semantics.  Live files stay safe: the surviving checkpoints'
         complete file lists join vacuum's reference fold.
 
-        Returns the deleted manifest paths (table-relative).  Run it
-        from maintenance (e.g. alongside ``vacuum()``), not from the
-        hot commit path."""
+        Crash consistency: manifests are unlinked NEWEST-first, so any
+        crash prefix leaves the log in a state this module handles —
+        either the prefix [1..k] is intact (fold-from-scratch still
+        works for it) or a version is entirely expired (clear error);
+        a crash can never strand a version whose fold would start
+        mid-history.  The commits directory is fsynced after the loop
+        (the ``_try_claim`` durability discipline) so a completed
+        expiry cannot partially resurrect after power loss.
+
+        Concurrency: run expiry and ``vacuum()`` from ONE maintenance
+        actor.  They tolerate racing each other without silent damage
+        (vacuum aborts loudly if a load-bearing checkpoint vanishes,
+        readers of an affected segment fail loudly, head reads are
+        never affected), but a vacuum that prunes a checkpoint in the
+        instant it becomes a new segment's base can cost time travel
+        to that segment.
+
+        Returns the deleted manifest paths (table-relative).  Not for
+        the hot commit path."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         head = self.latest_version()
@@ -593,14 +688,19 @@ class CommitLogTable:
         cut = candidates[-1]
         removed = []
         commits = self._commits_dir()
-        for v in self.versions():
-            if v >= cut:
-                break  # versions() is sorted ascending
+        doomed = [v for v in self.versions() if v < cut]
+        for v in reversed(doomed):  # newest-first: see crash note above
             try:
                 os.unlink(os.path.join(commits, _version_name(v)))
                 removed.append(os.path.join(_COMMITS, _version_name(v)))
             except FileNotFoundError:
                 continue  # a concurrent expire got there first
+        if removed:
+            dfd = os.open(commits, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         return removed
 
 

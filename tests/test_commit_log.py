@@ -550,3 +550,68 @@ def test_expire_versions_noop_without_covering_checkpoint(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.expire_versions(keep_last=0)
+
+
+def test_expire_crash_prefix_leaves_consistent_log(spark, tmp_path):
+    """expire_versions deletes manifests NEWEST-first, so a crash
+    mid-run leaves segments this module fully handles: the intact
+    prefix stays readable (fold from scratch), the deleted middle
+    fails with the clear expired error, the suffix reads via its
+    (protected) base checkpoint, vacuum never prunes that base, and a
+    re-run of expire completes the job."""
+    import os
+
+    import pytest
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(25):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    # simulate the crash prefix of expire(keep_last=8) (cut=15,
+    # newest-first): manifests 14..8 deleted, 1..7 still present
+    for v in range(14, 7, -1):
+        os.unlink(
+            os.path.join(t._commits_dir(), f"{v:020d}.json")
+        )
+    assert t.versions() == list(range(1, 8)) + list(range(15, 26))
+    # prefix folds from scratch / ckpt 5; suffix via base ckpt 15
+    assert t.read(version=3).count() == 6
+    assert t.read(version=7).count() == 14
+    assert t.read(version=16).count() == 32
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.read(version=10)
+    # ckpt 15 is the suffix segment's base -> protected; 5/10 are
+    # redundant accelerators -> prunable
+    assert t._segment_bases() == ({15}, [])
+    t.vacuum(retention_seconds=0)
+    assert 15 in t._checkpoint_versions()
+    assert t.read(version=16).count() == 32
+    assert t.read(version=3).count() == 6  # prefix still foldable
+    # a re-run completes the expiry
+    t.expire_versions(keep_last=8)
+    assert t.versions()[0] == 15
+
+
+def test_vacuum_aborts_when_load_bearing_checkpoint_missing(spark, tmp_path):
+    """A missing base checkpoint of an expired-prefix segment must
+    ABORT vacuum (continuing would drop that segment's live files from
+    the reference fold and reclaim live data); reads of the segment
+    fail with the clear missing-base error rather than a bare
+    missing-manifest one."""
+    import os
+
+    import pytest
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(12):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    t.expire_versions(keep_last=3)  # cut=10: manifests 1..9 expired
+    assert t.versions()[0] == 10
+    os.unlink(os.path.join(t._commits_dir(), f"{10:020d}.checkpoint.json"))
+    # also drop the hint so the scan path (not a stale hint) is tested
+    os.unlink(os.path.join(t._commits_dir(), "_last_checkpoint"))
+    with pytest.raises(RuntimeError, match="load-bearing checkpoint"):
+        t.vacuum(retention_seconds=0)
+    # the segment's reads fail with the real story too: the fold from
+    # the (lower, gap-crossing) checkpoint hits an expired manifest
+    with pytest.raises(RuntimeError, match="cannot reconstruct"):
+        t.read(version=10)
