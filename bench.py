@@ -215,9 +215,10 @@ HEADLINE = [
     "d22_substring_dedup_resolve",
     "v14_ann_index_append",
     "d23_semantic_decontaminate",
-    # round 9: drift audit + schema-evolution read
+    # round 9: drift audits + schema-evolution read
     "a32_drift_psi",
     "s19_schema_evolution",
+    "a33_windowed_drift",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

@@ -265,6 +265,99 @@ def distribution_drift(
     )
 
 
+def windowed_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-4,
+    stable_below: float = 0.1,
+    major_at: float = 0.25,
+) -> DataFrame:
+    """Per-day PSI of ``value_col`` against the table's GLOBAL
+    distribution — the form a production monitor actually runs: one
+    snapshot arrives per day/partition, and the question is "which
+    days drifted?", not a single two-snapshot comparison
+    (``distribution_drift`` is the two-snapshot core; this is its
+    time-series deployment).  Output: one ``(day, psi, verdict)`` row
+    per distinct day of ``ts_col``, same verdict ladder.
+
+    Scale shape: ONE global aggregate (min/max), ONE bucket-counted
+    scan for the global reference fractions, ONE (day, bucket) counted
+    scan for the windows — three scans total regardless of day count —
+    then everything downstream runs on the (days x n_bins) grid, built
+    by crossing the two tiny frames so a bucket a day never saw still
+    contributes its epsilon term (the vanished-mass signal).  Same
+    portable arithmetic as distribution_drift, so the a33 oracle
+    reproduces psi bit-for-bit.
+    """
+    from ..functions.scoring import portable_round
+
+    stats = F.broadcast(
+        df.agg(
+            F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+        )
+    )
+    mn, mx = F.col("_mn"), F.col("_mx")
+    raw = F.floor((F.col(value_col) - mn) * F.lit(float(n_bins)) / (mx - mn))
+    bucket = F.when(mx == mn, F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    ).cast("bigint")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(stats)
+        .select(
+            F.date_trunc("DAY", F.col(ts_col)).alias("day"),
+            bucket.alias("bucket"),
+        )
+    )
+    ref = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("_tot", F.sum("cnt").over(Window.partitionBy()))
+        .select(
+            "bucket",
+            (F.col("cnt").cast("double") / F.col("_tot")).alias("ref_frac"),
+        )
+    )
+    day_counts = base.groupBy("day", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    day_totals = base.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("day_n")
+    )
+    # full (day x reference-bucket) grid: both frames are tiny (days,
+    # bins), and the cross is what gives a bucket missing from a day
+    # its epsilon term instead of silently skipping it
+    grid = day_totals.crossJoin(ref)
+    joined = grid.join(day_counts, ["day", "bucket"], "left").select(
+        "day",
+        F.greatest(F.col("ref_frac"), F.lit(epsilon)).alias("fr"),
+        F.greatest(
+            F.coalesce(
+                F.col("cnt").cast("double") / F.col("day_n"), F.lit(0.0)
+            ),
+            F.lit(epsilon),
+        ).alias("fc"),
+    )
+    psi = portable_round(
+        F.sum((F.col("fc") - F.col("fr")) * F.log(F.col("fc") / F.col("fr"))),
+        6,
+    )
+    return (
+        joined.groupBy("day")
+        .agg(psi.alias("psi"))
+        .select(
+            "day",
+            "psi",
+            F.when(F.col("psi") < stable_below, F.lit("stable"))
+            .when(F.col("psi") < major_at, F.lit("moderate"))
+            .otherwise(F.lit("major"))
+            .alias("verdict"),
+        )
+    )
+
+
 def referential_integrity(
     child: DataFrame,
     fk: str,

@@ -8954,3 +8954,77 @@ def s19_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _windowed_drift_oracle() -> str:
+    # mirrors windowed_drift exactly: global fixed-width bins, the
+    # (day x reference-bucket) grid so vanished-mass buckets take the
+    # epsilon term, floor-form rounding
+    return """
+    WITH stats AS (
+      SELECT min(value) AS mn, max(value) AS mx FROM events
+    ),
+    base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                       CAST(FLOOR((value - mn) * 10.0 / (mx - mn))
+                            AS BIGINT)))
+                  END AS BIGINT) AS bucket
+      FROM events CROSS JOIN stats
+      WHERE value IS NOT NULL
+    ),
+    ref AS (
+      SELECT bucket,
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS ref_frac
+      FROM base GROUP BY bucket
+    ),
+    day_counts AS (
+      SELECT day, bucket, count(*) AS cnt FROM base GROUP BY day, bucket
+    ),
+    day_totals AS (
+      SELECT day, count(*) AS day_n FROM base GROUP BY day
+    ),
+    j AS (
+      SELECT t.day,
+             GREATEST(r.ref_frac, 0.0001) AS fr,
+             GREATEST(COALESCE(CAST(c.cnt AS DOUBLE) / t.day_n, 0.0),
+                      0.0001) AS fc
+      FROM day_totals t CROSS JOIN ref r
+      LEFT JOIN day_counts c ON c.day = t.day AND c.bucket = r.bucket
+    ),
+    psis AS (
+      SELECT day,
+             FLOOR(sum((fc - fr) * LN(fc / fr)) * 1000000.0 + 0.5)
+               / 1000000.0 AS psi
+      FROM j GROUP BY day
+    )
+    SELECT day, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'major' END AS verdict
+    FROM psis ORDER BY day
+    """
+
+
+@_register("a33_windowed_drift", _windowed_drift_oracle())
+def a33_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift monitor — a32's PSI core deployed the way a
+    production pipeline actually runs it: one snapshot lands per day,
+    and the question is "which DAYS drifted from the corpus-wide
+    distribution?", one (day, psi, verdict) row each.
+
+    Scale shape (operators/audit.py windowed_drift): three scans total
+    regardless of day count — global min/max, global bucket fractions,
+    (day, bucket) counts — then the PSI arithmetic runs on the
+    (days x n_bins) grid built by crossing two tiny frames, so a
+    bucket a day never saw still contributes its epsilon
+    vanished-mass term.  Portable arithmetic throughout; the oracle
+    reproduces psi bit-for-bit."""
+    from ..operators.audit import windowed_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_drift(ev, "ts", "value")
+    return out.select(
+        F.col("day").cast("date").alias("day"), "psi", "verdict"
+    ).orderBy("day")

@@ -120,10 +120,12 @@ DEFAULT_QUERIES = [
     "d22_substring_dedup_resolve",
     "v14_ann_index_append",
     "d23_semantic_decontaminate",
-    # round 9: PSI drift audit (two counted scans + bucket-sized tail)
-    # and the schema-evolution read (footer merge + one pruned scan)
+    # round 9: PSI drift audits (counted scans + bucket/grid-sized
+    # tails) and the schema-evolution read (footer merge + one pruned
+    # scan)
     "a32_drift_psi",
     "s19_schema_evolution",
+    "a33_windowed_drift",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -320,3 +320,72 @@ def test_drift_plan_is_jvm_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_windowed_drift_per_day_psi(spark):
+    """Two days, one matching the global mix and one heavily skewed:
+    the skewed day's PSI is hand-computed against the GLOBAL (both
+    days pooled) reference, including the epsilon term for a bucket
+    the day never saw."""
+    from chessmate_spark.operators.audit import windowed_drift
+
+    # day 1: values 0..9 uniform; day 2: all mass at 9 (plus one 0)
+    rows = [("2024-01-01 10:00:00", float(v)) for v in range(10)]
+    rows += [("2024-01-02 10:00:00", 9.0)] * 9
+    rows += [("2024-01-02 11:00:00", 0.0)]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        str(r["day"])[:10]: r
+        for r in windowed_drift(df, "ts", "value").collect()
+    }
+    assert set(out) == {"2024-01-01", "2024-01-02"}
+
+    # reference = pooled 20 rows; bucket b = min(9, max(0, v*10//9))
+    def bucket(v):
+        return min(9, max(0, int(v * 10.0 // 9.0)))
+
+    pooled, d1, d2 = {}, {}, {}
+    for v in list(range(10)) + [9] * 9 + [0]:
+        pooled[bucket(float(v))] = pooled.get(bucket(float(v)), 0) + 1
+    for v in range(10):
+        d1[bucket(float(v))] = d1.get(bucket(float(v)), 0) + 1
+    for v in [9.0] * 9 + [0.0]:
+        d2[bucket(v)] = d2.get(bucket(v), 0) + 1
+
+    def psi(day_counts, day_n):
+        total = 0.0
+        for b, cnt in pooled.items():
+            fr = max(cnt / 20.0, 1e-4)
+            fc = max(day_counts.get(b, 0) / day_n, 1e-4)
+            total += (fc - fr) * _psi_ln(fc / fr)
+        return total
+
+    import math
+
+    def _psi_ln(x):
+        return math.log(x)
+
+    assert abs(out["2024-01-01"]["psi"] - psi(d1, 10)) < 1e-6
+    assert abs(out["2024-01-02"]["psi"] - psi(d2, 10)) < 1e-6
+    # the skewed day is non-stable; day 1 may read moderate (it also
+    # differs from the pooled mix) but must be LESS drifted than day 2
+    assert out["2024-01-02"]["psi"] > out["2024-01-01"]["psi"]
+    assert out["2024-01-02"]["verdict"] in ("moderate", "major")
+
+
+def test_windowed_drift_identical_days_stable(spark):
+    from chessmate_spark.operators.audit import windowed_drift
+
+    rows = [
+        (f"2024-01-0{d} 12:00:00", float(v))
+        for d in (1, 2, 3)
+        for v in range(8)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = windowed_drift(df, "ts", "value").collect()
+    assert len(out) == 3
+    assert all(r["psi"] == 0.0 and r["verdict"] == "stable" for r in out)
