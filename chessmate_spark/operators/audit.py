@@ -122,6 +122,22 @@ def audit_table(
     )
 
 
+def _fixed_width_bucket(
+    col: Column, mn: Column, mx: Column, n_bins: int
+) -> Column:
+    """The PSI bucket expression shared by ``distribution_drift`` and
+    ``windowed_drift``: ``n_bins`` fixed-width bins over [mn, mx] with
+    out-of-range values CLAMPED into the end bins and a degenerate
+    (mx == mn) range collapsing to one bin.  ONE definition on purpose
+    — each caller's hand-written SQL oracle mirrors this arithmetic
+    bit-for-bit, so a tweak here must show up in both PSI paths (and
+    both oracles) at once, never silently diverge them."""
+    raw = F.floor((col - mn) * F.lit(float(n_bins)) / (mx - mn))
+    return F.when(mx == mn, F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    )
+
+
 def distribution_drift(
     reference: DataFrame,
     current: DataFrame,
@@ -182,17 +198,10 @@ def distribution_drift(
             df = df.crossJoin(stats)
         entries = []
         for c in numeric_cols:
-            mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
             # fixed-width bin over the REFERENCE range; clamp keeps
-            # current-side outliers in the end bins; a constant
-            # reference column (mx == mn) degenerates to one bin
-            raw = F.floor(
-                (F.col(c) - mn) * F.lit(float(n_bins)) / (mx - mn)
-            )
-            b = F.when(mx == mn, F.lit(0)).otherwise(
-                F.least(
-                    F.lit(n_bins - 1), F.greatest(F.lit(0), raw)
-                )
+            # current-side outliers in the end bins
+            b = _fixed_width_bucket(
+                F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), n_bins
             )
             entries.append(
                 F.struct(
@@ -284,12 +293,16 @@ def windowed_drift(
 
     Scale shape: ONE global aggregate (min/max), ONE bucket-counted
     scan for the global reference fractions, ONE (day, bucket) counted
-    scan for the windows — three scans total regardless of day count —
-    then everything downstream runs on the (days x n_bins) grid, built
-    by crossing the two tiny frames so a bucket a day never saw still
-    contributes its epsilon term (the vanished-mass signal).  Same
-    portable arithmetic as distribution_drift, so the a33 oracle
-    reproduces psi bit-for-bit.
+    scan for the windows — three scans total regardless of day count
+    (day totals derive from the tiny (days x bins) frame, never a
+    fourth scan) — then everything downstream runs on the
+    (days x n_bins) grid, built by crossing the two tiny frames so a
+    bucket a day never saw still contributes its epsilon term (the
+    vanished-mass signal).  Rows with a NULL value OR a NULL timestamp
+    are excluded (a NULL day would never re-join the grid and would
+    emit a garbage major row).  Same portable arithmetic as
+    distribution_drift (one shared bucket expression), so the a33
+    oracle reproduces psi bit-for-bit.
     """
     from ..functions.scoring import portable_round
 
@@ -298,13 +311,18 @@ def windowed_drift(
             F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
         )
     )
-    mn, mx = F.col("_mn"), F.col("_mx")
-    raw = F.floor((F.col(value_col) - mn) * F.lit(float(n_bins)) / (mx - mn))
-    bucket = F.when(mx == mn, F.lit(0)).otherwise(
-        F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    bucket = _fixed_width_bucket(
+        F.col(value_col), F.col("_mn"), F.col("_mx"), n_bins
     ).cast("bigint")
+    # NULL ts rows are excluded like NULL values: a day=NULL group
+    # would never re-join the grid (NULL != NULL in the equi-join), so
+    # every bucket would coalesce to epsilon and emit a garbage
+    # (NULL, huge-psi, major) row — in BOTH engines, so the oracle
+    # could not catch it
     base = (
-        df.where(F.col(value_col).isNotNull())
+        df.where(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
         .crossJoin(stats)
         .select(
             F.date_trunc("DAY", F.col(ts_col)).alias("day"),
@@ -323,8 +341,10 @@ def windowed_drift(
     day_counts = base.groupBy("day", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    day_totals = base.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("day_n")
+    # derived from the tiny (days x bins) frame, NOT a fourth scan of
+    # the source — this is what keeps the docstring's scan count true
+    day_totals = day_counts.groupBy("day").agg(
+        F.sum("cnt").cast("bigint").alias("day_n")
     )
     # full (day x reference-bucket) grid: both frames are tiny (days,
     # bins), and the cross is what gives a bucket missing from a day

@@ -8972,7 +8972,7 @@ def _windowed_drift_oracle() -> str:
                             AS BIGINT)))
                   END AS BIGINT) AS bucket
       FROM events CROSS JOIN stats
-      WHERE value IS NOT NULL
+      WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     ref AS (
       SELECT bucket,
@@ -9023,7 +9023,9 @@ def a33_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces psi bit-for-bit."""
     from ..operators.audit import windowed_drift
 
-    ev = _t(spark, sf_dir, "events")
+    # _events, not _t: this entry consumes ts, so it must ride the
+    # NTZ/nanos-tolerant read every other ts-consuming builder uses
+    ev = _events(spark, sf_dir)
     out = windowed_drift(ev, "ts", "value")
     return out.select(
         F.col("day").cast("date").alias("day"), "psi", "verdict"

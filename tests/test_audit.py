@@ -354,18 +354,15 @@ def test_windowed_drift_per_day_psi(spark):
     for v in [9.0] * 9 + [0.0]:
         d2[bucket(v)] = d2.get(bucket(v), 0) + 1
 
+    import math
+
     def psi(day_counts, day_n):
         total = 0.0
         for b, cnt in pooled.items():
             fr = max(cnt / 20.0, 1e-4)
             fc = max(day_counts.get(b, 0) / day_n, 1e-4)
-            total += (fc - fr) * _psi_ln(fc / fr)
+            total += (fc - fr) * math.log(fc / fr)
         return total
-
-    import math
-
-    def _psi_ln(x):
-        return math.log(x)
 
     assert abs(out["2024-01-01"]["psi"] - psi(d1, 10)) < 1e-6
     assert abs(out["2024-01-02"]["psi"] - psi(d2, 10)) < 1e-6
@@ -389,3 +386,22 @@ def test_windowed_drift_identical_days_stable(spark):
     out = windowed_drift(df, "ts", "value").collect()
     assert len(out) == 3
     assert all(r["psi"] == 0.0 and r["verdict"] == "stable" for r in out)
+
+
+def test_windowed_drift_null_ts_excluded(spark):
+    """Round-9 review: a NULL-timestamp row used to form a day=NULL
+    group that never re-joined the grid (NULL != NULL), emitting a
+    garbage (NULL, huge-psi, major) row — identically in the oracle
+    engine, so only a unit test can pin it.  NULL ts rows are
+    excluded like NULL values."""
+    from chessmate_spark.operators.audit import windowed_drift
+
+    rows = [("2024-01-01 10:00:00", float(v)) for v in range(8)]
+    rows += [(None, 5.0), (None, None), ("2024-01-01 11:00:00", None)]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = windowed_drift(df, "ts", "value").collect()
+    assert len(out) == 1
+    assert out[0]["day"] is not None
+    assert out[0]["psi"] == 0.0  # the one real day IS the reference

@@ -26,6 +26,7 @@ EVENTS_ENTRIES = [
     "j7_asof_join",
     "j8_range_join",
     "j9_interval_join",
+    "a33_windowed_drift",
 ]
 
 
