@@ -291,81 +291,97 @@ def windowed_drift(
     time-series deployment).  Output: one ``(day, psi, verdict)`` row
     per distinct day of ``ts_col``, same verdict ladder.
 
-    Scale shape: ONE global aggregate (min/max), ONE bucket-counted
-    scan for the global reference fractions, ONE (day, bucket) counted
-    scan for the windows — three scans total regardless of day count
-    (day totals derive from the tiny (days x bins) frame, never a
-    fourth scan) — then everything downstream runs on the
-    (days x n_bins) grid, built by crossing the two tiny frames so a
-    bucket a day never saw still contributes its epsilon term (the
-    vanished-mass signal).  Rows with a NULL value OR a NULL timestamp
-    are excluded (a NULL day would never re-join the grid and would
-    emit a garbage major row).  Same portable arithmetic as
-    distribution_drift (one shared bucket expression), so the a33
-    oracle reproduces psi bit-for-bit.
+    Scale shape: three source scans total regardless of day count —
+    a bounded min/max collect (two scalars, inlined as literals), ONE
+    bucket-counted scan for the global reference fractions, ONE
+    (day, bucket) counted scan for the windows; the returned plan
+    contains exactly the latter two (pinned in tests).  No grid and no
+    twice-referenced subtree: PSI per day decomposes exactly as
+    SUM_present [(fc-fr)·ln(fc/fr) - missD(b)] + SUM_all missD(b)
+    where missD(b) = (eps-fr)·ln(eps/fr) is the epsilon term a bucket
+    contributes when a day never saw it (the vanished-mass signal) —
+    the global SUM_all rides the broadcast reference frame as a
+    window-summed column, so day totals come from a window over the
+    tiny counted frame and nothing corpus-derived evaluates twice.
+    Rows with a NULL value OR a NULL timestamp are excluded (a NULL
+    day would never re-join on the bucket key and would emit a garbage
+    major row).  Same portable arithmetic as distribution_drift (one
+    shared bucket expression); the a33 oracle mirrors the
+    decomposition term-for-term, so psi reproduces bit-for-bit.
     """
     from ..functions.scoring import portable_round
 
-    stats = F.broadcast(
-        df.agg(
-            F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
-        )
-    )
+    # bounded collect BY CONTRACT: two scalars (the global min/max),
+    # independent of table size — inlining them as literals keeps the
+    # source-scan count structurally at three (stats, reference
+    # fractions, day counts) instead of embedding a stats subtree under
+    # every base reference and relying on exchange reuse to dedupe it
+    row = df.agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    ).first()
+    if row["_mn"] is None:
+        # no non-NULL values anywhere: no distribution, no days
+        return df.select(
+            F.date_trunc("DAY", F.col(ts_col)).alias("day"),
+            F.lit(0.0).alias("psi"),
+            F.lit("stable").alias("verdict"),
+        ).limit(0)
     bucket = _fixed_width_bucket(
-        F.col(value_col), F.col("_mn"), F.col("_mx"), n_bins
+        F.col(value_col),
+        F.lit(float(row["_mn"])),
+        F.lit(float(row["_mx"])),
+        n_bins,
     ).cast("bigint")
     # NULL ts rows are excluded like NULL values: a day=NULL group
-    # would never re-join the grid (NULL != NULL in the equi-join), so
-    # every bucket would coalesce to epsilon and emit a garbage
-    # (NULL, huge-psi, major) row — in BOTH engines, so the oracle
-    # could not catch it
-    base = (
-        df.where(
-            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
-        )
-        .crossJoin(stats)
-        .select(
-            F.date_trunc("DAY", F.col(ts_col)).alias("day"),
-            bucket.alias("bucket"),
-        )
+    # would never re-join on the bucket key (NULL != NULL), so every
+    # bucket would take epsilon and emit a garbage (NULL, huge-psi,
+    # major) row — in BOTH engines, so the oracle could not catch it
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.date_trunc("DAY", F.col(ts_col)).alias("day"),
+        bucket.alias("bucket"),
+    )
+    # per-bucket reference fraction, its epsilon "vanished-mass" term
+    # missΔ(b) = (eps - fr)·ln(eps / fr), and the global Σ missΔ — all
+    # riding ONE evaluation of this tiny frame into the broadcast join
+    fr = F.greatest(
+        F.col("cnt").cast("double") / F.col("_tot"), F.lit(epsilon)
     )
     ref = (
         base.groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .withColumn("_tot", F.sum("cnt").over(Window.partitionBy()))
-        .select(
-            "bucket",
-            (F.col("cnt").cast("double") / F.col("_tot")).alias("ref_frac"),
+        .select("bucket", fr.alias("fr"))
+        .withColumn(
+            "miss",
+            (F.lit(epsilon) - F.col("fr"))
+            * F.log(F.lit(epsilon) / F.col("fr")),
         )
+        .withColumn("miss_all", F.sum("miss").over(Window.partitionBy()))
     )
-    day_counts = base.groupBy("day", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # single day-side aggregation; day totals via a window over the
+    # tiny (days x bins) frame.  PSI per day decomposes exactly:
+    #   Σ_present [(fc-fr)·ln(fc/fr) - missΔ(b)]  +  Σ_all missΔ(b)
+    # — a bucket the day never saw contributes its missΔ through the
+    # global sum, so no (day x bucket) grid and no second reference to
+    # any corpus-derived frame is needed
+    fc = F.greatest(
+        F.col("cnt").cast("double") / F.col("day_n"), F.lit(epsilon)
     )
-    # derived from the tiny (days x bins) frame, NOT a fourth scan of
-    # the source — this is what keeps the docstring's scan count true
-    day_totals = day_counts.groupBy("day").agg(
-        F.sum("cnt").cast("bigint").alias("day_n")
+    term = (fc - F.col("fr")) * F.log(fc / F.col("fr")) - F.col("miss")
+    per_day = (
+        base.groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "day_n", F.sum("cnt").over(Window.partitionBy("day"))
+        )
+        .join(F.broadcast(ref), "bucket")
+        .select("day", term.alias("term"), "miss_all")
     )
-    # full (day x reference-bucket) grid: both frames are tiny (days,
-    # bins), and the cross is what gives a bucket missing from a day
-    # its epsilon term instead of silently skipping it
-    grid = day_totals.crossJoin(ref)
-    joined = grid.join(day_counts, ["day", "bucket"], "left").select(
-        "day",
-        F.greatest(F.col("ref_frac"), F.lit(epsilon)).alias("fr"),
-        F.greatest(
-            F.coalesce(
-                F.col("cnt").cast("double") / F.col("day_n"), F.lit(0.0)
-            ),
-            F.lit(epsilon),
-        ).alias("fc"),
-    )
-    psi = portable_round(
-        F.sum((F.col("fc") - F.col("fr")) * F.log(F.col("fc") / F.col("fr"))),
-        6,
-    )
+    psi = portable_round(F.sum("term") + F.max("miss_all"), 6)
     return (
-        joined.groupBy("day")
+        per_day.groupBy("day")
         .agg(psi.alias("psi"))
         .select(
             "day",

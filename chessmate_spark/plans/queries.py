@@ -8957,9 +8957,12 @@ def s19_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _windowed_drift_oracle() -> str:
-    # mirrors windowed_drift exactly: global fixed-width bins, the
-    # (day x reference-bucket) grid so vanished-mass buckets take the
-    # epsilon term, floor-form rounding
+    # mirrors windowed_drift exactly: global fixed-width bins, and the
+    # grid-free PSI decomposition —
+    #   psi(day) = SUM_present [(fc-fr)*ln(fc/fr) - missD(b)]
+    #            + SUM_all missD(b)
+    # where missD(b) = (eps - fr)*ln(eps/fr) is the vanished-mass term
+    # a bucket contributes when a day never saw it; floor-form rounding
     return """
     WITH stats AS (
       SELECT min(value) AS mn, max(value) AS mx FROM events
@@ -8976,28 +8979,35 @@ def _windowed_drift_oracle() -> str:
     ),
     ref AS (
       SELECT bucket,
-             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS ref_frac
+             GREATEST(CAST(count(*) AS DOUBLE)
+                      / sum(count(*)) OVER (), 0.0001) AS fr
       FROM base GROUP BY bucket
     ),
+    ref2 AS (
+      SELECT bucket, fr,
+             (0.0001 - fr) * LN(0.0001 / fr) AS miss,
+             sum((0.0001 - fr) * LN(0.0001 / fr)) OVER () AS miss_all
+      FROM ref
+    ),
     day_counts AS (
-      SELECT day, bucket, count(*) AS cnt FROM base GROUP BY day, bucket
+      SELECT day, bucket, count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY day) AS day_n
+      FROM base GROUP BY day, bucket
     ),
-    day_totals AS (
-      SELECT day, count(*) AS day_n FROM base GROUP BY day
-    ),
-    j AS (
-      SELECT t.day,
-             GREATEST(r.ref_frac, 0.0001) AS fr,
-             GREATEST(COALESCE(CAST(c.cnt AS DOUBLE) / t.day_n, 0.0),
-                      0.0001) AS fc
-      FROM day_totals t CROSS JOIN ref r
-      LEFT JOIN day_counts c ON c.day = t.day AND c.bucket = r.bucket
+    terms AS (
+      SELECT c.day,
+             (GREATEST(CAST(c.cnt AS DOUBLE) / c.day_n, 0.0001) - r.fr)
+             * LN(GREATEST(CAST(c.cnt AS DOUBLE) / c.day_n, 0.0001)
+                  / r.fr)
+             - r.miss AS term,
+             r.miss_all
+      FROM day_counts c JOIN ref2 r USING (bucket)
     ),
     psis AS (
       SELECT day,
-             FLOOR(sum((fc - fr) * LN(fc / fr)) * 1000000.0 + 0.5)
+             FLOOR((sum(term) + max(miss_all)) * 1000000.0 + 0.5)
                / 1000000.0 AS psi
-      FROM j GROUP BY day
+      FROM terms GROUP BY day
     )
     SELECT day, psi,
            CASE WHEN psi < 0.1 THEN 'stable'
@@ -9014,13 +9024,15 @@ def a33_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the question is "which DAYS drifted from the corpus-wide
     distribution?", one (day, psi, verdict) row each.
 
-    Scale shape (operators/audit.py windowed_drift): three scans total
-    regardless of day count — global min/max, global bucket fractions,
-    (day, bucket) counts — then the PSI arithmetic runs on the
-    (days x n_bins) grid built by crossing two tiny frames, so a
-    bucket a day never saw still contributes its epsilon
-    vanished-mass term.  Portable arithmetic throughout; the oracle
-    reproduces psi bit-for-bit."""
+    Scale shape (operators/audit.py windowed_drift): three source
+    scans total regardless of day count — a bounded min/max collect,
+    global bucket fractions, (day, bucket) counts — and the grid-free
+    PSI decomposition (present-bucket terms + the global vanished-mass
+    sum riding the broadcast reference) means no corpus-derived frame
+    is ever referenced twice.  A bucket a day never saw still
+    contributes its epsilon vanished-mass term through the global sum.
+    Portable arithmetic throughout; the oracle mirrors the
+    decomposition term-for-term, psi bit-for-bit."""
     from ..operators.audit import windowed_drift
 
     # _events, not _t: this entry consumes ts, so it must ride the

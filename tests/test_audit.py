@@ -405,3 +405,25 @@ def test_windowed_drift_null_ts_excluded(spark):
     assert len(out) == 1
     assert out[0]["day"] is not None
     assert out[0]["psi"] == 0.0  # the one real day IS the reference
+
+
+def test_windowed_drift_is_three_scans(spark):
+    """The docstring's scale claim, pinned like audit_table's one-scan
+    test: three source scans total — the eager bounded min/max collect
+    (runs before the returned plan exists), plus EXACTLY two scans in
+    the returned plan (global reference fractions, per-(day, bucket)
+    counts).  The grid-free PSI decomposition is what keeps it at two:
+    day totals ride a window over the counted frame and the
+    vanished-mass terms ride the broadcast reference, so no subtree is
+    referenced twice."""
+    from chessmate_spark.operators.audit import windowed_drift
+
+    df = spark.range(0, 200).select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3600).alias(
+            "ts"
+        ),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    plan = windowed_drift(df, "ts", "value")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Range (0, 200") == 2, plan
