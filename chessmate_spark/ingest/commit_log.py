@@ -571,9 +571,18 @@ class CommitLogTable:
             raise RuntimeError(
                 f"load-bearing checkpoint(s) v{missing_bases} of "
                 f"{self.path} are missing — aborting vacuum to protect "
-                "live data"
+                "live data; restore them or run "
+                "repair_unreadable_segments() to drop the dead history"
             )
+        alive = set(self.versions())
         for v in self._checkpoint_versions():
+            if v not in alive:
+                # a DEAD checkpoint: its version is expired, so no read
+                # can ever fold from it (the manifests between it and
+                # any surviving segment are gone) — its file list must
+                # NOT pin dead data, and it is pruned below regardless
+                # of keep_checkpoints
+                continue
             try:
                 referenced.update(self._read_checkpoint(v)["files"])
             except FileNotFoundError:
@@ -655,14 +664,19 @@ class CommitLogTable:
         semantics.  Live files stay safe: the surviving checkpoints'
         complete file lists join vacuum's reference fold.
 
-        Crash consistency: manifests are unlinked NEWEST-first, so any
-        crash prefix leaves the log in a state this module handles —
-        either the prefix [1..k] is intact (fold-from-scratch still
-        works for it) or a version is entirely expired (clear error);
-        a crash can never strand a version whose fold would start
-        mid-history.  The commits directory is fsynced after the loop
-        (the ``_try_claim`` durability discipline) so a completed
-        expiry cannot partially resurrect after power loss.
+        Crash consistency: manifests are unlinked NEWEST-first and the
+        commits directory is fsynced once after the loop, so a
+        completed expiry cannot partially resurrect.  A PROCESS crash
+        mid-loop leaves a state this module handles — either the
+        prefix [1..k] is intact (fold-from-scratch still works for it)
+        or a version is entirely expired (clear error).  After a POWER
+        LOSS the persisted directory entries need not follow unlink
+        order (they are only fsynced at the end), so a mid-history gap
+        below the cut IS possible; ``_state_at``'s guards turn that
+        into a loud error, never a partial fold misread as the answer,
+        and re-running expiry removes the stranded remainder — the
+        unlink order is a best-effort nicety for process crashes, not
+        a power-loss ordering guarantee.
 
         Concurrency: run expiry and ``vacuum()`` from ONE maintenance
         actor.  They tolerate racing each other without silent damage
@@ -695,6 +709,64 @@ class CommitLogTable:
                 removed.append(os.path.join(_COMMITS, _version_name(v)))
             except FileNotFoundError:
                 continue  # a concurrent expire got there first
+        if removed:
+            dfd = os.open(commits, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        return removed
+
+    def repair_unreadable_segments(self) -> List[str]:
+        """Recovery path for a DAMAGED log (round-9 ADVICE): once a
+        segment's base checkpoint is lost — the documented
+        expire/vacuum race, a power-loss gap, or external file damage —
+        every affected read fails loudly and ``vacuum()`` aborts
+        forever, wedging ALL reclamation (orphaned stages, ``.tmp``
+        manifests, superseded checkpoints) until someone restores or
+        deletes files by hand.  This is that hand, made safe: it drops
+        exactly the manifests that are ALREADY unreconstructible —
+        each damaged segment's versions below its first surviving
+        checkpoint (``_state_at`` can serve a version only from a
+        checkpoint at or below it with an intact manifest tail, so
+        those versions have no reconstruction path by construction) —
+        returning the log to a consistent state where reads of
+        surviving versions and ``vacuum()`` work again.
+
+        Destructive ONLY of already-unreadable history: a version this
+        deletes raised ``RuntimeError`` on every read before the call;
+        afterwards it raises ``FileNotFoundError`` like any expired
+        version.  If a damaged segment contains NO surviving
+        checkpoint, the whole segment is dropped — including, in the
+        worst case, the head, in which case the newest surviving older
+        segment (or the empty log) becomes the head: that data was
+        unreachable either way, and this makes the loss explicit
+        instead of wedged.  Never touches data files (the subsequent
+        ``vacuum()`` reclaims what became unreferenced).  Run it from
+        the single maintenance actor.  Returns the deleted manifest
+        paths (table-relative); empty when the log is healthy."""
+        ckpts = set(self._checkpoint_versions())
+        segments: List[List[int]] = []
+        for v in self.versions():
+            if segments and v == segments[-1][-1] + 1:
+                segments[-1].append(v)
+            else:
+                segments.append([v])
+        commits = self._commits_dir()
+        removed: List[str] = []
+        for seg in segments:
+            if seg[0] == 1 or seg[0] in ckpts:
+                continue  # healthy: fold-from-scratch, or base intact
+            # the first checkpoint INSIDE the segment rescues every
+            # version at or above it; everything below has no base
+            rescue = next((v for v in seg if v in ckpts), None)
+            doomed = seg if rescue is None else [v for v in seg if v < rescue]
+            for v in reversed(doomed):  # newest-first, as expire does
+                try:
+                    os.unlink(os.path.join(commits, _version_name(v)))
+                    removed.append(os.path.join(_COMMITS, _version_name(v)))
+                except FileNotFoundError:
+                    continue
         if removed:
             dfd = os.open(commits, os.O_RDONLY)
             try:

@@ -159,49 +159,71 @@ def distribution_drift(
     (< 0.1 stable, < 0.25 moderate, else major).  Numeric features are
     bucketed into ``n_bins`` FIXED-WIDTH bins over the REFERENCE
     min/max (current-side out-of-range values clamp into the end bins
-    — exactly the drift signal); categoricals bucket by value.  Empty
-    buckets take ``epsilon`` (the PSI zero-substitution convention) so
-    a category appearing or vanishing contributes a large finite term
-    instead of ±inf.  NULLs are excluded from both sides (PSI is over
-    the observed distribution; completeness drift is ``completeness``'s
-    job).  Output: one ``(feature, psi, verdict)`` row per feature.
+    — exactly the drift signal); categoricals bucket by value.  A
+    bucket ABSENT from one side takes ``epsilon`` (the PSI
+    zero-substitution convention) so a category appearing or vanishing
+    contributes a large finite term instead of ±inf; a bucket that is
+    present keeps its TRUE fraction, even when that fraction dips
+    below epsilon on a side with more than 1/epsilon rows.  NULLs are
+    excluded from both sides (PSI is over the observed distribution;
+    completeness drift is ``completeness``'s job).  Output: one
+    ``(feature, psi, verdict)`` row per feature — including an
+    explicit ``(feature, NULL, 'unmeasurable')`` row for a numeric
+    feature whose reference side has NO non-NULL values (no range, no
+    bins, PSI undefined): the most degraded reference state must read
+    as a loud verdict from the monitor, never as a silently missing
+    feature.
 
-    Scale shape: feature count never adds scans — ONE min/max
-    aggregate over the reference, then ONE scan per side emitting
-    (feature, bucket) rows for ALL features via a constant-width
-    explode, partial+final counted; everything after the two counted
-    aggregates is bucket-cardinality-sized (Σ n_bins + distinct
-    categories), so the join/window/PSI arithmetic touches hundreds of
-    rows no matter how big the snapshots are.  All arithmetic is
-    portable (floor-form rounding, natural log, double division in a
-    pinned order), so an external SQL engine reproduces the psi values
-    bit-for-bit — the a32 oracle does.
+    Scale shape: feature count never adds scans — one bounded min/max
+    collect over the reference (2·|numeric features| scalars, inlined
+    as literals, the same posture as ``windowed_drift``), then ONE
+    scan per side emitting (feature, bucket) rows for ALL features via
+    a constant-width explode, partial+final counted; everything after
+    the two counted aggregates is bucket-cardinality-sized (Σ n_bins +
+    distinct categories), so the join/window/PSI arithmetic touches
+    hundreds of rows no matter how big the snapshots are.  All
+    arithmetic is portable (floor-form rounding, natural log, double
+    division in a pinned order), so an external SQL engine reproduces
+    the psi values bit-for-bit — the a32 oracle does.
     """
     from ..functions.scoring import portable_round
 
     if not numeric_cols and not categorical_cols:
         raise ValueError("distribution_drift needs at least one feature")
-    stats = None
+    # bounded collect BY CONTRACT: 2·|numeric_cols| scalars, independent
+    # of table size.  Inlining the ranges as literals keeps each side's
+    # bucket scan free of a stats crossJoin (no twice-referenced
+    # reference-aggregate subtree), and makes a feature with an all-NULL
+    # reference side KNOWN here so it gets an explicit row below.
+    ranges: dict = {}
+    unmeasurable: list = []
     if numeric_cols:
-        stats = F.broadcast(
-            reference.agg(
-                *[
-                    agg(F.col(c)).alias(f"_{tag}_{c}")
-                    for c in numeric_cols
-                    for tag, agg in (("mn", F.min), ("mx", F.max))
-                ]
-            )
-        )
+        row = reference.agg(
+            *[
+                agg(F.col(c)).alias(f"_{tag}_{c}")
+                for c in numeric_cols
+                for tag, agg in (("mn", F.min), ("mx", F.max))
+            ]
+        ).first()
+        for c in numeric_cols:
+            if row[f"_mn_{c}"] is None:
+                unmeasurable.append(c)
+            else:
+                ranges[c] = (
+                    float(row[f"_mn_{c}"]),
+                    float(row[f"_mx_{c}"]),
+                )
 
     def bucket_fracs(df: DataFrame) -> DataFrame:
-        if stats is not None:
-            df = df.crossJoin(stats)
         entries = []
         for c in numeric_cols:
+            if c not in ranges:
+                continue
             # fixed-width bin over the REFERENCE range; clamp keeps
             # current-side outliers in the end bins
+            mn, mx = ranges[c]
             b = _fixed_width_bucket(
-                F.col(c), F.col(f"_mn_{c}"), F.col(f"_mx_{c}"), n_bins
+                F.col(c), F.lit(mn), F.lit(mx), n_bins
             )
             entries.append(
                 F.struct(
@@ -233,6 +255,15 @@ def distribution_drift(
             (F.col("cnt").cast("double") / total).alias("frac"),
         )
 
+    unmeasured = None
+    if unmeasurable:
+        unmeasured = reference.sparkSession.createDataFrame(
+            [(c, None, "unmeasurable") for c in unmeasurable],
+            "feature string, psi double, verdict string",
+        )
+    if not ranges and not categorical_cols:
+        return unmeasured  # every requested feature is unmeasurable
+
     ref = bucket_fracs(reference).select(
         F.col("feature").alias("_rf"),
         F.col("bucket").alias("_rb"),
@@ -243,24 +274,22 @@ def distribution_drift(
         F.col("bucket").alias("_cb"),
         F.col("frac").alias("_cfrac"),
     )
+    # a side that never saw the bucket coalesces to epsilon; a present
+    # bucket keeps its true fraction (counts are >= 1, so never log(0))
     joined = ref.join(
         cur,
         (F.col("_rf") == F.col("_cf")) & (F.col("_rb") == F.col("_cb")),
         "full_outer",
     ).select(
         F.coalesce(F.col("_rf"), F.col("_cf")).alias("feature"),
-        F.greatest(
-            F.coalesce(F.col("_rfrac"), F.lit(0.0)), F.lit(epsilon)
-        ).alias("fr"),
-        F.greatest(
-            F.coalesce(F.col("_cfrac"), F.lit(0.0)), F.lit(epsilon)
-        ).alias("fc"),
+        F.coalesce(F.col("_rfrac"), F.lit(epsilon)).alias("fr"),
+        F.coalesce(F.col("_cfrac"), F.lit(epsilon)).alias("fc"),
     )
     psi = portable_round(
         F.sum((F.col("fc") - F.col("fr")) * F.log(F.col("fc") / F.col("fr"))),
         6,
     )
-    return (
+    out = (
         joined.groupBy("feature")
         .agg(psi.alias("psi"))
         .select(
@@ -272,6 +301,7 @@ def distribution_drift(
             .alias("verdict"),
         )
     )
+    return out.unionByName(unmeasured) if unmeasured is not None else out
 
 
 def windowed_drift(
@@ -344,10 +374,11 @@ def windowed_drift(
     )
     # per-bucket reference fraction, its epsilon "vanished-mass" term
     # missΔ(b) = (eps - fr)·ln(eps / fr), and the global Σ missΔ — all
-    # riding ONE evaluation of this tiny frame into the broadcast join
-    fr = F.greatest(
-        F.col("cnt").cast("double") / F.col("_tot"), F.lit(epsilon)
-    )
+    # riding ONE evaluation of this tiny frame into the broadcast join.
+    # Present buckets keep their TRUE fraction (counts >= 1, never 0);
+    # only a bucket a day never saw takes epsilon, via missΔ below —
+    # the distribution_drift convention.
+    fr = F.col("cnt").cast("double") / F.col("_tot")
     ref = (
         base.groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -366,9 +397,7 @@ def windowed_drift(
     # — a bucket the day never saw contributes its missΔ through the
     # global sum, so no (day x bucket) grid and no second reference to
     # any corpus-derived frame is needed
-    fc = F.greatest(
-        F.col("cnt").cast("double") / F.col("day_n"), F.lit(epsilon)
-    )
+    fc = F.col("cnt").cast("double") / F.col("day_n")
     term = (fc - F.col("fr")) * F.log(fc / F.col("fr")) - F.col("miss")
     per_day = (
         base.groupBy("day", "bucket")

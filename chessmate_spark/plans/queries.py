@@ -8842,8 +8842,8 @@ def _drift_oracle() -> str:
     ),
     j AS (
       SELECT COALESCE(r.feature, c.feature) AS feature,
-             GREATEST(COALESCE(r.frac, 0.0), 0.0001) AS fr,
-             GREATEST(COALESCE(c.frac, 0.0), 0.0001) AS fc
+             COALESCE(r.frac, 0.0001) AS fr,
+             COALESCE(c.frac, 0.0001) AS fc
       FROM (SELECT * FROM fracs WHERE side = 'ref') r
       FULL OUTER JOIN (SELECT * FROM fracs WHERE side = 'cur') c
         ON r.feature = c.feature AND r.bucket = c.bucket
@@ -8876,8 +8876,9 @@ def a32_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     `event_type` (genuinely undrifted) reads stable.
 
     Scale shape (operators/audit.py distribution_drift): feature count
-    never adds scans — one min/max aggregate over the reference, one
-    (feature, bucket) explode-and-count scan per side (partial+final),
+    never adds scans — one bounded min/max collect over the reference
+    (2·|numeric| scalars, inlined as literals), one (feature, bucket)
+    explode-and-count scan per side (partial+final),
     then everything downstream is bucket-cardinality-sized; PSI
     arithmetic is fully portable (floor-form rounding, natural log,
     pinned division order), which the oracle reproduces bit-for-bit."""
@@ -8979,8 +8980,7 @@ def _windowed_drift_oracle() -> str:
     ),
     ref AS (
       SELECT bucket,
-             GREATEST(CAST(count(*) AS DOUBLE)
-                      / sum(count(*)) OVER (), 0.0001) AS fr
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS fr
       FROM base GROUP BY bucket
     ),
     ref2 AS (
@@ -8996,9 +8996,8 @@ def _windowed_drift_oracle() -> str:
     ),
     terms AS (
       SELECT c.day,
-             (GREATEST(CAST(c.cnt AS DOUBLE) / c.day_n, 0.0001) - r.fr)
-             * LN(GREATEST(CAST(c.cnt AS DOUBLE) / c.day_n, 0.0001)
-                  / r.fr)
+             (CAST(c.cnt AS DOUBLE) / c.day_n - r.fr)
+             * LN(CAST(c.cnt AS DOUBLE) / c.day_n / r.fr)
              - r.miss AS term,
              r.miss_all
       FROM day_counts c JOIN ref2 r USING (bucket)

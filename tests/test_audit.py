@@ -427,3 +427,90 @@ def test_windowed_drift_is_three_scans(spark):
     plan = windowed_drift(df, "ts", "value")._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Range (0, 200") == 2, plan
+
+
+def test_drift_all_null_reference_feature_reads_unmeasurable(spark):
+    """Round-9 ADVICE: a numeric feature whose reference side has zero
+    non-NULL values used to VANISH from the output (NULL range -> every
+    bucket NULL -> filtered) — the most degraded reference state read
+    as silence.  It must emit an explicit (feature, NULL,
+    'unmeasurable') row while other features still measure."""
+    from chessmate_spark.operators.audit import distribution_drift
+
+    ref = spark.createDataFrame(
+        [(None, 1.0, "x"), (None, 2.0, "y")],
+        "dead double, num double, cat string",
+    )
+    cur = spark.createDataFrame(
+        [(5.0, 1.0, "x"), (6.0, 2.0, "y")],
+        "dead double, num double, cat string",
+    )
+    out = {
+        r["feature"]: r
+        for r in distribution_drift(
+            ref, cur, numeric_cols=["dead", "num"], categorical_cols=["cat"]
+        ).collect()
+    }
+    assert set(out) == {"dead", "num", "cat"}
+    assert out["dead"]["psi"] is None
+    assert out["dead"]["verdict"] == "unmeasurable"
+    assert out["num"]["psi"] == 0.0 and out["num"]["verdict"] == "stable"
+    assert out["cat"]["psi"] == 0.0 and out["cat"]["verdict"] == "stable"
+
+    # every requested feature unmeasurable: still one row each, loud
+    only = distribution_drift(ref, cur, numeric_cols=["dead"]).collect()
+    assert len(only) == 1
+    assert only[0]["verdict"] == "unmeasurable"
+
+
+def test_drift_present_tiny_bucket_keeps_true_fraction(spark):
+    """Round-9 ADVICE: epsilon is the ABSENT-bucket substitution, not a
+    floor on present buckets — on a side with more than 1/epsilon rows
+    a genuinely present tiny bucket keeps its true fraction.  Here the
+    reference has a 1-in-20000 bucket (frac 5e-5 < epsilon 1e-4) that
+    the current side never saw: under the old all-bucket clamp the
+    vanished-mass term was zero (both sides clamped to epsilon); the
+    true-fraction convention reports it."""
+    import math
+
+    from chessmate_spark.operators.audit import distribution_drift
+
+    ref = spark.range(20000).select(
+        F.when(F.col("id") == 0, F.lit(9.0)).otherwise(F.lit(0.0)).alias("v")
+    )
+    cur = spark.range(10).select(F.lit(0.0).alias("v"))
+    row = distribution_drift(ref, cur, numeric_cols=["v"]).first()
+    fr0, fr9, eps = 19999 / 20000.0, 1 / 20000.0, 1e-4
+    expected = (1.0 - fr0) * math.log(1.0 / fr0) + (eps - fr9) * math.log(
+        eps / fr9
+    )
+    assert abs(row["psi"] - expected) < 2e-6
+    assert row["psi"] > 0.0  # the old clamp read this as exactly 0
+
+
+def test_windowed_drift_tiny_bucket_true_fraction(spark):
+    """The same absent-vs-present epsilon convention in the windowed
+    monitor: a global 1-in-20010 bucket (true frac < epsilon) absent
+    from a small day contributes its true-fraction vanished-mass term."""
+    import math
+
+    from chessmate_spark.operators.audit import windowed_drift
+
+    day1 = spark.range(20000).select(
+        F.to_timestamp(F.lit("2024-01-01 10:00:00")).alias("ts"),
+        F.when(F.col("id") == 0, F.lit(9.0)).otherwise(F.lit(0.0)).alias("v"),
+    )
+    day2 = spark.range(10).select(
+        F.to_timestamp(F.lit("2024-01-02 10:00:00")).alias("ts"),
+        F.lit(0.0).alias("v"),
+    )
+    out = {
+        str(r["day"])[:10]: r
+        for r in windowed_drift(day1.unionByName(day2), "ts", "v").collect()
+    }
+    fr0, fr9, eps = 20009 / 20010.0, 1 / 20010.0, 1e-4
+    expected = (1.0 - fr0) * math.log(1.0 / fr0) + (eps - fr9) * math.log(
+        eps / fr9
+    )
+    assert abs(out["2024-01-02"]["psi"] - expected) < 2e-6
+    assert out["2024-01-02"]["psi"] > 0.0

@@ -615,3 +615,59 @@ def test_vacuum_aborts_when_load_bearing_checkpoint_missing(spark, tmp_path):
     # the (lower, gap-crossing) checkpoint hits an expired manifest
     with pytest.raises(RuntimeError, match="cannot reconstruct"):
         t.read(version=10)
+
+
+def test_repair_drops_only_unreadable_versions(spark, tmp_path):
+    """Round-9 ADVICE: a lost base checkpoint used to wedge vacuum()
+    forever.  repair_unreadable_segments() drops exactly the versions
+    that already had no reconstruction path — those below the damaged
+    segment's first surviving checkpoint — after which reads of the
+    surviving versions and vacuum() work again."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(23):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    t.expire_versions(keep_last=5)  # cut=15: manifests 1..14 expired
+    assert t.versions()[0] == 15
+    os.unlink(os.path.join(t._commits_dir(), f"{15:020d}.checkpoint.json"))
+    with pytest.raises(RuntimeError, match="load-bearing checkpoint"):
+        t.vacuum(retention_seconds=0)
+    removed = t.repair_unreadable_segments()
+    # versions 15..19 had no base; 20 (a surviving checkpoint) rescues
+    # 20..23
+    assert sorted(int(p.split("/")[-1][:-5]) for p in removed) == [
+        15, 16, 17, 18, 19,
+    ]
+    assert t.versions() == [20, 21, 22, 23]
+    assert t.read().count() == 23 * 2  # head still has every append's rows
+    assert t.read(version=20).count() == 20 * 2
+    with pytest.raises(FileNotFoundError):
+        t.read(version=17)  # now an ordinary expired version
+    t.vacuum(retention_seconds=0)  # unwedged
+    assert t.read().count() == 23 * 2  # vacuum touched no live data
+    assert t.repair_unreadable_segments() == []  # healthy log: no-op
+
+
+def test_repair_drops_whole_segment_without_any_checkpoint(spark, tmp_path):
+    """A damaged segment with NO surviving checkpoint is dropped
+    entirely — the head was already unreadable; repair makes the loss
+    explicit (empty log here) instead of leaving vacuum wedged."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(12):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    t.expire_versions(keep_last=3)  # cut=10
+    os.unlink(os.path.join(t._commits_dir(), f"{10:020d}.checkpoint.json"))
+    os.unlink(os.path.join(t._commits_dir(), "_last_checkpoint"))
+    with pytest.raises(RuntimeError):
+        t.read(version=12)
+    removed = t.repair_unreadable_segments()
+    assert len(removed) == 3  # versions 10..12
+    assert t.versions() == []
+    assert t.latest_version() == 0
+    t.vacuum(retention_seconds=0)  # reclaims everything, no abort
+    import os as _os
+
+    assert _os.listdir(_os.path.join(str(tmp_path / "t"), "data")) == []
