@@ -219,6 +219,8 @@ HEADLINE = [
     "a32_drift_psi",
     "s19_schema_evolution",
     "a33_windowed_drift",
+    # round 10: categorical windowed drift (two counted scans)
+    "a34_windowed_drift_categorical",
     # x10_chunk_udtf is excluded: it is the UDTF extension-surface proof
     # (per-row Python by design); t8_chunk_documents IS the production
     # path for those semantics and is benchmarked above.

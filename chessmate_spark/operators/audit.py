@@ -312,6 +312,7 @@ def windowed_drift(
     epsilon: float = 1e-4,
     stable_below: float = 0.1,
     major_at: float = 0.25,
+    categorical: bool = False,
 ) -> DataFrame:
     """Per-day PSI of ``value_col`` against the table's GLOBAL
     distribution — the form a production monitor actually runs: one
@@ -321,12 +322,23 @@ def windowed_drift(
     time-series deployment).  Output: one ``(day, psi, verdict)`` row
     per distinct day of ``ts_col``, same verdict ladder.
 
-    Scale shape: three source scans total regardless of day count —
-    a bounded min/max collect (two scalars, inlined as literals), ONE
-    bucket-counted scan for the global reference fractions, ONE
-    (day, bucket) counted scan for the windows; the returned plan
-    contains exactly the latter two (pinned in tests).  No grid and no
-    twice-referenced subtree: PSI per day decomposes exactly as
+    ``categorical=True`` buckets by VALUE instead of fixed-width bins
+    — the form the reference's payload fields need (result, eco,
+    opening_slug are all categorical).  The category set is the global
+    reference side by construction (every day's categories are a
+    subset of the whole table's), so the same grid-free decomposition
+    applies untouched: a category a day never saw contributes its
+    vanished-mass term through the global sum, and no (day × category)
+    grid is ever built.  Categorical mode also drops the min/max
+    collect — TWO source scans total.
+
+    Scale shape (numeric): three source scans total regardless of day
+    count — a bounded min/max collect (two scalars, inlined as
+    literals), ONE bucket-counted scan for the global reference
+    fractions, ONE (day, bucket) counted scan for the windows; the
+    returned plan contains exactly the latter two (pinned in tests,
+    both modes).  No grid and no twice-referenced subtree: PSI per day
+    decomposes exactly as
     SUM_present [(fc-fr)·ln(fc/fr) - missD(b)] + SUM_all missD(b)
     where missD(b) = (eps-fr)·ln(eps/fr) is the epsilon term a bucket
     contributes when a day never saw it (the vanished-mass signal) —
@@ -336,32 +348,39 @@ def windowed_drift(
     Rows with a NULL value OR a NULL timestamp are excluded (a NULL
     day would never re-join on the bucket key and would emit a garbage
     major row).  Same portable arithmetic as distribution_drift (one
-    shared bucket expression); the a33 oracle mirrors the
+    shared bucket expression); the a33/a34 oracles mirror the
     decomposition term-for-term, so psi reproduces bit-for-bit.
     """
     from ..functions.scoring import portable_round
 
-    # bounded collect BY CONTRACT: two scalars (the global min/max),
-    # independent of table size — inlining them as literals keeps the
-    # source-scan count structurally at three (stats, reference
-    # fractions, day counts) instead of embedding a stats subtree under
-    # every base reference and relying on exchange reuse to dedupe it
-    row = df.agg(
-        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
-    ).first()
-    if row["_mn"] is None:
-        # no non-NULL values anywhere: no distribution, no days
-        return df.select(
-            F.date_trunc("DAY", F.col(ts_col)).alias("day"),
-            F.lit(0.0).alias("psi"),
-            F.lit("stable").alias("verdict"),
-        ).limit(0)
-    bucket = _fixed_width_bucket(
-        F.col(value_col),
-        F.lit(float(row["_mn"])),
-        F.lit(float(row["_mx"])),
-        n_bins,
-    ).cast("bigint")
+    if categorical:
+        # bucket by value; the global side is the reference, so every
+        # day's category set is a subset — the full-outer concern from
+        # distribution_drift cannot arise here
+        bucket = F.col(value_col).cast("string")
+    else:
+        # bounded collect BY CONTRACT: two scalars (the global
+        # min/max), independent of table size — inlining them as
+        # literals keeps the source-scan count structurally at three
+        # (stats, reference fractions, day counts) instead of
+        # embedding a stats subtree under every base reference and
+        # relying on exchange reuse to dedupe it
+        row = df.agg(
+            F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+        ).first()
+        if row["_mn"] is None:
+            # no non-NULL values anywhere: no distribution, no days
+            return df.select(
+                F.date_trunc("DAY", F.col(ts_col)).alias("day"),
+                F.lit(0.0).alias("psi"),
+                F.lit("stable").alias("verdict"),
+            ).limit(0)
+        bucket = _fixed_width_bucket(
+            F.col(value_col),
+            F.lit(float(row["_mn"])),
+            F.lit(float(row["_mx"])),
+            n_bins,
+        ).cast("bigint")
     # NULL ts rows are excluded like NULL values: a day=NULL group
     # would never re-join on the bucket key (NULL != NULL), so every
     # bucket would take epsilon and emit a garbage (NULL, huge-psi,

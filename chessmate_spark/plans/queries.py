@@ -8206,17 +8206,28 @@ def s18_stream_commit_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     restarted query does after a failure between the sink write and the
     checkpoint commit — foreachBatch alone is only at-least-once) is
     detected by its (app_id, batch_id) txn marker and skipped, so the
-    final table holds every event exactly once — identity oracle.
+    final table holds every event exactly once — identity oracle.  The
+    sink carries an ACTIVE RetentionPolicy (round-9 verdict: retention
+    is now wired into the sink, not a manual afterthought): every 2nd
+    commit expires manifests below the covering checkpoint and vacuums
+    superseded checkpoints, so the identity oracle ALSO proves
+    retention drops no rows — expired manifests' data files stay
+    referenced by the surviving checkpoints' complete file lists.
 
     Scale shape: the idempotence check is driver-side metadata (scan of
     small manifests), each micro-batch append is ordinary distributed
-    parquet I/O plus ONE fsync'd atomic link, and the replay guard
+    parquet I/O plus ONE fsync'd atomic link, the replay guard
     composes with concurrent non-stream writers (the append rebase
-    re-checks the txn marker inside the claim loop)."""
+    re-checks the txn marker inside the claim loop), and the policy
+    bounds the metadata footprint over an infinite stream."""
     import shutil
     import tempfile
 
-    from ..ingest.commit_log import CommitLogTable
+    from ..ingest.commit_log import (
+        CommitLogTable,
+        RetentionPolicy,
+        streaming_commit_sink,
+    )
 
     base = tempfile.mkdtemp(prefix="cm_s18_")
     try:
@@ -8227,12 +8238,20 @@ def s18_stream_commit_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 4 files x maxFilesPerTrigger=1 -> 4 micro-batches
         ev.repartition(4).write.mode("overwrite").parquet(src)
         schema = ev.schema  # not re-read: an empty write has no footer
-        table = CommitLogTable(spark, tbl)
+        table = CommitLogTable(spark, tbl, checkpoint_interval=2)
         batches = []
+        # retention_seconds=0 is safe here: this stream is the table's
+        # only writer, and foreachBatch runs serially on the driver
+        write_batch = streaming_commit_sink(
+            table,
+            "s18_stream",
+            RetentionPolicy(
+                every_n_commits=2, keep_last=2, retention_seconds=0
+            ),
+        )
 
         def sink(batch_df, batch_id):
-            v = table.append_idempotent(batch_df, "s18_stream", batch_id)
-            batches.append((batch_id, v))
+            batches.append((batch_id, write_batch(batch_df, batch_id)))
 
         q = (
             spark.readStream.schema(schema)
@@ -9014,6 +9033,86 @@ def _windowed_drift_oracle() -> str:
                 ELSE 'major' END AS verdict
     FROM psis ORDER BY day
     """
+
+
+def _windowed_drift_cat_oracle() -> str:
+    # windowed_drift(categorical=True): buckets are the category
+    # values themselves (no stats CTE, no bins), the same grid-free
+    # decomposition —
+    #   psi(day) = SUM_present [(fc-fr)*ln(fc/fr) - missD(c)]
+    #            + SUM_all missD(c)
+    # with missD(c) = (eps - fr)*ln(eps/fr); floor-form rounding
+    return """
+    WITH base AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(event_type AS VARCHAR) AS bucket
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    ref AS (
+      SELECT bucket,
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS fr
+      FROM base GROUP BY bucket
+    ),
+    ref2 AS (
+      SELECT bucket, fr,
+             (0.0001 - fr) * LN(0.0001 / fr) AS miss,
+             sum((0.0001 - fr) * LN(0.0001 / fr)) OVER () AS miss_all
+      FROM ref
+    ),
+    day_counts AS (
+      SELECT day, bucket, count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY day) AS day_n
+      FROM base GROUP BY day, bucket
+    ),
+    terms AS (
+      SELECT c.day,
+             (CAST(c.cnt AS DOUBLE) / c.day_n - r.fr)
+             * LN(CAST(c.cnt AS DOUBLE) / c.day_n / r.fr)
+             - r.miss AS term,
+             r.miss_all
+      FROM day_counts c JOIN ref2 r USING (bucket)
+    ),
+    psis AS (
+      SELECT day,
+             FLOOR((sum(term) + max(miss_all)) * 1000000.0 + 0.5)
+               / 1000000.0 AS psi
+      FROM terms GROUP BY day
+    )
+    SELECT day, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'major' END AS verdict
+    FROM psis ORDER BY day
+    """
+
+
+@_register("a34_windowed_drift_categorical", _windowed_drift_cat_oracle())
+def a34_windowed_drift_categorical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Categorical windowed drift — a33's per-day monitor over a
+    CATEGORY column (`event_type`), the form the reference's payload
+    fields (result, eco, opening_slug) actually need: per-day PSI on
+    category buckets against the table-global category distribution.
+
+    Scale shape (operators/audit.py windowed_drift categorical=True):
+    TWO source scans total regardless of day count — no stats collect
+    (categories need no range), one category-counted scan for the
+    global reference fractions, one (day, category) counted scan for
+    the windows — and the same grid-free decomposition (present-bucket
+    terms + the global vanished-mass sum riding the broadcast
+    reference).  The category set is the global side by construction,
+    so a day missing a category contributes its epsilon vanished-mass
+    term through the global sum with no (day × category) grid.
+    Portable arithmetic; the oracle mirrors term-for-term."""
+    from ..operators.audit import windowed_drift
+
+    ev = _events(spark, sf_dir)
+    out = windowed_drift(ev, "ts", "event_type", categorical=True)
+    return out.select(
+        F.col("day").cast("date").alias("day"), "psi", "verdict"
+    ).orderBy("day")
 
 
 @_register("a33_windowed_drift", _windowed_drift_oracle())

@@ -126,6 +126,8 @@ DEFAULT_QUERIES = [
     "a32_drift_psi",
     "s19_schema_evolution",
     "a33_windowed_drift",
+    # round 10: categorical windowed drift (two counted scans)
+    "a34_windowed_drift_categorical",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -514,3 +514,74 @@ def test_windowed_drift_tiny_bucket_true_fraction(spark):
     )
     assert abs(out["2024-01-02"]["psi"] - expected) < 2e-6
     assert out["2024-01-02"]["psi"] > 0.0
+
+
+def test_windowed_drift_categorical_per_day_psi(spark):
+    """categorical=True: buckets are the category values; a skewed
+    day's PSI hand-computed against the pooled category mix, including
+    the epsilon vanished-mass term for a category the day never saw."""
+    import math
+
+    from chessmate_spark.operators.audit import windowed_drift
+
+    # day 1: a,a,b,c ; day 2: c,c,c,c (never sees a or b)
+    rows = [("2024-01-01 10:00:00", c) for c in ["a", "a", "b", "c"]]
+    rows += [("2024-01-02 10:00:00", "c")] * 4
+    df = spark.createDataFrame(rows, "ts string, cat string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "cat"
+    )
+    out = {
+        str(r["day"])[:10]: r
+        for r in windowed_drift(df, "ts", "cat", categorical=True).collect()
+    }
+    pooled = {"a": 2 / 8.0, "b": 1 / 8.0, "c": 5 / 8.0}
+    d1 = {"a": 2 / 4.0, "b": 1 / 4.0, "c": 1 / 4.0}
+    d2 = {"c": 4 / 4.0}
+
+    def psi(day):
+        total = 0.0
+        for cat, fr in pooled.items():
+            fc = day.get(cat, 1e-4)
+            total += (fc - fr) * math.log(fc / fr)
+        return total
+
+    assert abs(out["2024-01-01"]["psi"] - psi(d1)) < 1e-6
+    assert abs(out["2024-01-02"]["psi"] - psi(d2)) < 1e-6
+    assert out["2024-01-02"]["verdict"] == "major"  # vanished a AND b
+
+
+def test_windowed_drift_categorical_null_excluded(spark):
+    """NULL categories and NULL timestamps are excluded exactly like
+    the numeric mode; identical days read stable (psi == 0.0)."""
+    from chessmate_spark.operators.audit import windowed_drift
+
+    rows = [
+        (f"2024-01-0{d} 12:00:00", c)
+        for d in (1, 2)
+        for c in ["x", "x", "y"]
+    ]
+    rows += [(None, "x"), ("2024-01-01 13:00:00", None), (None, None)]
+    df = spark.createDataFrame(rows, "ts string, cat string").select(
+        F.col("ts").cast("timestamp").alias("ts"), "cat"
+    )
+    out = windowed_drift(df, "ts", "cat", categorical=True).collect()
+    assert len(out) == 2
+    assert all(r["psi"] == 0.0 and r["verdict"] == "stable" for r in out)
+
+
+def test_windowed_drift_categorical_is_two_scans(spark):
+    """Categorical mode drops the min/max collect, so the WHOLE
+    operator is two source scans: the returned plan holds exactly the
+    two counted scans (global category fractions, per-(day, category)
+    counts) and nothing runs eagerly before it."""
+    from chessmate_spark.operators.audit import windowed_drift
+
+    df = spark.range(0, 200).select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3600).alias(
+            "ts"
+        ),
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("cat"),
+    )
+    plan = windowed_drift(df, "ts", "cat", categorical=True)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 200") == 2, plan

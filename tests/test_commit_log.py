@@ -6,6 +6,7 @@ pinned-version reads are time-travel-equivalent to SnapshotManager."""
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -671,3 +672,126 @@ def test_repair_drops_whole_segment_without_any_checkpoint(spark, tmp_path):
     import os as _os
 
     assert _os.listdir(_os.path.join(str(tmp_path / "t"), "data")) == []
+
+
+def _metadata_sink_table(spark, tmp_path, **kwargs):
+    """A CommitLogTable whose staging cost is one copytree — the
+    _metadata_append posture applied to the sink path: drive the REAL
+    append_idempotent/policy protocol for hundreds of micro-batches
+    while paying metadata cost only (Spark parquet write throughput is
+    tested elsewhere)."""
+    import shutil
+    import uuid
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), **kwargs)
+    t.append(_df(spark, 0, 2))  # v1: the one REAL staged write
+    template = os.path.join(str(tmp_path / "t"), t.manifest(1)["add"][0])
+
+    def fast_stage(df):
+        rel = os.path.join("data", uuid.uuid4().hex)
+        shutil.copytree(template, os.path.join(str(tmp_path / "t"), rel))
+        return rel
+
+    t._stage = fast_stage
+    return t
+
+
+def test_retention_policy_bounds_metadata_over_500_batches(spark, tmp_path):
+    """Round-9 verdict #2: retention wired into the sink.  500
+    micro-batches through streaming_commit_sink with an attached
+    RetentionPolicy keep the on-disk manifest+checkpoint FILE COUNT
+    bounded (a policy-free week-long 30 s stream accumulates ~20k),
+    while exactly-once replay detection survives every expiry —
+    including a replay racing right behind a policy run, whose txn
+    marker now lives only in the folded checkpoints."""
+    from chessmate_spark.ingest.commit_log import (
+        RetentionPolicy,
+        streaming_commit_sink,
+    )
+
+    t = _metadata_sink_table(spark, tmp_path, checkpoint_interval=5)
+    # retention_seconds=0: this sink is the table's only writer
+    sink = streaming_commit_sink(
+        t,
+        "stream_app",
+        RetentionPolicy(
+            every_n_commits=10, keep_last=10, retention_seconds=0
+        ),
+    )
+    df = _df(spark, 0, 2)
+    bound = 45  # ~ keep_last + every_n + interval + checkpoints + hint
+    peak = 0
+    for batch_id in range(500):
+        assert sink(df, batch_id) is not None
+        if batch_id % 25 == 24:
+            n_files = len(os.listdir(t._commits_dir()))
+            peak = max(peak, n_files)
+            assert n_files <= bound, (batch_id, n_files)
+    assert peak > 0
+    head = t.latest_version()
+    assert head == 501  # v1 template + 500 micro-batches
+
+    # the file count is FLAT, not merely sublinear: a second 100
+    # batches cannot grow the peak footprint
+    for batch_id in range(500, 600):
+        sink(df, batch_id)
+    assert len(os.listdir(t._commits_dir())) <= bound
+
+    # exactly-once survives expiry: batch 250's manifest is long
+    # expired, its marker folded through the checkpoints
+    assert t.txn_version("stream_app") == 599
+    head = t.latest_version()
+    assert sink(df, 250) is None
+    assert sink(df, 599) is None
+    assert t.latest_version() == head
+
+    # a replay landing IMMEDIATELY after a maintenance pass (the
+    # policy-run-races-replayed-batch window): batch 599 triggered
+    # nothing, but batch 609 ends on a trigger — replay 609 right
+    # after its own maintenance ran
+    for batch_id in range(600, 610):
+        sink(df, batch_id)
+    assert t.latest_version() == 611  # 610 was a trigger point
+    assert sink(df, 609) is None
+    assert t.txn_version("stream_app") == 609
+
+    # no rows were ever dropped by retention: every committed batch's
+    # 2 rows are present exactly once
+    assert t.read().count() == 2 * t.latest_version()
+
+
+def test_retention_policy_replay_never_triggers_maintenance(
+    spark, tmp_path
+):
+    """A replayed batch commits nothing, so it must not run
+    maintenance either (maintain() is keyed on the COMMITTED version;
+    a replay has none)."""
+    from chessmate_spark.ingest.commit_log import (
+        RetentionPolicy,
+        streaming_commit_sink,
+    )
+
+    t = _metadata_sink_table(spark, tmp_path, checkpoint_interval=2)
+    policy = RetentionPolicy(
+        every_n_commits=2, keep_last=2, retention_seconds=0
+    )
+    ran = []
+    orig = policy.maintain
+    policy.maintain = lambda table, v: ran.append(v) or orig(table, v)
+    sink = streaming_commit_sink(t, "app", policy)
+    df = _df(spark, 0, 2)
+    for batch_id in range(6):
+        sink(df, batch_id)
+    assert ran == [2, 3, 4, 5, 6, 7]  # consulted per committed version
+    before = len(ran)
+    assert sink(df, 3) is None  # replay
+    assert len(ran) == before  # maintenance not even consulted
+
+
+def test_retention_policy_validates(spark):
+    from chessmate_spark.ingest.commit_log import RetentionPolicy
+
+    with pytest.raises(ValueError):
+        RetentionPolicy(every_n_commits=0)
+    with pytest.raises(ValueError):
+        RetentionPolicy(keep_last=0)
