@@ -1189,10 +1189,27 @@ def semantic_decontaminate(
         F.col(vec_col), F.col("_e_vec"), F.col("_n_t"), F.col("_n_e")
     )
     # score ONCE in the projection, threshold the rounded column
+    extra = ["_rowid", "_e_rowid"] if route == "cells" else []
     scored = pairs.select(
-        id_col, F.col("_e_id"), portable_round(cos, 6).alias("_cos")
+        id_col, F.col("_e_id"),
+        portable_round(cos, 6).alias("_cos"),
+        *extra,
     )
     hits = scored.filter(F.col("_cos") >= F.lit(threshold))
+    if route == "cells":
+        # multi-cell collision dedupe, AFTER scoring and thresholding:
+        # the deduped rows are (ids, cos) — ~50 B — instead of pair
+        # rows still carrying both vectors (~1.1 KB at dim 64), and
+        # only the HITS reach the exchange.  Measured (round-10 route
+        # crossover, 4g worker): deduping vector-bearing pairs OOMed at
+        # eval=20k on the clustered corpus while the broadcast route
+        # survived — the exact inversion of the route's purpose.  The
+        # duplicate scores are bit-identical (same vectors in every
+        # shared cell), so keeping one per (train row, eval row) is
+        # payload-invisible.
+        hits = hits.dropDuplicates(["_rowid", "_e_rowid"]).drop(
+            "_rowid", "_e_rowid"
+        )
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.max("_cos").alias("max_cos"),
@@ -1268,8 +1285,15 @@ def _cell_paired(
         "_n_e",
         F.explode(cells(F.col("_e_vec"))).alias("_cell"),
     )
-    return (
-        t_tag.join(e_tag, "_cell")
-        .dropDuplicates(["_rowid", "_e_rowid"])
-        .select(id_col, vec_col, "_n_t", "_e_id", "_e_vec", "_n_e")
+    # NO pair dedupe here: a (train row, eval row) pair sharing several
+    # probed cells is deduped by the CALLER after scoring+thresholding,
+    # when the row is ids+cos (~50 B) instead of two dim-width vectors
+    # (~1.1 KB) — deduping here put the vector-bearing pairs through
+    # the exchange and OOMed a 4 GiB worker at eval=20k (round-10 route
+    # crossover) while the broadcast route survived.  The rowids ride
+    # out so the caller's dedupe counts duplicate-id rows on either
+    # side exactly as the broadcast crossJoin does.
+    return t_tag.join(e_tag, "_cell").select(
+        "_rowid", id_col, vec_col, "_n_t",
+        "_e_rowid", "_e_id", "_e_vec", "_n_e",
     )

@@ -585,8 +585,86 @@ ANN_SETTINGS = {
     "ivfpq_nl64_np32_of64_k256": 0.7,
 }
 
+# Floors for the CLUSTERED (mixture-of-Gaussians) corpus, set from the
+# first measured run per the standing recalibration convention.  This
+# is the corpus shape IVF/IVFADC exist for, so the gated points include
+# LOW-nprobe ones the near-uniform corpus could never gate: cell
+# pruning finally pays.  First run (seed 42, sigma 0.55): ivf np1
+# 0.590 / np4 0.930 / np12 1.000 (vs 0.090/0.275/0.575 near-uniform —
+# probing 6% of cells now buys 0.93); ivfpq k256 np12/of32 0.920,
+# np16/of64 0.960, np32/of64 0.960 (vs 0.56/0.65/0.83 — the ADC gap
+# closes when residuals are small); lsh p3_t32 1.000, p4_t16 1.000,
+# p6_t8 0.975; flat pq of32 0.465 (no coarse structure to exploit —
+# still the documented worst case, dial-only).
+ANN_CLUSTERED_FLOORS = {
+    "ivf_nlist64_nprobe1": 0.5,
+    "ivf_nlist64_nprobe4": 0.9,
+    "ivf_nlist64_nprobe12": 0.9,
+    "ivfpq_nl64_np12_of32_k256": 0.85,
+    "ivfpq_nl64_np16_of64_k256": 0.9,
+    "ivfpq_nl64_np32_of64_k256": 0.9,
+    "lsh_p3_t32": 0.9,
+    "lsh_p4_t16": 0.9,
+}
 
-def measure_ann_recall(spark) -> dict:
+
+CLUSTERED_DST = "/tmp/chessmate_clustered"
+CLUSTERED_ROWS = 20_000   # mirrors the 10x corpus so rows are comparable
+CLUSTERED_DIM = 64
+CLUSTERED_CENTERS = 50    # deliberately != nlist=64: no trained-in match
+CLUSTERED_SIGMA = 0.55    # moderate overlap: in-cluster cosine ~0.7-0.9
+
+
+def build_clustered(spark, dst: str = CLUSTERED_DST) -> None:
+    """Mixture-of-Gaussians embedding corpus (round-9 verdict #3): the
+    shape REAL embeddings have — and the reason IVFADC exists (Jégou
+    et al. 2011 train coarse quantizers precisely because embedding
+    mass concentrates in clusters).  The synthetic 10x corpus is
+    near-uniform, EXPLAIN.md's documented IVF worst case, so every
+    committed recall point so far measured the frontier only where
+    cell pruning cannot work.  Deterministic (seeded numpy): 50
+    centers ~ N(0, I_64) with Zipf-ish weights, per-point noise
+    sigma=0.55 — clusters are real but overlap, so exact top-10
+    neighbors are dominated by same-cluster points without being
+    degenerate duplicates.  Same schema as the 10x embeddings
+    (vec_id, embedding float[], label=cluster)."""
+    import numpy as np
+
+    done = os.path.join(dst, "_DONE_v1")
+    if os.path.exists(done):
+        return
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((CLUSTERED_CENTERS, CLUSTERED_DIM))
+    weights = 1.0 / np.arange(1, CLUSTERED_CENTERS + 1)
+    weights /= weights.sum()
+    labels = rng.choice(CLUSTERED_CENTERS, size=CLUSTERED_ROWS, p=weights)
+    vecs = centers[labels] + CLUSTERED_SIGMA * rng.standard_normal(
+        (CLUSTERED_ROWS, CLUSTERED_DIM)
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(CLUSTERED_ROWS, dtype=np.int64),
+            "embedding": [
+                row.astype(np.float32).tolist() for row in vecs
+            ],
+            "label": labels.astype(np.int32),
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        F.col("vec_id").cast("bigint"),
+        F.col("embedding").cast("array<float>"),
+        F.col("label").cast("int"),
+    )
+    df.repartition(8).write.mode("overwrite").parquet(
+        f"{dst}/embeddings.parquet"
+    )
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+
+
+def measure_ann_recall(spark, src: str = None) -> dict:
     """Recall@k of the approximate ANN paths vs exact kNN on the 10x
     corpus (~20k vectors — big enough that LSH/IVF candidate narrowing is
     real, small enough for an exact baseline).
@@ -594,14 +672,16 @@ def measure_ann_recall(spark) -> dict:
     v6/v7's oracle rows prove recall at sf0.01 only; this is the standing
     record at 10x across the recall/cost dial (bands for LSH, nprobe for
     IVF), so a tuning regression shows up in the committed smoke output
-    instead of silently shipping."""
+    instead of silently shipping.  Pass ``src=CLUSTERED_DST`` to run the
+    same dial ladder on the mixture-of-Gaussians corpus (the
+    ``ann_recall_clustered`` block)."""
     from chessmate_spark.operators.similarity import (
         cosine_knn_join,
         ivf_topk,
         lsh_bucketed_topk,
     )
 
-    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    emb = spark.read.parquet(f"{src or DST}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1299,9 +1379,11 @@ def main() -> int:
     chess_only = sys.argv[1:] == ["--chess"]
     decontam_only = sys.argv[1:] == ["--decontam"]
     bloom_only = sys.argv[1:] == ["--bloom-route"]
+    ann_clustered_only = sys.argv[1:] == ["--ann-clustered"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
         or pq_bytes_only or chess_only or decontam_only or bloom_only
+        or ann_clustered_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1351,6 +1433,30 @@ def main() -> int:
             print(f"FAIL: {failures}")
             return 1
         print("OK: bloom route identical to broadcast, wall within gate")
+        return 0
+    if ann_clustered_only:
+        print("building clustered corpus ...", flush=True)
+        build_clustered(spark)
+        print("measuring ANN recall@k on the clustered corpus ...",
+              flush=True)
+        ann = measure_ann_recall(spark, src=CLUSTERED_DST)
+        failures = []
+        for setting, v in sorted(ann.items()):
+            if not isinstance(v, dict):
+                continue
+            floor = ANN_CLUSTERED_FLOORS.get(setting, 0.0)
+            print(f"  {setting:28s} recall={v['recall']:.3f} "
+                  f"floor={floor} ({v['secs']}s)", flush=True)
+            if v["recall"] < floor:
+                failures.append(f"ann_clustered:{setting}")
+        merge_smoke_block(
+            out_path, "ann_recall_clustered", ann, failures,
+            "ann_clustered:",
+        )
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: clustered-corpus recall above its floors")
         return 0
     import json
 

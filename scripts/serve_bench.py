@@ -134,8 +134,11 @@ def main() -> int:
     # frame; the only N-sensitive pieces are that broadcast and the two
     # per-question windows), so questions/sec should IMPROVE with N as
     # the two-action fixed cost amortizes and the marginal per-question
-    # cost should stay flat-or-falling.  min-of-2 per rung.
-    ladder_ns = (64, 256, 1024)
+    # cost should stay flat-or-falling.  min-of-2 per rung.  The 4096
+    # and 16384 rungs (round-9 verdict #5) hunt the knee: either the
+    # one-process batch engine crosses the reference's ~500 req/s
+    # headline or the rung that refuses to names the bottleneck.
+    ladder_ns = (64, 256, 1024, 4096, 16384)
     batch_answer(
         spark, tables,
         [templates[i % len(templates)] for i in range(8)], dim=8,

@@ -56,6 +56,29 @@ def render(record: dict) -> str:
                 f"  - N={rung['n_questions']}: {rung['batch_wall_s']} s, "
                 f"{rung['questions_per_s']} q/s{shown}"
             )
+        ref_qps = record["reference_baseline"]["req_per_s_c50"]
+        peak = bm["peak_questions_per_s"]
+        crossing = [
+            r["n_questions"]
+            for r in bm.get("ladder", [])
+            if r["questions_per_s"] >= ref_qps
+        ]
+        if crossing:
+            lines.append(
+                f"  - crosses the reference's {ref_qps} req/s headline "
+                f"at N={crossing[0]} (one-process batch engine vs the "
+                f"reference's c=50 OLTP stack); peak {peak} q/s"
+            )
+        else:
+            lines.append(
+                f"  - peak {peak} q/s stays below the reference's "
+                f"{ref_qps} req/s headline"
+                + (
+                    f" — bottleneck: {bm['bottleneck']}"
+                    if bm.get("bottleneck")
+                    else ""
+                )
+            )
     lines.append(END)
     return "\n".join(lines)
 

