@@ -261,26 +261,36 @@ class CommitLogTable:
 
     def _segment_bases(self) -> Tuple[set, List[int]]:
         """(protected checkpoint versions, segment starts whose base is
-        MISSING).  A contiguous segment of surviving versions that does
-        not start at version 1 lost its manifest prefix to expiry, so
-        fold-from-scratch is impossible; its only reconstruction path
-        is a checkpoint at EXACTLY the segment start (a lower
-        checkpoint cannot fold through the expired gap, and a higher
-        one cannot serve the versions below it).  expire_versions()
-        always cuts at a checkpoint, so in a healthy log every segment
-        start > 1 has its base; a missing base means the log is
-        damaged for that segment.  With an intact prefix (segment
-        starting at 1) nothing is load-bearing — every checkpoint is a
-        pure accelerator."""
+        MISSING).  A contiguous segment of surviving versions [s..e]
+        that does not start at version 1 lost its manifest prefix to
+        expiry, so fold-from-scratch is impossible; its reconstruction
+        path is a checkpoint at s — or at s-1, which serves the whole
+        segment just as well (``_state_at`` folds a checkpoint at c
+        forward through manifests c+1..v, and with c = s-1 that tail
+        is exactly the segment's intact manifests; only c < s-1 would
+        need expired manifests).  The s-1 form arises from power-loss
+        gaps (expire's unlink order is not durable across power loss),
+        where the manifest AT a checkpointed cut is lost but the
+        checkpoint survives.  expire_versions() always cuts at a
+        checkpoint, so in a healthy log every segment start > 1 has a
+        base; a segment with neither s nor s-1 checkpointed is damaged.
+        When both exist, BOTH are protected (either alone suffices,
+        but pruning one while a concurrent reader holds the other
+        listed is not worth the bytes).  With an intact prefix
+        (segment starting at 1) nothing is load-bearing — every
+        checkpoint is a pure accelerator."""
         vs = self.versions()
         ckpts = set(self._checkpoint_versions())
         protected, missing = set(), []
         prev = None
         for v in vs:
             if v > 1 and (prev is None or prev != v - 1):
-                if v in ckpts:
-                    protected.add(v)
-                else:
+                found = False
+                for base in (v, v - 1):
+                    if base in ckpts:
+                        protected.add(base)
+                        found = True
+                if not found:
                     missing.append(v)
             prev = v
         return protected, missing
@@ -576,12 +586,14 @@ class CommitLogTable:
             )
         alive = set(self.versions())
         for v in self._checkpoint_versions():
-            if v not in alive:
-                # a DEAD checkpoint: its version is expired, so no read
-                # can ever fold from it (the manifests between it and
-                # any surviving segment are gone) — its file list must
-                # NOT pin dead data, and it is pruned below regardless
-                # of keep_checkpoints
+            if v not in alive and v not in protected:
+                # a DEAD checkpoint: its version is expired AND it is
+                # not a segment base (a checkpoint at segment_start-1
+                # IS load-bearing despite its dead version — reads fold
+                # from it through the segment's manifests), so no read
+                # can ever fold from it — its file list must not pin
+                # dead data, and the prune loop below removes it
+                # regardless of keep_checkpoints
                 continue
             try:
                 referenced.update(self._read_checkpoint(v)["files"])
@@ -629,9 +641,17 @@ class CommitLogTable:
         # run both from one maintenance actor).
         protected, _ = self._segment_bases()
         ckpts = self._checkpoint_versions()
-        for v in ckpts[: -max(1, int(keep_checkpoints))]:
+        alive = set(self.versions())
+        keep_tail = set(ckpts[-max(1, int(keep_checkpoints)):])
+        for v in ckpts:
             if v in protected:
                 continue  # an expired-prefix segment's base: reads depend on it
+            if v in keep_tail and v in alive:
+                continue  # the newest K useful accelerators stay
+            # everything else is prunable: superseded accelerators past
+            # the keep window, and DEAD checkpoints (expired version,
+            # not a base) anywhere — including above the keep window,
+            # so a dead one can never pin dead data indefinitely
             full = os.path.join(commits, _checkpoint_name(v))
             try:
                 if os.path.getmtime(full) <= cutoff:
@@ -736,15 +756,27 @@ class CommitLogTable:
         Destructive ONLY of already-unreadable history: a version this
         deletes raised ``RuntimeError`` on every read before the call;
         afterwards it raises ``FileNotFoundError`` like any expired
-        version.  If a damaged segment contains NO surviving
-        checkpoint, the whole segment is dropped — including, in the
-        worst case, the head, in which case the newest surviving older
-        segment (or the empty log) becomes the head: that data was
-        unreachable either way, and this makes the loss explicit
-        instead of wedged.  Never touches data files (the subsequent
-        ``vacuum()`` reclaims what became unreferenced).  Run it from
-        the single maintenance actor.  Returns the deleted manifest
-        paths (table-relative); empty when the log is healthy."""
+        version.  A segment is UNDAMAGED — and untouched — when a
+        checkpoint exists at its start s or at s-1 (either serves the
+        whole segment: ``_state_at`` folds a checkpoint forward through
+        the segment's intact manifests).  In a damaged segment the
+        first checkpoint AT a member version rescues it and everything
+        above; versions below it have no reconstruction path.  If a
+        damaged segment contains NO surviving checkpoint, the whole
+        segment is dropped — including, in the worst case, the head, in
+        which case the newest surviving older segment (or the empty
+        log) becomes the head: that data was unreachable either way,
+        and this makes the loss explicit instead of wedged.  Dropping
+        manifests can strand checkpoints ABOVE the new head (and a
+        ``_last_checkpoint`` hint naming them); those are removed too —
+        left behind, a reborn log would reuse their version numbers
+        and ``_state_at`` would fold the OLD life's file list into new
+        reads (and ``_write_checkpoint``'s EEXIST tolerance would
+        silently keep the poison).  Never touches data files (the
+        subsequent ``vacuum()`` reclaims what became unreferenced).
+        Run it from the single maintenance actor.  Returns the deleted
+        manifest/checkpoint paths (table-relative); empty when the log
+        is healthy."""
         ckpts = set(self._checkpoint_versions())
         segments: List[List[int]] = []
         for v in self.versions():
@@ -755,8 +787,8 @@ class CommitLogTable:
         commits = self._commits_dir()
         removed: List[str] = []
         for seg in segments:
-            if seg[0] == 1 or seg[0] in ckpts:
-                continue  # healthy: fold-from-scratch, or base intact
+            if seg[0] == 1 or seg[0] in ckpts or (seg[0] - 1) in ckpts:
+                continue  # healthy: fold-from-scratch, or a base serves
             # the first checkpoint INSIDE the segment rescues every
             # version at or above it; everything below has no base
             rescue = next((v for v in seg if v in ckpts), None)
@@ -768,6 +800,28 @@ class CommitLogTable:
                 except FileNotFoundError:
                     continue
         if removed:
+            # checkpoints stranded past the (possibly lowered) head are
+            # version-reuse poison for a reborn log — drop them, and a
+            # hint that points past the head with them
+            head = self.latest_version()
+            for v in sorted(ckpts):
+                if v > head:
+                    try:
+                        os.unlink(
+                            os.path.join(commits, _checkpoint_name(v))
+                        )
+                        removed.append(
+                            os.path.join(_COMMITS, _checkpoint_name(v))
+                        )
+                    except FileNotFoundError:
+                        continue
+            hint_path = os.path.join(commits, _LAST_CHECKPOINT)
+            try:
+                with open(hint_path) as fh:
+                    if int(json.load(fh)["version"]) > head:
+                        os.unlink(hint_path)
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                pass  # absent/corrupt hint: the scan path covers reads
             dfd = os.open(commits, os.O_RDONLY)
             try:
                 os.fsync(dfd)
@@ -796,7 +850,15 @@ class RetentionPolicy:
     into every checkpoint, and expiry only cuts below a surviving
     checkpoint.  ``retention_seconds`` keeps the default in-flight-
     writer window; lower it only when the stream is provably the only
-    writer."""
+    writer.
+
+    The cadence is keyed on the SINK'S OWN committed-batch count, not
+    the table version: other (non-maintenance) writers may interleave
+    commits, and a version-modulo trigger could then fire erratically
+    — or never, e.g. a second writer alternating commits keeps the
+    stream's versions permanently odd, and ``version % 2`` never
+    triggers the policy whose whole job is bounding that stream's
+    metadata."""
 
     def __init__(
         self,
@@ -814,12 +876,13 @@ class RetentionPolicy:
         self.retention_seconds = retention_seconds
         self.keep_checkpoints = keep_checkpoints
 
-    def maintain(self, table: "CommitLogTable", version: int) -> bool:
-        """Run one maintenance pass if ``version`` is a trigger point;
-        returns whether it ran.  Failures propagate (the module's
-        fail-loud posture): a wedged log should stop the stream, not
-        silently accumulate until the disk fills."""
-        if version % self.every_n_commits != 0:
+    def maintain(self, table: "CommitLogTable", n_committed: int) -> bool:
+        """Run one maintenance pass if ``n_committed`` (the calling
+        sink's count of successfully committed batches) is a trigger
+        point; returns whether it ran.  Failures propagate (the
+        module's fail-loud posture): a wedged log should stop the
+        stream, not silently accumulate until the disk fills."""
+        if n_committed % self.every_n_commits != 0:
             return False
         table.expire_versions(keep_last=self.keep_last)
         table.vacuum(
@@ -851,15 +914,20 @@ def streaming_commit_sink(
     invocations of one query run serially on the driver, so the sink
     is naturally the single maintenance actor the retention contract
     requires — maintenance never races this stream's own appends, and
-    a replayed batch never triggers maintenance (no version was
-    committed).  Returns the callable; it returns the committed
-    version (None on replay) so callers composing it can observe
-    progress."""
+    a replayed batch never triggers maintenance (nothing was
+    committed, and replays don't advance the cadence counter).  The
+    cadence counts THIS sink's committed batches (see RetentionPolicy:
+    a version-modulo trigger breaks under interleaved writers).
+    Returns the callable; it returns the committed version (None on
+    replay) so callers composing it can observe progress."""
+    n_committed = 0
 
     def sink(batch_df: DataFrame, batch_id: int) -> Optional[int]:
+        nonlocal n_committed
         version = table.append_idempotent(batch_df, app_id, batch_id)
         if version is not None and policy is not None:
-            policy.maintain(table, version)
+            n_committed += 1
+            policy.maintain(table, n_committed)
         return version
 
     return sink

@@ -1245,8 +1245,20 @@ def _cell_paired(
 
     n_rows = tr.count()
     if n_rows == 0:
-        # no candidates; an empty cell-route equals the empty exact set
-        return tr.crossJoin(ev.limit(0))
+        # no candidates; an empty cell-route equals the empty exact
+        # set — with the SAME columns as the normal path (the caller
+        # selects the rowids for its post-score dedupe)
+        return (
+            tr.select(
+                F.monotonically_increasing_id().alias("_rowid"),
+                id_col, vec_col, "_n_t",
+            ).crossJoin(
+                ev.select(
+                    F.monotonically_increasing_id().alias("_e_rowid"),
+                    "_e_id", "_e_vec", "_n_e",
+                ).limit(0)
+            )
+        )
     # shared sizing with semantic_cell_assignments: the cell cap and
     # sample scaling are what keep this route from degenerating at the
     # past-broadcast scale it exists for (trainer saturation -> giant

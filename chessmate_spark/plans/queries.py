@@ -8976,13 +8976,57 @@ def s19_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the grid-free PSI decomposition, shared by the a33 (numeric-bin) and
+# a34 (categorical) windowed-drift oracles — everything downstream of
+# the `base` CTE is bucket-agnostic:
+#   psi(day) = SUM_present [(fc-fr)*ln(fc/fr) - missD(b)]
+#            + SUM_all missD(b)
+# where missD(b) = (eps - fr)*ln(eps/fr) is the vanished-mass term a
+# bucket contributes when a day never saw it; floor-form rounding.
+# One string so a convention change (the round-10 epsilon fix had to be
+# applied to two identical copies) cannot desynchronize the two oracles.
+_WINDOWED_PSI_TAIL = """
+    ref AS (
+      SELECT bucket,
+             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS fr
+      FROM base GROUP BY bucket
+    ),
+    ref2 AS (
+      SELECT bucket, fr,
+             (0.0001 - fr) * LN(0.0001 / fr) AS miss,
+             sum((0.0001 - fr) * LN(0.0001 / fr)) OVER () AS miss_all
+      FROM ref
+    ),
+    day_counts AS (
+      SELECT day, bucket, count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY day) AS day_n
+      FROM base GROUP BY day, bucket
+    ),
+    terms AS (
+      SELECT c.day,
+             (CAST(c.cnt AS DOUBLE) / c.day_n - r.fr)
+             * LN(CAST(c.cnt AS DOUBLE) / c.day_n / r.fr)
+             - r.miss AS term,
+             r.miss_all
+      FROM day_counts c JOIN ref2 r USING (bucket)
+    ),
+    psis AS (
+      SELECT day,
+             FLOOR((sum(term) + max(miss_all)) * 1000000.0 + 0.5)
+               / 1000000.0 AS psi
+      FROM terms GROUP BY day
+    )
+    SELECT day, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'major' END AS verdict
+    FROM psis ORDER BY day
+    """
+
+
 def _windowed_drift_oracle() -> str:
-    # mirrors windowed_drift exactly: global fixed-width bins, and the
-    # grid-free PSI decomposition —
-    #   psi(day) = SUM_present [(fc-fr)*ln(fc/fr) - missD(b)]
-    #            + SUM_all missD(b)
-    # where missD(b) = (eps - fr)*ln(eps/fr) is the vanished-mass term
-    # a bucket contributes when a day never saw it; floor-form rounding
+    # mirrors windowed_drift exactly: global fixed-width bins over the
+    # events value range, then the shared grid-free decomposition
     return """
     WITH stats AS (
       SELECT min(value) AS mn, max(value) AS mx FROM events
@@ -8997,51 +9041,13 @@ def _windowed_drift_oracle() -> str:
       FROM events CROSS JOIN stats
       WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
-    ref AS (
-      SELECT bucket,
-             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS fr
-      FROM base GROUP BY bucket
-    ),
-    ref2 AS (
-      SELECT bucket, fr,
-             (0.0001 - fr) * LN(0.0001 / fr) AS miss,
-             sum((0.0001 - fr) * LN(0.0001 / fr)) OVER () AS miss_all
-      FROM ref
-    ),
-    day_counts AS (
-      SELECT day, bucket, count(*) AS cnt,
-             sum(count(*)) OVER (PARTITION BY day) AS day_n
-      FROM base GROUP BY day, bucket
-    ),
-    terms AS (
-      SELECT c.day,
-             (CAST(c.cnt AS DOUBLE) / c.day_n - r.fr)
-             * LN(CAST(c.cnt AS DOUBLE) / c.day_n / r.fr)
-             - r.miss AS term,
-             r.miss_all
-      FROM day_counts c JOIN ref2 r USING (bucket)
-    ),
-    psis AS (
-      SELECT day,
-             FLOOR((sum(term) + max(miss_all)) * 1000000.0 + 0.5)
-               / 1000000.0 AS psi
-      FROM terms GROUP BY day
-    )
-    SELECT day, psi,
-           CASE WHEN psi < 0.1 THEN 'stable'
-                WHEN psi < 0.25 THEN 'moderate'
-                ELSE 'major' END AS verdict
-    FROM psis ORDER BY day
-    """
+    """ + _WINDOWED_PSI_TAIL
 
 
 def _windowed_drift_cat_oracle() -> str:
     # windowed_drift(categorical=True): buckets are the category
-    # values themselves (no stats CTE, no bins), the same grid-free
-    # decomposition —
-    #   psi(day) = SUM_present [(fc-fr)*ln(fc/fr) - missD(c)]
-    #            + SUM_all missD(c)
-    # with missD(c) = (eps - fr)*ln(eps/fr); floor-form rounding
+    # values themselves (no stats CTE, no bins), then the SAME shared
+    # grid-free decomposition tail as the a33 oracle
     return """
     WITH base AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -9049,42 +9055,7 @@ def _windowed_drift_cat_oracle() -> str:
       FROM events
       WHERE event_type IS NOT NULL AND ts IS NOT NULL
     ),
-    ref AS (
-      SELECT bucket,
-             CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS fr
-      FROM base GROUP BY bucket
-    ),
-    ref2 AS (
-      SELECT bucket, fr,
-             (0.0001 - fr) * LN(0.0001 / fr) AS miss,
-             sum((0.0001 - fr) * LN(0.0001 / fr)) OVER () AS miss_all
-      FROM ref
-    ),
-    day_counts AS (
-      SELECT day, bucket, count(*) AS cnt,
-             sum(count(*)) OVER (PARTITION BY day) AS day_n
-      FROM base GROUP BY day, bucket
-    ),
-    terms AS (
-      SELECT c.day,
-             (CAST(c.cnt AS DOUBLE) / c.day_n - r.fr)
-             * LN(CAST(c.cnt AS DOUBLE) / c.day_n / r.fr)
-             - r.miss AS term,
-             r.miss_all
-      FROM day_counts c JOIN ref2 r USING (bucket)
-    ),
-    psis AS (
-      SELECT day,
-             FLOOR((sum(term) + max(miss_all)) * 1000000.0 + 0.5)
-               / 1000000.0 AS psi
-      FROM terms GROUP BY day
-    )
-    SELECT day, psi,
-           CASE WHEN psi < 0.1 THEN 'stable'
-                WHEN psi < 0.25 THEN 'moderate'
-                ELSE 'major' END AS verdict
-    FROM psis ORDER BY day
-    """
+    """ + _WINDOWED_PSI_TAIL
 
 
 @_register("a34_windowed_drift_categorical", _windowed_drift_cat_oracle())

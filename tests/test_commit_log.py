@@ -665,7 +665,9 @@ def test_repair_drops_whole_segment_without_any_checkpoint(spark, tmp_path):
     with pytest.raises(RuntimeError):
         t.read(version=12)
     removed = t.repair_unreadable_segments()
-    assert len(removed) == 3  # versions 10..12
+    # versions 10..12, plus the stale v5 checkpoint (above the new
+    # head 0 — left behind it would poison a reborn log's v5)
+    assert len(removed) == 4
     assert t.versions() == []
     assert t.latest_version() == 0
     t.vacuum(retention_seconds=0)  # reclaims everything, no abort
@@ -782,10 +784,43 @@ def test_retention_policy_replay_never_triggers_maintenance(
     df = _df(spark, 0, 2)
     for batch_id in range(6):
         sink(df, batch_id)
-    assert ran == [2, 3, 4, 5, 6, 7]  # consulted per committed version
+    # consulted once per committed batch, with the SINK's own count —
+    # not the table version (which other writers can skew)
+    assert ran == [1, 2, 3, 4, 5, 6]
     before = len(ran)
     assert sink(df, 3) is None  # replay
     assert len(ran) == before  # maintenance not even consulted
+
+
+def test_retention_cadence_survives_interleaved_writer(spark, tmp_path):
+    """Round-10 review: a version-modulo cadence breaks under a second
+    writer — e.g. alternating commits keep the stream's versions
+    permanently odd, so version % 2 NEVER fires and manifests grow
+    unboundedly.  The cadence is the sink's own committed-batch count,
+    so maintenance fires on schedule regardless of interleaving."""
+    from chessmate_spark.ingest.commit_log import (
+        RetentionPolicy,
+        streaming_commit_sink,
+    )
+
+    t = _metadata_sink_table(spark, tmp_path, checkpoint_interval=2)
+    policy = RetentionPolicy(
+        every_n_commits=2, keep_last=2, retention_seconds=0
+    )
+    ran = []
+    orig = policy.maintain
+    policy.maintain = lambda table, n: ran.append(
+        (n, orig(table, n))
+    ) or True
+    sink = streaming_commit_sink(t, "app", policy)
+    df = _df(spark, 0, 2)
+    for batch_id in range(6):
+        t.append(df)  # the interleaved OTHER writer
+        sink(df, batch_id)  # stream versions are always even here
+    # maintenance RAN (returned True) on every 2nd committed batch
+    assert [n for n, _ in ran] == [1, 2, 3, 4, 5, 6]
+    assert [did for _, did in ran] == [False, True] * 3
+    assert t.read().count() == 2 * t.latest_version()
 
 
 def test_retention_policy_validates(spark):
@@ -795,3 +830,86 @@ def test_retention_policy_validates(spark):
         RetentionPolicy(every_n_commits=0)
     with pytest.raises(ValueError):
         RetentionPolicy(keep_last=0)
+
+
+def test_checkpoint_at_segment_start_minus_one_serves_segment(
+    spark, tmp_path
+):
+    """Round-10 review: a power-loss gap can leave a segment [s..e]
+    whose manifest at the checkpointed cut is gone but whose s-1
+    checkpoint survives — _state_at folds that checkpoint forward
+    through the segment's intact manifests, so every surviving version
+    IS readable.  vacuum() must treat the s-1 checkpoint as the
+    (protected) base instead of aborting, and
+    repair_unreadable_segments() must not touch the segment (it used
+    to delete all of it below the first in-segment checkpoint,
+    destroying readable history)."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(23):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    t.expire_versions(keep_last=5)  # cut=15: versions 15..23 survive
+    # simulate the power-loss gap: manifest 15 lost, checkpoint 15
+    # survives -> segment [16..23] with its base at s-1 = 15
+    os.unlink(os.path.join(t._commits_dir(), f"{15:020d}.json"))
+    assert t.versions()[0] == 16
+    assert t.read(version=16).count() == 16 * 2  # folds from ckpt 15
+    assert t.read().count() == 23 * 2
+    assert t.repair_unreadable_segments() == []  # nothing is damaged
+    t.vacuum(retention_seconds=0)  # no abort; ckpt 15 is protected
+    assert t.read(version=16).count() == 16 * 2  # still readable
+    assert t.read().count() == 23 * 2
+    assert 15 in t._checkpoint_versions()  # the base was never pruned
+
+
+def test_repair_removes_stale_checkpoints_for_rebirth(spark, tmp_path):
+    """Round-10 review: dropping a whole segment used to leave its
+    checkpoints (and the _last_checkpoint hint) behind; a REBORN log
+    reusing those version numbers would fold the old life's file list
+    into new reads — silently wrong rows, made permanent by
+    _write_checkpoint's EEXIST tolerance.  Repair now removes
+    checkpoints past the new head, so the rebirth is clean."""
+    import os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(12):
+        t.append(_df(spark, i * 10, i * 10 + 2))
+    t.expire_versions(keep_last=3)  # cut=10
+    os.unlink(os.path.join(t._commits_dir(), f"{10:020d}.checkpoint.json"))
+    os.unlink(os.path.join(t._commits_dir(), "_last_checkpoint"))
+    removed = t.repair_unreadable_segments()
+    assert t.versions() == []  # whole segment dropped
+    # the stale accelerator checkpoint (v5, above the new head 0) went
+    # with it — left behind it would poison version 5 of the next life
+    assert t._checkpoint_versions() == []
+    assert any(p.endswith(".checkpoint.json") for p in removed)
+    # rebirth: fresh appends take versions 1.. and read THEIR rows
+    for i in range(6):
+        t.append(_df(spark, 1000 + i, 1000 + i + 1))
+    assert t.versions()[0] == 1
+    assert t.read(version=5).count() == 5  # new life's v5, not the old
+    rows = {r["id"] for r in t.read().collect()}
+    assert rows == {1000 + i for i in range(6)}  # no old-life rows
+
+
+def test_cells_route_empty_train_returns_empty(spark):
+    """Round-10 review: the empty-train early return in _cell_paired
+    lost the _rowid/_e_rowid columns the caller now selects — the
+    cells route crashed on an empty corpus instead of returning the
+    empty flagged set."""
+    from chessmate_spark.operators.dedup import semantic_decontaminate
+
+    tr = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = semantic_decontaminate(
+        tr, ev, "vec_id", "embedding", 0.5, route="cells"
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "vec_id", "n_matches", "max_cos", "contaminated_by"
+    ]
