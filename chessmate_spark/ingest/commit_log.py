@@ -422,11 +422,21 @@ class CommitLogTable:
         if version % self.checkpoint_interval == 0:
             try:
                 self._write_checkpoint(version)
-            except OSError:
+            except (OSError, RuntimeError):
                 # a failed checkpoint never fails the commit it trails —
-                # the next interval boundary retries the fold; until
-                # then reads pay a longer (still bounded-by-history)
-                # tail walk from the previous checkpoint
+                # the commit is ALREADY claimed when this runs, so
+                # raising here would hand the caller an exception for a
+                # commit that landed (and a retrying plain append would
+                # then double-append).  OSError is I/O trouble;
+                # RuntimeError is _state_at's loud damaged-log fold
+                # failure (round-10 model test, I7 damage schedules:
+                # an append into a log whose base checkpoint was lost
+                # hit exactly this).  Either way the next interval
+                # boundary retries the fold; until then reads pay a
+                # longer tail walk from the previous checkpoint — or
+                # keep failing loudly if the log is genuinely damaged,
+                # which is the READ path's job to report, not the
+                # trailing accelerator's
                 pass
 
     def txn_version(self, app_id: str) -> Optional[int]:

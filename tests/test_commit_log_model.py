@@ -34,6 +34,14 @@ invariants checked are exactly the docstrings' claims:
   I6  the final head read().count() equals the model (data-level
       spot check, sampled schedules to keep Spark out of the hot
       loop).
+  I7  (damage-mode schedules — odd seeds) after randomly deleting
+      checkpoint files mid-schedule, every read either returns the
+      MODEL-CORRECT state or raises loudly (RuntimeError) — never a
+      wrong answer — and after repair_unreadable_segments() the log is
+      consistent again: vacuum() succeeds and every surviving version
+      folds to its model file count (the round-10 repair paths under
+      randomized three-way interleaving, including the s-1 segment
+      base and the stale-checkpoint rebirth cleanup).
 """
 
 from __future__ import annotations
@@ -96,7 +104,7 @@ def _stager(table_path, template_rel):
     return fast_stage
 
 
-def _check_invariants(t, model, visible_before):
+def _check_invariants(t, model, visible_before, damaged=False):
     visible = t.versions()
     # I1: between checks, versions only DISAPPEAR as a prefix (expiry)
     # and only APPEAR past the old head (commits); never regresses
@@ -110,17 +118,44 @@ def _check_invariants(t, model, visible_before):
         added = [v for v in visible if v not in set(visible_before)]
         assert all(v > visible_before[-1] for v in added)
         assert visible and visible[-1] >= visible_before[-1]
-    # I2 + I3: every visible version folds, with the predicted file
-    # count, and every referenced data dir exists on disk
+    # I2 + I3 (+ I7): every visible version folds with the predicted
+    # file count and every referenced data dir exists on disk; with
+    # checkpoint damage a fold may instead fail LOUDLY — but only then,
+    # and it must never return a wrong count
     for v in visible:
-        files, _ = t._state_at(v)
+        try:
+            files, _ = t._state_at(v)
+        except RuntimeError:
+            assert damaged, f"loud fold failure without damage at v{v}"
+            continue
         assert len(files) == model.nfiles[v], (v, len(files))
         for rel in files:
             assert os.path.isdir(os.path.join(t.path, rel)), (v, rel)
     # I4: per-app high-water marks match the model at the head
     for app, hwm in model.txns.items():
-        assert t.txn_version(app) == hwm, app
+        try:
+            assert t.txn_version(app) == hwm, app
+        except RuntimeError:
+            assert damaged, "loud txn fold failure without damage"
     return visible
+
+
+
+def _resync_after_repair(t, model):
+    """A whole-segment repair drop can lower the head (the docstring's
+    explicit worst case): version numbers below the drop get REUSED by
+    the next life, and the folded txn marks regress with the head.
+    The model follows the table here — the repair contract is 'the
+    loss is explicit', not 'nothing moved'."""
+    head = t.latest_version()
+    if head < model.head:
+        model.head = head
+        for app in list(model.txns):
+            got = t.txn_version(app)
+            if got is None:
+                del model.txns[app]
+            else:
+                model.txns[app] = got
 
 
 def _run_schedule(spark, template, tmp_path, seed):
@@ -138,6 +173,11 @@ def _run_schedule(spark, template, tmp_path, seed):
     ops = ["append", "idem", "overwrite", "expire", "vacuum",
            "hold", "commit_held", "check"]
     weights = [4, 4, 2, 2, 2, 1, 2, 3]
+    damage_mode = seed % 2 == 1  # odd seeds may delete checkpoints
+    damaged = False
+    if damage_mode:
+        ops = ops + ["damage_ckpt", "repair"]
+        weights = weights + [2, 2]
     for _ in range(OPS_PER_SCHEDULE):
         op = rng.choices(ops, weights)[0]
         if op == "append":
@@ -146,32 +186,50 @@ def _run_schedule(spark, template, tmp_path, seed):
         elif op == "idem":
             app = rng.choice(["a", "b"])
             hwm = model.txns.get(app)
+            # the replay check folds the head state, so with checkpoint
+            # damage the whole call may fail LOUDLY before writing
+            # anything — allowed only while damaged (fail-loud, never
+            # wrong), and the model then stays put
             if hwm is not None and rng.random() < 0.4:
                 version = rng.randint(0, hwm)  # a REPLAY
-                assert (
-                    t.append_idempotent(
+                try:
+                    got = t.append_idempotent(
                         spark.createDataFrame([], schema), app, version
                     )
-                    is None
-                )
+                except RuntimeError:
+                    assert damaged, "loud idem failure without damage"
+                else:
+                    assert got is None
             else:
                 version = (hwm or 0) + rng.randint(1, 3)
-                got = t.append_idempotent(
-                    spark.createDataFrame([], schema), app, version
-                )
-                assert got == model.commit("append", txn=(app, version))
+                try:
+                    got = t.append_idempotent(
+                        spark.createDataFrame([], schema), app, version
+                    )
+                except RuntimeError:
+                    assert damaged, "loud idem failure without damage"
+                else:
+                    assert got == model.commit(
+                        "append", txn=(app, version)
+                    )
         elif op == "overwrite":
             t.overwrite(spark.createDataFrame([], schema))
             model.commit("overwrite")
         elif op == "expire":
             t.expire_versions(keep_last=rng.randint(1, 5))
         elif op == "vacuum":
-            t.vacuum(
-                retention_seconds=0,
-                keep_checkpoints=rng.randint(1, 2),
-            )
-            if pending is not None:
-                pending = (pending[0], True)
+            try:
+                t.vacuum(
+                    retention_seconds=0,
+                    keep_checkpoints=rng.randint(1, 2),
+                )
+            except RuntimeError:
+                # the load-bearing-checkpoint abort: allowed only while
+                # damaged, and reclamation stays wedged until repair
+                assert damaged, "vacuum abort without damage"
+            else:
+                if pending is not None:
+                    pending = (pending[0], True)
         elif op == "hold" and pending is None:
             pc = t.begin_append(spark.createDataFrame([], schema))
             pending = (pc, False)
@@ -190,8 +248,38 @@ def _run_schedule(spark, template, tmp_path, seed):
                 assert vacuumed
                 with pytest.raises(CommitConflict):
                     pc.commit()
+        elif op == "damage_ckpt":
+            ckpts = t._checkpoint_versions()
+            if ckpts:
+                victim = rng.choice(ckpts)
+                os.unlink(os.path.join(
+                    t._commits_dir(), f"{victim:020d}.checkpoint.json"
+                ))
+                damaged = True
+        elif op == "repair":
+            t.repair_unreadable_segments()
+            _resync_after_repair(t, model)
+            # I7: repair returns the log to a consistent state — the
+            # maintenance paths are unwedged and every surviving
+            # version folds (checked below with damaged=False)
+            t.vacuum(retention_seconds=0)
+            if pending is not None:
+                pending = (pending[0], True)
+            damaged = False
+            visible = _check_invariants(t, model, t.versions())
         elif op == "check":
-            visible = _check_invariants(t, model, visible or t.versions())
+            visible = _check_invariants(
+                t, model, visible or t.versions(), damaged=damaged
+            )
+    if damaged:
+        # end every damage-mode schedule healthy: repair + vacuum must
+        # restore full invariants no matter what was deleted
+        t.repair_unreadable_segments()
+        _resync_after_repair(t, model)
+        t.vacuum(retention_seconds=0)
+        if pending is not None:
+            pending = (pending[0], True)
+        visible = t.versions()
     visible = _check_invariants(t, model, visible or t.versions())
     return t, model
 
@@ -200,10 +288,13 @@ def test_maintenance_writer_reader_interleavings(spark, tmp_path, template):
     data_checked = 0
     for seed in range(N_SCHEDULES):
         t, model = _run_schedule(spark, template, tmp_path, seed)
-        if seed % 200 == 0 and model.head:
+        if seed % 200 == 0 and t.versions():
             # I6: sampled data-level check — the head's rows are the
-            # template replicated once per expected file
-            expected = ROWS_PER_COMMIT * model.nfiles[model.head]
+            # template replicated once per expected file (the head can
+            # be below model.head after a damage-mode whole-segment
+            # repair drop)
+            head = t.versions()[-1]
+            expected = ROWS_PER_COMMIT * model.nfiles[head]
             assert t.read().count() == expected, seed
             data_checked += 1
         # free the schedule's table before the next one
