@@ -1162,6 +1162,17 @@ def semantic_decontaminate(
     flagged set is always a SUBSET of the broadcast route's, and
     ``n_probe == n_clusters`` reproduces it exactly (every vector in
     every cell) — both contracts are pinned in tests.
+
+    When to switch (SCALE_SMOKE ``route_crossover``, measured on a
+    clustered mixture-of-Gaussians corpus in a 4 GiB worker): the
+    cells route wins once the eval set reaches ~10% of the corpus
+    (eval 2k vs 20k vectors: 23.0 s vs broadcast's 38.8 s; at eval
+    20k, 184.2 s vs 380.6 s) — the broadcast crossJoin's
+    eval × corpus cosine work grows past the cell-pruned candidate
+    set + the k-means training cost.  Cell routing is a CLUSTERING
+    bet: on a near-uniform corpus the probed cells overlap so much
+    that nothing sheds (measured 307 s vs 38 s — pure overhead), the
+    same worst case IVF has; stay on broadcast there at any eval size.
     """
     from ..functions.scoring import portable_round
     from ..functions.vector import cosine_from_norms, l2_norm

@@ -64,14 +64,25 @@ def batch_bm25_retrieval(
       * ``"broadcast"`` — the query-term table ships to every executor;
         posting lists never reshuffle for the retrieval join.  The
         right plan while (distinct terms x ~40 B) fits the broadcast
+        budget.  NOTE: without a pre-attached ``df`` column this route
+        inner-joins the terms against the corpus df table BEFORE the
+        explicit broadcast, which sheds every term absent from the
+        corpus — so a miss-dominated frame never outgrows memory on
+        this path; only a ``df``-carrying frame (the t25 shape) ships
+        in full.
+      * ``"bloom"`` — the 100 TB fallback once a df-carrying term
+        table outgrows a broadcast (e.g. millions of mined
+        hard-negative queries): ONE m_bits/8-byte bitmap of the query
+        terms ships instead; posting rows whose term is provably
+        absent drop at the scan, and only the suspect sliver pays the
+        exact shuffle join on term.  No false negatives ⇒ identical
+        output (the bloom_prune_join contract).  Measured crossover
+        (SCALE_SMOKE ``route_crossover``, 4 GiB worker): broadcast
+        wins through ~4M terms, bloom wins at 16M (20.3 s vs 50.7 s),
+        and at 48M broadcast dies with Spark's not-enough-memory-to-
+        broadcast while bloom completes — switch once the distinct
+        df-carrying term table approaches the per-executor broadcast
         budget.
-      * ``"bloom"`` — the 100 TB fallback once the term table outgrows
-        a broadcast (e.g. millions of mined hard-negative queries):
-        ONE m_bits/8-byte bitmap of the query terms ships instead;
-        posting rows whose term is provably absent drop at the scan,
-        and only the suspect sliver pays the exact shuffle join on
-        term.  No false negatives ⇒ identical output (the
-        bloom_prune_join contract).
 
     Scale shape (both routes): ONE posexplode scan builds
     (term, doc, tf, doc_len) postings with map-side combine — doc
