@@ -1482,7 +1482,8 @@ def main() -> int:
             # recomputed from the merged record below
             failures = [f for f in record.get("failures", [])
                         if f.startswith(("linearity:", "decomp:", "chess:",
-                                         "decontam:", "bloom:"))]
+                                         "decontam:", "bloom:",
+                                         "ann_clustered:", "crossover:"))]
         else:
             # keep the standing probe blocks, and MERGE prior per-query
             # rows so a targeted rerun (scale_smoke.py <name> ...)
@@ -1491,13 +1492,15 @@ def main() -> int:
             for block in ("linearity", "v5_dim1536",
                           "dedup_decomposition", "pq_bytes",
                           "chess_pipeline", "decontam_recall",
-                          "bloom_route"):
+                          "bloom_route", "ann_recall_clustered",
+                          "route_crossover"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))
             failures = [f for f in prior.get("failures", [])
                         if f.startswith(("linearity:", "decomp:", "chess:",
-                                         "decontam:", "bloom:"))]
+                                         "decontam:", "bloom:",
+                                         "ann_clustered:", "crossover:"))]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]

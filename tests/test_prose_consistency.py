@@ -213,3 +213,37 @@ def test_bench_default_run_does_not_touch_committed_artifact():
     assert '"bench_out.local.json"' in src
     with open(os.path.join(ROOT, ".gitignore")) as fh:
         assert "bench_out.local.json" in fh.read().splitlines()
+
+
+def test_smoke_artifact_carries_round10_blocks():
+    """Round-10 regression: a targeted `scale_smoke.py <query>` run
+    rebuilds the record and carries prior probe blocks from a
+    HARDCODED list — ann_recall_clustered and route_crossover were
+    silently dropped the first time.  Pin their presence (and their
+    headline facts) so any future drop goes red instead of quietly
+    shipping an artifact that contradicts the committed prose."""
+    import json
+
+    import sync_smoke_prose as sm
+
+    with open(sm.ARTIFACT) as fh:
+        record = json.load(fh)
+    annc = record["ann_recall_clustered"]
+    assert annc["corpus_rows"] > 10_000
+    assert annc["ivf_nlist64_nprobe4"]["recall"] >= 0.9
+    rx = record["route_crossover"]
+    assert rx["bloom"]["crossover_scale"] == 16_000_000
+    assert rx["cells"]["crossover_scale"] == 2_000
+    # the 48M rung's broadcast failure is the survives-where-broadcast-
+    # fails evidence — it must stay recorded
+    last_bloom = rx["bloom"]["ladder"][-1]
+    assert last_bloom["broadcast"]["status"] != "ok"
+    assert last_bloom["bloom"]["status"] == "ok"
+    # the carry list in scale_smoke.main must know both blocks
+    import inspect
+
+    import scale_smoke
+
+    src = inspect.getsource(scale_smoke.main)
+    assert '"ann_recall_clustered"' in src
+    assert '"route_crossover"' in src
