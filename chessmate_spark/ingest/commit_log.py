@@ -652,12 +652,18 @@ class CommitLogTable:
         protected, _ = self._segment_bases()
         ckpts = self._checkpoint_versions()
         alive = set(self.versions())
-        keep_tail = set(ckpts[-max(1, int(keep_checkpoints)):])
+        # the kept accelerators are the newest K ALIVE checkpoints —
+        # computing the tail over all checkpoints would let dead/
+        # stranded ones occupy the keep window and get every surviving
+        # accelerator pruned (round-10 second review)
+        keep_tail = set(
+            [v for v in ckpts if v in alive][-max(1, int(keep_checkpoints)):]
+        )
         for v in ckpts:
             if v in protected:
                 continue  # an expired-prefix segment's base: reads depend on it
-            if v in keep_tail and v in alive:
-                continue  # the newest K useful accelerators stay
+            if v in keep_tail:
+                continue  # the newest K useful (alive) accelerators stay
             # everything else is prunable: superseded accelerators past
             # the keep window, and DEAD checkpoints (expired version,
             # not a base) anywhere — including above the keep window,
@@ -809,29 +815,34 @@ class CommitLogTable:
                     removed.append(os.path.join(_COMMITS, _version_name(v)))
                 except FileNotFoundError:
                     continue
+        # checkpoints stranded past the (possibly lowered) head are
+        # version-reuse poison for a reborn log — drop them, and a hint
+        # that points past the head with them.  UNCONDITIONALLY, not
+        # only when this run removed manifests (round-10 second review):
+        # a crash between the manifest loop and this cleanup persists
+        # the deletions but not the checkpoint removals, and the re-run
+        # then finds no damaged segments — the poison must still come
+        # off on that re-run for repair to be idempotent.
+        head = self.latest_version()
+        for v in sorted(ckpts):
+            if v > head:
+                try:
+                    os.unlink(
+                        os.path.join(commits, _checkpoint_name(v))
+                    )
+                    removed.append(
+                        os.path.join(_COMMITS, _checkpoint_name(v))
+                    )
+                except FileNotFoundError:
+                    continue
+        hint_path = os.path.join(commits, _LAST_CHECKPOINT)
+        try:
+            with open(hint_path) as fh:
+                if int(json.load(fh)["version"]) > head:
+                    os.unlink(hint_path)
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            pass  # absent/corrupt hint: the scan path covers reads
         if removed:
-            # checkpoints stranded past the (possibly lowered) head are
-            # version-reuse poison for a reborn log — drop them, and a
-            # hint that points past the head with them
-            head = self.latest_version()
-            for v in sorted(ckpts):
-                if v > head:
-                    try:
-                        os.unlink(
-                            os.path.join(commits, _checkpoint_name(v))
-                        )
-                        removed.append(
-                            os.path.join(_COMMITS, _checkpoint_name(v))
-                        )
-                    except FileNotFoundError:
-                        continue
-            hint_path = os.path.join(commits, _LAST_CHECKPOINT)
-            try:
-                with open(hint_path) as fh:
-                    if int(json.load(fh)["version"]) > head:
-                        os.unlink(hint_path)
-            except (OSError, ValueError, KeyError, json.JSONDecodeError):
-                pass  # absent/corrupt hint: the scan path covers reads
             dfd = os.open(commits, os.O_RDONLY)
             try:
                 os.fsync(dfd)
@@ -844,12 +855,12 @@ class RetentionPolicy:
     """Opt-in metadata retention for a long-lived sink (round-9
     verdict: ``expire_versions`` existed but nothing invoked it, so a
     week-long 30 s stream still accumulated ~20k manifest files).
-    Every ``every_n_commits`` committed versions the owning sink runs
+    Whenever the on-disk manifest count reaches ``keep_last +
+    every_n_commits``, the owning sink runs
     ``expire_versions(keep_last)`` then ``vacuum(retention_seconds,
-    keep_checkpoints)``, bounding the on-disk metadata footprint at
-    roughly ``keep_last + every_n_commits + checkpoint_interval``
-    manifests and ``keep_checkpoints + every_n_commits /
-    checkpoint_interval`` checkpoints, FOREVER, regardless of stream
+    keep_checkpoints)``, bounding the metadata footprint at roughly
+    ``keep_last + every_n_commits + checkpoint_interval`` manifests
+    and a handful of checkpoints, FOREVER, regardless of stream
     lifetime.
 
     Attaching a policy makes that sink the table's SINGLE maintenance
@@ -862,13 +873,19 @@ class RetentionPolicy:
     writer window; lower it only when the stream is provably the only
     writer.
 
-    The cadence is keyed on the SINK'S OWN committed-batch count, not
-    the table version: other (non-maintenance) writers may interleave
-    commits, and a version-modulo trigger could then fire erratically
-    — or never, e.g. a second writer alternating commits keeps the
-    stream's versions permanently odd, and ``version % 2`` never
-    triggers the policy whose whole job is bounding that stream's
-    metadata."""
+    The trigger is the PERSISTENT manifest count — the very quantity
+    the policy exists to bound — not a version modulo and not an
+    in-process counter (round-10 reviews, one each): a version-modulo
+    trigger can be starved by an interleaved second writer (alternating
+    commits keep the stream's versions permanently odd, so ``version %
+    2`` never fires), and an in-process counter resets on every stream
+    restart, so a crash-looping driver that never reaches N batches in
+    one life never maintains at all.  The count survives restarts and
+    counts every writer's commits, so the bound holds no matter who
+    appends or how often the stream restarts.  Size ``keep_last`` at or
+    above the table's ``checkpoint_interval``: expiry can only cut at a
+    checkpoint, so a much smaller window leaves the trigger armed (and
+    paying a vacuum per batch) until the next checkpoint lands."""
 
     def __init__(
         self,
@@ -886,13 +903,14 @@ class RetentionPolicy:
         self.retention_seconds = retention_seconds
         self.keep_checkpoints = keep_checkpoints
 
-    def maintain(self, table: "CommitLogTable", n_committed: int) -> bool:
-        """Run one maintenance pass if ``n_committed`` (the calling
-        sink's count of successfully committed batches) is a trigger
-        point; returns whether it ran.  Failures propagate (the
-        module's fail-loud posture): a wedged log should stop the
-        stream, not silently accumulate until the disk fills."""
-        if n_committed % self.every_n_commits != 0:
+    def maintain(self, table: "CommitLogTable") -> bool:
+        """Run one maintenance pass if the on-disk manifest count has
+        reached ``keep_last + every_n_commits``; returns whether it
+        ran.  The check is one directory listing (the commit path
+        already lists per commit).  Failures propagate (the module's
+        fail-loud posture): a wedged log should stop the stream, not
+        silently accumulate until the disk fills."""
+        if len(table.versions()) < self.keep_last + self.every_n_commits:
             return False
         table.expire_versions(keep_last=self.keep_last)
         table.vacuum(
@@ -919,25 +937,21 @@ def streaming_commit_sink(
 
     Each micro-batch appends via ``append_idempotent(batch, app_id,
     batch_id)`` (a replayed batch is a no-op), and when a policy is
-    attached, every ``every_n_commits``-th committed version triggers
-    ``expire_versions`` + ``vacuum`` INSIDE the sink.  foreachBatch
-    invocations of one query run serially on the driver, so the sink
-    is naturally the single maintenance actor the retention contract
-    requires — maintenance never races this stream's own appends, and
-    a replayed batch never triggers maintenance (nothing was
-    committed, and replays don't advance the cadence counter).  The
-    cadence counts THIS sink's committed batches (see RetentionPolicy:
-    a version-modulo trigger breaks under interleaved writers).
-    Returns the callable; it returns the committed version (None on
-    replay) so callers composing it can observe progress."""
-    n_committed = 0
+    attached, each committed batch consults the policy, which runs
+    ``expire_versions`` + ``vacuum`` INSIDE the sink once the on-disk
+    manifest count reaches its bound (restart-proof and interleaved-
+    writer-proof — see RetentionPolicy).  foreachBatch invocations of
+    one query run serially on the driver, so the sink is naturally the
+    single maintenance actor the retention contract requires —
+    maintenance never races this stream's own appends, and a replayed
+    batch never triggers maintenance (nothing was committed).  Returns
+    the callable; it returns the committed version (None on replay) so
+    callers composing it can observe progress."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> Optional[int]:
-        nonlocal n_committed
         version = table.append_idempotent(batch_df, app_id, batch_id)
         if version is not None and policy is not None:
-            n_committed += 1
-            policy.maintain(table, n_committed)
+            policy.maintain(table)
         return version
 
     return sink

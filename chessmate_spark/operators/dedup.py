@@ -1254,22 +1254,29 @@ def _cell_paired(
     from ..functions.vector_pandas import nearest_cells_udf
     from .similarity import train_ivf_centroids
 
+    # ONE definition of each side's pre-explode projection (the nonce
+    # is per PRE-explode row: stable within the plan, never leaves this
+    # function, only compared for equality) — the empty-train early
+    # return and the normal path both build from these, so their
+    # column sets cannot desync (round-10: the early return crashed the
+    # route on an empty corpus after the rowids were added to only the
+    # normal path)
+    t_proj = tr.select(
+        F.monotonically_increasing_id().alias("_rowid"),
+        F.col(id_col),
+        F.col(vec_col),
+        "_n_t",
+    )
+    e_proj = ev.select(
+        F.monotonically_increasing_id().alias("_e_rowid"),
+        "_e_id",
+        "_e_vec",
+        "_n_e",
+    )
     n_rows = tr.count()
     if n_rows == 0:
-        # no candidates; an empty cell-route equals the empty exact
-        # set — with the SAME columns as the normal path (the caller
-        # selects the rowids for its post-score dedupe)
-        return (
-            tr.select(
-                F.monotonically_increasing_id().alias("_rowid"),
-                id_col, vec_col, "_n_t",
-            ).crossJoin(
-                ev.select(
-                    F.monotonically_increasing_id().alias("_e_rowid"),
-                    "_e_id", "_e_vec", "_n_e",
-                ).limit(0)
-            )
-        )
+        # no candidates; an empty cell-route equals the empty exact set
+        return t_proj.crossJoin(e_proj.limit(0))
     # shared sizing with semantic_cell_assignments: the cell cap and
     # sample scaling are what keep this route from degenerating at the
     # past-broadcast scale it exists for (trainer saturation -> giant
@@ -1281,27 +1288,14 @@ def _cell_paired(
     )
     n_probe = min(n_probe, n_clusters)
     cells = nearest_cells_udf(centroids, n_probe)
-    # the nonce is per PRE-explode row: stable within the plan (assigned
-    # in the projection that feeds the explode), never leaves this
-    # function, and only ever compared for equality
-    t_tag = tr.select(
-        F.monotonically_increasing_id().alias("_rowid"),
-        F.col(id_col),
-        F.col(vec_col),
-        "_n_t",
-    ).select(
+    t_tag = t_proj.select(
         "_rowid",
         id_col,
         vec_col,
         "_n_t",
         F.explode(cells(F.col(vec_col))).alias("_cell"),
     )
-    e_tag = ev.select(
-        F.monotonically_increasing_id().alias("_e_rowid"),
-        "_e_id",
-        "_e_vec",
-        "_n_e",
-    ).select(
+    e_tag = e_proj.select(
         "_e_rowid",
         "_e_id",
         "_e_vec",

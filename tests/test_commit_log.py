@@ -747,12 +747,20 @@ def test_retention_policy_bounds_metadata_over_500_batches(spark, tmp_path):
     assert sink(df, 599) is None
     assert t.latest_version() == head
 
-    # a replay landing IMMEDIATELY after a maintenance pass (the
-    # policy-run-races-replayed-batch window): batch 599 triggered
-    # nothing, but batch 609 ends on a trigger — replay 609 right
-    # after its own maintenance ran
+    # a replay landing IMMEDIATELY after maintenance passes (the
+    # policy-run-races-replayed-batch window) — and the RESTART case:
+    # a fresh sink closure (new driver life) must keep maintaining,
+    # which the persistent manifest-count trigger guarantees
+    sink = streaming_commit_sink(
+        t,
+        "stream_app",
+        RetentionPolicy(
+            every_n_commits=10, keep_last=10, retention_seconds=0
+        ),
+    )
     for batch_id in range(600, 610):
         sink(df, batch_id)
+    assert len(os.listdir(t._commits_dir())) <= bound  # restart-proof
     assert t.latest_version() == 611  # 610 was a trigger point
     assert sink(df, 609) is None
     assert t.txn_version("stream_app") == 609
@@ -765,9 +773,9 @@ def test_retention_policy_bounds_metadata_over_500_batches(spark, tmp_path):
 def test_retention_policy_replay_never_triggers_maintenance(
     spark, tmp_path
 ):
-    """A replayed batch commits nothing, so it must not run
-    maintenance either (maintain() is keyed on the COMMITTED version;
-    a replay has none)."""
+    """A replayed batch commits nothing, so it must not consult the
+    policy at all (maintenance is keyed on the persistent manifest
+    count, and only a COMMITTED batch reaches the check)."""
     from chessmate_spark.ingest.commit_log import (
         RetentionPolicy,
         streaming_commit_sink,
@@ -779,14 +787,15 @@ def test_retention_policy_replay_never_triggers_maintenance(
     )
     ran = []
     orig = policy.maintain
-    policy.maintain = lambda table, v: ran.append(v) or orig(table, v)
+    policy.maintain = lambda table: ran.append(orig(table)) or True
     sink = streaming_commit_sink(t, "app", policy)
     df = _df(spark, 0, 2)
     for batch_id in range(6):
         sink(df, batch_id)
-    # consulted once per committed batch, with the SINK's own count —
-    # not the table version (which other writers can skew)
-    assert ran == [1, 2, 3, 4, 5, 6]
+    # consulted once per committed batch; fires whenever the manifest
+    # count reaches keep_last + every_n (= 4)
+    assert len(ran) == 6
+    assert any(ran)
     before = len(ran)
     assert sink(df, 3) is None  # replay
     assert len(ran) == before  # maintenance not even consulted
@@ -809,17 +818,17 @@ def test_retention_cadence_survives_interleaved_writer(spark, tmp_path):
     )
     ran = []
     orig = policy.maintain
-    policy.maintain = lambda table, n: ran.append(
-        (n, orig(table, n))
-    ) or True
+    policy.maintain = lambda table: ran.append(orig(table)) or True
     sink = streaming_commit_sink(t, "app", policy)
     df = _df(spark, 0, 2)
     for batch_id in range(6):
         t.append(df)  # the interleaved OTHER writer
         sink(df, batch_id)  # stream versions are always even here
-    # maintenance RAN (returned True) on every 2nd committed batch
-    assert [n for n, _ in ran] == [1, 2, 3, 4, 5, 6]
-    assert [did for _, did in ran] == [False, True] * 3
+    # maintenance RAN repeatedly (the count-based trigger sees the
+    # other writer's manifests too — the on-disk bound is what is
+    # being enforced), and the manifest count stays bounded
+    assert len(ran) == 6 and any(ran)
+    assert len(t.versions()) <= 2 + 2 + 2  # keep_last + slack + interval
     assert t.read().count() == 2 * t.latest_version()
 
 
