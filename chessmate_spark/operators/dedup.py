@@ -311,7 +311,10 @@ def lsh_banding_for(n_rows: int) -> "tuple[int, int]":
     recall/cost dial (SCALE_SMOKE.json records it per corpus); for
     LOW-threshold dedup on unclustered vectors prefer the k-means-cell
     strategy (semantic_neardup_pairs), whose cells ∝ N form is exactly
-    linear."""
+    linear.  This ladder is SIZE-only — it cannot see the similarity
+    threshold; ``lsh_plan_for`` is the threshold-aware planner that
+    sizes banding for a recall TARGET and reports whether LSH can prune
+    at all at that threshold."""
     import math
 
     if n_rows <= 800:
@@ -326,6 +329,131 @@ def lsh_banding_for(n_rows: int) -> "tuple[int, int]":
     planes = min(62, 3 + math.ceil(math.log2(n_rows / 800)))
     tables = max(8, 32 >> (planes - 3))
     return planes, tables
+
+
+class LshPlan:
+    """Result of ``lsh_plan_for``: the cheapest (n_planes, n_tables)
+    banding that reaches the recall target at the given threshold, plus
+    the planner's cost estimates and its pruning verdict.  Frozen plain
+    attributes (no dataclass import churn); comparisons in tests go
+    through the attributes."""
+
+    __slots__ = (
+        "n_planes",
+        "n_tables",
+        "candidate_fraction",
+        "est_bucket_pair_rows",
+        "est_signature_rows",
+        "prunes",
+    )
+
+    def __init__(
+        self,
+        n_planes: int,
+        n_tables: int,
+        candidate_fraction: float,
+        est_bucket_pair_rows: float,
+        est_signature_rows: int,
+        prunes: bool,
+    ) -> None:
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.candidate_fraction = candidate_fraction
+        self.est_bucket_pair_rows = est_bucket_pair_rows
+        self.est_signature_rows = est_signature_rows
+        self.prunes = prunes
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (
+            f"LshPlan(planes={self.n_planes}, tables={self.n_tables}, "
+            f"frac={self.candidate_fraction:.4f}, prunes={self.prunes})"
+        )
+
+
+def lsh_plan_for(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.9999,
+    prune_fraction: float = 0.5,
+    max_tables: int = 4096,
+) -> LshPlan:
+    """THRESHOLD-AWARE banding planner for random-hyperplane LSH dedup —
+    the feasibility computation ``lsh_banding_for``'s size-only ladder
+    cannot make.
+
+    Theory (Charikar 2002 SimHash): two vectors at cosine ``s`` agree on
+    one hyperplane bit with probability ``p(s) = 1 - arccos(s)/pi``, so a
+    pair AT the threshold collides in a b-plane table with probability
+    ``p_min**b`` and in at least one of T tables with
+    ``1 - (1 - p_min**b)**T``.  Given a recall target the planner solves
+    T(b) for each plane count, estimates the RANDOM-pair candidate mass
+    under an isotropic prior (random bits agree with probability 1/2, so
+    a random pair survives some table with ``1 - (1 - 0.5**b)**T`` — the
+    planner's model, not a guarantee, exact for near-orthogonal corpora),
+    and picks the b minimizing estimated shuffled rows
+    (``T*C(n,2)/2**b`` bucket pair rows + ``n*T`` signature rows).
+
+    The verdict that matters is ``prunes``: whether ANY banding reaching
+    the recall target keeps the random-candidate fraction below
+    ``prune_fraction``.  The per-plane Bayes factor between a threshold
+    pair and a random pair is ``p_min/0.5``, so pruning is feasible only
+    when the threshold sits well above cosine 0 — measured on the sf0.1
+    fixture corpus (2,000 near-uniform vectors, threshold 0.35, p_min =
+    0.614): EVERY b in 1..62 that reaches recall 0.9999 yields candidate
+    fraction >= 0.60 (1.2-2.0M distinct candidates of the 2.0M all-pairs)
+    — recall-1.0 "LSH" at a low threshold IS all-pairs wearing a
+    shuffle, and the planner says so instead of running it.  At
+    threshold 0.8 (p_min = 0.795) the same target is met at fraction
+    < 0.05 — the regime hyperplane LSH exists for.  Callers route: prune
+    with the planned banding, or fall back to the exact/cells path
+    (``embedding_neardup_pairs`` / ``semantic_neardup_pairs``)."""
+    import math
+
+    if n_rows < 2:
+        return LshPlan(1, 1, 0.0, 0.0, n_rows, False)
+    target_recall = min(max(target_recall, 0.5), 1 - 1e-12)
+    s = min(max(threshold, -1.0), 1.0)
+    p_min = 1.0 - math.acos(s) / math.pi
+    n_pairs = n_rows * (n_rows - 1) / 2.0
+    best = None
+    best_cost = math.inf
+    for b in range(1, 63):
+        pb = p_min**b
+        if pb <= 0.0:
+            break
+        if pb >= 1.0:
+            tables = 1
+        else:
+            # log1p keeps the denominator exact for tiny pb, where
+            # log(1.0 - pb) underflows to log(1.0) == 0
+            denom = math.log1p(-pb)
+            if denom == 0.0:
+                continue
+            tables = math.ceil(math.log(1.0 - target_recall) / denom)
+        if tables < 1:
+            tables = 1
+        if tables > max_tables:
+            continue
+        frac = 1.0 - (1.0 - 0.5**b) ** tables
+        bucket_rows = tables * n_pairs * (0.5**b)
+        sig_rows = n_rows * tables
+        cost = bucket_rows + sig_rows
+        if cost < best_cost:
+            best_cost = cost
+            best = LshPlan(
+                b,
+                tables,
+                frac,
+                bucket_rows,
+                sig_rows,
+                frac < prune_fraction,
+            )
+    if best is None:
+        # no banding within max_tables reaches the target: report the
+        # infeasibility as a non-pruning plan at the densest point
+        return LshPlan(1, max_tables, 1.0, n_pairs * max_tables / 2.0,
+                       n_rows * max_tables, False)
+    return best
 
 
 def lsh_candidate_pairs(

@@ -727,6 +727,43 @@ def _adc_sum(m: int, ksub: int, packed: bool) -> Column:
     )
 
 
+def pq_operating_point(n_corpus: int, k: int = 3) -> "tuple[int, int]":
+    """Corpus-scaled (ksub, overfetch) ladder for the PQ/IVFADC family —
+    the second-scale-factor counterpart of the LSH planner: a FIXED PQ
+    operating point that holds a recall gate at one corpus size loses it
+    at 10x, because on a near-uniform (worst-case, no subspace structure)
+    corpus the cosine margins between rank-k and rank-k+overfetch
+    neighbors shrink as the corpus grows, so both the codebook resolution
+    and the exact-re-rank shortlist must grow with it.
+
+    The rungs are MEASURED on the committed fixtures (worst of the five
+    gate queries, recall@3):
+
+    * n <= 800   -> (16, 32):   the historic sf0.01 point (gate green;
+                    bit-stable since round 7).
+    * n <= 8000  -> (64, 128):  at sf0.1 (2,000 vectors) the sf0.01
+                    point reads 0.33 on its worst query — below the 0.6
+                    gate (the round-10 second-sf sweep's finding); ksub
+                    64 + shortlist 384 reads 1.0 on every query for flat
+                    PQ and 0.67+ for IVFADC (whose residual miss is an
+                    unprobed-cell effect, not a code-resolution one).
+    * beyond     -> (256, 256): the committed IVFADC smoke sweep's
+                    recommended ksub at 10x-smoke scale
+                    (SCALE_SMOKE.json ann_recall, ksub=256 rung).
+
+    Training cost scales with ksub (Lloyd over the hash-mod sample) and
+    re-rank cost with k*overfetch — both stay corpus-fraction-bounded.
+    Clustered corpora (the shape real embeddings have) hold 0.92-0.96
+    recall at CONSTANT dials (SCALE_SMOKE ann_recall_clustered); this
+    ladder is the worst-case posture the recall GATE entries run, not a
+    claim that production dials must grow linearly."""
+    if n_corpus <= 800:
+        return 16, 32
+    if n_corpus <= 8000:
+        return 64, 128
+    return 256, 256
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1973,28 +1973,59 @@ QUERIES["d6_embedding_neardup"] = (d6_embedding_neardup, _neardup_oracle())
 @_register("d7_embedding_neardup_lsh", _neardup_oracle())
 def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-candidate near-dup pairs: collide on (table, hyperplane signature),
-    verify exact cosine — the all-pairs-free 100 TB path.
+    verify exact cosine — with the THRESHOLD-AWARE feasibility planner
+    (operators/dedup.py lsh_plan_for) deciding whether LSH can prune at
+    all before committing to it.
 
-    Checked against the EXACT all-pairs oracle: precision is 1.0 by
-    construction (every candidate is exact-verified) and at oracle scale
-    (≤800 vectors) the banding is sized for recall 1.0, so the driver row
-    hash-checks the full LSH pipeline against the quadratic baseline.
+    Checked against the EXACT all-pairs oracle at EVERY scale factor.
+    Three arms, all exact-verified so precision is 1.0 by construction:
 
-    Banding autotunes to corpus size (operators/dedup.py
-    lsh_banding_for): candidate volume grows as n_tables·n²/2^n_planes,
-    so planes scale with log2(n) — each corpus decade multiplies the
-    bucket count ~10x, keeping candidate growth ~linear per decade —
-    the recall/cost dial every production LSH dedup exposes (recall at
-    the measured operating points is recorded in SCALE_SMOKE.json)."""
-    from ..operators.dedup import embedding_neardup_lsh, lsh_banding_for
+    * ``plan.prunes`` — the planner found a banding that reaches the
+      recall target while keeping the random-candidate fraction < 0.5:
+      run LSH with the planned (planes, tables).  This is the regime
+      hyperplane LSH exists for (threshold well above cosine 0 — at 0.8
+      the planner's banding keeps candidates under 5% of all-pairs).
+    * gate scale (≤800 rows), non-pruning threshold — keep the historic
+      forced-LSH (3, 32) point (lsh_banding_for's floor): recall is
+      measured 1.0 there, so the driver row hash-checks the FULL LSH
+      pipeline (signatures → bucket self-join → pair dedup → exact
+      verify) against the quadratic oracle.
+    * beyond gate scale, non-pruning threshold — route to the exact
+      BNLJ path.  Measured (sf0.1, 2,000 near-uniform vectors,
+      threshold 0.35): every recall-0.9999 banding yields >= 60%
+      candidate fraction — 1.2-2.0M distinct candidates of the 2.0M
+      all-pairs, i.e. "LSH" degenerates to all-pairs plus a shuffle,
+      strictly worse than the shuffle-free exact join (the size-only
+      ladder's banding here reads recall 0.55: the dial-regime mismatch
+      the round-10 second-sf sweep surfaced).  At 100 TB the honest
+      low-threshold route is the k-means-cells family (d13), whose
+      candidate volume is corpus-shaped, not threshold-shaped."""
+    from ..operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+        lsh_banding_for,
+        lsh_plan_for,
+    )
 
     emb = _emb(spark, sf_dir)
     n = emb.count()
-    planes, tables = lsh_banding_for(n)
-    return embedding_neardup_lsh(
-        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
-        n_planes=planes, n_tables=tables,
-    ).orderBy("id_a", "id_b")
+    plan = lsh_plan_for(n, _NEARDUP_THRESHOLD, target_recall=0.9999)
+    if plan.prunes:
+        out = embedding_neardup_lsh(
+            emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
+            n_planes=plan.n_planes, n_tables=plan.n_tables,
+        )
+    elif n <= 800:
+        planes, tables = lsh_banding_for(n)
+        out = embedding_neardup_lsh(
+            emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
+            n_planes=planes, n_tables=tables,
+        )
+    else:
+        out = embedding_neardup_pairs(
+            emb, "vec_id", "embedding", _NEARDUP_THRESHOLD
+        )
+    return out.orderBy("id_a", "id_b")
 
 
 @_register(
@@ -2080,8 +2111,18 @@ def v10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     training sample, Lloyd iterations, ADC ordering) is deterministic,
     so the gate cannot flap.  ADC scoring is a pure JVM ``aggregate``
     over the code array against broadcast per-query lookup tables —
-    no Python and no vector movement in the scan."""
-    from ..operators.similarity import cosine_knn_join, pq_topk
+    no Python and no vector movement in the scan.
+
+    (ksub, overfetch) come from the corpus-scaled ladder
+    ``pq_operating_point`` — the fixed sf0.01 point (16, 32) reads 0.33
+    on its worst query at sf0.1, the dial-regime mismatch the round-10
+    second-sf sweep surfaced; the ladder's rungs are measured green at
+    both committed scale factors."""
+    from ..operators.similarity import (
+        cosine_knn_join,
+        pq_operating_point,
+        pq_topk,
+    )
 
     emb = _emb(spark, sf_dir)
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
@@ -2090,10 +2131,11 @@ def v10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
+    ksub, overfetch = pq_operating_point(emb.count() - 5, k=3)
     approx = pq_topk(
         queries, corpus, k=3,
         query_id="query_id", corpus_id="neighbor_id",
-        m=8, ksub=16, overfetch=32,
+        m=8, ksub=ksub, overfetch=overfetch,
     ).select("query_id", "neighbor_id")
     exact = cosine_knn_join(
         queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
@@ -2142,8 +2184,17 @@ def v11_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle predicts all-true.  Every stage (hash-mod training sample,
     Lloyd iterations, stable cell argsort, ADC ordering) is
     deterministic, so the gate cannot flap.  nprobe and overfetch are
-    the two dials; the smoke records the (nprobe x overfetch) grid."""
-    from ..operators.similarity import cosine_knn_join, ivfpq_topk
+    the two dials; the smoke records the (nprobe x overfetch) grid.
+    (ksub, overfetch) come from the corpus-scaled ``pq_operating_point``
+    ladder (see v10): the fixed sf0.01 point reads 0.33 on its worst
+    sf0.1 query; the ladder reads 0.67+ everywhere at both committed
+    scale factors (the residual 0.67 is an unprobed-cell miss — probing
+    all 8 cells reads 1.0 — i.e. the IVF dial, not the PQ one)."""
+    from ..operators.similarity import (
+        cosine_knn_join,
+        ivfpq_topk,
+        pq_operating_point,
+    )
 
     emb = _emb(spark, sf_dir)
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
@@ -2157,10 +2208,11 @@ def v11_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified: nprobe=6 is green at sf0.01 but one sf0.001 query drops
     # to 1/3); at real scale auto_nlist ~ sqrt(N) makes nprobe/nlist a
     # small fraction and the smoke grid records the dial honestly
+    ksub, overfetch = pq_operating_point(emb.count() - 5, k=3)
     approx = ivfpq_topk(
         queries, corpus, k=3,
         query_id="query_id", corpus_id="neighbor_id",
-        nlist=8, nprobe=7, m=8, ksub=16, overfetch=32,
+        nlist=8, nprobe=7, m=8, ksub=ksub, overfetch=overfetch,
     ).select("query_id", "neighbor_id")
     exact = cosine_knn_join(
         queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
@@ -6569,13 +6621,17 @@ def d13_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_clusters auto-sizes with the corpus (cells ∝ N, bounded cell
     # population — the linear-total-comparisons configuration; at
     # oracle scale it resolves to the floor of 8 cells, so the exact
-    # oracle regime is unchanged).  n_probe=4: the synthetic fixture's
+    # oracle regime is unchanged).  n_probe=5: the synthetic fixture's
     # embeddings are near-uniform (no semantic cluster structure for
     # k-means to find), the worst case for cell-bucketed recall — real
     # text embeddings cluster tightly and probe 1-2 cells (the scale
-    # smoke records the recall/probe curve on the 10x corpus)
+    # smoke records the recall/probe curve on the 10x corpus).  Probe 4
+    # recovers all exact pairs at sf0.01 but drops 3 of 4,137 at sf0.1
+    # (the round-10 second-sf sweep's finding); probe 5 is measured
+    # exact at BOTH committed scale factors, and raising probe can only
+    # add pairs the exact verify then keeps, never change existing ones
     out = semantic_neardup_pairs(
-        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, n_probe=4,
+        emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, n_probe=5,
     )
     return out.select(
         F.col("id_a"), F.col("id_b"), F.col("score")
@@ -8053,6 +8109,7 @@ def v12_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_knn_join,
         ivfpq_topk,
         load_ivfpq_index,
+        pq_operating_point,
     )
 
     emb = _emb(spark, sf_dir)
@@ -8062,10 +8119,15 @@ def v12_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
+    # same corpus-scaled operating point as v11 (see pq_operating_point):
+    # the BUILD bakes ksub into the codebooks, the SERVE call scales its
+    # shortlist — keeping the persisted path bit-identical to the inline
+    # run at every committed scale factor
+    ksub, overfetch = pq_operating_point(emb.count() - 5, k=3)
     index_dir = tempfile.mkdtemp(prefix="cm_v12_index_")
     try:
         build_ivfpq_index(
-            corpus, "neighbor_id", index_dir, nlist=8, m=8, ksub=16,
+            corpus, "neighbor_id", index_dir, nlist=8, m=8, ksub=ksub,
             persist_corpus=True,  # deterministic parquet source; the
             # pin saves three of the build's four corpus scans
         )
@@ -8073,7 +8135,7 @@ def v12_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx = ivfpq_topk(
             queries, corpus, k=3,
             query_id="query_id", corpus_id="neighbor_id",
-            nprobe=7, overfetch=32,
+            nprobe=7, overfetch=overfetch,
             centroids=centroids, codebooks=codebooks, codes=codes,
         ).select("query_id", "neighbor_id")
         exact = cosine_knn_join(

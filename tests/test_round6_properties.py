@@ -97,3 +97,106 @@ def test_unicode_tokenizer_matches_category_reference(spark, texts):
         ).collect()
     ]
     assert got == [_py_unicode_tokens(t) for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# lsh_plan_for: the threshold-aware feasibility planner (round 10)
+
+
+def _detection_at(threshold: float, n_planes: int, n_tables: int) -> float:
+    import math
+
+    p_min = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    return 1.0 - (1.0 - p_min**n_planes) ** n_tables
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=10**12),
+    threshold=st.floats(min_value=0.05, max_value=0.99),
+)
+def test_lsh_plan_meets_recall_target_when_pruning(n, threshold):
+    """Whatever banding the planner commits to as PRUNING must actually
+    reach the recall target at the threshold — the contract callers
+    route on."""
+    from chessmate_spark.operators.dedup import lsh_plan_for
+
+    plan = lsh_plan_for(n, threshold, target_recall=0.9999)
+    assert 0.0 <= plan.candidate_fraction <= 1.0
+    assert 1 <= plan.n_planes <= 62
+    assert plan.n_tables >= 1
+    if plan.prunes:
+        assert plan.candidate_fraction < 0.5
+        assert _detection_at(threshold, plan.n_planes, plan.n_tables) >= 0.9999
+
+
+def test_lsh_plan_prunes_high_threshold_regime():
+    """Threshold 0.8 (real near-dup territory): pruning is feasible and
+    cheap — candidate fraction under 5% at every corpus decade."""
+    from chessmate_spark.operators.dedup import lsh_plan_for
+
+    for n in (2_000, 10**6, 10**9):
+        plan = lsh_plan_for(n, 0.8, target_recall=0.9999)
+        assert plan.prunes
+        assert plan.candidate_fraction < 0.06
+        assert _detection_at(0.8, plan.n_planes, plan.n_tables) >= 0.9999
+
+
+def test_lsh_plan_degenerate_low_threshold_regime():
+    """Threshold 0.35 (the d7 fixture threshold, p_min = 0.614): NO
+    recall-0.9999 banding keeps candidates below half of all-pairs —
+    the planner must refuse to prune so the entry routes exact/cells
+    (the round-10 second-sf sweep's d7 finding, made structural)."""
+    from chessmate_spark.operators.dedup import lsh_plan_for
+
+    for n in (2_000, 10**6, 10**9):
+        plan = lsh_plan_for(n, 0.35, target_recall=0.9999)
+        assert not plan.prunes
+        assert plan.candidate_fraction >= 0.5
+
+
+def test_lsh_plan_fraction_monotone_in_threshold():
+    """Higher thresholds can only make pruning easier: the committed
+    plan's candidate fraction is non-increasing along the threshold
+    grid at every corpus decade."""
+    from chessmate_spark.operators.dedup import lsh_plan_for
+
+    for n in (2_000, 10**6, 10**9):
+        fractions = [
+            lsh_plan_for(n, t).candidate_fraction
+            for t in (0.35, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+        ]
+        assert all(
+            later <= earlier + 1e-12
+            for earlier, later in zip(fractions, fractions[1:])
+        )
+
+
+# ---------------------------------------------------------------------------
+# pq_operating_point: the corpus-scaled PQ dial ladder (round 10)
+
+
+def test_pq_operating_point_rungs():
+    """The measured rungs: the historic sf0.01 point at gate scale, the
+    sf0.1-green point through 8k, the committed-smoke ksub beyond."""
+    from chessmate_spark.operators.similarity import pq_operating_point
+
+    assert pq_operating_point(495) == (16, 32)
+    assert pq_operating_point(800) == (16, 32)
+    assert pq_operating_point(1_995) == (64, 128)
+    assert pq_operating_point(8_000) == (64, 128)
+    assert pq_operating_point(8_001) == (256, 256)
+    assert pq_operating_point(10**9) == (256, 256)
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(min_value=1, max_value=10**12))
+def test_pq_operating_point_monotone(n):
+    """Both dials are non-decreasing in corpus size — a larger corpus
+    never gets a coarser codebook or a smaller shortlist."""
+    from chessmate_spark.operators.similarity import pq_operating_point
+
+    k1, o1 = pq_operating_point(n)
+    k2, o2 = pq_operating_point(10 * n)
+    assert k2 >= k1
+    assert o2 >= o1
