@@ -94,9 +94,13 @@ HEADLINE = [
     "d5_document_fingerprint",
     # d6_embedding_neardup is the exact all-pairs ORACLE baseline: its plan
     # collects the (id, vector) corpus to the driver for a block matmul,
-    # which cannot be a headline claim at 100 TB.  d7 (LSH, id-only
-    # shuffles) is the scale path and stays; d6 remains oracle-checked in
-    # the correctness harness, gated by a corpus-size guard.
+    # which cannot be a headline claim at 100 TB.  d7 stays as the
+    # ROUTED entry: its lsh_plan_for planner proves hyperplane LSH
+    # cannot prune at the fixture's 0.35 threshold (>=60% of all-pairs
+    # survive any recall-0.9999 banding), so past gate scale it takes
+    # the guarded exact path; at prunable thresholds it runs LSH with
+    # the planned banding.  The 100 TB low-threshold route is the
+    # k-means-cells family (d13), benchmarked below.
     "d7_embedding_neardup_lsh",
     "d8_dup_clusters",
     "t4_stratified_sample",
@@ -236,7 +240,9 @@ HEADLINE = [
 EXCLUDED = {
     "d6_embedding_neardup": (
         "exact all-pairs oracle baseline (driver-side matmul behind a "
-        "corpus-size guard); d7_embedding_neardup_lsh is the scale path"
+        "corpus-size guard); d7_embedding_neardup_lsh benchmarks the "
+        "planner-routed entry and d13_semantic_dedup the low-threshold "
+        "scale path"
     ),
     "chess_jobs_stream": (
         "real checkpointed Structured Streaming run; checkpoint "

@@ -1997,9 +1997,11 @@ def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       all-pairs, i.e. "LSH" degenerates to all-pairs plus a shuffle,
       strictly worse than the shuffle-free exact join (the size-only
       ladder's banding here reads recall 0.55: the dial-regime mismatch
-      the round-10 second-sf sweep surfaced).  At 100 TB the honest
-      low-threshold route is the k-means-cells family (d13), whose
-      candidate volume is corpus-shaped, not threshold-shaped."""
+      the round-10 second-sf sweep surfaced).  The exact path keeps its
+      driver-memory contract (one (id, vector) side materialized,
+      500k-row guard); at 100 TB the honest low-threshold route is the
+      k-means-cells family (d13), whose candidate volume is
+      corpus-shaped, not threshold-shaped — the guard message says so."""
     from ..operators.dedup import (
         embedding_neardup_lsh,
         embedding_neardup_pairs,

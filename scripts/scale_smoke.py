@@ -155,12 +155,15 @@ LINEARITY_QUERIES = [
     "d13_semantic_dedup",
 ]
 MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
-# d7's marginal is NOT linear-ideal by design: the banding ladder steps
-# planes discretely per corpus decade, so candidate volume (and with it
-# wall-clock) grows in designed ~12.5x quanta per 10x of data (see
-# measure_dedup_decomposition, which pins the candidate counts).  The
-# gate for d7 is therefore on the decomposition (plan cost PER CANDIDATE
-# must stay flat), with a wider marginal allowance here.
+# d7's marginal is NOT linear-ideal by design.  Since round 10 the entry
+# is PLANNER-ROUTED (lsh_plan_for): at the fixture's non-prunable 0.35
+# threshold it runs forced-LSH (3,32) at gate scale (<=800 rows) and the
+# guarded exact block-matmul beyond, so the 1x->3x leg crosses a route
+# boundary and the quadratic exact path owns the 3x->10x leg (~11x pair
+# growth for 3.3x rows, cheap numpy flops per pair).  The forced-LSH
+# ladder's own quanta stay pinned at the OPERATOR level by
+# measure_dedup_decomposition (plan cost PER CANDIDATE must stay flat);
+# the wider marginal allowance here covers the designed quadratic leg.
 MARGINAL_OVERRIDES: dict[str, float] = {"d7_embedding_neardup_lsh": 16.0}
 LINEARITY_REPEATS = 2
 # A marginal ratio needs a denominator ABOVE host noise to mean
@@ -1370,6 +1373,118 @@ def measure_bloom_route(spark, out_path: str) -> "list[str]":
     return failures
 
 
+LSH_PLANNER_ROWS = 5_000
+LSH_PLANNER_THRESHOLDS = (0.85, 0.9)
+LSH_PLANNER_RECALL_FLOOR = 0.999
+
+
+def measure_lsh_planner(spark, out_path: str) -> "list[str]":
+    """Empirical validation of ``lsh_plan_for`` (round 10): the d7 entry
+    ROUTES on the planner's prune/no-prune verdicts and recall targets,
+    so the collision-model theory needs a committed measurement on the
+    corpus shape real embeddings have (the clustered mixture corpus;
+    the near-uniform fixture is the no-prune regime by construction).
+
+    For each prunable threshold: plan the banding, run the planned LSH
+    (bucket candidates + exact verify) against the exact all-pairs
+    baseline, and record recall (design 0.9999; gate 0.999), measured
+    distinct candidates vs the planner's ISOTROPIC estimate, and both
+    walls.  The isotropic prior knowingly UNDERCOUNTS candidates on
+    clustered corpora — within-cluster sub-threshold pairs collide far
+    more than random pairs — recorded as est-vs-measured so the routing
+    story stays honest: a no-prune verdict is CONSERVATIVE (reality is
+    denser than the prior), and a prune verdict still prunes, by less
+    than predicted.  Also records the no-prune verdict at the fixture
+    threshold (0.35) at this corpus size — the verdict the d7 entry
+    routes on.  Updates the `lsh_planner` block in place."""
+    from chessmate_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+        lsh_candidate_pairs,
+        lsh_plan_for,
+    )
+
+    build_clustered(spark)
+    emb = (
+        spark.read.parquet(f"{CLUSTERED_DST}/embeddings.parquet")
+        .filter(F.col("vec_id") < LSH_PLANNER_ROWS)
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    n = emb.count()
+    n_pairs = n * (n - 1) / 2.0
+    block: dict = {
+        "rows": n,
+        "recall_floor": LSH_PLANNER_RECALL_FLOOR,
+        # the routing verdict d7 acts on: at the fixture threshold no
+        # recall-0.9999 banding prunes, at ANY corpus size
+        "no_prune_verdict_at_0_35": (not lsh_plan_for(n, 0.35).prunes),
+    }
+    failures: "list[str]" = []
+    for thr in LSH_PLANNER_THRESHOLDS:
+        plan = lsh_plan_for(n, thr, target_recall=0.9999)
+        key = f"thr_{str(thr).replace('.', '_')}"
+        if not plan.prunes:
+            block[key] = {"prunes": False}
+            failures.append(f"lsh_planner:{key}:expected_prunable")
+            continue
+        t0 = time.perf_counter()
+        exact_rows = {
+            (r[0], r[1])
+            for r in embedding_neardup_pairs(emb, "vec_id", "embedding", thr)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        exact_s = time.perf_counter() - t0
+        cand = lsh_candidate_pairs(
+            emb, "vec_id", "embedding", dim=CLUSTERED_DIM,
+            n_planes=plan.n_planes, n_tables=plan.n_tables,
+        ).count()
+        t0 = time.perf_counter()
+        got_rows = {
+            (r[0], r[1])
+            for r in embedding_neardup_lsh(
+                emb, "vec_id", "embedding", thr, dim=CLUSTERED_DIM,
+                n_planes=plan.n_planes, n_tables=plan.n_tables,
+            )
+            .select("id_a", "id_b")
+            .collect()
+        }
+        lsh_s = time.perf_counter() - t0
+        hit = len(exact_rows & got_rows)
+        recall = hit / len(exact_rows) if exact_rows else 1.0
+        precision = hit / len(got_rows) if got_rows else 1.0
+        frac = cand / n_pairs
+        block[key] = {
+            "prunes": True,
+            "planes": plan.n_planes,
+            "tables": plan.n_tables,
+            "true_pairs": len(exact_rows),
+            "candidates_measured": cand,
+            "candidates_isotropic_est": int(n_pairs * plan.candidate_fraction),
+            "candidate_fraction_measured": round(frac, 4),
+            "recall": round(recall, 6),
+            "precision": round(precision, 6),
+            "exact_s": round(exact_s, 2),
+            "lsh_s": round(lsh_s, 2),
+        }
+        print(
+            f"lsh_planner thr={thr}: ({plan.n_planes},{plan.n_tables}) "
+            f"true={len(exact_rows):,} cand={cand:,} "
+            f"(isotropic est {block[key]['candidates_isotropic_est']:,}) "
+            f"frac={frac:.4f} recall={recall:.6f} "
+            f"exact {exact_s:.1f}s lsh {lsh_s:.1f}s",
+            flush=True,
+        )
+        if recall < LSH_PLANNER_RECALL_FLOOR:
+            failures.append(f"lsh_planner:{key}:recall")
+        if frac >= 0.5:
+            failures.append(f"lsh_planner:{key}:fraction")
+    emb.unpersist()
+    merge_smoke_block(out_path, "lsh_planner", block, failures, "lsh_planner:")
+    return failures
+
+
 def main() -> int:
     recall_only = sys.argv[1:] == ["--recall-only"]
     linearity_only = sys.argv[1:] == ["--linearity"]
@@ -1380,10 +1495,11 @@ def main() -> int:
     decontam_only = sys.argv[1:] == ["--decontam"]
     bloom_only = sys.argv[1:] == ["--bloom-route"]
     ann_clustered_only = sys.argv[1:] == ["--ann-clustered"]
+    lsh_planner_only = sys.argv[1:] == ["--lsh-planner"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
         or pq_bytes_only or chess_only or decontam_only or bloom_only
-        or ann_clustered_only
+        or ann_clustered_only or lsh_planner_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1434,6 +1550,13 @@ def main() -> int:
             return 1
         print("OK: bloom route identical to broadcast, wall within gate")
         return 0
+    if lsh_planner_only:
+        failures = measure_lsh_planner(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: planner-sized bandings meet their recall targets and prune")
+        return 0
     if ann_clustered_only:
         print("building clustered corpus ...", flush=True)
         build_clustered(spark)
@@ -1483,7 +1606,8 @@ def main() -> int:
             failures = [f for f in record.get("failures", [])
                         if f.startswith(("linearity:", "decomp:", "chess:",
                                          "decontam:", "bloom:",
-                                         "ann_clustered:", "crossover:"))]
+                                         "ann_clustered:", "crossover:",
+                                         "lsh_planner:"))]
         else:
             # keep the standing probe blocks, and MERGE prior per-query
             # rows so a targeted rerun (scale_smoke.py <name> ...)
@@ -1493,14 +1617,15 @@ def main() -> int:
                           "dedup_decomposition", "pq_bytes",
                           "chess_pipeline", "decontam_recall",
                           "bloom_route", "ann_recall_clustered",
-                          "route_crossover"):
+                          "route_crossover", "lsh_planner"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))
             failures = [f for f in prior.get("failures", [])
                         if f.startswith(("linearity:", "decomp:", "chess:",
                                          "decontam:", "bloom:",
-                                         "ann_clustered:", "crossover:"))]
+                                         "ann_clustered:", "crossover:",
+                                         "lsh_planner:"))]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]

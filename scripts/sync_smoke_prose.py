@@ -168,6 +168,26 @@ def render(record: dict) -> str:
                 f"{unit}): {pts} — no crossover in ladder"
             )
             lines.append(f"  - heuristic: {b['heuristic']}")
+    lp = record.get("lsh_planner")
+    if lp:
+        rows = {k: v for k, v in lp.items()
+                if isinstance(v, dict) and v.get("prunes")}
+        pts = "; ".join(
+            f"thr {k.split('_', 1)[1].replace('_', '.')}: "
+            f"({v['planes']},{v['tables']}) recall {v['recall']} "
+            f"(floor {lp['recall_floor']}), candidates "
+            f"{v['candidates_measured']:,} measured vs "
+            f"{v['candidates_isotropic_est']:,} isotropic est "
+            f"(fraction {v['candidate_fraction_measured']})"
+            for k, v in sorted(rows.items())
+        )
+        verdict = ("no-prune" if lp.get("no_prune_verdict_at_0_35")
+                   else "PRUNE (unexpected)")
+        lines.append(
+            f"- lsh planner on the clustered corpus ({lp['rows']:,} "
+            f"rows): {pts}; verdict at the 0.35 fixture threshold: "
+            f"{verdict} (d7 routes exact there)"
+        )
     dd = record.get("dedup_decomposition")
     if dd:
         for op in ("d7", "d13"):
