@@ -390,8 +390,11 @@ def lsh_plan_for(
     under an isotropic prior (random bits agree with probability 1/2, so
     a random pair survives some table with ``1 - (1 - 0.5**b)**T`` — the
     planner's model, not a guarantee, exact for near-orthogonal corpora),
-    and picks the b minimizing estimated shuffled rows
-    (``T*C(n,2)/2**b`` bucket pair rows + ``n*T`` signature rows).
+    and scores each b by estimated shuffled rows
+    (``T*C(n,2)/2**b`` bucket pair rows + ``n*T`` signature rows),
+    returning the cheapest PRUNING banding when any exists and the
+    cheapest overall otherwise — so the returned plan always agrees
+    with the verdict it carries.
 
     The verdict that matters is ``prunes``: whether ANY banding reaching
     the recall target keeps the random-candidate fraction below
@@ -415,8 +418,21 @@ def lsh_plan_for(
     s = min(max(threshold, -1.0), 1.0)
     p_min = 1.0 - math.acos(s) / math.pi
     n_pairs = n_rows * (n_rows - 1) / 2.0
+    # two argmins over the feasible bandings: the cheapest overall and
+    # the cheapest that PRUNES.  The verdict is the docstring's
+    # ANY-banding feasibility question, so a pruning banding that is
+    # not cost-minimal must still flip `prunes` — and since the caller
+    # contract is "route on prunes and run the returned banding", the
+    # returned plan is the cheapest PRUNING one whenever any exists
+    # (the cost-minimal non-pruning plan would contradict the verdict
+    # it ships with).  Note `prunes` is a CANDIDATE-VOLUME verdict: at
+    # small n the pruning banding's signature volume can still exceed
+    # the exact join's pair count — cost-sensitive callers compare
+    # est_bucket_pair_rows + est_signature_rows against C(n,2).
     best = None
     best_cost = math.inf
+    best_pruning = None
+    best_pruning_cost = math.inf
     for b in range(1, 63):
         pb = p_min**b
         if pb <= 0.0:
@@ -438,16 +454,16 @@ def lsh_plan_for(
         bucket_rows = tables * n_pairs * (0.5**b)
         sig_rows = n_rows * tables
         cost = bucket_rows + sig_rows
+        plan = LshPlan(b, tables, frac, bucket_rows, sig_rows,
+                       frac < prune_fraction)
         if cost < best_cost:
             best_cost = cost
-            best = LshPlan(
-                b,
-                tables,
-                frac,
-                bucket_rows,
-                sig_rows,
-                frac < prune_fraction,
-            )
+            best = plan
+        if plan.prunes and cost < best_pruning_cost:
+            best_pruning_cost = cost
+            best_pruning = plan
+    if best_pruning is not None:
+        return best_pruning
     if best is None:
         # no banding within max_tables reaches the target: report the
         # infeasibility as a non-pruning plan at the densest point
@@ -509,6 +525,7 @@ def embedding_neardup_lsh(
     n_tables: int = 16,
     seed: int = 42,
     round_digits: int = 6,
+    candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate near-dup pairs at scale: candidates are LSH bucket
     collisions (both sides shuffle only on (table, signature) — never
@@ -527,7 +544,12 @@ def embedding_neardup_lsh(
     from ..functions.scoring import portable_round
     from ..functions.vector_pandas import pandas_cosine
 
-    pairs = lsh_candidate_pairs(
+    # `candidates`: a precomputed (persisted) `lsh_candidate_pairs`
+    # frame — the scale-smoke planner probe counts candidates from the
+    # same frame it then verifies, instead of re-paying the signature
+    # and bucket-join stages a second time (the `assignments=`
+    # discipline semantic_neardup_pairs already follows)
+    pairs = candidates if candidates is not None else lsh_candidate_pairs(
         df, id_col, vec_col, dim=dim, n_planes=n_planes,
         n_tables=n_tables, seed=seed,
     )

@@ -752,16 +752,27 @@ def pq_operating_point(n_corpus: int, k: int = 3) -> "tuple[int, int]":
                     (SCALE_SMOKE.json ann_recall, ksub=256 rung).
 
     Training cost scales with ksub (Lloyd over the hash-mod sample) and
-    re-rank cost with k*overfetch — both stay corpus-fraction-bounded.
+    re-rank cost with the SHORTLIST (k*overfetch) — both stay
+    corpus-fraction-bounded.  The rung constant is the shortlist, not
+    overfetch: what the measurements fixed is how many ADC-ranked rows
+    the exact re-rank must see (96 / 384 / 768), so overfetch is
+    derived as ceil(shortlist/k) and a recall@10 caller gets the same
+    measured shortlist, not 10/3 of it (at the k=3 the gate entries
+    run, the rungs resolve to overfetch 32 / 128 / 256 exactly).
     Clustered corpora (the shape real embeddings have) hold 0.92-0.96
     recall at CONSTANT dials (SCALE_SMOKE ann_recall_clustered); this
     ladder is the worst-case posture the recall GATE entries run, not a
     claim that production dials must grow linearly."""
+    import math
+
+    k = max(1, k)
     if n_corpus <= 800:
-        return 16, 32
-    if n_corpus <= 8000:
-        return 64, 128
-    return 256, 256
+        ksub, shortlist = 16, 96
+    elif n_corpus <= 8000:
+        ksub, shortlist = 64, 384
+    else:
+        ksub, shortlist = 256, 768
+    return ksub, max(1, math.ceil(shortlist / k))
 
 
 def pq_topk(

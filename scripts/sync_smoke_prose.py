@@ -149,23 +149,23 @@ def render(record: dict) -> str:
                 else c.get("status", "?")
             )
 
-        for op, alt, unit in (("cells", "cells", "eval rows"),
-                              ("bloom", "bloom", "query terms")):
+        for op, unit in (("cells", "eval rows"), ("bloom", "query terms")):
             b = rx.get(op)
             if not b:
                 continue
             pts = "; ".join(
                 f"{r['scale']:,}: broadcast {_cell(r['broadcast'])} vs "
-                f"{alt} {_cell(r[alt])}"
+                f"{op} {_cell(r[op])}"
                 for r in b["ladder"]
             )
             cx = b.get("crossover_scale")
+            head = (
+                f"- route crossover `{op}` ({rx.get('worker', '')}; "
+                f"{unit}): {pts} — "
+            )
             lines.append(
-                f"- route crossover `{op}` ({rx.get('worker', '')}; "
-                f"{unit}): {pts} — crossover at "
-                f"{cx:,}" if cx else
-                f"- route crossover `{op}` ({rx.get('worker', '')}; "
-                f"{unit}): {pts} — no crossover in ladder"
+                f"{head}crossover at {cx:,}" if cx
+                else f"{head}no crossover in ladder"
             )
             lines.append(f"  - heuristic: {b['heuristic']}")
     lp = record.get("lsh_planner")

@@ -130,6 +130,42 @@ def test_lsh_plan_meets_recall_target_when_pruning(n, threshold):
         assert _detection_at(threshold, plan.n_planes, plan.n_tables) >= 0.9999
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=10**7),
+    threshold=st.floats(min_value=0.05, max_value=0.99),
+)
+def test_lsh_plan_prunes_iff_any_banding_prunes(n, threshold):
+    """The REVERSE direction of the pruning contract (the round-10
+    review's finding): `prunes` answers the docstring's ANY-banding
+    feasibility question, not whether the cost-minimal banding happens
+    to prune — verified against a direct enumeration of the feasible
+    (planes, tables) grid."""
+    import math
+
+    from chessmate_spark.operators.dedup import lsh_plan_for
+
+    p_min = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    exists = False
+    for b in range(1, 63):
+        pb = p_min**b
+        if pb <= 0.0:
+            break
+        if pb >= 1.0:
+            tables = 1
+        else:
+            denom = math.log1p(-pb)
+            if denom == 0.0:
+                continue
+            tables = max(1, math.ceil(math.log(1.0 - 0.9999) / denom))
+        if tables > 4096:
+            continue
+        if 1.0 - (1.0 - 0.5**b) ** tables < 0.5:
+            exists = True
+            break
+    assert lsh_plan_for(n, threshold, target_recall=0.9999).prunes == exists
+
+
 def test_lsh_plan_prunes_high_threshold_regime():
     """Threshold 0.8 (real near-dup territory): pruning is feasible and
     cheap — candidate fraction under 5% at every corpus decade."""
@@ -187,6 +223,11 @@ def test_pq_operating_point_rungs():
     assert pq_operating_point(8_000) == (64, 128)
     assert pq_operating_point(8_001) == (256, 256)
     assert pq_operating_point(10**9) == (256, 256)
+    # the rung constant is the SHORTLIST (96/384/768): a different k
+    # gets the same measured shortlist, not k-proportional re-rank work
+    assert pq_operating_point(495, k=10) == (16, 10)
+    assert pq_operating_point(1_995, k=10) == (64, 39)
+    assert pq_operating_point(10**9, k=1) == (256, 768)
 
 
 @settings(max_examples=100, deadline=None)
