@@ -75,6 +75,11 @@ def minhash_lsh_candidates(
 
     rows-per-band = num_hashes / bands; collision threshold ≈
     (1/bands)^(1/rows).  Candidates are verified with exact shingle Jaccard.
+    The default (16, 4) is an S-curve with midpoint ~0.707 — detection
+    0.98 at Jaccard 0.9 but 0.23 at 0.5; for a RECALL TARGET at a given
+    threshold size the banding with ``minhash_banding_plan`` (the
+    Jaccard twin of ``lsh_plan_for``; its planned points are measured
+    in SCALE_SMOKE `minhash_planner`).
 
     ``materialize=True`` (default) computes the pair set eagerly and
     releases the persisted shingle/band intermediates before returning —
@@ -472,6 +477,123 @@ def lsh_plan_for(
     return best
 
 
+class MinhashPlan:
+    """Result of ``minhash_banding_plan``: the cheapest (num_hashes,
+    bands, rows) banding reaching the recall target at the Jaccard
+    threshold, with the S-curve diagnostics and the pruning verdict."""
+
+    __slots__ = (
+        "num_hashes",
+        "bands",
+        "rows",
+        "detection_at_threshold",
+        "background_fraction",
+        "prunes",
+    )
+
+    def __init__(
+        self,
+        num_hashes: int,
+        bands: int,
+        rows: int,
+        detection_at_threshold: float,
+        background_fraction: float,
+        prunes: bool,
+    ) -> None:
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows = rows
+        self.detection_at_threshold = detection_at_threshold
+        self.background_fraction = background_fraction
+        self.prunes = prunes
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (
+            f"MinhashPlan(hashes={self.num_hashes}, bands={self.bands}, "
+            f"rows={self.rows}, det={self.detection_at_threshold:.4f}, "
+            f"bg={self.background_fraction:.4f}, prunes={self.prunes})"
+        )
+
+
+def minhash_banding_plan(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.999,
+    background_jaccard: float = 0.05,
+    prune_fraction: float = 0.5,
+    max_hashes: int = 512,
+) -> MinhashPlan:
+    """THRESHOLD-AWARE banding planner for MinHash-LSH — the Jaccard
+    twin of ``lsh_plan_for``.  The fixed (num_hashes=16, bands=4)
+    default is an S-curve with midpoint (1/4)^(1/4) ~ 0.707: detection
+    at Jaccard 0.9 is 0.98 but at 0.5 only 0.23 and at 0.3 effectively
+    zero — a LOW-threshold dedup run with the default dial silently
+    misses most of its target pairs (the oracle entries still
+    hash-match because the DuckDB oracle mirrors the same banding; the
+    RECALL question lives here).
+
+    Theory (Broder 1997 / the MMDS S-curve): a pair at Jaccard ``j``
+    agrees on one r-row band with probability ``j**r`` and collides in
+    at least one of b bands with ``1 - (1 - j**r)**b``.  Given a recall
+    target the planner solves b(r) per row count, estimates the
+    spurious-candidate mass at a BACKGROUND Jaccard (default 0.05 — the
+    near-disjoint shingle overlap unrelated documents have; unlike
+    hyperplane LSH there is no 1/2 collision floor, which is why
+    MinHash prunes at thresholds cosine-LSH cannot), and scores each r
+    by estimated work at the given corpus size — spurious verify pairs
+    ``bg_frac * C(n,2)`` plus per-document signature and banded-row
+    volume ``n * (r*b + b)`` — so a bigger corpus buys more rows per
+    band (killing the background mass) exactly as FAISS-style planners
+    trade memory for selectivity.  Returns the cheapest PRUNING plan
+    when any exists and the cheapest overall otherwise, so the returned
+    banding always agrees with its verdict (the lsh_plan_for contract).
+    Empirical validation: SCALE_SMOKE `minhash_planner` measures the
+    planned banding against planted known-Jaccard pairs next to the
+    default dial."""
+    import math
+
+    target_recall = min(max(target_recall, 0.5), 1 - 1e-12)
+    j = min(max(threshold, 1e-9), 1.0)
+    bg = min(max(background_jaccard, 0.0), 1.0)
+    n_pairs = max(n_rows, 0) * (max(n_rows, 0) - 1) / 2.0
+    best = None
+    best_cost = math.inf
+    best_pruning = None
+    best_pruning_cost = math.inf
+    for rows in range(1, 65):
+        jr = j**rows
+        if jr >= 1.0:
+            bands = 1
+        else:
+            denom = math.log1p(-jr)
+            if denom == 0.0:
+                continue
+            bands = max(1, math.ceil(math.log(1.0 - target_recall) / denom))
+        num_hashes = rows * bands
+        if num_hashes > max_hashes:
+            continue
+        detection = 1.0 - (1.0 - jr) ** bands
+        bg_frac = 1.0 - (1.0 - bg**rows) ** bands
+        cost = bg_frac * n_pairs + n_rows * (num_hashes + bands)
+        plan = MinhashPlan(
+            num_hashes, bands, rows, detection, bg_frac,
+            bg_frac < prune_fraction,
+        )
+        if cost < best_cost:
+            best_cost = cost
+            best = plan
+        if plan.prunes and cost < best_pruning_cost:
+            best_pruning_cost = cost
+            best_pruning = plan
+    if best_pruning is not None:
+        return best_pruning
+    if best is None:
+        # threshold so low that even one band of one row blows the hash
+        # budget contract: report the densest single-band plan honestly
+        return MinhashPlan(1, 1, 1, j, bg, bg < prune_fraction)
+    return best
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -611,6 +733,11 @@ def incremental_minhash_dedup(
 
     Ids must be unique across both sides (true for any snapshot + delta
     of one corpus).
+
+    The (num_hashes, bands) recall/threshold trade is the same S-curve
+    as :func:`minhash_lsh_candidates` — size it with
+    ``minhash_banding_plan`` when the dedup threshold sits below the
+    default dial's ~0.707 midpoint.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows = num_hashes // bands

@@ -1497,6 +1497,127 @@ def measure_lsh_planner(spark, out_path: str) -> "list[str]":
     return failures
 
 
+MINHASH_PLANNER_PAIRS = 1_000
+MINHASH_PLANNER_FILLER = 8_000
+MINHASH_PLANNER_THRESHOLD = 0.5
+MINHASH_PLANNER_RECALL_FLOOR = 0.995
+
+
+def measure_minhash_planner(spark, out_path: str) -> "list[str]":
+    """Empirical validation of ``minhash_banding_plan`` (round 10): the
+    Jaccard twin of the `lsh_planner` probe.  The fixture corpora are
+    bimodal (a handful of ~0.9 replicas, everything else under 0.2), so
+    the S-curve's interesting region — pairs AT a mid threshold — is
+    measured on PLANTED pairs: 1,000 doc pairs built from a shared
+    token run plus per-side unique runs, jittered so exact 3-shingle
+    Jaccard straddles the 0.5 threshold (positives = pairs the exact
+    verify puts at >= threshold), inside 8,000 filler docs drawn from a
+    shared vocabulary (real background-collision traffic).  Records the
+    planner's point and the DEFAULT (16, 4) dial side by side on the
+    same positives — theory says 0.999+ vs ~0.23 at Jaccard 0.5, and
+    this block is the measurement.  Gates: planned recall >=
+    MINHASH_PLANNER_RECALL_FLOOR and the plan must prune.  Updates the
+    `minhash_planner` block in place."""
+    import numpy as np
+    import pandas as pd
+
+    from chessmate_spark.operators.dedup import (
+        minhash_banding_plan,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = []
+    # planted pairs: pair i owns a namespaced vocabulary, so cross-pair
+    # Jaccard is exactly 0 and each positive has ONE true match
+    for i in range(MINHASH_PLANNER_PAIRS):
+        w_shared = int(rng.integers(19, 25))
+        w_unique = int(rng.integers(7, 12))
+        shared = [f"p{i}s{t}" for t in range(w_shared)]
+        a = shared + [f"p{i}a{t}" for t in range(w_unique)]
+        b = shared + [f"p{i}b{t}" for t in range(w_unique)]
+        docs.append((2 * i, " ".join(a), f"pair{i}"))
+        docs.append((2 * i + 1, " ".join(b), f"pair{i}"))
+    base = 2 * MINHASH_PLANNER_PAIRS
+    # filler: 30 tokens from a shared 2,000-token vocabulary — small
+    # nonzero pairwise overlap, the background mass the planner's
+    # bg_frac term models
+    vocab = np.array([f"bg{t}" for t in range(2_000)])
+    for i in range(MINHASH_PLANNER_FILLER):
+        toks = vocab[rng.integers(0, len(vocab), size=30)]
+        docs.append((base + i, " ".join(toks.tolist()), "filler"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "pair"])
+    corpus = spark.createDataFrame(pdf).persist()
+    n = corpus.count()
+
+    # exact positives: the planted pairs' true 3-shingle Jaccard via the
+    # same normalize/shingle pipeline the operator verifies with,
+    # blocked by pair id (1,000 two-doc blocks — no quadratic stage)
+    planted = corpus.filter(F.col("pair") != "filler")
+    exact = ngram_jaccard_pairs(
+        planted, "doc_id", "text", shingle_n=3, block_col="pair",
+        min_jaccard=0.0,
+    )
+    positives = {
+        (r[0], r[1])
+        for r in exact.filter(
+            F.col("jaccard") >= MINHASH_PLANNER_THRESHOLD
+        ).select("id_a", "id_b").collect()
+    }
+
+    plan = minhash_banding_plan(n, MINHASH_PLANNER_THRESHOLD)
+    results = {}
+    for tag, hashes, bands in (
+        ("planned", plan.num_hashes, plan.bands),
+        ("default", 16, 4),
+    ):
+        t0 = time.perf_counter()
+        got = {
+            (r[0], r[1])
+            for r in minhash_lsh_candidates(
+                corpus, "doc_id", "text", shingle_n=3,
+                num_hashes=hashes, bands=bands,
+                min_jaccard=MINHASH_PLANNER_THRESHOLD,
+            ).select("id_a", "id_b").collect()
+        }
+        secs = time.perf_counter() - t0
+        hit = len(positives & got)
+        results[tag] = {
+            "num_hashes": hashes,
+            "bands": bands,
+            "recall": round(hit / len(positives), 6) if positives else 1.0,
+            "found_pairs": len(got),
+            "secs": round(secs, 2),
+        }
+        print(
+            f"minhash_planner {tag}: ({hashes} hashes, {bands} bands) "
+            f"recall {results[tag]['recall']} over {len(positives)} "
+            f"positives, {len(got)} found, {secs:.1f}s",
+            flush=True,
+        )
+    corpus.unpersist()
+    block = {
+        "rows": n,
+        "threshold": MINHASH_PLANNER_THRESHOLD,
+        "recall_floor": MINHASH_PLANNER_RECALL_FLOOR,
+        "positives": len(positives),
+        "plan_rows_per_band": plan.rows,
+        "plan_background_fraction": round(plan.background_fraction, 6),
+        "plan_prunes": plan.prunes,
+        **results,
+    }
+    failures = []
+    if results["planned"]["recall"] < MINHASH_PLANNER_RECALL_FLOOR:
+        failures.append("minhash_planner:recall")
+    if not plan.prunes:
+        failures.append("minhash_planner:expected_prunable")
+    merge_smoke_block(
+        out_path, "minhash_planner", block, failures, "minhash_planner:"
+    )
+    return failures
+
+
 def main() -> int:
     recall_only = sys.argv[1:] == ["--recall-only"]
     linearity_only = sys.argv[1:] == ["--linearity"]
@@ -1508,10 +1629,12 @@ def main() -> int:
     bloom_only = sys.argv[1:] == ["--bloom-route"]
     ann_clustered_only = sys.argv[1:] == ["--ann-clustered"]
     lsh_planner_only = sys.argv[1:] == ["--lsh-planner"]
+    minhash_planner_only = sys.argv[1:] == ["--minhash-planner"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
         or pq_bytes_only or chess_only or decontam_only or bloom_only
         or ann_clustered_only or lsh_planner_only
+        or minhash_planner_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1569,6 +1692,13 @@ def main() -> int:
             return 1
         print("OK: planner-sized bandings meet their recall targets and prune")
         return 0
+    if minhash_planner_only:
+        failures = measure_minhash_planner(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: planned minhash banding meets its recall target")
+        return 0
     if ann_clustered_only:
         print("building clustered corpus ...", flush=True)
         build_clustered(spark)
@@ -1619,7 +1749,8 @@ def main() -> int:
                         if f.startswith(("linearity:", "decomp:", "chess:",
                                          "decontam:", "bloom:",
                                          "ann_clustered:", "crossover:",
-                                         "lsh_planner:"))]
+                                         "lsh_planner:",
+                                         "minhash_planner:"))]
         else:
             # keep the standing probe blocks, and MERGE prior per-query
             # rows so a targeted rerun (scale_smoke.py <name> ...)
@@ -1629,7 +1760,8 @@ def main() -> int:
                           "dedup_decomposition", "pq_bytes",
                           "chess_pipeline", "decontam_recall",
                           "bloom_route", "ann_recall_clustered",
-                          "route_crossover", "lsh_planner"):
+                          "route_crossover", "lsh_planner",
+                          "minhash_planner"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))
@@ -1637,7 +1769,8 @@ def main() -> int:
                         if f.startswith(("linearity:", "decomp:", "chess:",
                                          "decontam:", "bloom:",
                                          "ann_clustered:", "crossover:",
-                                         "lsh_planner:"))]
+                                         "lsh_planner:",
+                                         "minhash_planner:"))]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]

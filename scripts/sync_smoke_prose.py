@@ -188,6 +188,18 @@ def render(record: dict) -> str:
             f"rows): {pts}; verdict at the 0.35 fixture threshold: "
             f"{verdict} (d7 routes exact there)"
         )
+    mp = record.get("minhash_planner")
+    if mp:
+        pl, df_ = mp["planned"], mp["default"]
+        lines.append(
+            f"- minhash planner at Jaccard {mp['threshold']} "
+            f"({mp['rows']:,} docs, {mp['positives']} planted positives): "
+            f"planned ({pl['num_hashes']} hashes, {pl['bands']} bands, "
+            f"{mp['plan_rows_per_band']} rows/band) recall {pl['recall']} "
+            f"(floor {mp['recall_floor']}) vs default (16, 4) recall "
+            f"{df_['recall']} — background fraction "
+            f"{mp['plan_background_fraction']}"
+        )
     dd = record.get("dedup_decomposition")
     if dd:
         for op in ("d7", "d13"):

@@ -241,3 +241,60 @@ def test_pq_operating_point_monotone(n):
     k2, o2 = pq_operating_point(10 * n)
     assert k2 >= k1
     assert o2 >= o1
+
+
+# ---------------------------------------------------------------------------
+# minhash_banding_plan: the Jaccard-LSH banding planner (round 10)
+
+
+def _minhash_detection(j: float, rows: int, bands: int) -> float:
+    return 1.0 - (1.0 - j**rows) ** bands
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=10**12),
+    threshold=st.floats(min_value=0.05, max_value=0.99),
+)
+def test_minhash_plan_meets_recall_target(n, threshold):
+    """Any returned banding must reach the recall target at the
+    threshold, its shape must be consistent (hashes = rows * bands,
+    within budget), and a pruning verdict must mean what it says."""
+    from chessmate_spark.operators.dedup import minhash_banding_plan
+
+    plan = minhash_banding_plan(n, threshold, target_recall=0.999)
+    assert plan.num_hashes == plan.rows * plan.bands
+    assert plan.num_hashes <= 512
+    assert _minhash_detection(threshold, plan.rows, plan.bands) >= 0.999
+    assert abs(
+        plan.detection_at_threshold
+        - _minhash_detection(threshold, plan.rows, plan.bands)
+    ) < 1e-9
+    if plan.prunes:
+        assert plan.background_fraction < 0.5
+
+
+def test_minhash_plan_default_dial_contrast():
+    """The documented motivation: the fixed (16, 4) dial detects 0.98
+    at Jaccard 0.9 but only ~0.23 at 0.5; the planner's point at 0.5
+    reaches the 0.999 target with a sub-1% background fraction."""
+    from chessmate_spark.operators.dedup import minhash_banding_plan
+
+    assert 0.22 < _minhash_detection(0.5, 4, 4) < 0.24
+    assert _minhash_detection(0.9, 4, 4) > 0.98
+    plan = minhash_banding_plan(10_000, 0.5, target_recall=0.999)
+    assert plan.prunes
+    assert plan.detection_at_threshold >= 0.999
+    assert plan.background_fraction < 0.01
+
+
+@settings(max_examples=60, deadline=None)
+@given(threshold=st.floats(min_value=0.2, max_value=0.95))
+def test_minhash_plan_rows_monotone_in_corpus(threshold):
+    """A bigger corpus never gets FEWER rows per band: spurious-pair
+    mass scales with C(n,2), so selectivity must not decrease with n."""
+    from chessmate_spark.operators.dedup import minhash_banding_plan
+
+    r_small = minhash_banding_plan(10_000, threshold).rows
+    r_big = minhash_banding_plan(10**9, threshold).rows
+    assert r_big >= r_small
