@@ -588,9 +588,14 @@ def minhash_banding_plan(
     if best_pruning is not None:
         return best_pruning
     if best is None:
-        # threshold so low that even one band of one row blows the hash
-        # budget contract: report the densest single-band plan honestly
-        return MinhashPlan(1, 1, 1, j, bg, bg < prune_fraction)
+        # threshold so low that every (rows, bands) combination reaching
+        # the recall target blows the hash budget: report the densest
+        # single-band plan with prunes hardcoded False — the verdict
+        # contract promises a plan that REACHES the target prunes, and
+        # this one does neither (the lsh_plan_for fallback convention;
+        # the round-10 second review caught this returning a
+        # background-only True)
+        return MinhashPlan(1, 1, 1, j, bg, False)
     return best
 
 
@@ -662,6 +667,14 @@ def embedding_neardup_lsh(
     one hop per batch beats the interpreted HOF fold ~2x (measured; the
     opposite holds for the BNLJ exact variant, where pair generation is
     JVM-internal).
+
+    ``candidates``: a precomputed (persisted) ``lsh_candidate_pairs``
+    frame to verify INSTEAD of generating one — when given,
+    ``dim``/``n_planes``/``n_tables``/``seed`` are ignored entirely and
+    the caller owns the consistency between the frame and whatever
+    dials produced it (the scale-smoke planner probe counts candidates
+    from the same frame it then verifies; a stale frame with different
+    dials would be verified without error).
     """
     from ..functions.scoring import portable_round
     from ..functions.vector_pandas import pandas_cosine

@@ -1608,6 +1608,11 @@ def measure_minhash_planner(spark, out_path: str) -> "list[str]":
         **results,
     }
     failures = []
+    # the recall gate is vacuous over an empty positive set (recall
+    # defaults to 1.0): a fixture drift that planted nothing must FAIL
+    # the probe, not write green evidence that measured nothing
+    if len(positives) < MINHASH_PLANNER_PAIRS // 4:
+        failures.append("minhash_planner:positives")
     if results["planned"]["recall"] < MINHASH_PLANNER_RECALL_FLOOR:
         failures.append("minhash_planner:recall")
     if not plan.prunes:

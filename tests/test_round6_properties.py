@@ -298,3 +298,16 @@ def test_minhash_plan_rows_monotone_in_corpus(threshold):
     r_small = minhash_banding_plan(10_000, threshold).rows
     r_big = minhash_banding_plan(10**9, threshold).rows
     assert r_big >= r_small
+
+
+def test_minhash_plan_infeasible_threshold_never_claims_prune():
+    """The infeasible fallback (every target-reaching banding blows the
+    hash budget) must report prunes=False — the round-10 second
+    review caught it returning a background-only True, which would
+    route a caller onto a 1-hash banding with ~1% detection."""
+    from chessmate_spark.operators.dedup import minhash_banding_plan
+
+    plan = minhash_banding_plan(10_000, 0.01, target_recall=0.999)
+    assert plan.num_hashes == 1
+    assert not plan.prunes
+    assert plan.detection_at_threshold < 0.999
