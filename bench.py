@@ -103,6 +103,9 @@ HEADLINE = [
     # k-means-cells family (d13), benchmarked below.
     "d7_embedding_neardup_lsh",
     "d8_dup_clusters",
+    # planner-sized minhash dedup: the (50, 25) operating point frozen
+    # at the gate-corpus plan (see the entry docstring)
+    "d24_minhash_planned_dedup",
     "t4_stratified_sample",
     "t5_sequence_pack",
     "t6_repetition_score",

@@ -957,6 +957,43 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["d2_minhash_lsh_pairs"] = (d2_minhash_lsh_pairs, _minhash_lsh_oracle())
 
 
+@_register(
+    "d24_minhash_planned_dedup",
+    _minhash_lsh_oracle(num_hashes=50, bands=25, min_j=0.5),
+)
+def d24_minhash_planned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup at a PLANNER-SIZED operating point: the
+    (50 hashes, 25 bands, 2 rows/band) banding is
+    ``minhash_banding_plan(gate_corpus=500, threshold=0.5,
+    target_recall=0.999)``'s recommendation — detection 0.9992 at the
+    threshold versus the default (16, 4) dial's 0.23 (the S-curve gap
+    the planner exists to close; measured at recall 1.0 vs 0.306 over
+    planted positives in SCALE_SMOKE `minhash_planner`).
+
+    The dial is FROZEN at the gate-corpus plan rather than re-planned
+    per run: the oracle mirrors the banding arithmetic hash-for-hash in
+    SQL, so a static dial keeps the entry bit-exact at EVERY scale
+    factor (the d2 contract), while a runtime-planned dial would change
+    shape under a static oracle — exactly the dial-regime trap the
+    round-10 three-sf sweep exists to catch.  At larger corpora the
+    planner buys more rows per band (5k docs → (156, 52, 3); the
+    monotonicity is property-tested) and a production caller re-plans
+    per corpus; recall at the planned points is the probe's committed
+    measurement, and THIS entry pins the non-default-shape pipeline
+    (odd hash count, 2-row bands, 25-way band explode) against the
+    independent DuckDB mirror."""
+    from ..operators.dedup import minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=50, bands=25, min_jaccard=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def _ngram_jaccard_oracle(min_j: float = 0.15) -> str:
     toks = _DUCK_NORM_TOKENS.format(col="text")
     return f"""

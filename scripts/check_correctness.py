@@ -14,12 +14,14 @@ artifact CORRECTNESS_full_r{N}.json), sf0.1 (CORRECTNESS_sf01_r{N}.json),
 and sf0.001 (CORRECTNESS_sf0001_r{N}.json).  One tiny sf cannot catch
 scale-sensitive regressions (dial regimes engaging, partition-order
 effects, overflow); the small sf catches the opposite failure mode
-(fixture-starved dials, e.g. v11's nprobe floor).  All 176 entries are
+(fixture-starved dials, e.g. v11's nprobe floor).  Every entry is
 expected to hash-match at ALL THREE since the round-10 dial-scaling work
 (lsh_plan_for routing, pq_operating_point ladder, d13 probe count) — an
 approximate entry going red at exactly one sf means a dial regime
 shifted, and the fix belongs in the corpus-scaled dial, not the oracle.
-Set SPARK_GRAFT_CHECK_OUT to write the artifact.
+Set SPARK_GRAFT_CHECK_OUT to write the artifact.  (The entry count
+grows with the inventory — compare against len(queries()), not a
+hardcoded number.)
 """
 
 from __future__ import annotations

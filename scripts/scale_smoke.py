@@ -126,8 +126,10 @@ DEFAULT_QUERIES = [
     "a32_drift_psi",
     "s19_schema_evolution",
     "a33_windowed_drift",
-    # round 10: categorical windowed drift (two counted scans)
+    # round 10: categorical windowed drift (two counted scans) and the
+    # planner-sized minhash dedup point
     "a34_windowed_drift_categorical",
+    "d24_minhash_planned_dedup",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed
