@@ -964,8 +964,9 @@ QUERIES["d2_minhash_lsh_pairs"] = (d2_minhash_lsh_pairs, _minhash_lsh_oracle())
 def d24_minhash_planned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup at a PLANNER-SIZED operating point: the
     (50 hashes, 25 bands, 2 rows/band) banding is
-    ``minhash_banding_plan(gate_corpus=500, threshold=0.5,
-    target_recall=0.999)``'s recommendation — detection 0.9992 at the
+    ``minhash_banding_plan(n_rows=500, threshold=0.5,
+    target_recall=0.999)``'s recommendation (500 = the gate corpus's
+    document count) — detection 0.9992 at the
     threshold versus the default (16, 4) dial's 0.23 (the S-curve gap
     the planner exists to close; measured at recall 1.0 vs 0.306 over
     planted positives in SCALE_SMOKE `minhash_planner`).
@@ -980,8 +981,8 @@ def d24_minhash_planned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonicity is property-tested) and a production caller re-plans
     per corpus; recall at the planned points is the probe's committed
     measurement, and THIS entry pins the non-default-shape pipeline
-    (odd hash count, 2-row bands, 25-way band explode) against the
-    independent DuckDB mirror."""
+    (a 50-hash signature, 2-row bands, a 25-way band explode) against
+    the independent DuckDB mirror."""
     from ..operators.dedup import minhash_lsh_candidates
 
     docs = _docs(spark, sf_dir)
