@@ -555,7 +555,15 @@ def minhash_banding_plan(
     target_recall = min(max(target_recall, 0.5), 1 - 1e-12)
     j = min(max(threshold, 1e-9), 1.0)
     bg = min(max(background_jaccard, 0.0), 1.0)
-    n_pairs = max(n_rows, 0) * (max(n_rows, 0) - 1) / 2.0
+    if n_rows < 2:
+        # degenerate corpus: no pairs exist, every banding's costs tie
+        # near zero and the argmin would return a meaningless rows=1
+        # banding flagged prunes=True on its 0.40 background fraction
+        # (negative n_rows would even go negative-cost) — mirror
+        # lsh_plan_for's small-n early return with the same (1, 1, 1)
+        # shape and honest diagnostics the infeasible fallback uses
+        return MinhashPlan(1, 1, 1, j, bg, False)
+    n_pairs = n_rows * (n_rows - 1) / 2.0
     best = None
     best_cost = math.inf
     best_pruning = None
@@ -679,11 +687,12 @@ def embedding_neardup_lsh(
     from ..functions.scoring import portable_round
     from ..functions.vector_pandas import pandas_cosine
 
-    # `candidates`: a precomputed (persisted) `lsh_candidate_pairs`
-    # frame — the scale-smoke planner probe counts candidates from the
-    # same frame it then verifies, instead of re-paying the signature
-    # and bucket-join stages a second time (the `assignments=`
-    # discipline semantic_neardup_pairs already follows)
+    if candidates is not None:
+        missing = {"id_a", "id_b"} - set(candidates.columns)
+        assert not missing, (
+            f"candidates frame lacks pair columns {sorted(missing)}: "
+            "expected the (id_a, id_b) shape lsh_candidate_pairs returns"
+        )
     pairs = candidates if candidates is not None else lsh_candidate_pairs(
         df, id_col, vec_col, dim=dim, n_planes=n_planes,
         n_tables=n_tables, seed=seed,

@@ -2019,10 +2019,15 @@ def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three arms, all exact-verified so precision is 1.0 by construction:
 
     * ``plan.prunes`` — the planner found a banding that reaches the
-      recall target while keeping the random-candidate fraction < 0.5:
-      run LSH with the planned (planes, tables).  This is the regime
-      hyperplane LSH exists for (threshold well above cosine 0 — at 0.8
-      the planner's banding keeps candidates under 5% of all-pairs).
+      recall target while keeping the random-candidate fraction < 0.5.
+      That regime (threshold well above cosine 0 — at 0.8 the planner's
+      banding keeps candidates under 5% of all-pairs) is FENCED here:
+      recall-0.9999 LSH against this entry's exact all-pairs oracle
+      would be a probabilistic gate, so the arm raises loudly instead
+      (structurally unreachable at the committed 0.35 threshold), and
+      the planned-banding pipeline is oracle-pinned by
+      ``d25_hyperplane_planned_neardup``, whose oracle mirrors the
+      banding hash-for-hash.
     * gate scale (≤800 rows), non-pruning threshold — keep the historic
       forced-LSH (3, 32) point (lsh_banding_for's floor): recall is
       measured 1.0 there, so the driver row hash-checks the FULL LSH
@@ -2051,9 +2056,24 @@ def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     plan = lsh_plan_for(n, _NEARDUP_THRESHOLD, target_recall=0.9999)
     if plan.prunes:
-        out = embedding_neardup_lsh(
-            emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
-            n_planes=plan.n_planes, n_tables=plan.n_tables,
+        # NOT oracle-exact: this arm would run recall-0.9999 LSH against
+        # the EXACT all-pairs oracle, i.e. a probabilistic hash mismatch
+        # of ~1 missed pair per 10k true pairs whenever it engages.  It
+        # is structurally unreachable at the committed 0.35 threshold
+        # (lsh_plan_for proves no recall-0.9999 banding prunes there —
+        # prunes depends only on the threshold), so raising
+        # _NEARDUP_THRESHOLD into the prunable regime must ALSO switch
+        # this entry's gate semantics: either mirror the planned banding
+        # in the oracle (the d25_hyperplane_planned_neardup pattern) or
+        # gate on a recall floor instead of a value hash.  Fail loudly
+        # rather than ship a silently probabilistic gate; the planned-
+        # banding pipeline itself is exercised and oracle-pinned by d25.
+        raise AssertionError(
+            "d7's prunes arm engaged (threshold "
+            f"{_NEARDUP_THRESHOLD}, plan {plan!r}) but the entry's "
+            "oracle is exact all-pairs — mirror the banding in the "
+            "oracle (d25 pattern) or switch to a recall-floor gate "
+            "before enabling this arm"
         )
     elif n <= 800:
         planes, tables = lsh_banding_for(n)

@@ -191,6 +191,60 @@ def test_lsh_plan_degenerate_low_threshold_regime():
         assert plan.candidate_fraction >= 0.5
 
 
+def test_lsh_plan_hand_computed_fixed_point():
+    """Pin the collision MODEL itself, not just the argmin plumbing:
+    the property tests above re-derive the planner's enumeration, so a
+    shared modeling error would pass both — these constants were
+    computed by hand from Charikar's formula, independent of the code.
+
+    n=5000, threshold 0.85, recall 0.9999:
+      p_min = 1 - arccos(0.85)/pi = 0.823398...
+      b=13: p^13 = 0.0796  -> T = ceil(ln(1e-4)/ln(1-0.0796)) = 111,
+            frac = 1-(1-2^-13)^111 = 0.01346,
+            cost = 111*C(5000,2)/2^13 + 5000*111 = 724,339
+      b=12 -> T=91,  cost 732,654;  b=14 -> T=136, cost 783,739
+    so (13, 111) is the cost-argmin among pruning bandings."""
+    from chessmate_spark.operators.dedup import lsh_plan_for
+
+    plan = lsh_plan_for(5000, 0.85, target_recall=0.9999)
+    assert (plan.n_planes, plan.n_tables) == (13, 111)
+    assert plan.prunes
+    assert abs(plan.candidate_fraction - 0.013459) < 1e-4
+
+
+def test_minhash_plan_hand_computed_fixed_points():
+    """The Jaccard twin's model pin (same rationale).  At j=0.5, recall
+    0.999: rows=2 -> j^2=0.25, bands = ceil(ln(1e-3)/ln(0.75)) = 25
+    (50 hashes); rows=3 -> j^3=0.125, bands = ceil(ln(1e-3)/ln(0.875))
+    = 52 (156 hashes).  Background 0.05: bg_frac(r=2) = 1-(1-0.0025)^25
+    = 0.0607, bg_frac(r=3) = 1-(1-0.000125)^52 = 0.00648.  Costs
+    (bg_frac*C(n,2) + n*(hashes+bands)): at n=500 rows=2 wins (45,067
+    vs 104,808); at n=5000 rows=3 wins (1,120,975 vs 1,133,104 —
+    r=2's spurious mass dominates), so the committed d24/d26 dials."""
+    from chessmate_spark.operators.dedup import minhash_banding_plan
+
+    p500 = minhash_banding_plan(500, 0.5, target_recall=0.999)
+    assert (p500.num_hashes, p500.bands, p500.rows) == (50, 25, 2)
+    assert p500.prunes
+    p5000 = minhash_banding_plan(5000, 0.5, target_recall=0.999)
+    assert (p5000.num_hashes, p5000.bands, p5000.rows) == (156, 52, 3)
+    assert p5000.prunes
+    assert abs(p5000.background_fraction - 0.006479) < 1e-4
+
+
+def test_minhash_plan_small_n_guard():
+    """n < 2 has no pairs: every banding's costs tie near zero, so the
+    argmin verdict is meaningless (and negative n would flip cost
+    signs) — the planner must early-return the degenerate (1, 1, 1)
+    non-pruning plan, mirroring lsh_plan_for's first branch."""
+    from chessmate_spark.operators.dedup import minhash_banding_plan
+
+    for n in (1, 0, -3):
+        plan = minhash_banding_plan(n, 0.5)
+        assert (plan.num_hashes, plan.bands, plan.rows) == (1, 1, 1)
+        assert not plan.prunes
+
+
 def test_lsh_plan_fraction_monotone_in_threshold():
     """Higher thresholds can only make pruning easier: the committed
     plan's candidate fraction is non-increasing along the threshold
