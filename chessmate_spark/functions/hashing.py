@@ -167,3 +167,44 @@ def simhash_expr(tokens: Column, bits: int = 32) -> Column:
     return F.aggregate(
         bit_values, F.lit(0).cast("bigint"), lambda acc, x: acc + x
     )
+
+
+PORTABLE_PLANE_SCALE = 1_000_000
+PORTABLE_QUANT = 1_000_000
+# 16^15 = 2^60: the hash-to-unit divisor shared by every engine mirror
+HASH60_UNIT = float(1 << 60)
+
+
+def portable_hyperplanes(n_tables: int, n_planes: int, dim: int,
+                         scale: int = PORTABLE_PLANE_SCALE):
+    """Deterministic INTEGER hyperplanes derived from md5 — reproducible in
+    any engine (the ``universal_constants`` discipline applied to
+    random-projection LSH, so a SQL oracle can mirror signatures
+    hash-for-hash instead of trusting an RNG state):
+
+        c(t, p, i) = md5_60('hp:' || t || ':' || p || ':' || i)
+                       % (2*scale + 1) - scale        ∈ [-scale, scale]
+
+    Components are uniform on an integer cube rather than Gaussian; for
+    SIGN-projection LSH the bucket candidates are verified exactly
+    afterwards, so plane quality only shifts the S-curve slightly — while
+    integer components make the signature arithmetic EXACT (no float
+    summation-order hazard between engines).  Returns an
+    (n_tables * n_planes, dim) int64 matrix.
+    """
+    import hashlib
+
+    import numpy as np
+
+    mod = 2 * scale + 1
+    out = np.empty((n_tables * n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            row = t * n_planes + p
+            for i in range(dim):
+                h = int(
+                    hashlib.md5(f"hp:{t}:{p}:{i}".encode()).hexdigest()[:15],
+                    16,
+                )
+                out[row, i] = h % mod - scale
+    return out

@@ -163,6 +163,33 @@ def signatures_udf(planes):
     return sigs
 
 
+def portable_signatures_udf(planes_int, n_tables, n_planes, quant):
+    """Integer-exact sibling of ``signatures_udf`` for the PORTABLE
+    hyperplane family (functions/hashing.py portable_hyperplanes): the
+    vector is quantized to ``q_i = floor(v_i * quant + 0.5)`` (BIGINT —
+    the portable_round grid), the dot products ``q · c`` run in int64
+    (|q|<=quant*|v|, |c|<=scale: 64-dim unit-ish vectors stay far below
+    2^63, and integer sums are associativity-free, so a SQL mirror
+    computing the same products in any order lands on the SAME sign —
+    no float summation-order hazard), and each table's sign bits pack
+    little-endian into one bigint band value."""
+    T, P = n_tables, n_planes
+    flat = np.asarray(planes_int, dtype=np.int64)
+    weights = (1 << np.arange(P)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack([]) raises; a zero-row partition is legal
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        Q = np.floor(X * quant + 0.5).astype(np.int64)
+        bits = (Q @ flat.T) >= 0
+        ints = bits.reshape(len(X), T, P).astype(np.int64) @ weights
+        return pd.Series([row.tolist() for row in ints])
+
+    return sigs
+
+
 def _pq_codes_matrix(X: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(rows, dim) -> (rows, m) int32 nearest-centroid indices per
     subspace.  One matmul per subspace; argmin ||x - c||^2 ==

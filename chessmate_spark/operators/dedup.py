@@ -720,6 +720,74 @@ def embedding_neardup_lsh(
     return scored.filter(F.col("score") >= F.lit(threshold))
 
 
+def portable_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` with the PORTABLE integer hyperplane family
+    (functions/hashing.py ``portable_hyperplanes``): planes are md5-derived
+    integers and signatures are exact int64 arithmetic on the quantized
+    vector, so an independent SQL engine can reproduce every band value
+    hash-for-hash — the property d25's oracle-pinned pruning arm needs
+    (``signatures_udf``'s numpy-RandomState planes and float dot products
+    cannot cross an engine boundary bit-exactly).
+
+    Same plan shape as ``lsh_candidate_pairs``: signatures land once per
+    row, the self-join shuffles (table, band-value) keys only, pairs are
+    deduped before any vector is touched.
+    """
+    from ..functions.hashing import portable_hyperplanes
+    from ..functions.vector_pandas import portable_signatures_udf
+
+    planes = portable_hyperplanes(n_tables, n_planes, dim)
+    sigs = portable_signatures_udf(planes, n_tables, n_planes, quant)
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(sigs(F.col(vec_col))).alias("_table", "_sig"),
+    )
+    right = tagged.select(
+        F.col("_table"), F.col("_sig"), F.col("_id").alias("_idb")
+    )
+    return (
+        tagged.join(right, ["_table", "_sig"])
+        .filter(F.col("_id") < F.col("_idb"))
+        .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def portable_hyperplane_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Planned-banding near-dup detection in the PRUNING regime with a
+    fully portable candidate stage: ``portable_lsh_candidate_pairs``
+    buckets, then the standard exact-cosine verification tail.  Callers
+    size (n_planes, n_tables) with ``lsh_plan_for`` at their threshold;
+    the d25 entry freezes the gate-corpus plan so a static SQL oracle
+    can mirror the banding (the d24 convention)."""
+    cands = portable_lsh_candidate_pairs(
+        df, id_col, vec_col, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, quant=quant,
+    )
+    return embedding_neardup_lsh(
+        df, id_col, vec_col, threshold, dim=dim, round_digits=round_digits,
+        candidates=cands,
+    )
+
+
 def incremental_minhash_dedup(
     existing: DataFrame,
     batch: DataFrame,

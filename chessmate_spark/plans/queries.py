@@ -995,6 +995,154 @@ def d24_minhash_planned_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# d25: the hyperplane planner's PRUNING arm, oracle-pinned (the d24
+# freezing convention applied to the cosine family).  Dial notes:
+#   * threshold 0.8 — the regime hyperplane LSH exists for (d7's 0.35
+#     is proven non-prunable by lsh_plan_for and routes exact).
+#   * (9 planes, 51 tables) = lsh_plan_for(550, 0.8, target_recall=0.999)
+#     — the gate corpus is 500 embeddings + 50 planted twins.  FROZEN at
+#     the gate plan so the static oracle mirrors one banding at every
+#     scale factor; candidate fraction is dial-only (0.0949), so the
+#     frozen dial stays pruning at sf0.1 too.
+#   * planted twins: the synthetic corpus is near-uniform (max background
+#     cosine 0.60 at sf0.1), so without plants the entry would be
+#     vacuously empty.  Twin of row id (id < 50): id + 1000000, vector
+#     v_i + (u(id,i)*2 - 1) * 0.09 with u = md5_60('tw:id:i') / 2^60 —
+#     pure double arithmetic both engines compute bit-identically;
+#     cosine(v, twin) ≈ 0.92 - 0.96, comfortably above threshold.
+_D25_THRESHOLD = 0.8
+_D25_PLANES = 9
+_D25_TABLES = 51
+_D25_DELTA = 0.09
+_D25_TWINS = 50
+_D25_QUANT = 1_000_000
+_D25_PLANE_MOD = 2_000_001  # 2 * PORTABLE_PLANE_SCALE + 1
+_HASH60_DIV = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+def _d25_oracle() -> str:
+    cos = _duck_cosine("a.v", "b.v")
+    twin_u = (
+        "(('0x' || substring(md5('tw:' || CAST(vec_id AS VARCHAR) || ':' "
+        "|| CAST(i AS VARCHAR)), 1, 15))::BIGINT / " + _HASH60_DIV + ")"
+    )
+    plane_c = (
+        "((('0x' || substring(md5('hp:' || CAST(t.range AS VARCHAR) || ':' "
+        "|| CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)), "
+        f"1, 15))::BIGINT) % {_D25_PLANE_MOD}) - {_D25_PLANE_MOD // 2}"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS id,
+             [CAST(embedding[i + 1] AS DOUBLE)
+              + ({twin_u} * 2.0 - 1.0) * {_D25_DELTA}
+              FOR i IN range({_EMBED_DIM})] AS v
+      FROM embeddings WHERE vec_id < {_D25_TWINS}),
+    q AS (
+      SELECT id,
+             [CAST(floor(v[i + 1] * {_D25_QUANT}.0 + 0.5) AS BIGINT)
+              FOR i IN range({_EMBED_DIM})] AS qv
+      FROM base),
+    planes AS (
+      SELECT t.range AS t, p.range AS p, i.range AS i, {plane_c} AS c
+      FROM range({_D25_TABLES}) t, range({_D25_PLANES}) p,
+           range({_EMBED_DIM}) i),
+    dots AS (
+      SELECT q.id, pl.t, pl.p, sum(q.qv[pl.i + 1] * pl.c) AS dot
+      FROM q, planes pl GROUP BY q.id, pl.t, pl.p),
+    sig AS (
+      SELECT id, t,
+             sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS band
+      FROM dots GROUP BY id, t),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b
+        ON a.t = b.t AND a.band = b.band AND a.id < b.id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             floor({cos} * 1000000 + 0.5) / 1000000 AS score
+      FROM cand c
+      JOIN base a ON a.id = c.id_a
+      JOIN base b ON b.id = c.id_b)
+    SELECT id_a, id_b, score FROM scored
+    WHERE score >= {_D25_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+def _d25_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as double vectors plus the 50 planted near-dup twins —
+    every float op mirrored expression-for-expression in _d25_oracle's
+    base CTE (single add/multiply chains, no summation-order hazard)."""
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def perturb(x, i):
+        c = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("tw:"),
+                        F.col("vec_id").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = c / F.lit(float(1 << 60))
+        return x.cast("double") + (u * F.lit(2.0) - F.lit(1.0)) * F.lit(
+            _D25_DELTA
+        )
+
+    twins = emb.filter(F.col("vec_id") < _D25_TWINS).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("id"),
+        F.transform("embedding", perturb).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+@_register("d25_hyperplane_planned_neardup", _d25_oracle())
+def d25_hyperplane_planned_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup in the PRUNING regime, oracle-pinned: the
+    planner arm d7 structurally cannot exercise (its 0.35 threshold is
+    proven non-prunable; its oracle is exact all-pairs) runs here at
+    threshold 0.8 with the planned (9, 51) banding mirrored
+    HASH-FOR-HASH by the DuckDB oracle — signatures are exact int64
+    arithmetic over md5-derived integer planes
+    (portable_hyperplanes/portable_signatures_udf), so both engines
+    compute identical band values and identical candidate sets, making
+    the entry bit-exact at every scale factor regardless of LSH recall
+    (the d24 convention for the Jaccard family, applied to cosine).
+
+    The corpus is near-uniform (max background cosine 0.60), so 50
+    deterministic near-dup twins (cos ≈ 0.92-0.96) are planted by pure
+    double arithmetic both engines share; the dial keeps the random-
+    candidate fraction at 0.0949 — the pruning behaviour the planner
+    promised, measured against all-pairs in SCALE_SMOKE
+    `hyperplane_planned`."""
+    from ..operators.dedup import portable_hyperplane_neardup
+
+    aug = _d25_augmented(spark, sf_dir)
+    out = portable_hyperplane_neardup(
+        aug, "id", "v", _D25_THRESHOLD, dim=_EMBED_DIM,
+        n_planes=_D25_PLANES, n_tables=_D25_TABLES, quant=_D25_QUANT,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def _ngram_jaccard_oracle(min_j: float = 0.15) -> str:
     toks = _DUCK_NORM_TOKENS.format(col="text")
     return f"""

@@ -1625,6 +1625,105 @@ def measure_minhash_planner(spark, out_path: str) -> "list[str]":
     return failures
 
 
+HYPERPLANE_PLANNED_RECALL_FLOOR = 0.98
+
+
+def measure_hyperplane_planned(spark, out_path: str) -> "list[str]":
+    """Empirical validation of the d25 entry's PRUNING-ARM pipeline
+    (round 11): the portable integer-hyperplane banding at the frozen
+    planned dial (9 planes, 51 tables from lsh_plan_for(550, 0.8,
+    0.999)), run on the d25 augmented corpus at sf0.1 (2,000 embeddings
+    + 50 planted twins at cos ~0.92).  Records the measured candidate
+    fraction next to the planner's isotropic estimate (0.0949 — dial-
+    only), recall/precision against the exact all-pairs baseline at the
+    0.8 threshold, and both walls.  Gates: recall above the floor and
+    the candidate stage must actually prune (< 0.5 of all-pairs).
+    Updates the `hyperplane_planned` block in place."""
+    from chessmate_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        lsh_plan_for,
+        portable_lsh_candidate_pairs,
+    )
+    from chessmate_spark.plans.queries import (
+        _D25_PLANES,
+        _D25_TABLES,
+        _D25_THRESHOLD,
+        _d25_augmented,
+    )
+    from chessmate_spark.plans.queries import QUERIES as _Q
+
+    aug = _d25_augmented(spark, SRC).persist()
+    n = aug.count()
+    n_pairs = n * (n - 1) / 2.0
+    plan = lsh_plan_for(550, _D25_THRESHOLD, target_recall=0.999)
+
+    t0 = time.perf_counter()
+    exact_rows = {
+        (r[0], r[1])
+        for r in embedding_neardup_pairs(aug, "id", "v", _D25_THRESHOLD)
+        .select("id_a", "id_b").collect()
+    }
+    exact_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cand_df = portable_lsh_candidate_pairs(
+        aug, "id", "v", dim=64, n_planes=_D25_PLANES, n_tables=_D25_TABLES,
+    ).persist()
+    try:
+        cand = cand_df.count()
+        got_rows = {
+            (r[0], r[1])
+            for r in _Q["d25_hyperplane_planned_neardup"][0](spark, SRC)
+            .select("id_a", "id_b").collect()
+        }
+    finally:
+        cand_df.unpersist()
+    lsh_s = time.perf_counter() - t0
+    aug.unpersist()
+
+    hit = len(exact_rows & got_rows)
+    recall = hit / len(exact_rows) if exact_rows else 1.0
+    precision = hit / len(got_rows) if got_rows else 1.0
+    frac = cand / n_pairs
+    block = {
+        "rows": n,
+        "threshold": _D25_THRESHOLD,
+        "planes": _D25_PLANES,
+        "tables": _D25_TABLES,
+        "recall_floor": HYPERPLANE_PLANNED_RECALL_FLOOR,
+        "true_pairs": len(exact_rows),
+        "candidates_measured": cand,
+        "candidates_isotropic_est": int(n_pairs * plan.candidate_fraction),
+        "candidate_fraction_measured": round(frac, 4),
+        "recall": round(recall, 6),
+        "precision": round(precision, 6),
+        "exact_s": round(exact_s, 2),
+        "lsh_s": round(lsh_s, 2),
+    }
+    print(
+        f"hyperplane_planned: ({_D25_PLANES},{_D25_TABLES}) "
+        f"true={len(exact_rows)} cand={cand:,} "
+        f"(isotropic est {block['candidates_isotropic_est']:,}) "
+        f"frac={frac:.4f} recall={recall:.6f} precision={precision:.6f} "
+        f"exact {exact_s:.1f}s lsh {lsh_s:.1f}s",
+        flush=True,
+    )
+    failures = []
+    # an empty exact set would make the recall gate vacuous — the plant
+    # must exist (50 twins) before green evidence means anything
+    if len(exact_rows) < 40:
+        failures.append("hyperplane_planned:positives")
+    if recall < HYPERPLANE_PLANNED_RECALL_FLOOR:
+        failures.append("hyperplane_planned:recall")
+    if frac >= 0.5:
+        failures.append("hyperplane_planned:fraction")
+    merge_smoke_block(
+        out_path, "hyperplane_planned", block, failures,
+        "hyperplane_planned:",
+    )
+    return failures
+
+
 def main() -> int:
     recall_only = sys.argv[1:] == ["--recall-only"]
     linearity_only = sys.argv[1:] == ["--linearity"]
@@ -1637,11 +1736,12 @@ def main() -> int:
     ann_clustered_only = sys.argv[1:] == ["--ann-clustered"]
     lsh_planner_only = sys.argv[1:] == ["--lsh-planner"]
     minhash_planner_only = sys.argv[1:] == ["--minhash-planner"]
+    hyperplane_planned_only = sys.argv[1:] == ["--hyperplane-planned"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
         or pq_bytes_only or chess_only or decontam_only or bloom_only
         or ann_clustered_only or lsh_planner_only
-        or minhash_planner_only
+        or minhash_planner_only or hyperplane_planned_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1706,6 +1806,13 @@ def main() -> int:
             return 1
         print("OK: planned minhash banding meets its recall target")
         return 0
+    if hyperplane_planned_only:
+        failures = measure_hyperplane_planned(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: d25 pruning-arm banding prunes and meets its recall floor")
+        return 0
     if ann_clustered_only:
         print("building clustered corpus ...", flush=True)
         build_clustered(spark)
@@ -1757,7 +1864,8 @@ def main() -> int:
                                          "decontam:", "bloom:",
                                          "ann_clustered:", "crossover:",
                                          "lsh_planner:",
-                                         "minhash_planner:"))]
+                                         "minhash_planner:",
+                                         "hyperplane_planned:"))]
         else:
             # keep the standing probe blocks, and MERGE prior per-query
             # rows so a targeted rerun (scale_smoke.py <name> ...)
@@ -1768,7 +1876,7 @@ def main() -> int:
                           "chess_pipeline", "decontam_recall",
                           "bloom_route", "ann_recall_clustered",
                           "route_crossover", "lsh_planner",
-                          "minhash_planner"):
+                          "minhash_planner", "hyperplane_planned"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))
@@ -1777,7 +1885,8 @@ def main() -> int:
                                          "decontam:", "bloom:",
                                          "ann_clustered:", "crossover:",
                                          "lsh_planner:",
-                                         "minhash_planner:"))]
+                                         "minhash_planner:",
+                                         "hyperplane_planned:"))]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]

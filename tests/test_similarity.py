@@ -729,3 +729,91 @@ def test_ivfpq_append_rejects_mismatched_id_type(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="cast the delta"):
         append_to_ivfpq_index(stringy, "neighbor_id", idx)
+
+
+def test_portable_signatures_match_independent_python_mirror(spark, emb):
+    """The d25 portability contract: band values from the Arrow-batched
+    numpy path must equal an independent pure-Python recomputation from
+    the md5 definition (the same arithmetic the DuckDB oracle runs) —
+    int64-exact, no summation-order hazard to tolerate."""
+    import hashlib
+
+    from chessmate_spark.functions.hashing import portable_hyperplanes
+    from chessmate_spark.functions.vector_pandas import (
+        portable_signatures_udf,
+    )
+
+    T, P, D, QUANT = 3, 5, 64, 1_000_000
+    planes = portable_hyperplanes(T, P, D)
+    sigs = portable_signatures_udf(planes, T, P, QUANT)
+    sample = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id", sigs(F.col("embedding")).alias("sig")
+    )
+    got = {r["vec_id"]: r["sig"] for r in sample.collect()}
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    mod = 2_000_001
+    for vid, v in vecs.items():
+        q = [int(__import__("math").floor(float(x) * QUANT + 0.5)) for x in v]
+        expect = []
+        for t in range(T):
+            val = 0
+            for p in range(P):
+                dot = 0
+                for i in range(D):
+                    h = int(
+                        hashlib.md5(f"hp:{t}:{p}:{i}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    dot += q[i] * (h % mod - 1_000_000)
+                if dot >= 0:
+                    val |= 1 << p
+            expect.append(val)
+        assert got[vid] == expect, f"vec {vid}: {got[vid]} != {expect}"
+
+
+def test_portable_hyperplane_neardup_pruning_regime(spark, emb):
+    """The planner's pruning arm end-to-end: planted twins at cos ~0.92
+    are all recovered at threshold 0.8 with the planned (9, 51) banding,
+    no false positives (exact verify), and the candidate stage actually
+    PRUNES (candidate pairs well below all-pairs)."""
+    from chessmate_spark.operators.dedup import (
+        lsh_plan_for,
+        portable_hyperplane_neardup,
+        portable_lsh_candidate_pairs,
+    )
+
+    plan = lsh_plan_for(550, 0.8, target_recall=0.999)
+    assert plan.prunes and (plan.n_planes, plan.n_tables) == (9, 51)
+
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") + (i % 3 - 1) * 0.05
+        ).alias("v"),
+    )
+    aug = base.unionByName(twins)
+    out = portable_hyperplane_neardup(
+        aug, "id", "v", 0.8, dim=64,
+        n_planes=plan.n_planes, n_tables=plan.n_tables,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, i + 1000000) for i in range(20)}
+    assert planted <= pairs, f"missing planted pairs: {planted - pairs}"
+    # exact verify: every returned pair really clears the threshold
+    for r in out.collect():
+        assert r["score"] >= 0.8
+    n = aug.count()
+    cand = portable_lsh_candidate_pairs(
+        aug, "id", "v", dim=64, n_planes=plan.n_planes,
+        n_tables=plan.n_tables,
+    ).count()
+    assert cand < 0.2 * n * (n - 1) / 2, (
+        f"candidate stage did not prune: {cand} of {n*(n-1)//2} pairs"
+    )
