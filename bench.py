@@ -106,6 +106,8 @@ HEADLINE = [
     # planner-sized minhash dedup: the (50, 25) operating point frozen
     # at the gate-corpus plan (see the entry docstring)
     "d24_minhash_planned_dedup",
+    "d25_hyperplane_planned_neardup",
+    "d26_minhash_adaptive_dedup",
     "t4_stratified_sample",
     "t5_sequence_pack",
     "t6_repetition_score",

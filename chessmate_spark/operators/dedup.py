@@ -607,6 +607,59 @@ def minhash_banding_plan(
     return best
 
 
+def minhash_planned_dial(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.999,
+) -> MinhashPlan:
+    """``minhash_banding_plan`` quantized to DECADE representatives: the
+    plan for ``rep = max(500, 5 * 10^k)`` where ``10^k <= n < 10^(k+1)``
+    (the 500 floor is the gate corpus).  The dial becomes a
+    deterministic STEP function of corpus size, so a static SQL oracle
+    can mirror the dial choice with a bracket predicate on ``count(*)``
+    — the property the d26 entry's DuckDB mirror needs, and the reason
+    a runtime-planned dial is safe under a static oracle at all.
+
+    Quantization is free with respect to recall: detection at the
+    threshold depends only on (rows, bands), which any planned dial
+    satisfies; corpus size only moves the cost argmin, and within one
+    decade the argmin moves at most one rows-step (the committed
+    brackets: (50, 25) through 999 docs, (156, 52) through 99,999,
+    (432, 108) through 999,999 at threshold 0.5)."""
+    rep = max(500, 5 * 10 ** (len(str(max(int(n_rows), 1))) - 1))
+    return minhash_banding_plan(rep, threshold, target_recall=target_recall)
+
+
+def minhash_route(
+    n_rows: int,
+    threshold: float,
+    fallback: "tuple[int, int]" = (16, 4),
+    target_recall: float = 0.999,
+):
+    """d7-style planner routing for the MinHash production entries
+    (d2 ``_lsh_pairs``, d12 incremental): consult the banding planner
+    and return ``(num_hashes, bands, plan)``.
+
+    * prunable threshold — the decade-quantized planned dial: recall
+      >= target at the threshold, background candidates bounded (the
+      regime d24/d26 pin against their oracles).
+    * non-prunable threshold (the planner PROVES every target-reaching
+      banding admits >= half of all-pairs as background candidates —
+      true at the production entries' declared 0.1, where the best
+      banding is (66, 66, 1) at background fraction 0.97) — return the
+      declared fallback dial: the tractability compromise, whose
+      detection-at-threshold from ``plan`` is the honest recall
+      disclosure (the planned dial would cost ~all-pairs, strictly
+      worse than the exact d3-style blocked verify it was meant to
+      avoid).  The returned plan carries the refusal so callers can
+      log/assert it.
+    """
+    plan = minhash_planned_dial(n_rows, threshold, target_recall)
+    if plan.prunes:
+        return plan.num_hashes, plan.bands, plan
+    return fallback[0], fallback[1], plan
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,

@@ -937,10 +937,30 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prune_lsh_cache()
     key = (id(spark), sf_dir)
     if key not in _LSH_PAIR_CACHE:
+        from ..operators.dedup import minhash_route
+
         docs = _docs(spark, sf_dir)
+        # planner-routed dial (round 11): at the declared 0.1 threshold
+        # the planner PROVES pruning infeasible (best target-reaching
+        # banding (66, 66, 1) admits 97% of all-pairs as background —
+        # "LSH" there is all-pairs wearing a shuffle), so the route
+        # returns the declared (16, 4) fallback: the tractability
+        # compromise, detection-at-0.1 ~0.0004 by the S-curve, i.e.
+        # only strong near-dups (J >~ 0.7, detection > 0.55) are
+        # reliably surfaced — the semantics the mirrored oracle pins.
+        # The asserts are the static-oracle tripwire: if the planner
+        # ever routes differently, the entry must fail loudly rather
+        # than drift from its (16, 4) mirror.  The prunable-regime
+        # counterpart entries are d24 (frozen planned dial) and d26
+        # (corpus-adaptive planned dial, bracket-mirrored oracle).
+        hashes, bands, plan = minhash_route(docs.count(), 0.1)
+        assert not plan.prunes and (hashes, bands) == (16, 4), (
+            f"minhash_route returned ({hashes}, {bands}, prunes="
+            f"{plan.prunes}) but d2/d8/d10/d11's oracle mirrors (16, 4)"
+        )
         _LSH_PAIR_CACHE[key] = minhash_lsh_candidates(
             docs, "doc_id", "text",
-            shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+            shingle_n=3, num_hashes=hashes, bands=bands, min_jaccard=0.1,
         )
     return _LSH_PAIR_CACHE[key]
 
@@ -1141,6 +1161,136 @@ def d25_hyperplane_planned_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         n_planes=_D25_PLANES, n_tables=_D25_TABLES, quant=_D25_QUANT,
     )
     return out.orderBy("id_a", "id_b")
+
+
+_D26_THRESHOLD = 0.5
+_D26_BRACKET_CAP = 1_000_000
+
+
+def _minhash_adaptive_brackets(
+    threshold: float = _D26_THRESHOLD, target_recall: float = 0.999
+) -> "list[tuple[int, int, int, int]]":
+    """(count_lo, count_hi, num_hashes, bands) rows mirroring
+    ``minhash_planned_dial``'s decade step function through the
+    _D26_BRACKET_CAP corpus ceiling, adjacent equal dials merged — the
+    bracket table BOTH the Spark entry and the SQL oracle derive their
+    dial from, so they cannot disagree by construction."""
+    from ..operators.dedup import minhash_planned_dial
+
+    out: "list[list[int]]" = []
+    for lo, hi, rep in (
+        (0, 1_000, 500),
+        (1_000, 10_000, 5_000),
+        (10_000, 100_000, 50_000),
+        (100_000, 1_000_000, 500_000),
+    ):
+        p = minhash_planned_dial(rep, threshold, target_recall)
+        if out and out[-1][1] == lo and out[-1][2:] == [p.num_hashes, p.bands]:
+            out[-1][1] = hi
+        else:
+            out.append([lo, hi, p.num_hashes, p.bands])
+    return [tuple(row) for row in out]
+
+
+def _minhash_adaptive_oracle(min_j: float = _D26_THRESHOLD) -> str:
+    """The d2 oracle parameterized by the PLANNED dial per corpus-size
+    bracket: one banding pipeline per bracket, each branch's documents
+    scan gated on ``count(*)`` so exactly one branch is non-empty — the
+    static-string mirror of a runtime-planned dial.  Signature hashing
+    is restructured to ONE md5 per shingle (the base hash precomputed,
+    then cheap (a*h+b) mod P per hash function — the minhash_expr
+    discipline), which keeps the 156-hash branch affordable."""
+    from ..functions.hashing import MINHASH_PRIME, minhash_constants
+
+    toks = _DUCK_NORM_TOKENS.format(col="text")
+    base = (
+        f"(('0x' || substring(md5('mh:' || s), 1, 15))::BIGINT % {MINHASH_PRIME})"
+    )
+    cnt = "(SELECT count(*) FROM documents)"
+    ctes = []
+    finals = []
+    for bi, (lo, hi, num_hashes, bands) in enumerate(_minhash_adaptive_brackets(min_j)):
+        rows = num_hashes // bands
+        consts = minhash_constants(num_hashes)
+        sig_items = ", ".join(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+            for a, b in consts
+        )
+        ctes.append(f"""
+    toks{bi} AS (
+      SELECT doc_id, {toks} AS tokens FROM documents
+      WHERE {cnt} >= {lo} AND {cnt} < {hi}),
+    sh{bi} AS (
+      SELECT doc_id, {_DUCK_SHINGLES3} AS shingles FROM toks{bi}),
+    hs{bi} AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {base}) AS hs
+      FROM sh{bi}),
+    sig{bi} AS (
+      SELECT doc_id, shingles, [{sig_items}] AS signature FROM hs{bi}),
+    bands{bi} AS (
+      SELECT doc_id, shingles, unnest(
+        [CAST(b AS VARCHAR) || ':' ||
+         md5(array_to_string(list_transform(
+             list_slice(signature, b * {rows} + 1, b * {rows} + {rows}),
+             x -> CAST(x AS VARCHAR)), ','))
+         FOR b IN range({bands})]) AS band
+      FROM sig{bi}),
+    pairs{bi} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.shingles AS sh_a, b.shingles AS sh_b
+      FROM bands{bi} a JOIN bands{bi} b
+        ON a.band = b.band AND a.doc_id < b.doc_id)""")
+        finals.append(f"""
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+      FROM pairs{bi}
+      WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / len(list_distinct(list_concat(sh_a, sh_b))) >= {min_j}""")
+    return (
+        "WITH " + ",".join(ctes)
+        + "\n    SELECT id_a, id_b, jaccard FROM ("
+        + "\n      UNION ALL".join(finals)
+        + ")\n    ORDER BY id_a, id_b"
+    )
+
+
+@_register("d26_minhash_adaptive_dedup", _minhash_adaptive_oracle())
+def d26_minhash_adaptive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup with the dial PLANNED FROM THE CORPUS at run
+    time — the loop d24 left open (its dial is frozen at the gate-corpus
+    plan).  The entry counts the corpus, takes
+    ``minhash_planned_dial(n, 0.5)``'s decade-quantized banding, and
+    runs the standard candidates-then-exact-verify pipeline; the DuckDB
+    mirror carries one banding pipeline per corpus-size bracket, gated
+    on ``count(*)``, so the SAME planned dial is mirrored hash-for-hash
+    whatever scale factor the driver runs — the dial actually CHANGES
+    across the committed sweeps ((50, 25) at the 500-doc sf0.001/sf0.01
+    corpora, (156, 52) at the 5,000-doc sf0.1 corpus) and the entry
+    stays bit-exact at each.  Production callers use the un-quantized
+    planner directly; the brackets exist so a static oracle can follow
+    the dial (extension past 10^6 docs is one more generated branch —
+    the assert below keeps Spark and the oracle honest about the
+    ceiling)."""
+    from ..operators.dedup import minhash_lsh_candidates, minhash_planned_dial
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    assert n < _D26_BRACKET_CAP, (
+        f"corpus of {n} docs is past the oracle's bracket table — "
+        "extend _minhash_adaptive_brackets before trusting the mirror"
+    )
+    plan = minhash_planned_dial(n, _D26_THRESHOLD)
+    assert plan.prunes  # threshold 0.5 is the prunable regime
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=plan.num_hashes, bands=plan.bands,
+        min_jaccard=_D26_THRESHOLD,
+    )
+    return pairs.select(
+        "id_a", "id_b", portable_round(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _ngram_jaccard_oracle(min_j: float = 0.15) -> str:
@@ -6276,15 +6426,26 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted signature store, so each increment shuffles only O(batch)
     band rows.  Plan shape identical to d2: (id, band) bucket join, exact
     shingle-Jaccard verify on candidates only, then a per-doc best-match
-    window bounded by candidate count."""
-    from ..operators.dedup import incremental_minhash_dedup
+    window bounded by candidate count.
+
+    Dial: planner-routed like d2's ``_lsh_pairs`` — 0.1 is the proven
+    non-prunable threshold, so ``minhash_route`` returns the declared
+    (16, 4) fallback the static oracle mirrors (assert = the tripwire);
+    an incremental run at a prunable threshold would take the planned
+    dial instead (d26 pins that regime's oracle mechanics)."""
+    from ..operators.dedup import incremental_minhash_dedup, minhash_route
 
     docs = _docs(spark, sf_dir)
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
+    hashes, bands, plan = minhash_route(docs.count(), 0.1)
+    assert not plan.prunes and (hashes, bands) == (16, 4), (
+        f"minhash_route returned ({hashes}, {bands}, prunes="
+        f"{plan.prunes}) but d12's oracle mirrors (16, 4)"
+    )
     out = incremental_minhash_dedup(
         existing, batch, "doc_id", "text",
-        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+        shingle_n=3, num_hashes=hashes, bands=bands, min_jaccard=0.1,
     )
     return out.select(
         "doc_id",

@@ -1569,11 +1569,20 @@ def measure_minhash_planner(spark, out_path: str) -> "list[str]":
     }
 
     plan = minhash_banding_plan(n, MINHASH_PLANNER_THRESHOLD)
+    # the decade-quantized dial the PRODUCTION route (minhash_route /
+    # d26) would pick for this corpus — measured beside the exact-n
+    # plan to show quantization costs nothing at the recall gate
+    from chessmate_spark.operators.dedup import minhash_planned_dial
+
+    adaptive = minhash_planned_dial(n, MINHASH_PLANNER_THRESHOLD)
     results = {}
-    for tag, hashes, bands in (
+    dials = [
         ("planned", plan.num_hashes, plan.bands),
         ("default", 16, 4),
-    ):
+    ]
+    if (adaptive.num_hashes, adaptive.bands) != (plan.num_hashes, plan.bands):
+        dials.append(("adaptive", adaptive.num_hashes, adaptive.bands))
+    for tag, hashes, bands in dials:
         t0 = time.perf_counter()
         got = {
             (r[0], r[1])
@@ -1599,6 +1608,12 @@ def measure_minhash_planner(spark, out_path: str) -> "list[str]":
             flush=True,
         )
     corpus.unpersist()
+    if "adaptive" not in results:
+        # quantized dial == exact-n plan at this corpus size: the
+        # planned row IS the adaptive measurement (recorded, not rerun)
+        results["adaptive"] = dict(
+            results["planned"], note="same dial as planned"
+        )
     block = {
         "rows": n,
         "threshold": MINHASH_PLANNER_THRESHOLD,
@@ -1607,6 +1622,7 @@ def measure_minhash_planner(spark, out_path: str) -> "list[str]":
         "plan_rows_per_band": plan.rows,
         "plan_background_fraction": round(plan.background_fraction, 6),
         "plan_prunes": plan.prunes,
+        "adaptive_dial": [adaptive.num_hashes, adaptive.bands],
         **results,
     }
     failures = []
@@ -1617,6 +1633,8 @@ def measure_minhash_planner(spark, out_path: str) -> "list[str]":
         failures.append("minhash_planner:positives")
     if results["planned"]["recall"] < MINHASH_PLANNER_RECALL_FLOOR:
         failures.append("minhash_planner:recall")
+    if results["adaptive"]["recall"] < MINHASH_PLANNER_RECALL_FLOOR:
+        failures.append("minhash_planner:adaptive_recall")
     if not plan.prunes:
         failures.append("minhash_planner:expected_prunable")
     merge_smoke_block(

@@ -365,3 +365,65 @@ def test_minhash_plan_infeasible_threshold_never_claims_prune():
     assert plan.num_hashes == 1
     assert not plan.prunes
     assert plan.detection_at_threshold < 0.999
+
+
+# ---------------------------------------------------------------------------
+# minhash_planned_dial / minhash_route: the production routing (round 11)
+
+
+def test_minhash_planned_dial_decade_steps():
+    """The decade-quantized step function a static SQL oracle can
+    mirror: dial changes exactly at the committed bracket boundaries."""
+    from chessmate_spark.operators.dedup import minhash_planned_dial
+
+    def dial(n):
+        p = minhash_planned_dial(n, 0.5)
+        return (p.num_hashes, p.bands)
+
+    assert dial(2) == (50, 25)      # floored at the 500-doc gate corpus
+    assert dial(500) == (50, 25)
+    assert dial(999) == (50, 25)
+    assert dial(1_000) == (156, 52)
+    assert dial(5_000) == (156, 52)
+    assert dial(99_999) == (156, 52)
+    assert dial(100_000) == (432, 108)
+    assert dial(999_999) == (432, 108)
+
+
+def test_minhash_route_regimes():
+    """Prunable threshold -> the planned dial; proven-non-prunable
+    threshold (the production entries' 0.1) -> the declared fallback,
+    with the refusing plan carried for disclosure."""
+    from chessmate_spark.operators.dedup import minhash_route
+
+    h, b, plan = minhash_route(500, 0.5)
+    assert (h, b) == (50, 25) and plan.prunes
+    h, b, plan = minhash_route(5_000, 0.5)
+    assert (h, b) == (156, 52) and plan.prunes
+
+    for n in (500, 5_000, 500_000):
+        h, b, plan = minhash_route(n, 0.1)
+        assert (h, b) == (16, 4), "non-prunable must return the fallback"
+        assert not plan.prunes
+        # the disclosure: the planner's best banding at 0.1 admits ~97%
+        # of all-pairs as background — why the fallback stands
+        assert plan.background_fraction > 0.9
+
+
+def test_minhash_adaptive_brackets_match_dial_function():
+    """The d26 bracket table (what the oracle mirrors) must agree with
+    minhash_planned_dial at every bracket edge and interior point."""
+    from chessmate_spark.operators.dedup import minhash_planned_dial
+    from chessmate_spark.plans.queries import _minhash_adaptive_brackets
+
+    brackets = _minhash_adaptive_brackets()
+    assert brackets[0][0] == 0
+    for (lo, hi, hashes, bands), nxt in zip(brackets, brackets[1:] + [None]):
+        if nxt is not None:
+            assert nxt[0] == hi, "brackets must tile without gaps"
+        for n in (max(lo, 2), (lo + hi) // 2, hi - 1):
+            p = minhash_planned_dial(n, 0.5)
+            assert (p.num_hashes, p.bands) == (hashes, bands), (
+                f"bracket [{lo},{hi}) says ({hashes},{bands}) but the "
+                f"dial at n={n} is ({p.num_hashes},{p.bands})"
+            )
