@@ -1545,7 +1545,7 @@ def semantic_decontaminate(
     id_col: str,
     vec_col: str,
     threshold: float,
-    route: str = "broadcast",
+    route: str = "auto",
     n_clusters: Optional[int] = None,
     n_probe: int = 2,
     seed: int = 42,
@@ -1593,11 +1593,33 @@ def semantic_decontaminate(
     bet: on a near-uniform corpus the probed cells overlap so much
     that nothing sheds (measured 307 s vs 38 s — pure overhead), the
     same worst case IVF has; stay on broadcast there at any eval size.
+
+    ``route="auto"`` (default, round 11): encode that measurement as
+    the routing decision instead of a docstring a user must find.
+    Cheap observables only — two counts, and (past the crossover
+    thresholds) a sampled cluster-shed ESTIMATE:
+
+    * eval under ``_AUTO_EVAL_FRAC`` of the corpus, or total pair work
+      under ``_AUTO_MIN_PAIRS`` → broadcast (the measured win regime,
+      and the EXACT route — the gate entries land here by
+      construction).
+    * otherwise train the cells route's own centroids once and
+      estimate the candidate fraction from sampled multi-probe
+      assignments (sum over cells of train-share × eval-share — this
+      measures the clustering bet directly: a skewed/overlapping
+      assignment on near-uniform corpora reads high and keeps
+      broadcast; a genuinely clustered corpus reads low and routes to
+      cells, re-using the already-trained centroids).  Cells at
+      partial probe is subset-approximate exactly as ``route="cells"``
+      documents.
+
+    The chosen route is exposed on the result as ``._auto_route``;
+    explicit ``"broadcast"``/``"cells"`` remain as overrides.
     """
     from ..functions.scoring import portable_round
     from ..functions.vector import cosine_from_norms, l2_norm
 
-    if route not in ("broadcast", "cells"):
+    if route not in ("auto", "broadcast", "cells"):
         raise ValueError(f"unknown route {route!r}")
     # norms once per ROW, not per pair: cosine_from_norms is
     # FP-identical to cosine_similarity at a third of the interpreted
@@ -1610,9 +1632,15 @@ def semantic_decontaminate(
         F.col(vec_col).alias("_e_vec"),
         l2_norm(F.col(vec_col)).alias("_n_e"),
     )
+    centroids = None
+    if route == "auto":
+        route, centroids = _decontam_auto_route(
+            tr, ev, id_col, vec_col, n_clusters, n_probe, seed
+        )
     if route == "cells":
         pairs = _cell_paired(
-            tr, ev, id_col, vec_col, n_clusters, n_probe, seed
+            tr, ev, id_col, vec_col, n_clusters, n_probe, seed,
+            centroids=centroids,
         )
     else:
         pairs = tr.crossJoin(F.broadcast(ev))
@@ -1641,11 +1669,86 @@ def semantic_decontaminate(
         hits = hits.dropDuplicates(["_rowid", "_e_rowid"]).drop(
             "_rowid", "_e_rowid"
         )
-    return hits.groupBy(id_col).agg(
+    out = hits.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.max("_cos").alias("max_cos"),
         F.min("_e_id").alias("contaminated_by"),
     )
+    out._auto_route = route
+    return out
+
+
+# route="auto" dials, all from the committed route_crossover measurement
+# (clustered mixture corpus, 4 GiB worker): cells won from eval ~10% of
+# a 20k corpus; below ~1e7 pair-cosines the broadcast crossJoin finished
+# in seconds and cell machinery is pure overhead; the shed estimate must
+# clear half of all-pairs before the clustering bet is worth taking
+# (mirrors the planners' prune_fraction convention).
+_AUTO_EVAL_FRAC = 0.10
+_AUTO_MIN_PAIRS = 10_000_000
+_AUTO_SHED_MAX = 0.5
+_AUTO_SAMPLE = 1_024
+
+
+def _decontam_auto_route(
+    tr: DataFrame,
+    ev: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: Optional[int],
+    n_probe: int,
+    seed: int,
+):
+    """Resolve ``route="auto"`` for :func:`semantic_decontaminate` from
+    cheap observables.  Returns ``(route, centroids)`` — centroids are
+    non-None only when cells is chosen, so `_cell_paired` re-uses the
+    training this probe already paid for instead of training twice."""
+    import numpy as np
+
+    from .similarity import train_ivf_centroids
+
+    n_t = tr.count()
+    n_e = ev.count()
+    if (
+        n_t == 0
+        or n_e == 0
+        or n_e < _AUTO_EVAL_FRAC * n_t
+        or n_t * n_e < _AUTO_MIN_PAIRS
+    ):
+        return "broadcast", None
+    nlist, sample_size = _cell_sizing(n_t, n_clusters)
+    centroids = train_ivf_centroids(
+        tr, id_col, vec_col, nlist=nlist, seed=seed,
+        sample_size=sample_size, corpus_rows=n_t,
+    )
+    n_probe_eff = min(n_probe, len(centroids))
+
+    def shares(df, col, n_rows):
+        frac = min(1.0, (4 * _AUTO_SAMPLE) / max(n_rows, 1))
+        rows = (
+            df.select(col).sample(False, frac, seed)
+            .limit(_AUTO_SAMPLE).collect()
+        )
+        X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        # squared-Euclidean nearest cells — the nearest_cells_udf metric
+        d = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * X @ centroids.T
+            + (centroids * centroids).sum(1)[None, :]
+        )
+        take = min(n_probe_eff, d.shape[1])
+        idx = np.argpartition(d, take - 1, axis=1)[:, :take]
+        share = np.bincount(idx.ravel(), minlength=len(centroids))
+        return share / max(len(X), 1)
+
+    p_t = shares(tr, vec_col, n_t)
+    p_e = shares(ev, "_e_vec", n_e)
+    # expected candidate pairs / (n_t * n_e): the clustering bet,
+    # measured on THIS corpus's actual assignment skew
+    frac_est = float((p_t * p_e).sum())
+    if frac_est < _AUTO_SHED_MAX:
+        return "cells", centroids
+    return "broadcast", None
 
 
 def _cell_paired(
@@ -1656,6 +1759,7 @@ def _cell_paired(
     n_clusters: Optional[int],
     n_probe: int,
     seed: int,
+    centroids=None,
 ) -> DataFrame:
     """(train row, eval row) candidate pairs via shared k-means cells —
     the decontamination form of d13's candidate stage: ONE set of
@@ -1702,11 +1806,14 @@ def _cell_paired(
     # past-broadcast scale it exists for (trainer saturation -> giant
     # cells -> candidate blow-up)
     n_clusters, sample_size = _cell_sizing(n_rows, n_clusters)
-    centroids = train_ivf_centroids(
-        tr, id_col, vec_col, nlist=n_clusters, seed=seed,
-        sample_size=sample_size, corpus_rows=n_rows,
-    )
-    n_probe = min(n_probe, n_clusters)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            tr, id_col, vec_col, nlist=n_clusters, seed=seed,
+            sample_size=sample_size, corpus_rows=n_rows,
+        )
+    # a caller-supplied centroid matrix (the auto-route probe's) was
+    # trained with this same sizing, so the probe and the join agree
+    n_probe = min(n_probe, len(centroids))
     cells = nearest_cells_udf(centroids, n_probe)
     t_tag = t_proj.select(
         "_rowid",

@@ -29,6 +29,14 @@ from .topk import topk_per_group
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# route="auto" switch point, from the committed route_crossover
+# measurement (4 GiB worker): broadcast won through 4M df-carrying
+# distinct terms, bloom won at 16M (20.3 s vs 50.7 s) and was the only
+# survivor at 48M (broadcast OOMed) — the geometric middle of the
+# bracketing points is the default switch, overridable per call for
+# differently-sized executors.
+AUTO_BLOOM_TERMS = 8_000_000
+
 
 def batch_bm25_retrieval(
     docs: DataFrame,
@@ -40,10 +48,11 @@ def batch_bm25_retrieval(
     term_col: str = "term",
     k1: float = BM25_K1,
     b: float = BM25_B,
-    route: str = "broadcast",
+    route: str = "auto",
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
     persist_queries: bool = False,
+    auto_bloom_terms: int = AUTO_BLOOM_TERMS,
 ) -> DataFrame:
     """Top-``k`` documents per query: ``(query_id, rank, doc_id,
     score_micro)``.
@@ -83,6 +92,15 @@ def batch_bm25_retrieval(
         broadcast while bloom completes — switch once the distinct
         df-carrying term table approaches the per-executor broadcast
         budget.
+      * ``"auto"`` (default, round 11) — count the deduplicated query
+        terms (ONE cheap aggregate over the query frame — the side the
+        route decision is about) and take bloom from
+        ``auto_bloom_terms`` (default 8M, the geometric middle of the
+        measured 4M-broadcast-wins / 16M-bloom-wins bracket), broadcast
+        below.  Both routes are output-identical (the bloom contract),
+        so auto never changes results, only the plan; the chosen route
+        is exposed on the result as ``._auto_route`` and the explicit
+        routes remain as overrides.
 
     Scale shape (both routes): ONE posexplode scan builds
     (term, doc, tf, doc_len) postings with map-side combine — doc
@@ -101,8 +119,10 @@ def batch_bm25_retrieval(
     the pinned frame rides the returned DataFrame — release with
     ``bloom.release_pinned(result, "_retrieval_pinned_queries")``
     after materializing."""
-    if route not in ("broadcast", "bloom"):
-        raise ValueError(f"route must be 'broadcast' or 'bloom', got {route!r}")
+    if route not in ("auto", "broadcast", "bloom"):
+        raise ValueError(
+            f"route must be 'auto', 'broadcast' or 'bloom', got {route!r}"
+        )
     text = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     arr = tokenize_expr(text)
     base = docs.select(
@@ -133,6 +153,13 @@ def batch_bm25_retrieval(
         # would make release_pinned unpersist a never-persisted frame
         # (a no-op) while the cached projection leaks for the session.
         pinned = qterms
+    if route == "auto":
+        # the deduplicated term count IS the broadcast-size observable;
+        # with persist_queries the count doubles as the pinning
+        # materialization the bloom contract wants anyway
+        route = (
+            "bloom" if qterms.count() >= auto_bloom_terms else "broadcast"
+        )
 
     def df_from_docs():
         # df = docs containing the term, from a per-doc distinct-token
@@ -216,4 +243,5 @@ def batch_bm25_retrieval(
     )
     if persist_queries:
         out._retrieval_pinned_queries = pinned
+    out._auto_route = route
     return out

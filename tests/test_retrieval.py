@@ -171,3 +171,32 @@ def test_persist_queries_pins_the_persisted_frame(spark):
         assert release_pinned(out, "_retrieval_pinned_queries")
         assert not pinned.storageLevel.useMemory
         assert not release_pinned(out, "_retrieval_pinned_queries")
+
+
+def test_auto_route_picks_broadcast_below_term_floor(spark):
+    """route='auto' (the default) on a small query frame must pick the
+    broadcast route and be row-identical to the explicit override."""
+    docs = _docs(spark)
+    q = _external_queries(spark)
+    auto = batch_bm25_retrieval(docs, q, k=3)
+    assert auto._auto_route == "broadcast"
+    explicit = batch_bm25_retrieval(docs, q, k=3, route="broadcast")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_auto_route_picks_bloom_past_term_floor(spark):
+    """The other side of the crossover, reached by dialing the floor
+    down (the measurement's 8M-term switch point is not buildable in a
+    unit test): auto must pick bloom and stay row-identical to the
+    explicit bloom route — the output-invariance the route contract
+    promises."""
+    docs = _docs(spark)
+    q = _external_queries(spark)
+    auto = batch_bm25_retrieval(docs, q, k=3, auto_bloom_terms=1)
+    assert auto._auto_route == "bloom"
+    explicit = batch_bm25_retrieval(docs, q, k=3, route="bloom")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

@@ -556,3 +556,78 @@ def test_semantic_decontaminate_cell_route_duplicate_eval_ids(spark):
         ).collect()
     }
     assert cells == exact
+
+
+def test_semantic_decontaminate_auto_route_broadcast_side(spark):
+    """route='auto' (the default): a dimension-sized eval set (the d23
+    shape — ~1% of the corpus) stays on the exact broadcast route, and
+    the result is row-identical to the explicit override."""
+    from chessmate_spark.operators.dedup import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 97 != 0)
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    auto = semantic_decontaminate(train, ev, "vec_id", "embedding", 0.35)
+    assert auto._auto_route == "broadcast"
+    explicit = semantic_decontaminate(
+        train, ev, "vec_id", "embedding", 0.35, route="broadcast"
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_semantic_decontaminate_auto_route_cells_side(spark, monkeypatch):
+    """The cells side of the crossover, reached by dialing the work
+    floors down (the measured 20k-corpus point is not buildable in a
+    unit test): on an obviously clustered corpus auto must take the
+    cells route — re-using the centroids its shed probe trained — and
+    match the explicit cells override row-for-row."""
+    import numpy as np
+
+    from chessmate_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_AUTO_MIN_PAIRS", 1_000)
+    rng = np.random.default_rng(11)
+    # 24 well-separated clusters: balanced 2-probe shares give an
+    # estimated candidate fraction ~ n_probe^2/24 = 0.17, clearly under
+    # the 0.5 shed gate (8 clusters would sit exactly AT the gate)
+    centers = rng.normal(size=(24, 8)) * 10.0
+    rows = []
+    for i in range(480):
+        c = centers[i % 24]
+        rows.append((i, (c + rng.normal(size=8) * 0.05).tolist()))
+    train = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    ev = spark.createDataFrame(
+        rows[: 80], "vec_id bigint, embedding array<double>"
+    ).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    # n_clusters matches the true cluster count (the default sizing
+    # gives 8 cells at this toy scale, where 2-probe candidates honestly
+    # ARE ~half of all-pairs and auto correctly refuses)
+    auto = dd.semantic_decontaminate(
+        train, ev, "vec_id", "embedding", 0.9, n_clusters=24
+    )
+    assert auto._auto_route == "cells"
+    explicit = dd.semantic_decontaminate(
+        train, ev, "vec_id", "embedding", 0.9, route="cells", n_clusters=24
+    )
+    got_auto = sorted(map(tuple, auto.collect()))
+    got_cells = sorted(map(tuple, explicit.collect()))
+    assert got_auto == got_cells
+    assert got_auto  # the plants guarantee contamination exists
+
+
+def test_semantic_decontaminate_auto_route_degenerate_corpus(spark, monkeypatch):
+    """A corpus whose vectors all share one cell (identical vectors)
+    concentrates the sampled assignment — the shed estimate reads ~n_probe
+    and auto must refuse the clustering bet even past the work floors."""
+    from chessmate_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_AUTO_MIN_PAIRS", 1_000)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)]
+    train = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    ev = spark.createDataFrame(
+        rows[:60], "vec_id bigint, embedding array<double>"
+    ).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    auto = dd.semantic_decontaminate(train, ev, "vec_id", "embedding", 0.9)
+    assert auto._auto_route == "broadcast"
