@@ -154,6 +154,15 @@ class ChessmateApi:
         self.openapi_path = openapi_path
         self.max_body_bytes = max_body_bytes
         self.metrics = RequestMetrics()
+        # compiled-plan cache shared across requests (the reference's
+        # prepared-statement warmth; plans.hybrid.execute documents the
+        # immutable-tables contract and the PLAN_CACHE_MAX bound).  No
+        # lock: individual dict ops are GIL-atomic, a double-compile of
+        # one key under ThreadingHTTPServer concurrency is last-write-
+        # wins on identical lineages, and an over-eager eviction race
+        # only drops a cache entry — all benign, and a request-wide
+        # lock would serialize the service.
+        self._plan_cache: Dict = {}
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
@@ -261,6 +270,7 @@ class ChessmateApi:
                     limit=request.get("limit"),
                     offset=request.get("offset"),
                     dim=self.dim,
+                    plan_cache=self._plan_cache,
                 )
                 return 200, json_type, json.dumps(payload).encode()
             except ServingError as exc:

@@ -162,6 +162,7 @@ def answer_question(
     offset: Optional[int] = None,
     dim: int = 16,
     timings: Optional[Dict[str, float]] = None,
+    plan_cache: Optional[Dict[Any, Any]] = None,
 ) -> Dict[str, Any]:
     """Validate → analyse → execute → response payload
     (chessmate_api.ml:726-807 ``query_handler``).
@@ -170,14 +171,25 @@ def answer_question(
     invalid input; execution failures surface as RuntimeError with a
     sanitized message (the reference's 500 path, :755-757).
 
+    Two Spark actions per request (round-11, was four): the total count
+    and the page collect — ``returned``/``has_more`` derive from the
+    collected rows instead of a separate count action on the same
+    frame, and the keyset boundary lookup still applies on deep-offset
+    requests only.
+
+    ``plan_cache`` (opt-in): a dict the caller owns, passed through to
+    ``plans.hybrid.execute`` — compiled plan lineages are reused across
+    requests with equal plan parameters (the reference's prepared-
+    statement warmth; see execute's docstring for the immutable-tables
+    contract).  The HTTP server holds one per service instance.
+
     ``timings`` (opt-in): records per-action wall-clock seconds —
-    ``analyse_s`` (driver-side NL parse), ``count_total_s`` /
-    ``count_returned_s`` (the two Spark count actions inside
-    ``execute``), ``keyset_boundary_s`` (deep-offset requests only:
-    the narrow boundary-key scan), ``collect_page_s`` (the page
-    materialization), and ``format_s`` (driver-side payload assembly).
-    The serving bench persists this breakdown so one aggregate latency
-    number can't hide WHICH action regressed.
+    ``analyse_s`` (driver-side NL parse), ``count_total_s`` (the Spark
+    count action inside ``execute``), ``keyset_boundary_s`` (deep-offset
+    requests only: the narrow boundary-key scan), ``collect_page_s``
+    (the page materialization), and ``format_s`` (driver-side payload
+    assembly).  The serving bench persists this breakdown so one
+    aggregate latency number can't hide WHICH action regressed.
     """
     import time as _time
 
@@ -195,7 +207,10 @@ def answer_question(
     if timings is not None:
         timings["analyse_s"] = _time.perf_counter() - _t0
     try:
-        execution = execute(tables, plan, dim=dim, timings=timings)
+        execution = execute(
+            tables, plan, dim=dim, timings=timings,
+            count_returned=False, plan_cache=plan_cache,
+        )
         _t0 = _time.perf_counter()
         rows = execution.results.collect()
         if timings is not None:
@@ -215,7 +230,7 @@ def answer_question(
         "offset": plan.offset,
         "limit": plan.limit,
         "total": execution.total,
-        "has_more": execution.has_more,
+        "has_more": plan.offset + len(rows) < execution.total,
         "agent_status": AGENT_STATUS_DISABLED,
     }
     if execution.warnings:

@@ -104,10 +104,23 @@ def main() -> int:
     # ingest + drain + this composition once per bench run.
     from chessmate_spark.query import answer_question
 
+    # two breakdowns since round 11: the UNCACHED compose (what a
+    # never-seen plan pays — dominated by driver-side Py4J plan build)
+    # and the plan-cache HIT (what the HTTP server's warm p50 actually
+    # is: build_* read 0.0, only the two actions and the collect remain)
+    plan_cache: dict = {}
+    uncached: dict = {}
+    t0 = time.perf_counter()
+    answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, timings=uncached,
+        plan_cache=plan_cache,
+    )
+    uncached["end_to_end_s"] = time.perf_counter() - t0
     breakdown: dict = {}
     t0 = time.perf_counter()
     answer_question(
-        spark, tables, CANONICAL_QUESTION, dim=8, timings=breakdown
+        spark, tables, CANONICAL_QUESTION, dim=8, timings=breakdown,
+        plan_cache=plan_cache,
     )
     breakdown["end_to_end_s"] = time.perf_counter() - t0
 
@@ -201,6 +214,14 @@ def main() -> int:
         },
         "warm_action_breakdown_s": {
             k: round(v, 3) for k, v in sorted(breakdown.items())
+        },
+        "uncached_compose_breakdown_s": {
+            **{k: round(v, 3) for k, v in sorted(uncached.items())},
+            "note": (
+                "first request for a never-seen plan: driver-side Py4J "
+                "plan construction (build_page_s) dominates; the warm "
+                "breakdown above is the plan-cache HIT the p50 measures"
+            ),
         },
         "canonical_entry_fixed_stages_s": {
             "ingest_s": round(ingest_s, 2),

@@ -247,3 +247,27 @@ def test_smoke_artifact_carries_round10_blocks():
     src = inspect.getsource(scale_smoke.main)
     assert '"ann_recall_clustered"' in src
     assert '"route_crossover"' in src
+
+
+def test_smoke_artifact_carries_round11_blocks():
+    """Round-11 probe blocks: the d25 pruning-arm measurement, the
+    chess pipeline's 100x point, and the adaptive-dial row of the
+    minhash planner probe must stay in the carried record with their
+    headline facts."""
+    import json
+
+    import sync_smoke_prose as sm
+
+    with open(sm.ARTIFACT) as fh:
+        record = json.load(fh)
+    hp = record["hyperplane_planned"]
+    assert hp["recall"] >= hp["recall_floor"]
+    assert hp["precision"] == 1.0
+    assert hp["candidate_fraction_measured"] < 0.5
+    assert (hp["planes"], hp["tables"]) == (9, 51)
+    chess = record["chess_pipeline"]
+    assert chess["x100"]["games"] == 50_000
+    assert chess["games_per_sec_x100"] > 100
+    mh = record["minhash_planner"]
+    assert "adaptive" in mh and "adaptive_dial" in mh
+    assert mh["adaptive"]["recall"] >= mh["recall_floor"]

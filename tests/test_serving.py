@@ -170,11 +170,54 @@ def test_timings_channel(spark, tables):
         spark, tables, CANONICAL_QUESTION, dim=8, timings=timings
     )
     assert payload["total"] == 1
+    # no count_returned_s: the serving path derives returned/has_more
+    # from the collected page (round 11 — one fewer Spark action)
     assert set(timings) == {
         "analyse_s", "build_summaries_s", "count_total_s",
-        "build_page_s", "count_returned_s", "collect_page_s", "format_s",
+        "build_page_s", "collect_page_s", "format_s",
     }
     assert all(isinstance(v, float) and v >= 0 for v in timings.values())
+
+
+def test_plan_cache_reuses_compiled_frames(spark, tables):
+    """The serving warmth path (round 11): a caller-owned plan cache
+    makes repeat requests skip driver-side plan construction (the
+    build timings read 0.0 on the hit) while producing a payload
+    identical to the uncached call — actions still run, results are
+    never cached."""
+    cache = {}
+    cold = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert len(cache) == 1
+    timings = {}
+    warm = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache,
+        timings=timings,
+    )
+    assert len(cache) == 1
+    assert warm == cold
+    assert timings["build_summaries_s"] == 0.0
+    assert timings["build_page_s"] == 0.0
+    uncached = answer_question(spark, tables, CANONICAL_QUESTION, dim=8)
+    assert uncached == warm
+    # a different question compiles (and caches) its own entry
+    answer_question(spark, tables, "show me 3 games", dim=8,
+                    plan_cache=cache)
+    assert len(cache) == 2
+
+
+def test_plan_cache_eviction_bound(spark, tables):
+    """The cache never grows past PLAN_CACHE_MAX (oldest-first
+    eviction) — checked structurally by pre-filling a full dict."""
+    from chessmate_spark.plans.hybrid import PLAN_CACHE_MAX
+
+    cache = {("sentinel", i): None for i in range(PLAN_CACHE_MAX)}
+    answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert len(cache) == PLAN_CACHE_MAX
+    assert ("sentinel", 0) not in cache  # oldest evicted
 
 
 # --- batch serving (round 8): N questions, one DataFrame program ---
