@@ -183,6 +183,18 @@ def portable_signatures_udf(planes_int, n_tables, n_planes, quant):
             return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         Q = np.floor(X * quant + 0.5).astype(np.int64)
+        # int64 exactness bound: |sum_i q_i * c_i| <= dim * max|q| *
+        # scale must stay under 2^63 or numpy wraps SILENTLY (DuckDB
+        # would error loudly — the engines would then disagree).  At
+        # quant=scale=1e6 and dim 64 this allows |v| up to ~1.4e5 —
+        # any real embedding passes; a mis-scaled caller fails here.
+        dim = flat.shape[1]
+        limit = (1 << 62) // (int(np.abs(flat).max()) * dim + 1)
+        assert int(np.abs(Q).max(initial=0)) <= limit, (
+            "portable signature overflow: quantized vector magnitude "
+            f"{int(np.abs(Q).max(initial=0))} exceeds the int64-exact "
+            f"bound {limit} — rescale the vectors or lower quant"
+        )
         bits = (Q @ flat.T) >= 0
         ints = bits.reshape(len(X), T, P).astype(np.int64) @ weights
         return pd.Series([row.tolist() for row in ints])

@@ -1729,6 +1729,11 @@ def _decontam_auto_route(
             df.select(col).sample(False, frac, seed)
             .limit(_AUTO_SAMPLE).collect()
         )
+        if not rows:
+            # a pathologically unlucky sample (possible only at tiny n,
+            # which the work floor already routed to broadcast) reads as
+            # fully concentrated — the conservative, exact choice
+            return None
         X = np.array([list(r[0]) for r in rows], dtype=np.float64)
         # squared-Euclidean nearest cells — the nearest_cells_udf metric
         d = (
@@ -1743,6 +1748,8 @@ def _decontam_auto_route(
 
     p_t = shares(tr, vec_col, n_t)
     p_e = shares(ev, "_e_vec", n_e)
+    if p_t is None or p_e is None:
+        return "broadcast", None
     # expected candidate pairs / (n_t * n_e): the clustering bet,
     # measured on THIS corpus's actual assignment skew
     frac_est = float((p_t * p_e).sum())
