@@ -185,15 +185,20 @@ def test_serve_artifact_has_ladder():
     marginals = [
         r["marginal_ms_per_question"] for r in ladder[1:]
     ]
-    # each rung's marginal cost must not GROW vs the previous rung
-    # (a growing marginal means per-question work that scales with N —
-    # the O(1)-plan claim would be false).  25% slack absorbs host
-    # noise on min-of-2 wall-clocks; a real O(N) term quadruples the
-    # marginal between the 256 and 1024 rungs and cannot hide in it
-    assert all(
-        later <= earlier * 1.25
-        for earlier, later in zip(marginals, marginals[1:])
-    ), f"marginal per-question cost grew along the ladder: {marginals}"
+    # the marginal cost must not GROW with N (per-question work that
+    # scales with N would falsify the O(1)-plan claim).  The original
+    # consecutive-pair 1.25x pin proved tighter than the HOST NOISE on
+    # these sub-ms marginals (three quiet round-11 runs wobbled
+    # 1.18x/1.30x/1.42x rung-to-rung with no trend, one even negative),
+    # so the pin is now trend-shaped: past the first rung (still
+    # amortizing the fixed cost), every marginal stays within 1.75x of
+    # the ladder's best.  A real O(N) term grows the marginal ~16x
+    # between the 1024 and 16384 rungs and cannot hide in that slack.
+    tail = [m for m in marginals[1:]]
+    floor = min(m for m in tail if m > 0)
+    assert all(m <= floor * 1.75 for m in tail), (
+        f"marginal per-question cost grew along the ladder: {marginals}"
+    )
 
 
 def test_bench_default_run_does_not_touch_committed_artifact():
