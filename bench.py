@@ -108,6 +108,7 @@ HEADLINE = [
     "d24_minhash_planned_dedup",
     "d25_hyperplane_planned_neardup",
     "d26_minhash_adaptive_dedup",
+    "d27_hyperplane_adaptive_neardup",
     "t4_stratified_sample",
     "t5_sequence_pack",
     "t6_repetition_score",

@@ -630,6 +630,27 @@ def minhash_planned_dial(
     return minhash_banding_plan(rep, threshold, target_recall=target_recall)
 
 
+def hyperplane_planned_dial(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.999,
+) -> LshPlan:
+    """``lsh_plan_for`` quantized to decade representatives — the cosine
+    twin of :func:`minhash_planned_dial`, with the same purpose: the
+    (planes, tables) dial becomes a deterministic STEP function of
+    corpus size, so a static SQL oracle can mirror the dial choice with
+    a ``count(*)`` bracket predicate (the d27 entry).  Recall at the
+    threshold is dial-only, so quantization never costs the target;
+    corpus size only moves the cost argmin.  Committed brackets at
+    threshold 0.8 / recall 0.999: (9, 51) through 999 rows, (12, 105)
+    through 9,999, (16, 267) through 99,999, (19, 535) through 999,999
+    — candidate fraction FALLS with corpus size (0.095 → 0.001): the
+    bigger corpus buys more planes exactly as MinHash buys more rows
+    per band."""
+    rep = max(500, 5 * 10 ** (len(str(max(int(n_rows), 1))) - 1))
+    return lsh_plan_for(rep, threshold, target_recall=target_recall)
+
+
 def minhash_route(
     n_rows: int,
     threshold: float,

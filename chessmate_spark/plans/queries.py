@@ -1040,19 +1040,20 @@ _D25_PLANE_MOD = 2_000_001  # 2 * PORTABLE_PLANE_SCALE + 1
 _HASH60_DIV = "1152921504606846976.0"  # 2^60 as a double literal
 
 
-def _d25_oracle() -> str:
-    cos = _duck_cosine("a.v", "b.v")
+# shared CTE text for the d25/d27 oracles: the augmented corpus (base),
+# its quantized integer form (q), and a per-(table, plane) INTEGER plane
+# vector CTE + the zipped exact dot.  The dot runs as one 64-element
+# list op per (row, table, plane) pair instead of exploding a
+# (row × table × plane × dim) cross join through a hash aggregate —
+# measured 141 s → seconds on the sf0.1 oracle.  All arithmetic stays
+# BIGINT (products ≤ ~1.2e12, sums ≤ ~7.7e13 — exact), mirroring the
+# Spark UDF's int64 matmul value-for-value.
+def _d25_base_q_ctes() -> str:
     twin_u = (
         "(('0x' || substring(md5('tw:' || CAST(vec_id AS VARCHAR) || ':' "
         "|| CAST(i AS VARCHAR)), 1, 15))::BIGINT / " + _HASH60_DIV + ")"
     )
-    plane_c = (
-        "((('0x' || substring(md5('hp:' || CAST(t.range AS VARCHAR) || ':' "
-        "|| CAST(p.range AS VARCHAR) || ':' || CAST(i.range AS VARCHAR)), "
-        f"1, 15))::BIGINT) % {_D25_PLANE_MOD}) - {_D25_PLANE_MOD // 2}"
-    )
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -1066,23 +1067,40 @@ def _d25_oracle() -> str:
       SELECT id,
              [CAST(floor(v[i + 1] * {_D25_QUANT}.0 + 0.5) AS BIGINT)
               FOR i IN range({_EMBED_DIM})] AS qv
-      FROM base),
-    planes AS (
-      SELECT t.range AS t, p.range AS p, i.range AS i, {plane_c} AS c
-      FROM range({_D25_TABLES}) t, range({_D25_PLANES}) p,
-           range({_EMBED_DIM}) i),
-    dots AS (
-      SELECT q.id, pl.t, pl.p, sum(q.qv[pl.i + 1] * pl.c) AS dot
-      FROM q, planes pl GROUP BY q.id, pl.t, pl.p),
-    sig AS (
-      SELECT id, t,
-             sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
-                      ELSE 0 END) AS band
-      FROM dots GROUP BY id, t),
-    cand AS (
+      FROM base)"""
+
+
+def _hyperplane_band_ctes(
+    suffix: str, planes: int, tables: int, gate: str = ""
+) -> str:
+    """planes/sig/cand chain for one banding (optionally gated on a
+    corpus-count bracket predicate), over the shared base/q CTEs."""
+    plane_c = (
+        "((('0x' || substring(md5('hp:' || CAST(t.range AS VARCHAR) || ':' "
+        "|| CAST(p.range AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        f"1, 15))::BIGINT) % {_D25_PLANE_MOD}) - {_D25_PLANE_MOD // 2}"
+    )
+    return f"""planes{suffix} AS (
+      SELECT t.range AS t, p.range AS p,
+             [{plane_c} FOR i IN range({_EMBED_DIM})] AS cv
+      FROM range({tables}) t, range({planes}) p{gate}),
+    sig{suffix} AS (
+      SELECT q.id, pl.t,
+             sum(CASE WHEN list_sum(list_transform(
+                        list_zip(q.qv, pl.cv), x -> x[1] * x[2])) >= 0
+                      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS band
+      FROM q, planes{suffix} pl GROUP BY q.id, pl.t),
+    cand{suffix} AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM sig a JOIN sig b
-        ON a.t = b.t AND a.band = b.band AND a.id < b.id),
+      FROM sig{suffix} a JOIN sig{suffix} b
+        ON a.t = b.t AND a.band = b.band AND a.id < b.id)"""
+
+
+def _d25_oracle() -> str:
+    cos = _duck_cosine("a.v", "b.v")
+    return f"""
+    WITH {_d25_base_q_ctes()},
+    {_hyperplane_band_ctes("", _D25_PLANES, _D25_TABLES)},
     scored AS (
       SELECT c.id_a, c.id_b,
              floor({cos} * 1000000 + 0.5) / 1000000 AS score
@@ -1152,13 +1170,111 @@ def d25_hyperplane_planned_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     double arithmetic both engines share; the dial keeps the random-
     candidate fraction at 0.0949 — the pruning behaviour the planner
     promised, measured against all-pairs in SCALE_SMOKE
-    `hyperplane_planned`."""
+    `hyperplane_planned`.  The FROZEN dial's candidate volume is
+    quadratic in corpus size by design (fraction is dial-only);
+    ``d27_hyperplane_adaptive_neardup`` is the corpus-adaptive twin
+    whose bracketed dial keeps the fraction falling instead."""
     from ..operators.dedup import portable_hyperplane_neardup
 
     aug = _d25_augmented(spark, sf_dir)
     out = portable_hyperplane_neardup(
         aug, "id", "v", _D25_THRESHOLD, dim=_EMBED_DIM,
         n_planes=_D25_PLANES, n_tables=_D25_TABLES, quant=_D25_QUANT,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+_D27_BRACKET_CAP = 1_000_000
+
+
+def _hyperplane_adaptive_brackets(
+    threshold: float = _D25_THRESHOLD, target_recall: float = 0.999
+) -> "list[tuple[int, int, int, int]]":
+    """(count_lo, count_hi, n_planes, n_tables) rows mirroring
+    ``hyperplane_planned_dial``'s decade step function through the
+    _D27_BRACKET_CAP ceiling, adjacent equal dials merged — the d26
+    bracket-table discipline applied to the cosine family, derived from
+    the same function both the Spark entry and the SQL oracle use."""
+    from ..operators.dedup import hyperplane_planned_dial
+
+    out: "list[list[int]]" = []
+    for lo, hi, rep in (
+        (0, 1_000, 500),
+        (1_000, 10_000, 5_000),
+        (10_000, 100_000, 50_000),
+        (100_000, 1_000_000, 500_000),
+    ):
+        p = hyperplane_planned_dial(rep, threshold, target_recall)
+        if out and out[-1][1] == lo and out[-1][2:] == [p.n_planes, p.n_tables]:
+            out[-1][1] = hi
+        else:
+            out.append([lo, hi, p.n_planes, p.n_tables])
+    return [tuple(row) for row in out]
+
+
+def _d27_oracle() -> str:
+    """The d25 oracle with the banding chosen per corpus-size BRACKET:
+    the shared base/q CTEs stay identical; each bracket gets its own
+    planes/sig/cand chain whose planes CTE is gated on the augmented
+    corpus count, so exactly one branch materializes planes (and
+    therefore candidates) — the static-string mirror of
+    ``hyperplane_planned_dial``.  The corpus count in SQL is
+    ``count(*) + {twins}`` because the entry plants the d25 twins."""
+    cos = _duck_cosine("a.v", "b.v")
+    cnt = f"(SELECT count(*) + {_D25_TWINS} FROM embeddings)"
+    ctes = [_d25_base_q_ctes()]
+    cands = []
+    for bi, (lo, hi, planes, tables) in enumerate(_hyperplane_adaptive_brackets()):
+        gate = f"\n      WHERE {cnt} >= {lo} AND {cnt} < {hi}"
+        ctes.append(_hyperplane_band_ctes(str(bi), planes, tables, gate))
+        cands.append(f"SELECT id_a, id_b FROM cand{bi}")
+    union = "\n      UNION ALL ".join(cands)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    cand AS ({union}),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             floor({cos} * 1000000 + 0.5) / 1000000 AS score
+      FROM cand c
+      JOIN base a ON a.id = c.id_a
+      JOIN base b ON b.id = c.id_b)
+    SELECT id_a, id_b, score FROM scored
+    WHERE score >= {_D25_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+@_register("d27_hyperplane_adaptive_neardup", _d27_oracle())
+def d27_hyperplane_adaptive_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d25's pruning-arm pipeline with the dial PLANNED FROM THE CORPUS
+    at run time — the d26 adaptivity applied to the cosine family, and
+    the answer to d25's documented frozen-dial trade (a static dial's
+    candidate volume is quadratic in corpus size; the planner's dial
+    keeps the fraction FALLING instead: (9, 51)/0.095 at the 550-row
+    gate corpus, (12, 105)/0.025 at sf0.1's 2,050 rows).  The entry
+    counts the augmented corpus, takes ``hyperplane_planned_dial``'s
+    decade-quantized banding, and runs the portable integer pipeline;
+    the oracle carries one banding chain per corpus bracket, gated on
+    ``count(*) + 50``, each chain mirroring its banding hash-for-hash —
+    so the entry stays bit-exact at every scale factor while the dial
+    steps across the sweep."""
+    from ..operators.dedup import (
+        hyperplane_planned_dial,
+        portable_hyperplane_neardup,
+    )
+
+    aug = _d25_augmented(spark, sf_dir)
+    n = aug.count()
+    assert n < _D27_BRACKET_CAP, (
+        f"corpus of {n} rows is past the oracle's bracket table — "
+        "extend _hyperplane_adaptive_brackets before trusting the mirror"
+    )
+    plan = hyperplane_planned_dial(n, _D25_THRESHOLD)
+    assert plan.prunes  # threshold 0.8 is the prunable regime
+    out = portable_hyperplane_neardup(
+        aug, "id", "v", _D25_THRESHOLD, dim=_EMBED_DIM,
+        n_planes=plan.n_planes, n_tables=plan.n_tables, quant=_D25_QUANT,
     )
     return out.orderBy("id_a", "id_b")
 

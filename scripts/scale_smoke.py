@@ -135,6 +135,10 @@ DEFAULT_QUERIES = [
     # (dial STEPS UP at the 10x corpus: (50,25) -> (156,52))
     "d25_hyperplane_planned_neardup",
     "d26_minhash_adaptive_dedup",
+    # the adaptive cosine twin: its candidate FRACTION falls with corpus
+    # size ((9,51)/0.095 -> (12,105)/0.025 across the committed sweep),
+    # so its two-point ratio should sit well below d25's frozen-dial 6.0
+    "d27_hyperplane_adaptive_neardup",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

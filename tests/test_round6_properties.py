@@ -427,3 +427,30 @@ def test_minhash_adaptive_brackets_match_dial_function():
                 f"bracket [{lo},{hi}) says ({hashes},{bands}) but the "
                 f"dial at n={n} is ({p.num_hashes},{p.bands})"
             )
+
+
+def test_hyperplane_adaptive_brackets_match_dial_function():
+    """The d27 bracket table (what the oracle mirrors) must agree with
+    hyperplane_planned_dial at every bracket edge and interior point —
+    the d26 contract applied to the cosine family."""
+    from chessmate_spark.operators.dedup import hyperplane_planned_dial
+    from chessmate_spark.plans.queries import _hyperplane_adaptive_brackets
+
+    brackets = _hyperplane_adaptive_brackets()
+    assert brackets[0][0] == 0
+    for (lo, hi, planes, tables), nxt in zip(brackets, brackets[1:] + [None]):
+        if nxt is not None:
+            assert nxt[0] == hi, "brackets must tile without gaps"
+        for n in (max(lo, 2), (lo + hi) // 2, hi - 1):
+            p = hyperplane_planned_dial(n, 0.8)
+            assert (p.n_planes, p.n_tables) == (planes, tables), (
+                f"bracket [{lo},{hi}) says ({planes},{tables}) but the "
+                f"dial at n={n} is ({p.n_planes},{p.n_tables})"
+            )
+    # the falling-fraction story the entry documents: candidate fraction
+    # is non-increasing along the bracket ladder
+    fracs = [
+        hyperplane_planned_dial(max(lo, 2), 0.8).candidate_fraction
+        for lo, _hi, _p, _t in brackets
+    ]
+    assert all(b <= a + 1e-12 for a, b in zip(fracs, fracs[1:]))
