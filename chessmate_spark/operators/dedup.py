@@ -862,8 +862,40 @@ def portable_hyperplane_neardup(
     )
 
 
+def minhash_signature_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """The PERSISTABLE per-document dedup state for incremental MinHash:
+    ``(_id, _shingles, _sig)``.  A production pipeline writes this once
+    per ingest (parquet / the commit log) and hands it back to
+    :func:`incremental_minhash_dedup` via ``existing_state=`` on every
+    later increment — the expensive per-document stages (the
+    normalize/tokenize/shingle corpus scan and the one-md5-per-shingle
+    base hash) are paid once per document LIFETIME instead of once per
+    increment, and banding from the stored signature is pure expression
+    arithmetic.  The schema is stable and columnar (array<string>,
+    array<bigint>), so the store behaves like any parquet table
+    (pruned, pushed, partitionable by ingest date).
+
+    Contract: the state must have been built with the SAME
+    ``shingle_n`` and ``num_hashes`` the increment runs with —
+    signatures of different widths band differently and jaccard over
+    different shingle grammars is meaningless; the increment asserts
+    the signature width where it can (schema-level)."""
+    shingles = word_shingles_expr(
+        norm_tokens_expr(F.col(text_col)), shingle_n
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), shingles.alias("_shingles")
+    ).withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+
+
 def incremental_minhash_dedup(
-    existing: DataFrame,
+    existing: Optional[DataFrame],
     batch: DataFrame,
     id_col: str,
     text_col: str,
@@ -871,6 +903,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    existing_state: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental near-dup detection: a NEW ingest batch against the
     ALREADY-INGESTED corpus (plus within-batch) — the form a 100 TB
@@ -886,14 +919,24 @@ def incremental_minhash_dedup(
     jaccard, tiebreak min matched id) with the match origin.
 
     Scale shape: identical to :func:`minhash_lsh_candidates` — band
-    buckets shuffle (id, origin, band) rows only, the existing corpus is
-    touched exactly once to band it (in production the existing side's
-    banded signatures are a PERSISTED table maintained across ingests,
-    so each increment shuffles O(batch) band rows against a pre-banded
-    store; recompute here keeps the operator self-contained), and the
-    exact verify runs on candidates, never all-pairs.  The best-match
-    pick is a per-x window over candidate matches — partitioned by x,
-    bounded by x's candidate count.
+    buckets shuffle (id, origin, band) rows only, the exact verify runs
+    on candidates, never all-pairs.  The best-match pick is a per-x
+    window over candidate matches — partitioned by x, bounded by x's
+    candidate count.
+
+    The existing side comes in ONE of two forms:
+
+    * ``existing`` (a raw text frame) — self-contained: its
+      shingle/signature state is recomputed this call.  Fine for
+      one-shot jobs; a daily pipeline pays the full existing-corpus
+      scan every increment.
+    * ``existing_state`` (a :func:`minhash_signature_state` frame,
+      usually read back from parquet) — the PRODUCTION form: each
+      increment computes state for the BATCH only and shuffles
+      O(batch + existing) band rows, never re-shingling the corpus;
+      after the increment, append the batch's state to the store and
+      the next increment starts from there.  Must have been built with
+      the same ``shingle_n``/``num_hashes``.
 
     Ids must be unique across both sides (true for any snapshot + delta
     of one corpus).
@@ -904,23 +947,30 @@ def incremental_minhash_dedup(
     default dial's ~0.707 midpoint.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows = num_hashes // bands
-    tagged = existing.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).withColumn("_origin", F.lit("existing")).unionByName(
-        batch.select(
-            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-        ).withColumn("_origin", F.lit("batch"))
+    assert (existing is None) != (existing_state is None), (
+        "pass exactly one of existing (raw text) or existing_state "
+        "(a minhash_signature_state frame)"
     )
-    shingled = tagged.select(
-        "_id",
-        "_origin",
-        word_shingles_expr(norm_tokens_expr(F.col("_text")), shingle_n).alias(
-            "_shingles"
-        ),
+    rows = num_hashes // bands
+    if existing_state is not None:
+        missing = {"_id", "_shingles", "_sig"} - set(existing_state.columns)
+        assert not missing, (
+            f"existing_state lacks {sorted(missing)}: expected the "
+            "(_id, _shingles, _sig) shape minhash_signature_state writes"
+        )
+        ex_state = existing_state.select("_id", "_shingles", "_sig")
+    else:
+        ex_state = minhash_signature_state(
+            existing, id_col, text_col, shingle_n, num_hashes
+        )
+    shingled = ex_state.withColumn(
+        "_origin", F.lit("existing")
+    ).unionByName(
+        minhash_signature_state(
+            batch, id_col, text_col, shingle_n, num_hashes
+        ).withColumn("_origin", F.lit("batch"))
     ).persist()
-    sig = shingled.withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
-    banded = sig.select(
+    banded = shingled.select(
         "_id",
         "_origin",
         F.explode(band_keys_expr(F.col("_sig"), bands, rows)).alias("_band"),
