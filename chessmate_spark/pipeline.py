@@ -64,10 +64,21 @@ def curate_corpus(
     exact_kept = valid.join(F.broadcast(exact_drop), "doc_id", "left_anti")
     report["exact_deduped"] = exact_kept.count()
 
-    # 3. near-dup resolution: MinHash-LSH pairs → clusters → keep canonical
+    # 3. near-dup resolution: MinHash-LSH pairs → clusters → keep
+    # canonical.  The dial is planner-ROUTED (round 11): at a prunable
+    # threshold minhash_route returns the corpus-planned banding; at
+    # this DAG's declared 0.1 the planner proves pruning infeasible and
+    # returns the (16, 4) fallback — the tractability compromise, with
+    # plan.detection_at_threshold as the recall disclosure (same
+    # routing as the d2/d12 entries, without their static-oracle
+    # tripwire: the DAG has no mirrored oracle to protect, so a future
+    # prunable threshold just takes the planned dial).
+    from .operators.dedup import minhash_route
+
+    hashes, bands, _plan = minhash_route(report["exact_deduped"], 0.1)
     pairs = minhash_lsh_candidates(
         exact_kept, "doc_id", "text",
-        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+        shingle_n=3, num_hashes=hashes, bands=bands, min_jaccard=0.1,
     )
     near_drop = (
         dup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
