@@ -668,17 +668,49 @@ def minhash_route(
       banding admits >= half of all-pairs as background candidates —
       true at the production entries' declared 0.1, where the best
       banding is (66, 66, 1) at background fraction 0.97) — return the
-      declared fallback dial: the tractability compromise, whose
-      detection-at-threshold from ``plan`` is the honest recall
-      disclosure (the planned dial would cost ~all-pairs, strictly
-      worse than the exact d3-style blocked verify it was meant to
-      avoid).  The returned plan carries the refusal so callers can
-      log/assert it.
+      declared fallback dial: the tractability compromise (the planned
+      dial would cost ~all-pairs, strictly worse than the exact
+      d3-style blocked verify it was meant to avoid).  In this branch
+      the returned ``plan`` documents the planner's REFUSAL — the best
+      target-reaching banding and its near-all-pairs background
+      fraction — NOT the fallback dial's own recall: callers can
+      log/assert the refusal (``plan.prunes is False``, the d2/d12
+      tripwire), but a caller wanting the recall figure for the dial
+      ACTUALLY RUN must compute it with
+      ``minhash_dial_diagnostics(*fallback, threshold)`` (at the
+      production 0.1 that reads detection ~0.0004 — only strong
+      near-dups surface, the semantics the mirrored oracles pin).
     """
     plan = minhash_planned_dial(n_rows, threshold, target_recall)
     if plan.prunes:
         return plan.num_hashes, plan.bands, plan
     return fallback[0], fallback[1], plan
+
+
+def minhash_dial_diagnostics(
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    background_jaccard: float = 0.05,
+    prune_fraction: float = 0.5,
+) -> MinhashPlan:
+    """Honest S-curve diagnostics for an ARBITRARY (num_hashes, bands)
+    dial — the figure :func:`minhash_route`'s non-prunable branch does
+    NOT return (its plan documents the planner's refusal, not the
+    fallback actually run).  Same Broder/MMDS arithmetic as
+    ``minhash_banding_plan``: detection ``1-(1-j^r)^b`` at the
+    threshold, background candidate fraction at ``background_jaccard``,
+    and the pruning verdict against ``prune_fraction``."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows = num_hashes // bands
+    j = min(max(threshold, 1e-9), 1.0)
+    bg = min(max(background_jaccard, 0.0), 1.0)
+    detection = 1.0 - (1.0 - j**rows) ** bands
+    bg_frac = 1.0 - (1.0 - bg**rows) ** bands
+    return MinhashPlan(
+        num_hashes, bands, rows, detection, bg_frac,
+        bg_frac < prune_fraction,
+    )
 
 
 def lsh_candidate_pairs(
@@ -884,14 +916,61 @@ def minhash_signature_state(
     Contract: the state must have been built with the SAME
     ``shingle_n`` and ``num_hashes`` the increment runs with —
     signatures of different widths band differently and jaccard over
-    different shingle grammars is meaningless; the increment asserts
-    the signature width where it can (schema-level)."""
+    different shingle grammars is meaningless.  The dial is therefore
+    PERSISTED IN the state (``_shingle_n``/``_num_hashes`` literal
+    columns — a few bytes after parquet RLE), and
+    :func:`incremental_minhash_dedup` VALIDATES it with a one-row probe
+    before banding: a store built with a different dial fails loudly
+    instead of silently banding mismatched signature slices (the
+    round-11 ADVICE hazard — the old check matched column names only).
+    States written before round 12 lack the dial columns; the increment
+    then still validates the signature WIDTH against ``num_hashes``
+    (``F.size`` on the probe row), which catches every width mismatch
+    but not a same-width different-``shingle_n`` store."""
     shingles = word_shingles_expr(
         norm_tokens_expr(F.col(text_col)), shingle_n
     )
-    return df.select(
-        F.col(id_col).alias("_id"), shingles.alias("_shingles")
-    ).withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+    return (
+        df.select(F.col(id_col).alias("_id"), shingles.alias("_shingles"))
+        .withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+        .withColumn("_shingle_n", F.lit(int(shingle_n)))
+        .withColumn("_num_hashes", F.lit(int(num_hashes)))
+    )
+
+
+def _validate_state_dial(
+    state: DataFrame, shingle_n: int, num_hashes: int
+) -> None:
+    """One-row probe validating a persisted signature store against the
+    increment's dial (ADVICE round 12): signature width must equal
+    ``num_hashes``, and when the store carries the round-12 dial
+    columns, both persisted dial values must match exactly.  One tiny
+    Spark action per increment; an empty store trivially passes (there
+    is nothing to disagree with)."""
+    cols = [F.size("_sig").alias("_w")]
+    has_meta = {"_shingle_n", "_num_hashes"} <= set(state.columns)
+    if has_meta:
+        cols += [F.col("_shingle_n"), F.col("_num_hashes")]
+    probe = state.select(*cols).head(1)
+    if not probe:
+        return
+    row = probe[0]
+    assert row["_w"] == num_hashes, (
+        f"existing_state signatures are {row['_w']} hashes wide but the "
+        f"increment runs num_hashes={num_hashes}: banding would slice "
+        "mismatched signatures — rebuild the store or match the dial"
+    )
+    if has_meta:
+        assert (
+            row["_shingle_n"] == shingle_n
+            and row["_num_hashes"] == num_hashes
+        ), (
+            f"existing_state was built with (shingle_n="
+            f"{row['_shingle_n']}, num_hashes={row['_num_hashes']}) but "
+            f"the increment runs (shingle_n={shingle_n}, num_hashes="
+            f"{num_hashes}): jaccard over different shingle grammars is "
+            "meaningless — rebuild the store or match the dial"
+        )
 
 
 def incremental_minhash_dedup(
@@ -922,7 +1001,13 @@ def incremental_minhash_dedup(
     buckets shuffle (id, origin, band) rows only, the exact verify runs
     on candidates, never all-pairs.  The best-match pick is a per-x
     window over candidate matches — partitioned by x, bounded by x's
-    candidate count.
+    candidate count.  Round 12: the verify corpus is BLOOM-PRUNED to
+    candidate ids before the shingle explode (one broadcast bitmap,
+    map-side filter, d16's pattern), so the intersection exchange
+    carries candidate documents' shingles only — O(candidates) per
+    increment, not O(existing corpus); per-increment cost past the
+    banding is now proportional to the batch's candidate volume, the
+    posture the signature store promises.
 
     The existing side comes in ONE of two forms:
 
@@ -946,6 +1031,53 @@ def incremental_minhash_dedup(
     ``minhash_banding_plan`` when the dedup threshold sits below the
     default dial's ~0.707 midpoint.
     """
+    shingled, banded, cand, best = _incremental_minhash_frames(
+        existing, batch, id_col, text_col,
+        shingle_n, num_hashes, bands, min_jaccard, existing_state,
+    )
+    try:
+        out = best.localCheckpoint(eager=True)
+    finally:
+        shingled.unpersist()
+        banded.unpersist()
+        cand.unpersist()
+    return out
+
+
+# Bloom sizing for the incremental verify-corpus prune: 2^20 bits
+# (128 KiB broadcast) holds ~10^5 candidate ids under 1% false-positive
+# mass at k=5 — FPs only admit extra verify rows the exact equi-join
+# drops, so the dial trades a sliver of pruning, never correctness.
+_INC_VERIFY_BLOOM_BITS = 1 << 20
+
+
+def _incremental_minhash_frames(
+    existing: Optional[DataFrame],
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    min_jaccard: float,
+    existing_state: Optional[DataFrame],
+):
+    """Plan construction for :func:`incremental_minhash_dedup`, split
+    out so tests can inspect the PRE-checkpoint plan (the public
+    function localCheckpoints, which discards lineage).  Returns
+    ``(shingled, banded, cand, best)`` — the first three persisted;
+    the CALLER owns their unpersist after materializing ``best``.
+
+    The exact-verify stage is CANDIDATE-BOUNDED (round 12, closing the
+    round-11 verdict's one scale seam): the verify corpus — the frames
+    feeding shingle explode and size lookup — is bloom-pruned to ids
+    that appear in some candidate pair (d16's pattern: one 128 KiB
+    bitmap broadcast, map-side filter, zero added shuffle), so the
+    intersection join's exchange carries candidate documents' shingles
+    only, O(candidates), instead of re-exploding the full existing
+    corpus every increment.  False positives only admit rows the exact
+    equi-join on ``(_m, _sh)`` / the inner size joins drop — output is
+    provably identical to the unpruned join."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     assert (existing is None) != (existing_state is None), (
         "pass exactly one of existing (raw text) or existing_state "
@@ -958,17 +1090,20 @@ def incremental_minhash_dedup(
             f"existing_state lacks {sorted(missing)}: expected the "
             "(_id, _shingles, _sig) shape minhash_signature_state writes"
         )
+        _validate_state_dial(existing_state, shingle_n, num_hashes)
         ex_state = existing_state.select("_id", "_shingles", "_sig")
     else:
         ex_state = minhash_signature_state(
             existing, id_col, text_col, shingle_n, num_hashes
-        )
+        ).select("_id", "_shingles", "_sig")
     shingled = ex_state.withColumn(
         "_origin", F.lit("existing")
     ).unionByName(
         minhash_signature_state(
             batch, id_col, text_col, shingle_n, num_hashes
-        ).withColumn("_origin", F.lit("batch"))
+        )
+        .select("_id", "_shingles", "_sig")
+        .withColumn("_origin", F.lit("batch"))
     ).persist()
     banded = shingled.select(
         "_id",
@@ -989,9 +1124,24 @@ def incremental_minhash_dedup(
         )
         .select("_x", "_m", "origin")
         .dropDuplicates(["_x", "_m"])
+        .persist()
     )
-    sizes = shingled.select("_id", F.size("_shingles").alias("_sz"))
-    exploded = shingled.select("_id", F.explode("_shingles").alias("_sh"))
+    from .bloom import bloom_build, bloom_might_contain
+
+    # one bitmap over every id participating in a candidate pair (both
+    # sides: _x needs its shingles for the intersection too); building
+    # it is the first action, paid from the persisted `banded`
+    cand_ids = cand.select(F.col("_x").alias("_cid")).union(
+        cand.select(F.col("_m").alias("_cid"))
+    )
+    bitmap = bloom_build(cand_ids, "_cid", m_bits=_INC_VERIFY_BLOOM_BITS)
+    verify_docs = shingled.filter(
+        bloom_might_contain(
+            F.col("_id"), bitmap, _INC_VERIFY_BLOOM_BITS
+        )
+    )
+    sizes = verify_docs.select("_id", F.size("_shingles").alias("_sz"))
+    exploded = verify_docs.select("_id", F.explode("_shingles").alias("_sh"))
     with_x = cand.join(exploded, cand["_x"] == exploded["_id"]).select(
         "_x", "_m", "origin", "_sh"
     )
@@ -1032,12 +1182,7 @@ def incremental_minhash_dedup(
             "jaccard",
         )
     )
-    try:
-        out = best.localCheckpoint(eager=True)
-    finally:
-        shingled.unpersist()
-        banded.unpersist()
-    return out
+    return shingled, banded, cand, best
 
 
 _MAX_CELL_TRAIN = 131_072  # honest driver-side trainer sample ceiling
@@ -1616,7 +1761,7 @@ def semantic_decontaminate(
     id_col: str,
     vec_col: str,
     threshold: float,
-    route: str = "auto",
+    route: str = "broadcast",
     n_clusters: Optional[int] = None,
     n_probe: int = 2,
     seed: int = 42,
@@ -1637,7 +1782,9 @@ def semantic_decontaminate(
     would let a pair within 1 ulp of the threshold flag in one engine
     and not the other.
 
-    ``route="broadcast"`` (default): benchmarks are dimension-sized by
+    ``route="broadcast"`` (the default — decontamination is an
+    EXACTNESS contract, so the exact route must be what callers get
+    unless they opt out): benchmarks are dimension-sized by
     nature (thousands of rows against a corpus of billions), so the
     eval side BROADCASTS and the corpus is scanned exactly once — the
     cosine is a per-(row, benchmark) JVM expression on the broadcast
@@ -1665,10 +1812,14 @@ def semantic_decontaminate(
     that nothing sheds (measured 307 s vs 38 s — pure overhead), the
     same worst case IVF has; stay on broadcast there at any eval size.
 
-    ``route="auto"`` (default, round 11): encode that measurement as
-    the routing decision instead of a docstring a user must find.
-    Cheap observables only — two counts, and (past the crossover
-    thresholds) a sampled cluster-shed ESTIMATE:
+    ``route="auto"`` (OPT-IN, round 12 — round 11 briefly made it the
+    default, but auto can select the subset-approximate cells route,
+    and a decontamination operator must not weaken its exactness
+    guarantee silently; when auto does pick cells at partial probe it
+    now emits a ``UserWarning`` saying so): encode the crossover
+    measurement as the routing decision instead of a docstring a user
+    must find.  Cheap observables only — two counts, and (past the
+    crossover thresholds) a sampled cluster-shed ESTIMATE:
 
     * eval under ``_AUTO_EVAL_FRAC`` of the corpus, or total pair work
       under ``_AUTO_MIN_PAIRS`` → broadcast (the measured win regime,
@@ -1708,6 +1859,18 @@ def semantic_decontaminate(
         route, centroids = _decontam_auto_route(
             tr, ev, id_col, vec_col, n_clusters, n_probe, seed
         )
+        if route == "cells" and n_probe < len(centroids):
+            import warnings as _warnings
+
+            _warnings.warn(
+                "semantic_decontaminate(route='auto') selected the "
+                f"cells route at partial probe (n_probe={n_probe} < "
+                f"{len(centroids)} cells): the flagged set is a SUBSET "
+                "of the exact broadcast result; pass route='broadcast' "
+                "for the exact scrub",
+                UserWarning,
+                stacklevel=2,
+            )
     if route == "cells":
         pairs = _cell_paired(
             tr, ev, id_col, vec_col, n_clusters, n_probe, seed,

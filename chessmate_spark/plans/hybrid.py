@@ -173,16 +173,36 @@ def _keyset_page(
 # Bounded size for the serving-shim compiled-plan cache: the key space
 # is distinct (plan parameters, dim) tuples, so a long-lived server with
 # diverse traffic evicts oldest-inserted once full (dict preserves
-# insertion order).  One entry holds three DataFrame lineages — no data.
+# insertion order).  One entry holds three DataFrame lineages plus the
+# memoized total count — no row data.
 PLAN_CACHE_MAX = 256
 
+# Guards plan-cache dict ops ONLY (lookup, evict+insert, total
+# write-back) — never Spark work, so it cannot serialize the service.
+# Round-12 ADVICE: under ThreadingHTTPServer two threads evicting
+# simultaneously could double-pop one key (KeyError → a 500), and
+# next(iter(...)) can raise RuntimeError if the dict resizes
+# mid-iteration; a lock is the simplest correct form.
+import threading as _threading
 
-def _plan_cache_key(plan: QueryPlan, dim: int, keyset_threshold: int):
+_PLAN_CACHE_LOCK = _threading.Lock()
+
+
+def _plan_cache_key(tables: HybridTables, plan: QueryPlan, dim: int,
+                    keyset_threshold: int):
     """Every plan field the compiled frames depend on — two requests with
     equal keys compile to identical lineages, so sharing is sound.
     cleaned_text participates because the fallback query embedding (V6)
-    derives from it when no keywords were extracted."""
+    derives from it when no keywords were extracted.  The TABLES'
+    identity participates too (round 12, self-enforcing the
+    immutable-snapshot contract): a caller reusing one cache dict across
+    different table snapshots now misses instead of silently serving
+    stale lineages — id() of each frame is stable for the snapshot's
+    lifetime, which is exactly the cache's documented validity window."""
     return (
+        id(tables.games),
+        id(tables.players),
+        id(tables.position_vectors),
         plan.cleaned_text,
         plan.limit,
         plan.offset,
@@ -203,9 +223,14 @@ def _compile(
     timings: "Optional[dict]",
 ):
     """The driver-side plan construction of ``execute``: summaries frame,
-    scored page frame, degradation warnings.  No action runs here except
-    the keyset boundary lookup on deep-offset requests (timed under its
-    own key and subtracted from build_page_s)."""
+    scored page frame, degradation warnings, and a ``degraded`` flag —
+    True only when the vector_hits compile THREW (the V7 transient
+    branch), so ``execute`` can refuse to cache a plan a retry might
+    compile healthy (round 12; the structural no-vector-table warning is
+    NOT degraded — it cannot heal without new tables, i.e. a new cache
+    key).  No action runs here except the keyset boundary lookup on
+    deep-offset requests (timed under its own key and subtracted from
+    build_page_s)."""
     import time as _time
 
     _t0 = _time.perf_counter()
@@ -228,12 +253,14 @@ def _compile(
         )
 
     warnings: List[str] = []
+    degraded = False
     hits = None
     if tables.position_vectors is not None:
         try:
             hits = vector_hits(tables.position_vectors, plan, dim)
         except Exception as exc:  # V7 graceful degradation
             warnings.append(f"Vector search unavailable ({exc})")
+            degraded = True
             hits = None
     else:
         warnings.append(
@@ -271,7 +298,7 @@ def _compile(
             _time.perf_counter() - _build_t0
             - timings.get("keyset_boundary_s", 0.0)
         )
-    return summaries, results, warnings
+    return summaries, results, warnings, degraded
 
 
 def execute(
@@ -296,14 +323,18 @@ def execute(
 
     ``plan_cache`` (opt-in, the reference's process-warmth analog — its
     Postgres side amortizes parse/plan via prepared statements and a
-    connection pool): a dict the SERVER owns, keyed by the full plan
-    parameter tuple, holding compiled (summaries, results, warnings)
-    lineages.  Cache hits skip the ~0.7 s of driver-side Py4J plan
-    construction; every ACTION (counts, collects) still executes
-    against the live tables — this caches plans, never results.
-    Contract: the tables must be immutable snapshots for the cache's
-    lifetime (the serving posture — same contract as the keyset
-    boundary literal), and entries evict oldest-first past
+    connection pool): a dict the SERVER owns, keyed by the tables'
+    identity plus the full plan parameter tuple, holding compiled
+    (summaries, results, warnings) lineages AND — round 12 — the
+    memoized ``total`` count.  Under the immutable-snapshot contract
+    the total for a given plan key is itself invariant, so a warm
+    request pays ONE Spark action (the page collect): cache hits skip
+    both the ~0.7 s of driver-side Py4J plan construction and the
+    count action.  The tables' identity lives in the key (a snapshot
+    swap misses instead of serving stale lineages), compiles that hit
+    the V7 transient-degradation branch are NOT cached (a retry may
+    compile healthy), dict ops run under a lock (safe under
+    ThreadingHTTPServer), and entries evict oldest-first past
     PLAN_CACHE_MAX."""
     import time as _time
 
@@ -314,25 +345,37 @@ def execute(
         timings.pop("keyset_boundary_s", None)
     key = cached = None
     if plan_cache is not None:
-        key = _plan_cache_key(plan, dim, keyset_threshold)
-        cached = plan_cache.get(key)
+        key = _plan_cache_key(tables, plan, dim, keyset_threshold)
+        with _PLAN_CACHE_LOCK:
+            cached = plan_cache.get(key)
+    total = None
     if cached is not None:
-        summaries, results, warnings = cached
+        summaries, results, warnings, total = cached
         if timings is not None:
             timings["build_summaries_s"] = 0.0
             timings["build_page_s"] = 0.0
     else:
-        summaries, results, warnings = _compile(
+        summaries, results, warnings, degraded = _compile(
             tables, plan, dim, keyset_threshold, timings
         )
-        if plan_cache is not None:
-            while len(plan_cache) >= PLAN_CACHE_MAX:
-                plan_cache.pop(next(iter(plan_cache)))
-            plan_cache[key] = (summaries, results, warnings)
-    _t0 = _time.perf_counter()
-    total = summaries.count()
-    if timings is not None:
-        timings["count_total_s"] = _time.perf_counter() - _t0
+        if plan_cache is not None and not degraded:
+            with _PLAN_CACHE_LOCK:
+                while len(plan_cache) >= PLAN_CACHE_MAX:
+                    plan_cache.pop(next(iter(plan_cache)), None)
+                plan_cache[key] = (summaries, results, warnings, None)
+    if total is None:
+        _t0 = _time.perf_counter()
+        total = summaries.count()
+        if timings is not None:
+            timings["count_total_s"] = _time.perf_counter() - _t0
+        if plan_cache is not None and key is not None:
+            with _PLAN_CACHE_LOCK:
+                entry = plan_cache.get(key)
+                if entry is not None and entry[3] is None:
+                    plan_cache[key] = entry[:3] + (total,)
+    elif timings is not None:
+        # memoized under the immutable-snapshot contract: no action ran
+        timings["count_total_s"] = 0.0
     if not count_returned:
         return HybridExecution(
             results=results, total=total, has_more=None, warnings=warnings

@@ -1265,7 +1265,24 @@ def d27_hyperplane_adaptive_neardup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     aug = _d25_augmented(spark, sf_dir)
-    n = aug.count()
+    # one aggregate replaces aug.count(): base + twin counts together.
+    # The oracle's bracket gate hardcodes count(*) + 50, but the entry
+    # plants only min(50, rows with vec_id < 50) twins — assert the
+    # corpus actually carries the 50 twin sources, or the two engines
+    # would sit at different corpus counts and could pick different
+    # bracket dials (round-12 ADVICE)
+    counts = _emb(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("_n_base"),
+        F.sum(
+            F.when(F.col("vec_id") < _D25_TWINS, 1).otherwise(0)
+        ).alias("_n_twins"),
+    ).head()
+    assert counts["_n_twins"] == _D25_TWINS, (
+        f"corpus has only {counts['_n_twins']} of the {_D25_TWINS} twin "
+        "source rows (vec_id < 50): the oracle's count(*) + 50 bracket "
+        "gate would disagree with the entry's corpus count"
+    )
+    n = counts["_n_base"] + counts["_n_twins"]
     assert n < _D27_BRACKET_CAP, (
         f"corpus of {n} rows is past the oracle's bracket table — "
         "extend _hyperplane_adaptive_brackets before trusting the mirror"

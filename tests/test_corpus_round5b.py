@@ -372,3 +372,141 @@ def test_incremental_dedup_state_contract_errors(spark):
             None, docs, "doc_id", "text",
             existing_state=docs.select(F.col("doc_id").alias("_id")),
         )
+
+
+def test_incremental_dedup_state_dial_validation(spark):
+    """Round-12 ADVICE: a store built with a DIFFERENT dial must fail
+    loudly instead of silently banding mismatched signature slices —
+    the dial is persisted in the state (``_shingle_n``/``_num_hashes``)
+    and validated by a one-row probe; a pre-round-12 store (no dial
+    columns) still gets the signature-width check."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_state,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+
+    # width mismatch: store at 32 hashes, increment at 16
+    wide = minhash_signature_state(
+        existing, "doc_id", "text", shingle_n=3, num_hashes=32
+    )
+    with pytest.raises(AssertionError, match="32 hashes wide"):
+        incremental_minhash_dedup(
+            None, batch, "doc_id", "text",
+            num_hashes=16, bands=4, existing_state=wide,
+        )
+
+    # same width, different shingle grammar: only the persisted dial
+    # catches this (signatures are 16 long either way)
+    grammar = minhash_signature_state(
+        existing, "doc_id", "text", shingle_n=5, num_hashes=16
+    )
+    with pytest.raises(AssertionError, match="shingle grammars"):
+        incremental_minhash_dedup(
+            None, batch, "doc_id", "text",
+            shingle_n=3, num_hashes=16, bands=4, existing_state=grammar,
+        )
+
+    # legacy store (no dial columns): width check still runs — and a
+    # width-matched legacy store passes
+    legacy = minhash_signature_state(
+        existing, "doc_id", "text", shingle_n=3, num_hashes=16
+    ).select("_id", "_shingles", "_sig")
+    out = incremental_minhash_dedup(
+        None, batch, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, existing_state=legacy,
+    )
+    assert out.columns == ["doc_id", "matched_id", "origin", "jaccard"]
+    legacy_wide = minhash_signature_state(
+        existing, "doc_id", "text", shingle_n=3, num_hashes=32
+    ).select("_id", "_shingles", "_sig")
+    with pytest.raises(AssertionError, match="32 hashes wide"):
+        incremental_minhash_dedup(
+            None, batch, "doc_id", "text",
+            num_hashes=16, bands=4, existing_state=legacy_wide,
+        )
+
+    # an EMPTY store trivially passes (nothing to disagree with)
+    empty = wide.filter(F.lit(False))
+    incremental_minhash_dedup(
+        None, batch, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, existing_state=empty,
+    )
+
+
+def test_incremental_verify_exchange_candidate_bounded(spark):
+    """Round 12 (the round-11 verdict's one scale seam): the exact-
+    verify stage's input must be CANDIDATE-bounded — the shingle
+    explode reads a bloom-pruned verify corpus (one broadcast bitmap,
+    map-side filter), not the full existing corpus.  Asserted on the
+    pre-checkpoint physical plan: the bloom probe (an Arrow-batched
+    pandas_udf filter) sits upstream of the intersection join, and the
+    pruned pipeline's output stays identical to the public entry's
+    (which the d12 oracle pins independently)."""
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.operators.dedup import (
+        _incremental_minhash_frames,
+        incremental_minhash_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    shingled, banded, cand, best = _incremental_minhash_frames(
+        existing, batch, "doc_id", "text", 3, 16, 4, 0.1, None,
+    )
+    try:
+        plan = best._jdf.queryExecution().executedPlan().toString()
+        # the bloom probe is the ONLY python eval in this pipeline —
+        # its presence in the plan proves the verify corpus is filtered
+        # before the explode/join stages
+        assert ("ArrowEvalPython" in plan) or ("BatchEvalPython" in plan), plan
+        got = sorted(map(tuple, best.collect()))
+    finally:
+        shingled.unpersist()
+        banded.unpersist()
+        cand.unpersist()
+    public = sorted(
+        map(
+            tuple,
+            incremental_minhash_dedup(
+                existing, batch, "doc_id", "text",
+                shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+            ).collect(),
+        )
+    )
+    assert got == public
+    assert got  # the fixture has cross-half duplicates
+
+
+def test_minhash_dial_diagnostics_fallback_disclosure():
+    """Round-12 ADVICE: minhash_route's non-prunable branch returns the
+    planner's REFUSAL, not the fallback's recall — the honest figure
+    for the dial actually run comes from minhash_dial_diagnostics."""
+    from chessmate_spark.operators.dedup import (
+        minhash_dial_diagnostics,
+        minhash_route,
+    )
+
+    h, b, refusal = minhash_route(5_000, 0.1)
+    assert (h, b) == (16, 4) and not refusal.prunes
+    # the refusal documents the planner's best banding (near-all-pairs
+    # background), NOT the (16, 4) dial's S-curve
+    assert refusal.background_fraction > 0.9
+    fb = minhash_dial_diagnostics(h, b, 0.1)
+    assert (fb.num_hashes, fb.bands, fb.rows) == (16, 4, 4)
+    # detection 1-(1-0.1^4)^4 ~ 4e-4: only strong near-dups surface
+    assert 1e-4 < fb.detection_at_threshold < 1e-3
+    # and at a prunable threshold the two agree by construction
+    h2, b2, plan2 = minhash_route(500, 0.5)
+    agree = minhash_dial_diagnostics(h2, b2, 0.5)
+    assert abs(
+        agree.detection_at_threshold - plan2.detection_at_threshold
+    ) < 1e-12

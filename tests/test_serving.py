@@ -220,6 +220,85 @@ def test_plan_cache_eviction_bound(spark, tables):
     assert ("sentinel", 0) not in cache  # oldest evicted
 
 
+def test_plan_cache_warm_hit_skips_count_action(spark, tables):
+    """Round 12 (verdict #5): under the immutable-snapshot contract the
+    total for a plan key is invariant, so the warm path memoizes it and
+    pays ONE Spark action (the page collect) — count_total_s reads 0.0
+    on the hit and the payload stays identical."""
+    cache = {}
+    cold_t = {}
+    cold = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache,
+        timings=cold_t,
+    )
+    assert cold_t["count_total_s"] > 0.0
+    warm_t = {}
+    warm = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache,
+        timings=warm_t,
+    )
+    assert warm_t["count_total_s"] == 0.0  # memoized, no action ran
+    assert warm == cold
+
+
+def test_plan_cache_snapshot_swap_misses(spark, tables):
+    """Round 12 (verdict #3): the tables' identity is part of the cache
+    key, so reusing one cache dict across DIFFERENT table snapshots
+    compiles fresh lineages instead of silently serving stale ones."""
+    from chessmate_spark.plans.hybrid import HybridTables
+
+    cache = {}
+    first = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert len(cache) == 1
+    # a new snapshot: same data, DIFFERENT frame objects — plus a real
+    # mutation (one game dropped) that a stale-lineage bug would hide
+    swapped = HybridTables(
+        games=tables.games.filter("id <> 2"),
+        players=tables.players.select("*"),
+        position_vectors=tables.position_vectors.select("*"),
+    )
+    second = answer_question(
+        spark, swapped, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert len(cache) == 2  # fresh entry, not a stale hit
+    assert first["total"] == 1 and second["total"] == 0
+
+
+def test_plan_cache_degraded_compile_not_cached(spark, tables, monkeypatch):
+    """Round 12 (verdict #3): a TRANSIENT vector_hits compile failure
+    (the V7 degradation branch) must not freeze a degraded plan in the
+    cache — the next request recompiles and serves the healthy plan."""
+    from chessmate_spark.plans import hybrid as hy
+
+    cache = {}
+    real_vector_hits = hy.vector_hits
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient vector backend hiccup")
+        return real_vector_hits(*args, **kwargs)
+
+    monkeypatch.setattr(hy, "vector_hits", flaky)
+    degraded = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert any("Vector search unavailable" in w
+               for w in degraded.get("warnings", []))
+    assert len(cache) == 0  # the degraded compile was NOT cached
+    healthy = answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert "warnings" not in healthy
+    assert len(cache) == 1
+    assert healthy == answer_question(
+        spark, tables, CANONICAL_QUESTION, dim=8
+    )
+
+
 # --- batch serving (round 8): N questions, one DataFrame program ---
 
 BATCH_QUESTIONS = [

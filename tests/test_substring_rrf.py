@@ -559,15 +559,18 @@ def test_semantic_decontaminate_cell_route_duplicate_eval_ids(spark):
 
 
 def test_semantic_decontaminate_auto_route_broadcast_side(spark):
-    """route='auto' (the default): a dimension-sized eval set (the d23
-    shape — ~1% of the corpus) stays on the exact broadcast route, and
-    the result is row-identical to the explicit override."""
+    """route='auto' (opt-in since round 12 — the default is the exact
+    broadcast route): a dimension-sized eval set (the d23 shape — ~1%
+    of the corpus) stays on the exact broadcast route, and the result
+    is row-identical to the explicit override."""
     from chessmate_spark.operators.dedup import semantic_decontaminate
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     train = emb.filter(F.col("vec_id") % 97 != 0)
     ev = emb.filter(F.col("vec_id") % 97 == 0)
-    auto = semantic_decontaminate(train, ev, "vec_id", "embedding", 0.35)
+    auto = semantic_decontaminate(
+        train, ev, "vec_id", "embedding", 0.35, route="auto"
+    )
     assert auto._auto_route == "broadcast"
     explicit = semantic_decontaminate(
         train, ev, "vec_id", "embedding", 0.35, route="broadcast"
@@ -604,9 +607,15 @@ def test_semantic_decontaminate_auto_route_cells_side(spark, monkeypatch):
     # n_clusters matches the true cluster count (the default sizing
     # gives 8 cells at this toy scale, where 2-probe candidates honestly
     # ARE ~half of all-pairs and auto correctly refuses)
-    auto = dd.semantic_decontaminate(
-        train, ev, "vec_id", "embedding", 0.9, n_clusters=24
-    )
+    import pytest as _pytest
+
+    # the approximate pick must be LOUD (round-12 ADVICE): auto-cells
+    # at partial probe warns that the flagged set is a subset
+    with _pytest.warns(UserWarning, match="partial probe"):
+        auto = dd.semantic_decontaminate(
+            train, ev, "vec_id", "embedding", 0.9,
+            route="auto", n_clusters=24,
+        )
     assert auto._auto_route == "cells"
     explicit = dd.semantic_decontaminate(
         train, ev, "vec_id", "embedding", 0.9, route="cells", n_clusters=24
@@ -629,5 +638,7 @@ def test_semantic_decontaminate_auto_route_degenerate_corpus(spark, monkeypatch)
     ev = spark.createDataFrame(
         rows[:60], "vec_id bigint, embedding array<double>"
     ).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
-    auto = dd.semantic_decontaminate(train, ev, "vec_id", "embedding", 0.9)
+    auto = dd.semantic_decontaminate(
+        train, ev, "vec_id", "embedding", 0.9, route="auto"
+    )
     assert auto._auto_route == "broadcast"
