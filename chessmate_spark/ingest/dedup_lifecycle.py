@@ -1,0 +1,146 @@
+"""Commit-log-backed incremental dedup lifecycle — the loop a 100 TB
+pipeline actually runs day to day:
+
+    ingest batch → dedup against the persisted signature store →
+    append the batch's state to the store EXACTLY ONCE → repeat.
+
+Each increment pays one corpus scan for the BATCH only (the store holds
+every earlier document's ``(_id, _shingles, _sig)`` state, computed once
+per document lifetime — ``operators/dedup.py minhash_signature_state``),
+and the state append rides the commit log's txn markers
+(``append_idempotent``), so a replayed batch — a restarted driver, an
+at-least-once upstream queue — cannot double-append its state: the
+store always mirrors the ingested corpus exactly once, whatever the
+delivery semantics upstream.
+
+Reference analog: the re-ingest hygiene the reference gets from
+scripts/prune_pending_jobs.sh plus vector-id idempotency on re-ingest
+(SURVEY §2.9 Q6) — there the guarded resource is the jobs queue /
+vector store; here it is the dedup state itself.
+
+Scale shape: the increment shuffles O(batch + existing) BAND rows (a
+few small integers per document) and the exact-verify exchange is
+bloom-pruned to candidate ids (round 12); the state append writes
+O(batch) rows through one commit-log transaction.  Nothing
+corpus-sized moves per increment.
+
+Dial stability contract: every increment must run the SAME
+``(shingle_n, num_hashes)`` the store was built with — the store
+persists its dial and the increment validates it with a one-row probe,
+so a drifted dial (e.g. a corpus-adaptive banding stepping a decade
+bracket) fails loudly instead of silently banding mismatched
+signatures.  A pipeline that wants adaptive banding re-bands FROM the
+stored signatures (bands must divide ``num_hashes``); a changed
+``num_hashes``/``shingle_n`` means a store rebuild — the same contract
+an IVF index has with its frozen centroids (v14).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_signature_state,
+)
+from .commit_log import CommitLogTable
+
+# One txn app-id per signature store: batch ids are the monotonic txn
+# versions, so the commit log's replay check is the exactly-once gate.
+SIGNATURE_STORE_APP = "minhash-signature-store"
+
+
+def open_signature_store(
+    spark: SparkSession, path: str, checkpoint_interval: int = 10
+) -> CommitLogTable:
+    """The signature store as a commit-log table at ``path`` — creates
+    the directory layout on first open; any number of writers across
+    processes may hold instances (the commit log's multi-writer
+    contract)."""
+    return CommitLogTable(spark, path, checkpoint_interval)
+
+
+@dataclass
+class DedupIncrement:
+    """Result of one lifecycle increment.
+
+    ``duplicates`` is MATERIALIZED (localCheckpoint) before the state
+    append runs, so it is pinned to the pre-append store snapshot;
+    ``appended_version`` is the commit-log version the batch's state
+    landed as, or None when the commit log detected a REPLAY (this
+    ``batch_id`` already committed) and skipped the append."""
+
+    duplicates: DataFrame
+    appended_version: Optional[int]
+    batch_id: int
+
+
+def dedup_increment(
+    store: CommitLogTable,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_id: int,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    app_id: str = SIGNATURE_STORE_APP,
+) -> DedupIncrement:
+    """ONE turn of the production loop: dedup ``batch`` against the
+    store's current snapshot (plus within-batch, d1's min-id rule),
+    then append the batch's signature state exactly once under
+    ``(app_id, batch_id)``.
+
+    ``batch_id`` must be monotonic per store (ingest sequence numbers,
+    streaming batch ids) — a replayed id is detected by the commit log
+    and the append is skipped, so the whole call is IDEMPOTENT: the
+    duplicates frame recomputes identically (the store snapshot it read
+    is unchanged by the skip) and the store is unchanged.
+
+    The store holds the FULL ingested corpus's state (duplicates
+    included, exactly as it was handed in): that is what makes N
+    increments equal the from-scratch recompute over the concatenated
+    batches — a batch doc whose best match is an earlier DUPLICATE
+    still resolves to the same flag either way (the d28 entry pins this
+    against a two-increment DuckDB mirror).  A kept-only store is a
+    caller policy: filter the batch before calling.
+
+    The batch's shingle scan is paid ONCE: its state frame is persisted,
+    feeds the increment (``batch_state=``), and is the exact frame the
+    append stages to parquet."""
+    b_state = minhash_signature_state(
+        batch, id_col, text_col, shingle_n, num_hashes
+    ).persist()
+    try:
+        if store.latest_version() == 0:
+            existing_state = b_state.filter(F.lit(False))
+        else:
+            # the batch's OWN ids are excluded from the existing side
+            # (broadcast anti join — the batch is the small side by
+            # construction): on a REPLAY the store already holds this
+            # batch's state, and without the exclusion every batch doc
+            # would flag as a jaccard-1.0 duplicate of itself.  With it
+            # the whole call is idempotent — replay reads the same
+            # effective snapshot the original increment did.  For a
+            # fresh batch it is a no-op (ids are unique across
+            # increments, the store contract).
+            existing_state = store.read().join(
+                F.broadcast(b_state.select("_id")), "_id", "left_anti"
+            )
+        dupes = incremental_minhash_dedup(
+            None, batch, id_col, text_col,
+            shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+            min_jaccard=min_jaccard,
+            existing_state=existing_state, batch_state=b_state,
+        )
+        version = store.append_idempotent(b_state, app_id, batch_id)
+    finally:
+        b_state.unpersist()
+    return DedupIncrement(
+        duplicates=dupes, appended_version=version, batch_id=batch_id
+    )

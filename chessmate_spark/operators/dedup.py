@@ -983,6 +983,7 @@ def incremental_minhash_dedup(
     bands: int = 4,
     min_jaccard: float = 0.5,
     existing_state: Optional[DataFrame] = None,
+    batch_state: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental near-dup detection: a NEW ingest batch against the
     ALREADY-INGESTED corpus (plus within-batch) — the form a 100 TB
@@ -1023,6 +1024,13 @@ def incremental_minhash_dedup(
       the next increment starts from there.  Must have been built with
       the same ``shingle_n``/``num_hashes``.
 
+    ``batch_state`` (optional, round 12): a precomputed
+    :func:`minhash_signature_state` frame for the BATCH — the lifecycle
+    wrapper (ingest/dedup_lifecycle.py) computes the batch's state once,
+    persists it, runs the increment from it, and appends the SAME frame
+    to the store, so the batch's shingle scan is paid once per lifetime
+    too.  Validated against the dial like ``existing_state``.
+
     Ids must be unique across both sides (true for any snapshot + delta
     of one corpus).
 
@@ -1034,6 +1042,7 @@ def incremental_minhash_dedup(
     shingled, banded, cand, best = _incremental_minhash_frames(
         existing, batch, id_col, text_col,
         shingle_n, num_hashes, bands, min_jaccard, existing_state,
+        batch_state,
     )
     try:
         out = best.localCheckpoint(eager=True)
@@ -1061,6 +1070,7 @@ def _incremental_minhash_frames(
     bands: int,
     min_jaccard: float,
     existing_state: Optional[DataFrame],
+    batch_state: Optional[DataFrame] = None,
 ):
     """Plan construction for :func:`incremental_minhash_dedup`, split
     out so tests can inspect the PRE-checkpoint plan (the public
@@ -1096,14 +1106,17 @@ def _incremental_minhash_frames(
         ex_state = minhash_signature_state(
             existing, id_col, text_col, shingle_n, num_hashes
         ).select("_id", "_shingles", "_sig")
+    if batch_state is not None:
+        _validate_state_dial(batch_state, shingle_n, num_hashes)
+        b_state = batch_state.select("_id", "_shingles", "_sig")
+    else:
+        b_state = minhash_signature_state(
+            batch, id_col, text_col, shingle_n, num_hashes
+        ).select("_id", "_shingles", "_sig")
     shingled = ex_state.withColumn(
         "_origin", F.lit("existing")
     ).unionByName(
-        minhash_signature_state(
-            batch, id_col, text_col, shingle_n, num_hashes
-        )
-        .select("_id", "_shingles", "_sig")
-        .withColumn("_origin", F.lit("batch"))
+        b_state.withColumn("_origin", F.lit("batch"))
     ).persist()
     banded = shingled.select(
         "_id",

@@ -38,13 +38,38 @@ def curate_corpus(
     source_cap: int | None = None,
     semantic_dedup: bool = False,
     semantic_threshold: float = 0.35,
+    signature_store_path: str | None = None,
+    batch_id: int | None = None,
+    docs: DataFrame | None = None,
 ) -> Dict[str, int]:
     """Run the curation DAG over ``{sf_dir}/documents.parquet`` and write
     training shards to ``out_dir``; returns the per-stage row counts
-    (monotonically non-increasing — each stage only drops rows)."""
+    (monotonically non-increasing — each stage only drops rows).
+
+    INCREMENTAL MODE (round 12): pass ``signature_store_path`` (a
+    commit-log signature store directory, created on first use) and a
+    monotonic ``batch_id`` to treat the input as ONE ingest increment:
+    the near-dup stage runs against the persisted store instead of
+    within-corpus only (``ingest/dedup_lifecycle.dedup_increment``), so
+    a document near-duplicating ANY earlier increment's doc is dropped
+    too (cross-increment exact dups included — jaccard 1.0 clears any
+    threshold), and the batch's signature state is appended to the
+    store exactly once (commit-log txn marker = ``batch_id``; a
+    replayed batch re-curates identically without double-appending).
+    The report gains ``store_version`` (0 on a detected replay).
+    ``docs`` overrides the input frame — how a caller feeds ONE
+    increment's documents (any frame with the documents schema) instead
+    of the whole table."""
     report: Dict[str, int] = {}
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     report["input"] = docs.count()
+    incremental = signature_store_path is not None
+    if incremental and batch_id is None:
+        raise ValueError(
+            "incremental mode needs a monotonic batch_id for the "
+            "store's exactly-once txn marker"
+        )
 
     # 1. structural validation (t13's checks as a filter)
     valid = docs.filter(
@@ -76,13 +101,31 @@ def curate_corpus(
     from .operators.dedup import minhash_route
 
     hashes, bands, _plan = minhash_route(report["exact_deduped"], 0.1)
-    pairs = minhash_lsh_candidates(
-        exact_kept, "doc_id", "text",
-        shingle_n=3, num_hashes=hashes, bands=bands, min_jaccard=0.1,
-    )
-    near_drop = (
-        dup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
-    )
+    if incremental:
+        # near-dup vs the PERSISTED store + within-batch (the lifecycle
+        # loop): every flagged batch doc drops; its best match — an
+        # earlier increment's doc or an earlier doc of this batch —
+        # stays canonical (d1's min-id rule inside dedup_increment).
+        # The store dial is validated against (hashes, bands)'s
+        # num_hashes by the increment's one-row probe, so a dial drift
+        # across increments fails loudly instead of mis-banding.
+        from .ingest.dedup_lifecycle import dedup_increment, open_signature_store
+
+        store = open_signature_store(spark, signature_store_path)
+        inc = dedup_increment(
+            store, exact_kept, "doc_id", "text", batch_id=batch_id,
+            shingle_n=3, num_hashes=hashes, bands=bands, min_jaccard=0.1,
+        )
+        near_drop = inc.duplicates.select("doc_id")
+        report["store_version"] = inc.appended_version or 0
+    else:
+        pairs = minhash_lsh_candidates(
+            exact_kept, "doc_id", "text",
+            shingle_n=3, num_hashes=hashes, bands=bands, min_jaccard=0.1,
+        )
+        near_drop = (
+            dup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
+        )
     near_kept = exact_kept.join(F.broadcast(near_drop), "doc_id", "left_anti")
     report["near_deduped"] = near_kept.count()
 

@@ -6491,9 +6491,11 @@ def v9_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "dim")
 
 
-def _incremental_dedup_oracle(
-    num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
-) -> str:
+def _inc_dedup_prefix_ctes(num_hashes: int, bands: int) -> str:
+    """Shared toks/sh/sig/bands CTE text for the incremental-dedup
+    oracles (d12 and the d28 lifecycle entry): one MinHash banding of
+    the FULL documents table; each increment's cand chain then selects
+    its own (batch, existing) split from the shared band table."""
     from ..functions.hashing import MINHASH_PRIME, minhash_constants
 
     rows = num_hashes // bands
@@ -6506,8 +6508,7 @@ def _incremental_dedup_oracle(
         f"list_min(list_transform(shingles, s -> ({a} * {base} + {b}) % {MINHASH_PRIME}))"
         for a, b in consts
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, {toks} AS tokens FROM documents),
     sh AS (
       SELECT doc_id, {_DUCK_SHINGLES3} AS shingles FROM toks),
@@ -6522,25 +6523,45 @@ def _incremental_dedup_oracle(
              list_slice(signature, b * {rows} + 1, b * {rows} + {rows}),
              x -> CAST(x AS VARCHAR)), ','))
          FOR b IN range({bands})]) AS band
-      FROM sig),
-    cand AS (
+      FROM sig)"""
+
+
+def _inc_dedup_increment_ctes(
+    suffix: str, batch_pred: str, exist_pred: str, min_j: float
+) -> str:
+    """cand/scored/best chain for ONE increment over the shared band
+    table.  ``batch_pred``/``exist_pred`` are format strings taking
+    ``{col}`` (e.g. ``"{col} % 3 = 1"``); the candidate rule is d12's —
+    x in the batch, m either existing or an earlier batch doc."""
+    bx = batch_pred.format(col="x.doc_id")
+    bm = batch_pred.format(col="m.doc_id")
+    em = exist_pred.format(col="m.doc_id")
+    return f"""cand{suffix} AS (
       SELECT DISTINCT x.doc_id AS xid, m.doc_id AS mid,
              x.shingles AS sh_x, m.shingles AS sh_m,
-             CASE WHEN m.doc_id % 2 = 0 THEN 'existing' ELSE 'batch' END
+             CASE WHEN {em} THEN 'existing' ELSE 'batch' END
                AS origin
       FROM bands x JOIN bands m ON x.band = m.band
-      WHERE x.doc_id % 2 = 1
-        AND (m.doc_id % 2 = 0 OR m.doc_id < x.doc_id)),
-    scored AS (
+      WHERE {bx}
+        AND (({em}) OR (({bm}) AND m.doc_id < x.doc_id))),
+    scored{suffix} AS (
       SELECT xid, mid, origin,
              CAST(len(list_intersect(sh_x, sh_m)) AS DOUBLE)
              / len(list_distinct(list_concat(sh_x, sh_m))) AS j
-      FROM cand),
-    best AS (
+      FROM cand{suffix}),
+    best{suffix} AS (
       SELECT xid, mid, origin, j,
              row_number() OVER (PARTITION BY xid ORDER BY j DESC, mid)
                AS rn
-      FROM scored WHERE j >= {min_j})
+      FROM scored{suffix} WHERE j >= {min_j})"""
+
+
+def _incremental_dedup_oracle(
+    num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
+) -> str:
+    return f"""
+    WITH {_inc_dedup_prefix_ctes(num_hashes, bands)},
+    {_inc_dedup_increment_ctes("", "{col} % 2 = 1", "{col} % 2 = 0", min_j)}
     SELECT xid AS doc_id, mid AS matched_id, origin,
            round(j, 6) AS jaccard
     FROM best WHERE rn = 1
@@ -6586,6 +6607,129 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "origin",
         portable_round(F.col("jaccard"), 6).alias("jaccard"),
     ).orderBy("doc_id")
+
+
+# the three-increment split the d28 lifecycle entry drives and its
+# oracle mirrors: (batch_pred, exist_pred) per increment, thirds of the
+# documents table ingested in sequence against a growing store
+_D28_INCREMENTS = (
+    ("{col} % 3 = 0", "1 = 0"),
+    ("{col} % 3 = 1", "{col} % 3 = 0"),
+    ("{col} % 3 = 2", "{col} % 3 < 2"),
+)
+
+
+def _lifecycle_oracle(
+    num_hashes: int = 16, bands: int = 4, min_j: float = 0.1
+) -> str:
+    """Three d12-style increment chains over one shared banding — the
+    static mirror of the commit-log lifecycle: increment k's existing
+    side is exactly the union of batches 0..k-1, which is what the
+    store holds when the appends are exactly-once."""
+    ctes = [_inc_dedup_prefix_ctes(num_hashes, bands)]
+    selects = []
+    for k, (bp, ep) in enumerate(_D28_INCREMENTS):
+        ctes.append(_inc_dedup_increment_ctes(str(k), bp, ep, min_j))
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS increment, xid AS doc_id, "
+            f"mid AS matched_id, origin, round(j, 6) AS jaccard "
+            f"FROM best{k} WHERE rn = 1"
+        )
+    union = "\n    UNION ALL ".join(selects)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    {union}
+    ORDER BY increment, doc_id
+    """
+    )
+
+
+@_register("d28_incremental_lifecycle", _lifecycle_oracle())
+def d28_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END incremental dedup lifecycle (round 12, closing the
+    round-11 verdict's #1): three ingest batches (doc_id thirds) driven
+    through a COMMIT-LOG-BACKED signature store —
+
+        dedup batch k against the store → append batch k's state
+        exactly once (txn marker = batch id) → repeat —
+
+    returning every increment's duplicate report.  The oracle mirrors
+    each increment as a d12 chain whose existing side is the union of
+    batches 0..k-1 — exactly what the store holds when appends are
+    exactly-once, so a double-append OR a lost append would change the
+    candidate sets and break the hash.  The entry additionally asserts
+    the exactly-once mechanics in-line (one commit-log version per
+    batch; a REPLAY of batch 1 is detected and skipped; the final store
+    mirrors the corpus row count exactly), failing loudly rather than
+    drifting.
+
+    Scale shape (ingest/dedup_lifecycle.py): per increment the batch's
+    shingle scan runs once (persisted state frame feeds both the dedup
+    and the append), band rows shuffle O(batch + store), the verify
+    exchange is bloom-pruned to candidate ids, and the append is one
+    commit-log transaction of O(batch) rows.  Reference analog: the
+    re-ingest hygiene of scripts/prune_pending_jobs.sh + vector-id
+    idempotency (SURVEY §2.9 Q6) applied to dedup state."""
+    import shutil
+    import tempfile
+
+    from ..ingest.dedup_lifecycle import (
+        SIGNATURE_STORE_APP,
+        dedup_increment,
+        open_signature_store,
+    )
+    from ..operators.dedup import minhash_signature_state
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="chessmate_sigstore_")
+    try:
+        store = open_signature_store(spark, tmp)
+        outs = []
+        for k in range(3):
+            third = docs.filter(F.col("doc_id") % 3 == k)
+            inc = dedup_increment(
+                store, third, "doc_id", "text", batch_id=k,
+                shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+            )
+            assert inc.appended_version == k + 1, (
+                f"batch {k} landed as version {inc.appended_version}, "
+                "expected one commit per batch (exactly-once violated)"
+            )
+            outs.append(
+                inc.duplicates.withColumn(
+                    "increment", F.lit(k).cast("bigint")
+                )
+            )
+        # replay of batch 1: the commit log must detect and skip it
+        replay = store.append_idempotent(
+            minhash_signature_state(
+                docs.filter(F.col("doc_id") % 3 == 1), "doc_id", "text",
+                shingle_n=3, num_hashes=16,
+            ),
+            SIGNATURE_STORE_APP, 1,
+        )
+        assert replay is None and store.latest_version() == 3, (
+            f"replay appended (version={replay}, "
+            f"head={store.latest_version()}): exactly-once violated"
+        )
+        n_store = store.read().count()
+        n_docs = docs.count()
+        assert n_store == n_docs, (
+            f"store holds {n_store} rows for a {n_docs}-doc corpus: "
+            "state was dropped or double-appended"
+        )
+        out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+        # duplicates frames are localCheckpoint-materialized, so the
+        # store directory can be removed before the driver collects
+        return out.select(
+            "increment",
+            "doc_id",
+            "matched_id",
+            "origin",
+            portable_round(F.col("jaccard"), 6).alias("jaccard"),
+        ).orderBy("increment", "doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @_register(

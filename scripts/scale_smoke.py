@@ -171,6 +171,12 @@ LINEARITY_QUERIES = [
     "d21_substring_dedup",
     "d22_substring_dedup_resolve",
     "d24_minhash_planned_dedup",
+    # round-12 (round-11 verdict #6): the corpus-adaptive hyperplane
+    # entry (its falling-candidate-fraction claim deserves the marginal
+    # proof d7 got) and the decontaminate entry on its auto/broadcast
+    # route
+    "d27_hyperplane_adaptive_neardup",
+    "d23_semantic_decontaminate",
 ]
 MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
 # d7's marginal is NOT linear-ideal by design.  Since round 10 the entry
@@ -182,7 +188,17 @@ MARGINAL_LIMIT = 10.5  # 3x dispersion over the ideal 3.5
 # ladder's own quanta stay pinned at the OPERATOR level by
 # measure_dedup_decomposition (plan cost PER CANDIDATE must stay flat);
 # the wider marginal allowance here covers the designed quadratic leg.
-MARGINAL_OVERRIDES: dict[str, float] = {"d7_embedding_neardup_lsh": 16.0}
+MARGINAL_OVERRIDES: dict[str, float] = {
+    "d7_embedding_neardup_lsh": 16.0,
+    # d23's eval set is a FIXED FRACTION of the corpus by construction
+    # (vec_id % 97), so the broadcast route's pair work on this ladder
+    # is train x eval ~ n^2/97 — a pure quadratic reads marginal
+    # (100-9)/(9-1) = 11.4 by design, not by defect.  Production eval
+    # benchmarks are constant-size (pair work linear in the corpus);
+    # the ladder's quadratic is the fixture's, and past the measured
+    # crossovers route="auto" takes the cell-pruned path anyway.
+    "d23_semantic_decontaminate": 13.0,
+}
 LINEARITY_REPEATS = 2
 # A marginal ratio needs a denominator ABOVE host noise to mean
 # anything: identical back-to-back runs on this host swing +-0.5-1 s,
@@ -1793,6 +1809,129 @@ def measure_hyperplane_planned(spark, out_path: str) -> "list[str]":
     return failures
 
 
+# The incremental-lifecycle probe (round 12, verdict #1/#2): a FIXED
+# batch deduped against a commit-log signature store whose existing
+# side grows 1x -> 10x.  Increment cost must scale with the BATCH's
+# candidate volume, not the corpus: the band join's existing side grows
+# (narrow integer rows, linear scan), but the exact-verify exchange is
+# bloom-pruned to candidate ids, so candidate count must stay ~flat
+# (the replicated corpus decorrelates replica text — a replica-0 batch
+# only matches replica-0 docs) and wall growth far below 10x.
+INC_BATCH_MOD = 5        # replica-0 docs with doc_id % 5 == 0 (~1/5)
+INC_ID_OFFSET = 900_000_000  # re-keyed batch ids, unique vs any replica
+INC_WALL_GATE = 4.0      # 10x existing -> <= 4x increment wall
+INC_CAND_GATE = 2.0      # candidate ids must track the batch, not corpus
+
+
+def measure_incremental_lifecycle(spark, out_path: str) -> "list[str]":
+    """Time one store-backed dedup increment at 1x and 10x existing
+    corpus; record wall clock and distinct candidate-id counts.
+    Updates SCALE_SMOKE.json's `incremental_lifecycle` block."""
+    import shutil
+    import tempfile
+
+    from chessmate_spark.ingest.dedup_lifecycle import (
+        dedup_increment, open_signature_store,
+    )
+
+    base = spark.read.parquet(f"{SRC}/documents.parquet")
+    batch = (
+        base.filter(F.col("doc_id") % INC_BATCH_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(INC_ID_OFFSET))
+        .select("doc_id", "text")
+    )
+    batch_rows = batch.count()
+    block: dict = {
+        "batch_rows": batch_rows,
+        "wall_gate": INC_WALL_GATE,
+        "cand_gate": INC_CAND_GATE,
+    }
+    results = {}
+    for label, src in (("x1", SRC), ("x10", DST)):
+        existing = spark.read.parquet(f"{src}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_exist = existing.count()
+        tmp = tempfile.mkdtemp(prefix=f"inc_smoke_{label}_")
+        try:
+            store = open_signature_store(spark, tmp)
+            # bootstrap: the existing corpus's state, paid once per
+            # document lifetime (NOT part of the per-increment cost)
+            boot = dedup_increment(
+                store, existing, "doc_id", "text", batch_id=0,
+                num_hashes=16, bands=4, min_jaccard=0.1,
+            )
+            assert boot.appended_version == 1
+            t0 = time.perf_counter()
+            inc = dedup_increment(
+                store, batch, "doc_id", "text", batch_id=1,
+                num_hashes=16, bands=4, min_jaccard=0.1,
+            )
+            secs = time.perf_counter() - t0
+            dup_rows = inc.duplicates.count()
+            # candidate-id volume: re-derive the candidate frame the
+            # increment's verify stage was bloom-bounded by
+            from chessmate_spark.operators.dedup import (
+                _incremental_minhash_frames,
+            )
+
+            shingled, banded, cand, _best = _incremental_minhash_frames(
+                None, batch, "doc_id", "text", 3, 16, 4, 0.1,
+                store.read(),
+            )
+            try:
+                cand_ids = (
+                    cand.select(F.col("_x").alias("i"))
+                    .union(cand.select(F.col("_m").alias("i")))
+                    .distinct()
+                    .count()
+                )
+            finally:
+                shingled.unpersist()
+                banded.unpersist()
+                cand.unpersist()
+            results[label] = {
+                "existing_rows": n_exist,
+                "secs": round(secs, 2),
+                "duplicates": dup_rows,
+                "candidate_ids": cand_ids,
+            }
+            block[label] = results[label]
+            print(
+                f"incremental {label}: existing={n_exist:,} "
+                f"batch={batch_rows:,} dup={dup_rows:,} "
+                f"cand_ids={cand_ids:,} {secs:.2f}s",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    wall_ratio = results["x10"]["secs"] / max(results["x1"]["secs"], 1e-9)
+    cand_ratio = results["x10"]["candidate_ids"] / max(
+        results["x1"]["candidate_ids"], 1
+    )
+    block["wall_ratio"] = round(wall_ratio, 2)
+    block["cand_ratio"] = round(cand_ratio, 2)
+    failures = []
+    if wall_ratio > INC_WALL_GATE:
+        failures.append("incremental:wall")
+    if cand_ratio > INC_CAND_GATE:
+        failures.append("incremental:candidates")
+    # the probe is only meaningful if the batch actually HAS matches
+    if results["x1"]["duplicates"] == 0:
+        failures.append("incremental:no_duplicates")
+    print(
+        f"incremental_lifecycle: wall {results['x1']['secs']:.2f}s -> "
+        f"{results['x10']['secs']:.2f}s (ratio {wall_ratio:.2f}, gate "
+        f"{INC_WALL_GATE}); cand ratio {cand_ratio:.2f} (gate "
+        f"{INC_CAND_GATE})",
+        flush=True,
+    )
+    merge_smoke_block(
+        out_path, "incremental_lifecycle", block, failures, "incremental:"
+    )
+    return failures
+
+
 def main() -> int:
     recall_only = sys.argv[1:] == ["--recall-only"]
     linearity_only = sys.argv[1:] == ["--linearity"]
@@ -1806,11 +1945,13 @@ def main() -> int:
     lsh_planner_only = sys.argv[1:] == ["--lsh-planner"]
     minhash_planner_only = sys.argv[1:] == ["--minhash-planner"]
     hyperplane_planned_only = sys.argv[1:] == ["--hyperplane-planned"]
+    incremental_only = sys.argv[1:] == ["--incremental"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
         or pq_bytes_only or chess_only or decontam_only or bloom_only
         or ann_clustered_only or lsh_planner_only
         or minhash_planner_only or hyperplane_planned_only
+        or incremental_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1829,6 +1970,13 @@ def main() -> int:
             print(f"FAIL: {failures}")
             return 1
         print("OK: all marginal ratios within linear bounds")
+        return 0
+    if incremental_only:
+        failures = measure_incremental_lifecycle(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: increment cost tracks the batch, not the corpus")
         return 0
     if decomp_only:
         failures = measure_dedup_decomposition(spark, out_path)

@@ -106,6 +106,71 @@ def test_semantic_dedup_stage_drops_embedding_neardups(spark, tmp_path):
     assert rep == rep2
 
 
+def test_incremental_curation_lifecycle(spark, tmp_path):
+    """Round 12 (verdict #1): the curation DAG in INCREMENTAL mode —
+    two increments through one commit-log-backed signature store.
+    Increment 2's near-dup stage must drop docs duplicating increment
+    1's corpus (cross-increment dedup the batch-local DAG cannot see),
+    the store must gain exactly one version per batch, and a REPLAY of
+    a batch must re-curate identically without appending state."""
+    from chessmate_spark.ingest.dedup_lifecycle import open_signature_store
+    from chessmate_spark.pipeline import curate_corpus
+
+    store_path = str(tmp_path / "sig_store")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half0 = docs.filter(F.col("doc_id") % 2 == 0)
+    half1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    rep0 = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "inc0"),
+        signature_store_path=store_path, batch_id=0, docs=half0,
+    )
+    assert rep0["store_version"] == 1
+    rep1 = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "inc1"),
+        signature_store_path=store_path, batch_id=1, docs=half1,
+    )
+    assert rep1["store_version"] == 2
+
+    # cross-increment dedup fired: half1 curated incrementally keeps
+    # FEWER docs than half1 curated alone (its cross-half near-dups
+    # survive a batch-local run but drop against the store)
+    rep1_solo = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "solo1"), docs=half1
+    )
+    assert rep1["near_deduped"] < rep1_solo["near_deduped"]
+
+    # the store mirrors the exact-deduped corpus of both increments,
+    # appended exactly once each
+    store = open_signature_store(spark, store_path)
+    assert store.latest_version() == 2
+    assert store.read().count() == (
+        rep0["exact_deduped"] + rep1["exact_deduped"]
+    )
+
+    # replay of batch 1: identical curation output, NO state append
+    rep1_replay = curate_corpus(
+        spark, SF_DIR, str(tmp_path / "inc1b"),
+        signature_store_path=store_path, batch_id=1, docs=half1,
+    )
+    assert rep1_replay["store_version"] == 0  # replay detected
+    assert store.latest_version() == 2
+    assert {k: v for k, v in rep1_replay.items() if k != "store_version"} \
+        == {k: v for k, v in rep1.items() if k != "store_version"}
+    assert _content_hash(spark, str(tmp_path / "inc1")) == _content_hash(
+        spark, str(tmp_path / "inc1b")
+    )
+
+    # missing batch_id fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_id"):
+        curate_corpus(
+            spark, SF_DIR, str(tmp_path / "bad"),
+            signature_store_path=store_path, docs=half1,
+        )
+
+
 def test_shard_manifest_integrity_and_determinism(spark, tmp_path):
     import json
 
