@@ -85,6 +85,20 @@ def render(record: dict) -> str:
             f"{cp['x10']['games']} games (gate {cp['gate']}; min-of-2, "
             f"drain batch ∝ backlog)"
         )
+    inc = record.get("incremental_lifecycle")
+    if inc:
+        lines.append(
+            f"- incremental lifecycle (store-backed increment, batch "
+            f"{inc['batch_rows']:,} rows): wall {inc['x1']['secs']}s -> "
+            f"{inc['x10']['secs']}s (x{inc['wall_ratio']}, gate "
+            f"{inc['wall_gate']}) as existing grows "
+            f"{inc['x1']['existing_rows']:,} -> "
+            f"{inc['x10']['existing_rows']:,}; candidate ids "
+            f"{inc['x1']['candidate_ids']:,} -> "
+            f"{inc['x10']['candidate_ids']:,} (x{inc['cand_ratio']}, "
+            f"gate {inc['cand_gate']}) — increment cost tracks the "
+            f"batch, not the corpus"
+        )
     ann = record.get("ann_recall")
     if ann:
         rows = {k: v for k, v in ann.items() if isinstance(v, dict)}
