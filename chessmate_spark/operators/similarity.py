@@ -505,6 +505,18 @@ def build_ivfpq_index(
         codes.write.mode("overwrite").parquet(
             os.path.join(index_dir, "codes")
         )
+        # build-time cell-occupancy baseline (round 12): the reference
+        # histogram `ivfpq_cell_drift` compares against after appends.
+        # Computed from the WRITTEN codes (one cheap column-pruned
+        # rescan of nlist-cardinality data) so the baseline is exactly
+        # what the build committed, not a re-evaluation of the corpus.
+        corpus.sparkSession.read.parquet(
+            os.path.join(index_dir, "codes")
+        ).groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "cell_histogram.parquet")
+        )
     finally:
         if persist_corpus:
             corpus.unpersist()
@@ -588,6 +600,76 @@ def append_to_ivfpq_index(
         new_rows, corpus_id, corpus_vec, centroids, codebooks
     )
     codes.write.mode("append").parquet(codes_dir)
+
+
+# The MEASURED retrain trigger for an appended IVFPQ index (round 12,
+# SCALE_SMOKE `ann_drift`): recall decay under drifted appends is
+# already material at the FIRST append step (recall 0.52 vs the
+# stationary 0.75 at the same step) where cell-occupancy PSI reads only
+# 0.15 — the a32 "shifted" band (0.25) fires too late for this use.
+# The "moderate" boundary (0.1) catches that first decayed step with a
+# ~40x margin over stationary append noise (PSI 0.003 after doubling
+# the corpus with same-distribution rows), so 0.1 is the trigger: poll
+# `ivfpq_cell_drift` after appends and reindex at psi >= this value.
+IVFPQ_RETRAIN_PSI = 0.1
+
+
+def ivfpq_cell_drift(
+    spark: SparkSession, index_dir: str, epsilon: float = 1e-4
+) -> "tuple[float, str]":
+    """Population-stability index of the codes table's CURRENT cell
+    occupancy vs the build-time baseline (``cell_histogram.parquet``,
+    written by ``build_ivfpq_index``) — the drift signal that answers
+    ``append_to_ivfpq_index``'s quality note: appends encode with
+    frozen centroids/codebooks, fine while the distribution is
+    stationary; this measures when it stops being stationary, FROM THE
+    INDEX'S OWN ARTIFACTS (no corpus rescan — one column-pruned scan of
+    codes/ for an nlist-bucket histogram).
+
+    Same PSI conventions as a32's ``audit.distribution_drift``: per-cell
+    shares, a side's absent bucket takes ``epsilon``, natural log,
+    ``sum((cur - base) * ln(cur / base))``.  Returns ``(psi, verdict)``
+    with the a32 bands — 'stable' (< 0.1), 'moderate' (< 0.25),
+    'shifted' (>= 0.25).  The RETRAIN point is ``IVFPQ_RETRAIN_PSI``
+    (0.1, the stable/moderate boundary) — deliberately tighter than the
+    'shifted' band because the measured decay curve (SCALE_SMOKE
+    ``ann_drift``) shows recall already down ~0.23 at the first drifted
+    append step, where PSI reads 0.15: waiting for 0.25 would serve a
+    decayed index; 0.1 still clears stationary append noise (~0.003)
+    by ~40x, so it cannot false-fire on a stationary corpus.
+
+    Indexes built before the histogram artifact existed raise loudly —
+    rebuild (or write the baseline by hand) before trusting the
+    signal."""
+    import math
+
+    hist_path = os.path.join(index_dir, "cell_histogram.parquet")
+    if not os.path.exists(hist_path):
+        raise FileNotFoundError(
+            f"{hist_path} is missing: the index predates the build-time "
+            "cell-occupancy baseline — rebuild with build_ivfpq_index "
+            "(round 12+) to enable drift detection"
+        )
+    base_rows = spark.read.parquet(hist_path).collect()
+    cur_rows = (
+        spark.read.parquet(os.path.join(index_dir, "codes"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )
+    base = {r["cell"]: r["n"] for r in base_rows}
+    cur = {r["cell"]: r["n"] for r in cur_rows}
+    tb = sum(base.values())
+    tc = sum(cur.values())
+    psi = 0.0
+    for cell in set(base) | set(cur):
+        fb = base[cell] / tb if cell in base and tb else epsilon
+        fc = cur[cell] / tc if cell in cur and tc else epsilon
+        psi += (fc - fb) * math.log(fc / fb)
+    verdict = (
+        "stable" if psi < 0.1 else ("moderate" if psi < 0.25 else "shifted")
+    )
+    return psi, verdict
 
 
 # --------------------------------------------------------------------------

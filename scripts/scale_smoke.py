@@ -1809,6 +1809,180 @@ def measure_hyperplane_planned(spark, out_path: str) -> "list[str]":
     return failures
 
 
+# The ANN-drift probe (round 12, verdict #4): recall decay of an
+# APPENDED IVFPQ index under distribution drift, and the cell-occupancy
+# PSI retrain trigger.  Two scenarios over the same base index:
+# stationary appends (same mixture the build trained on — the regime
+# append_to_ivfpq_index advertises) and DRIFTED appends (a shifted
+# mixture, the a32 fixture's shape: new centers the frozen
+# centroids/codebooks never saw).  Per append step the probe measures
+# recall@k of the served index against exact cosine on the grown corpus
+# — queries drawn from the APPEND distribution, the population whose
+# neighbors the frozen geometry quantizes worst — plus
+# ivfpq_cell_drift's PSI.  Gates: stationary stays below the trigger
+# with recall at/above its floor; drifted appends CROSS the trigger by
+# the full append; and wherever drifted recall decays materially below
+# the stationary same-step recall, the trigger must already have fired
+# (PSI >= IVFPQ_RETRAIN_PSI) — i.e. a maintainer polling the trigger
+# reindexes before serving the decayed index.
+ANN_DRIFT_DIM = 32
+ANN_DRIFT_CENTERS = 24
+ANN_DRIFT_BASE_ROWS = 6_000
+ANN_DRIFT_APPEND_ROWS = 2_000   # per step; 3 steps double the corpus
+ANN_DRIFT_STEPS = 3
+ANN_DRIFT_QUERIES = 40
+ANN_DRIFT_K = 10
+ANN_DRIFT_NPROBE = 8
+ANN_DRIFT_OVERFETCH = 32        # ADC noise, not probe count, bounds
+                                # recall at this overlap — measured:
+                                # nprobe 4 -> 8 left recall unchanged
+ANN_DRIFT_SIGMA = 0.55          # the clustered corpus's overlap regime
+ANN_DRIFT_RECALL_SLACK = 0.05   # "material" decay vs stationary
+ANN_DRIFT_STATIONARY_FLOOR = 0.8
+
+
+def measure_ann_drift(spark, out_path: str) -> "list[str]":
+    """Recall-vs-appended-fraction curves + the PSI retrain trigger.
+    Updates SCALE_SMOKE.json's `ann_drift` block."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from chessmate_spark.operators.similarity import (
+        IVFPQ_RETRAIN_PSI,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        cosine_knn_join,
+        ivfpq_cell_drift,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(7)
+    base_centers = rng.normal(size=(ANN_DRIFT_CENTERS, ANN_DRIFT_DIM)) * 8.0
+    # the shifted mixture: NEW centers, displaced — mass the build-time
+    # centroids never saw (the a32 drift fixture's generator shape)
+    drift_centers = (
+        rng.normal(size=(ANN_DRIFT_CENTERS, ANN_DRIFT_DIM)) * 8.0 + 14.0
+    )
+
+    def mixture(centers, n, id0, seed):
+        r = np.random.default_rng(seed)
+        labels = r.integers(0, len(centers), size=n)
+        x = centers[labels] + r.normal(size=(n, ANN_DRIFT_DIM)) * (
+            ANN_DRIFT_SIGMA * 8.0
+        )
+        return spark.createDataFrame(
+            [
+                (int(id0 + i), [float(v) for v in x[i]])
+                for i in range(n)
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    base = mixture(base_centers, ANN_DRIFT_BASE_ROWS, 0, 101).cache()
+    base.count()
+    block: dict = {
+        "dim": ANN_DRIFT_DIM,
+        "base_rows": ANN_DRIFT_BASE_ROWS,
+        "append_rows_per_step": ANN_DRIFT_APPEND_ROWS,
+        "k": ANN_DRIFT_K,
+        "nprobe": ANN_DRIFT_NPROBE,
+        "n_queries": ANN_DRIFT_QUERIES,
+        "retrain_psi": IVFPQ_RETRAIN_PSI,
+        "stationary_floor": ANN_DRIFT_STATIONARY_FLOOR,
+    }
+    failures = []
+    for scenario, centers in (
+        ("stationary", base_centers), ("drifted", drift_centers)
+    ):
+        idx_dir = tempfile.mkdtemp(prefix=f"ann_drift_{scenario}_")
+        try:
+            build_ivfpq_index(
+                base, "vec_id", idx_dir, nlist=ANN_DRIFT_CENTERS,
+            )
+            q_seed = 202 if scenario == "stationary" else 211
+            queries = mixture(
+                centers, ANN_DRIFT_QUERIES, 10_000_000, q_seed
+            ).select(F.col("vec_id").alias("query_id"), "embedding").cache()
+            queries.count()
+            grown = base
+            curve = []
+            for step in range(1, ANN_DRIFT_STEPS + 1):
+                batch = mixture(
+                    centers, ANN_DRIFT_APPEND_ROWS,
+                    1_000_000 + step * ANN_DRIFT_APPEND_ROWS, 300 + step,
+                )
+                append_to_ivfpq_index(batch, "vec_id", idx_dir)
+                grown = grown.unionByName(batch).cache()
+                grown.count()
+                centroids, codebooks, codes = load_ivfpq_index(
+                    spark, idx_dir
+                )
+                approx = ivfpq_topk(
+                    queries,
+                    grown.select(
+                        F.col("vec_id").alias("neighbor_id"), "embedding"
+                    ),
+                    k=ANN_DRIFT_K, query_id="query_id",
+                    corpus_id="neighbor_id", nprobe=ANN_DRIFT_NPROBE,
+                    overfetch=ANN_DRIFT_OVERFETCH,
+                    centroids=centroids, codebooks=codebooks,
+                    codes=codes.withColumnRenamed("vec_id", "neighbor_id"),
+                ).select("query_id", "neighbor_id")
+                exact = cosine_knn_join(
+                    queries,
+                    grown.select(
+                        F.col("vec_id").alias("neighbor_id"), "embedding"
+                    ),
+                    k=ANN_DRIFT_K, query_id="query_id",
+                    corpus_id="neighbor_id",
+                ).select("query_id", "neighbor_id").cache()
+                n_exact = exact.count()
+                hits = exact.join(
+                    approx, ["query_id", "neighbor_id"], "left_semi"
+                ).count()
+                recall = hits / max(n_exact, 1)
+                psi, verdict = ivfpq_cell_drift(spark, idx_dir)
+                curve.append(
+                    {
+                        "appended_fraction": round(
+                            step * ANN_DRIFT_APPEND_ROWS
+                            / ANN_DRIFT_BASE_ROWS, 2
+                        ),
+                        "recall": round(recall, 4),
+                        "psi": round(psi, 4),
+                        "verdict": verdict,
+                    }
+                )
+                exact.unpersist()
+                print(
+                    f"ann_drift {scenario} step {step}: recall "
+                    f"{recall:.4f} psi {psi:.4f} ({verdict})",
+                    flush=True,
+                )
+            block[scenario] = curve
+            queries.unpersist()
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    # gates
+    stat, drift = block["stationary"], block["drifted"]
+    if any(p["psi"] >= IVFPQ_RETRAIN_PSI for p in stat):
+        failures.append("ann_drift:stationary_false_trigger")
+    if any(p["recall"] < ANN_DRIFT_STATIONARY_FLOOR for p in stat):
+        failures.append("ann_drift:stationary_recall")
+    if drift[-1]["psi"] < IVFPQ_RETRAIN_PSI:
+        failures.append("ann_drift:trigger_missed_drift")
+    for s_pt, d_pt in zip(stat, drift):
+        decayed = d_pt["recall"] < s_pt["recall"] - ANN_DRIFT_RECALL_SLACK
+        if decayed and d_pt["psi"] < IVFPQ_RETRAIN_PSI:
+            failures.append("ann_drift:decay_before_trigger")
+            break
+    merge_smoke_block(out_path, "ann_drift", block, failures, "ann_drift:")
+    return failures
+
+
 # The incremental-lifecycle probe (round 12, verdict #1/#2): a FIXED
 # batch deduped against a commit-log signature store whose existing
 # side grows 1x -> 10x.  Increment cost must scale with the BATCH's
@@ -1946,12 +2120,13 @@ def main() -> int:
     minhash_planner_only = sys.argv[1:] == ["--minhash-planner"]
     hyperplane_planned_only = sys.argv[1:] == ["--hyperplane-planned"]
     incremental_only = sys.argv[1:] == ["--incremental"]
+    ann_drift_only = sys.argv[1:] == ["--ann-drift"]
     names = [] if (
         recall_only or linearity_only or v5_only or decomp_only
         or pq_bytes_only or chess_only or decontam_only or bloom_only
         or ann_clustered_only or lsh_planner_only
         or minhash_planner_only or hyperplane_planned_only
-        or incremental_only
+        or incremental_only or ann_drift_only
     ) else (sys.argv[1:] or DEFAULT_QUERIES)
     spark = get_spark(app_name="chessmate_scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1977,6 +2152,13 @@ def main() -> int:
             print(f"FAIL: {failures}")
             return 1
         print("OK: increment cost tracks the batch, not the corpus")
+        return 0
+    if ann_drift_only:
+        failures = measure_ann_drift(spark, out_path)
+        if failures:
+            print(f"FAIL: {failures}")
+            return 1
+        print("OK: drift trigger fires before/at any recall decay")
         return 0
     if decomp_only:
         failures = measure_dedup_decomposition(spark, out_path)
@@ -2082,7 +2264,9 @@ def main() -> int:
                                          "ann_clustered:", "crossover:",
                                          "lsh_planner:",
                                          "minhash_planner:",
-                                         "hyperplane_planned:"))]
+                                         "hyperplane_planned:",
+                                         "incremental:",
+                                         "ann_drift:"))]
         else:
             # keep the standing probe blocks, and MERGE prior per-query
             # rows so a targeted rerun (scale_smoke.py <name> ...)
@@ -2093,7 +2277,8 @@ def main() -> int:
                           "chess_pipeline", "decontam_recall",
                           "bloom_route", "ann_recall_clustered",
                           "route_crossover", "lsh_planner",
-                          "minhash_planner", "hyperplane_planned"):
+                          "minhash_planner", "hyperplane_planned",
+                          "incremental_lifecycle", "ann_drift"):
                 if block in prior:
                     record[block] = prior[block]
             record["queries"].update(prior.get("queries", {}))
@@ -2103,7 +2288,9 @@ def main() -> int:
                                          "ann_clustered:", "crossover:",
                                          "lsh_planner:",
                                          "minhash_planner:",
-                                         "hyperplane_planned:"))]
+                                         "hyperplane_planned:",
+                                         "incremental:",
+                                         "ann_drift:"))]
     print(f"{'query':32s} {'sf0.1':>8s} {'sf~1':>8s} {'ratio':>7s}")
     for name in names:
         builder, _ = QUERIES[name]

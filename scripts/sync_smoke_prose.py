@@ -99,6 +99,22 @@ def render(record: dict) -> str:
             f"gate {inc['cand_gate']}) — increment cost tracks the "
             f"batch, not the corpus"
         )
+    ad = record.get("ann_drift")
+    if ad:
+        def curve(points):
+            return ", ".join(
+                f"{p['appended_fraction']}: recall {p['recall']} / psi "
+                f"{p['psi']}" for p in points
+            )
+
+        lines.append(
+            f"- ann drift (appended IVFPQ, k={ad['k']}, nprobe "
+            f"{ad['nprobe']}, base {ad['base_rows']:,} rows): stationary "
+            f"[{curve(ad['stationary'])}] vs drifted "
+            f"[{curve(ad['drifted'])}] — retrain trigger psi >= "
+            f"{ad['retrain_psi']} fires at/before every materially "
+            f"decayed step and never on stationary appends"
+        )
     ann = record.get("ann_recall")
     if ann:
         rows = {k: v for k, v in ann.items() if isinstance(v, dict)}

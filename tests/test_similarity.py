@@ -678,6 +678,61 @@ def test_ivfpq_append_identical_to_inline_frozen_model(spark, emb, tmp_path):
     assert hit["neighbor_id"] == self_id
 
 
+def test_ivfpq_cell_drift_trigger(spark, tmp_path):
+    """Round 12 (verdict #4): the cell-occupancy PSI retrain trigger —
+    a stationary append keeps PSI in the stable band; an append drawn
+    from a SHIFTED distribution (mass the frozen centroids never saw)
+    crosses IVFPQ_RETRAIN_PSI; an index without the build-time baseline
+    histogram fails loudly."""
+    import numpy as np
+    import pytest
+
+    from chessmate_spark.operators.similarity import (
+        IVFPQ_RETRAIN_PSI,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_cell_drift,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 16)) * 6.0
+
+    def mixture(n, id0, seed, shift=0.0):
+        r = np.random.default_rng(seed)
+        labels = r.integers(0, len(centers), size=n)
+        x = centers[labels] + r.normal(size=(n, 16)) * 1.5 + shift
+        return spark.createDataFrame(
+            [(int(id0 + i), [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    base = mixture(600, 0, 1)
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(base, "vec_id", idx, nlist=8, m=8, ksub=16)
+    psi0, verdict0 = ivfpq_cell_drift(spark, idx)
+    assert psi0 == 0.0 and verdict0 == "stable"  # codes == baseline
+
+    # stationary append: same mixture, fresh draws — stays below trigger
+    append_to_ivfpq_index(mixture(300, 10_000, 2), "vec_id", idx)
+    psi_s, verdict_s = ivfpq_cell_drift(spark, idx)
+    assert psi_s < IVFPQ_RETRAIN_PSI, (psi_s, verdict_s)
+
+    # drifted append: displaced mass crowds cells the build barely used
+    append_to_ivfpq_index(
+        mixture(300, 20_000, 3, shift=25.0), "vec_id", idx
+    )
+    psi_d, verdict_d = ivfpq_cell_drift(spark, idx)
+    assert psi_d >= IVFPQ_RETRAIN_PSI, (psi_d, verdict_d)
+    assert psi_d > psi_s
+
+    # pre-round-12 index (no baseline artifact) fails loudly
+    import shutil
+
+    shutil.rmtree(f"{idx}/cell_histogram.parquet")
+    with pytest.raises(FileNotFoundError, match="cell_histogram"):
+        ivfpq_cell_drift(spark, idx)
+
+
 def test_ivfpq_append_rejects_mismatched_id_column(spark, emb, tmp_path):
     """Review regression: appending under a different id-column name
     would land a second schema in codes/ and silently corrupt the index
