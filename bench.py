@@ -109,6 +109,8 @@ HEADLINE = [
     "d25_hyperplane_planned_neardup",
     "d26_minhash_adaptive_dedup",
     "d27_hyperplane_adaptive_neardup",
+    # round 12: the commit-log-backed incremental dedup lifecycle
+    "d28_incremental_lifecycle",
     "t4_stratified_sample",
     "t5_sequence_pack",
     "t6_repetition_score",

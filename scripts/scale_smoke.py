@@ -139,6 +139,10 @@ DEFAULT_QUERIES = [
     # size ((9,51)/0.095 -> (12,105)/0.025 across the committed sweep),
     # so its two-point ratio should sit well below d25's frozen-dial 6.0
     "d27_hyperplane_adaptive_neardup",
+    # round 12: three store-backed increments (thirds of the corpus);
+    # each increment's verify exchange is bloom-pruned to candidates,
+    # so the ratio should track d12's banding shape
+    "d28_incremental_lifecycle",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed

@@ -443,12 +443,13 @@ def test_incremental_dedup_state_dial_validation(spark):
 def test_incremental_verify_exchange_candidate_bounded(spark):
     """Round 12 (the round-11 verdict's one scale seam): the exact-
     verify stage's input must be CANDIDATE-bounded — the shingle
-    explode reads a bloom-pruned verify corpus (one broadcast bitmap,
-    map-side filter), not the full existing corpus.  Asserted on the
-    pre-checkpoint physical plan: the bloom probe (an Arrow-batched
-    pandas_udf filter) sits upstream of the intersection join, and the
-    pruned pipeline's output stays identical to the public entry's
-    (which the d12 oracle pins independently)."""
+    explode reads a verify corpus pruned to candidate ids, not the full
+    existing corpus.  Asserted on the pre-checkpoint physical plan for
+    BOTH prune mechanisms: the default broadcast form shows the LEFT
+    SEMI broadcast join upstream of the intersection join (and zero
+    Python stages); the bloom form (the past-broadcast posture) shows
+    the Arrow-batched probe filter.  Both produce output identical to
+    the public entry's (which the d12 oracle pins independently)."""
     from pyspark.sql import functions as F
 
     from chessmate_spark.operators.dedup import (
@@ -459,20 +460,33 @@ def test_incremental_verify_exchange_candidate_bounded(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    shingled, banded, cand, best = _incremental_minhash_frames(
-        existing, batch, "doc_id", "text", 3, 16, 4, 0.1, None,
-    )
-    try:
-        plan = best._jdf.queryExecution().executedPlan().toString()
-        # the bloom probe is the ONLY python eval in this pipeline —
-        # its presence in the plan proves the verify corpus is filtered
-        # before the explode/join stages
-        assert ("ArrowEvalPython" in plan) or ("BatchEvalPython" in plan), plan
-        got = sorted(map(tuple, best.collect()))
-    finally:
-        shingled.unpersist()
-        banded.unpersist()
-        cand.unpersist()
+    results = {}
+    for mode in ("broadcast", "bloom"):
+        shingled, banded, cand, best = _incremental_minhash_frames(
+            existing, batch, "doc_id", "text", 3, 16, 4, 0.1, None,
+            prune=mode,
+        )
+        try:
+            plan = best._jdf.queryExecution().executedPlan().toString()
+            if mode == "broadcast":
+                assert "LeftSemi" in plan, plan
+                assert "Broadcast" in plan, plan
+                # the default path stays JVM-only
+                assert "ArrowEvalPython" not in plan, plan
+                assert "BatchEvalPython" not in plan, plan
+            else:
+                # the bloom probe is the ONLY python eval here — its
+                # presence proves the verify corpus is filtered before
+                # the explode/join stages
+                assert (
+                    "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+                ), plan
+            results[mode] = sorted(map(tuple, best.collect()))
+        finally:
+            shingled.unpersist()
+            banded.unpersist()
+            cand.unpersist()
+    assert results["broadcast"] == results["bloom"]
     public = sorted(
         map(
             tuple,
@@ -482,8 +496,15 @@ def test_incremental_verify_exchange_candidate_bounded(spark):
             ).collect(),
         )
     )
-    assert got == public
-    assert got  # the fixture has cross-half duplicates
+    assert results["broadcast"] == public
+    assert public  # the fixture has cross-half duplicates
+
+    import pytest
+
+    with pytest.raises(ValueError, match="prune"):
+        incremental_minhash_dedup(
+            existing, batch, "doc_id", "text", prune="nope"
+        )
 
 
 def test_minhash_dial_diagnostics_fallback_disclosure():
