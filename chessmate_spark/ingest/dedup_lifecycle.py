@@ -79,6 +79,31 @@ class DedupIncrement:
     batch_id: int
 
 
+def _version_before_txn(
+    store: CommitLogTable, app_id: str, batch_id: int
+) -> int:
+    """The commit-log version the ORIGINAL increment for
+    ``(app_id, batch_id)`` read: the parent of the version whose
+    manifest carries that txn marker.  O(versions) manifest walk —
+    replays are the rare path; fails loudly when the original commit's
+    manifest has been expired (the snapshot needed to reproduce the
+    original output no longer exists, and a silent head-read would
+    produce DIFFERENT output for the same batch_id)."""
+    app_id = str(app_id)
+    for v in reversed(store.versions()):
+        t = store.manifest(v).get("txn") or {}
+        if (
+            str(t.get("app_id")) == app_id
+            and int(t.get("version", -1)) == int(batch_id)
+        ):
+            return v - 1
+    raise LookupError(
+        f"no committed manifest carries txn ({app_id}, {batch_id}) — "
+        "the original increment's commit was expired or never landed; "
+        "cannot reproduce its snapshot"
+    )
+
+
 def dedup_increment(
     store: CommitLogTable,
     batch: DataFrame,
@@ -98,9 +123,13 @@ def dedup_increment(
 
     ``batch_id`` must be monotonic per store (ingest sequence numbers,
     streaming batch ids) — a replayed id is detected by the commit log
-    and the append is skipped, so the whole call is IDEMPOTENT: the
-    duplicates frame recomputes identically (the store snapshot it read
-    is unchanged by the skip) and the store is unchanged.
+    and the append is skipped, so the whole call is IDEMPOTENT even
+    when LATER batches have already committed: a detected replay reads
+    the store AT THE VERSION the original increment read (commit-log
+    time travel via the batch's own txn manifest), not the head, so
+    the duplicates frame recomputes identically to the original run —
+    the restart-from-older-checkpoint case ``append_idempotent``'s
+    ``>=`` check documents.
 
     The store holds the FULL ingested corpus's state (duplicates
     included, exactly as it was handed in): that is what makes N
@@ -117,19 +146,24 @@ def dedup_increment(
         batch, id_col, text_col, shingle_n, num_hashes
     ).persist()
     try:
-        if store.latest_version() == 0:
+        prior = store.txn_version(app_id)
+        if prior is not None and prior >= batch_id:
+            # REPLAY: pin the snapshot the original increment read —
+            # the parent of this batch's own commit — so the recompute
+            # is identical even though later batches have since landed
+            snap = _version_before_txn(store, app_id, batch_id)
+        else:
+            snap = store.latest_version()
+        if snap == 0:
             existing_state = b_state.filter(F.lit(False))
         else:
             # the batch's OWN ids are excluded from the existing side
             # (broadcast anti join — the batch is the small side by
-            # construction): on a REPLAY the store already holds this
-            # batch's state, and without the exclusion every batch doc
-            # would flag as a jaccard-1.0 duplicate of itself.  With it
-            # the whole call is idempotent — replay reads the same
-            # effective snapshot the original increment did.  For a
-            # fresh batch it is a no-op (ids are unique across
-            # increments, the store contract).
-            existing_state = store.read().join(
+            # construction): belt-and-braces against a batch whose ids
+            # already reached the store outside this txn (e.g. a
+            # bootstrap append); for a fresh batch it is a no-op (ids
+            # are unique across increments, the store contract)
+            existing_state = store.read(snap).join(
                 F.broadcast(b_state.select("_id")), "_id", "left_anti"
             )
         dupes = incremental_minhash_dedup(

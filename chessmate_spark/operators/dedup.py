@@ -1055,11 +1055,19 @@ def incremental_minhash_dedup(
     return out
 
 
-# Bloom sizing for the incremental verify-corpus prune: 2^20 bits
-# (128 KiB broadcast) holds ~10^5 candidate ids under 1% false-positive
-# mass at k=5 — FPs only admit extra verify rows the exact equi-join
-# drops, so the dial trades a sliver of pruning, never correctness.
+# Bloom sizing for the incremental verify-corpus prune: the floor
+# (2^20 bits = 128 KiB) holds ~10^5 candidate ids under 1% false-
+# positive mass at k=5; past that the bitmap DOUBLES with the measured
+# candidate-id count (>= ~10 bits/id) up to the cap — a fixed size
+# would saturate at the ~1e8-id scale the bloom mode exists for, every
+# probe would read true, and the verify corpus would silently revert
+# to O(existing).  FPs only admit extra verify rows the exact
+# equi-join drops, so the dial trades pruning, never correctness; at
+# the cap (2^31 bits = 256 MiB broadcast, ~2e8 ids at 1% FP) the FP
+# mass degrades gracefully instead of cliffing.
 _INC_VERIFY_BLOOM_BITS = 1 << 20
+_INC_VERIFY_BLOOM_MAX = 1 << 31
+_INC_VERIFY_BLOOM_BITS_PER_ID = 10
 
 
 def _incremental_minhash_frames(
@@ -1175,14 +1183,21 @@ def _incremental_minhash_frames(
     elif prune == "bloom":
         from .bloom import bloom_build, bloom_might_contain
 
+        # the mode already pays a separate build action, so the sizing
+        # count is one more cheap job over the (persisted) cand chain
+        n_ids = cand_ids.count()
+        m_bits = _INC_VERIFY_BLOOM_BITS
+        while (
+            m_bits < _INC_VERIFY_BLOOM_BITS_PER_ID * n_ids
+            and m_bits < _INC_VERIFY_BLOOM_MAX
+        ):
+            m_bits <<= 1
         bitmap = bloom_build(
             cand_ids.withColumnRenamed("_id", "_cid"), "_cid",
-            m_bits=_INC_VERIFY_BLOOM_BITS,
+            m_bits=m_bits,
         )
         verify_docs = shingled.filter(
-            bloom_might_contain(
-                F.col("_id"), bitmap, _INC_VERIFY_BLOOM_BITS
-            )
+            bloom_might_contain(F.col("_id"), bitmap, m_bits)
         )
     sizes = verify_docs.select("_id", F.size("_shingles").alias("_sz"))
     exploded = verify_docs.select("_id", F.explode("_shingles").alias("_sh"))

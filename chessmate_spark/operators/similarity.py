@@ -603,14 +603,15 @@ def append_to_ivfpq_index(
 
 
 # The MEASURED retrain trigger for an appended IVFPQ index (round 12,
-# SCALE_SMOKE `ann_drift`): recall decay under drifted appends is
-# already material at the FIRST append step (recall 0.52 vs the
-# stationary 0.75 at the same step) where cell-occupancy PSI reads only
-# 0.15 — the a32 "shifted" band (0.25) fires too late for this use.
-# The "moderate" boundary (0.1) catches that first decayed step with a
-# ~40x margin over stationary append noise (PSI 0.003 after doubling
-# the corpus with same-distribution rows), so 0.1 is the trigger: poll
-# `ivfpq_cell_drift` after appends and reindex at psi >= this value.
+# SCALE_SMOKE `ann_drift`, the committed curve): recall decay under
+# drifted appends is already material at the FIRST append step —
+# recall 0.78 vs the stationary 1.0 at the same step — where
+# cell-occupancy PSI reads only 0.15, so the a32 "shifted" band (0.25)
+# fires too late for this use.  The "moderate" boundary (0.1) catches
+# that first decayed step with a ~40x margin over stationary append
+# noise (PSI 0.003 after doubling the corpus with same-distribution
+# rows), so 0.1 is the trigger: poll `ivfpq_cell_drift` after appends
+# and reindex at psi >= this value.
 IVFPQ_RETRAIN_PSI = 0.1
 
 
@@ -633,10 +634,11 @@ def ivfpq_cell_drift(
     'shifted' (>= 0.25).  The RETRAIN point is ``IVFPQ_RETRAIN_PSI``
     (0.1, the stable/moderate boundary) — deliberately tighter than the
     'shifted' band because the measured decay curve (SCALE_SMOKE
-    ``ann_drift``) shows recall already down ~0.23 at the first drifted
-    append step, where PSI reads 0.15: waiting for 0.25 would serve a
-    decayed index; 0.1 still clears stationary append noise (~0.003)
-    by ~40x, so it cannot false-fire on a stationary corpus.
+    ``ann_drift``, committed) shows recall already down 0.22 at the
+    first drifted append step (0.78 vs the stationary 1.0), where PSI
+    reads 0.15: waiting for 0.25 would serve a decayed index; 0.1
+    still clears stationary append noise (~0.003) by ~40x, so it
+    cannot false-fire on a stationary corpus.
 
     Indexes built before the histogram artifact existed raise loudly —
     rebuild (or write the baseline by hand) before trusting the
@@ -670,6 +672,70 @@ def ivfpq_cell_drift(
         "stable" if psi < 0.1 else ("moderate" if psi < 0.25 else "shifted")
     )
     return psi, verdict
+
+
+def maintain_ivfpq_index(
+    new_rows: DataFrame,
+    corpus_id: str,
+    index_dir: str,
+    corpus: DataFrame,
+    corpus_vec: str = "embedding",
+    retrain_psi: float = IVFPQ_RETRAIN_PSI,
+    seed: int = 42,
+) -> dict:
+    """One MAINTAINER turn of the index lifecycle — the loop the
+    build/append split and the drift trigger exist to serve:
+
+        append the delta with the frozen model → poll
+        ``ivfpq_cell_drift`` → REBUILD in place when the trigger fires.
+
+    ``corpus`` is the full current corpus INCLUDING ``new_rows`` (the
+    index artifacts hold codes, not vectors, so only the caller can
+    retrain) — it is only evaluated on the rebuild branch.  A rebuild
+    retrains centroids/codebooks on the drifted distribution WITH THE
+    INDEX'S OWN GEOMETRY — nlist/m/ksub are read from the existing
+    centroids/codebooks artifacts, never from caller defaults, so a
+    maintainer turn can change what the index describes but never its
+    cell count or code size — re-encodes everything, and rewrites the
+    drift baseline, so the next turn's PSI starts from 0: exactly the
+    background-reindex posture ``append_to_ivfpq_index``'s quality
+    note describes, automated at the measured trigger
+    (``IVFPQ_RETRAIN_PSI``; SCALE_SMOKE ``ann_drift`` pins that it
+    fires at/before any material recall decay and never on stationary
+    appends).  A deliberate geometry change is a manual
+    ``build_ivfpq_index`` call.
+
+    Returns ``{"action": "appended"|"rebuilt", "psi": ..., "verdict":
+    ...}`` — psi/verdict are the POST-APPEND reading that made the
+    decision.
+
+    Concurrency contract (the append's, tightened): artifacts are
+    overwritten IN PLACE, so the rebuild is safe only with no
+    concurrent reader of the same directory — a server's lazily-loaded
+    codes frame re-lists parquet files per action, so a rebuild racing
+    a query can fail the read or, worse, decode new codes with the
+    old loaded codebooks.  Production postures: serve from a snapshot
+    COPY of the artifacts, version the index directory and flip a
+    pointer after the rebuild, or route the codes table through
+    ``ingest.commit_log.CommitLogTable`` (snapshot-isolated readers).
+    The single-process build → maintain → reload loop (the smoke's and
+    tests') needs none of that."""
+    append_to_ivfpq_index(new_rows, corpus_id, index_dir, corpus_vec)
+    psi, verdict = ivfpq_cell_drift(new_rows.sparkSession, index_dir)
+    if psi >= retrain_psi:
+        centroids = load_centroids(
+            os.path.join(index_dir, "centroids.parquet")
+        )
+        codebooks = load_pq_codebooks(
+            os.path.join(index_dir, "codebooks.parquet")
+        )
+        m, ksub, _ = codebooks.shape
+        build_ivfpq_index(
+            corpus, corpus_id, index_dir, corpus_vec,
+            nlist=len(centroids), m=int(m), ksub=int(ksub), seed=seed,
+        )
+        return {"action": "rebuilt", "psi": psi, "verdict": verdict}
+    return {"action": "appended", "psi": psi, "verdict": verdict}
 
 
 # --------------------------------------------------------------------------

@@ -60,16 +60,18 @@ def curate_corpus(
     ``docs`` overrides the input frame — how a caller feeds ONE
     increment's documents (any frame with the documents schema) instead
     of the whole table."""
-    report: Dict[str, int] = {}
-    if docs is None:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    report["input"] = docs.count()
+    # validated BEFORE the first Spark action: a misuse must fail in
+    # microseconds, not after a full corpus-scan count
     incremental = signature_store_path is not None
     if incremental and batch_id is None:
         raise ValueError(
             "incremental mode needs a monotonic batch_id for the "
             "store's exactly-once txn marker"
         )
+    report: Dict[str, int] = {}
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    report["input"] = docs.count()
 
     # 1. structural validation (t13's checks as a filter)
     valid = docs.filter(

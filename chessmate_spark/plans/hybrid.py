@@ -197,8 +197,11 @@ def _plan_cache_key(tables: HybridTables, plan: QueryPlan, dim: int,
     identity participates too (round 12, self-enforcing the
     immutable-snapshot contract): a caller reusing one cache dict across
     different table snapshots now misses instead of silently serving
-    stale lineages — id() of each frame is stable for the snapshot's
-    lifetime, which is exactly the cache's documented validity window."""
+    stale lineages.  id() alone would be unsound — a GC'd snapshot's
+    address can be reused by a NEW frame, colliding the key — so every
+    cache entry also holds a strong reference to its tables (see
+    ``execute``): while an entry exists its id triple cannot be
+    recycled, and once evicted there is no entry left to stale-hit."""
     return (
         id(tables.games),
         id(tables.players),
@@ -330,8 +333,10 @@ def execute(
     the total for a given plan key is itself invariant, so a warm
     request pays ONE Spark action (the page collect): cache hits skip
     both the ~0.7 s of driver-side Py4J plan construction and the
-    count action.  The tables' identity lives in the key (a snapshot
-    swap misses instead of serving stale lineages), compiles that hit
+    count action.  The tables' identity lives in the key AND each entry
+    pins its snapshot objects (a snapshot swap misses instead of
+    serving stale lineages, and GC address reuse cannot recycle a live
+    entry's key), compiles that hit
     the V7 transient-degradation branch are NOT cached (a retry may
     compile healthy), dict ops run under a lock (safe under
     ThreadingHTTPServer), and entries evict oldest-first past
@@ -350,7 +355,10 @@ def execute(
             cached = plan_cache.get(key)
     total = None
     if cached is not None:
-        summaries, results, warnings, total = cached
+        # entry = (tables_ref, summaries, results, warnings, total) —
+        # tables_ref pins the snapshot objects so the id()-based key
+        # cannot be recycled by GC address reuse while the entry lives
+        _, summaries, results, warnings, total = cached
         if timings is not None:
             timings["build_summaries_s"] = 0.0
             timings["build_page_s"] = 0.0
@@ -362,7 +370,7 @@ def execute(
             with _PLAN_CACHE_LOCK:
                 while len(plan_cache) >= PLAN_CACHE_MAX:
                     plan_cache.pop(next(iter(plan_cache)), None)
-                plan_cache[key] = (summaries, results, warnings, None)
+                plan_cache[key] = (tables, summaries, results, warnings, None)
     if total is None:
         _t0 = _time.perf_counter()
         total = summaries.count()
@@ -371,8 +379,8 @@ def execute(
         if plan_cache is not None and key is not None:
             with _PLAN_CACHE_LOCK:
                 entry = plan_cache.get(key)
-                if entry is not None and entry[3] is None:
-                    plan_cache[key] = entry[:3] + (total,)
+                if entry is not None and entry[4] is None:
+                    plan_cache[key] = entry[:4] + (total,)
     elif timings is not None:
         # memoized under the immutable-snapshot contract: no action ran
         timings["count_total_s"] = 0.0

@@ -156,12 +156,14 @@ class ChessmateApi:
         self.metrics = RequestMetrics()
         # compiled-plan cache shared across requests (the reference's
         # prepared-statement warmth; plans.hybrid.execute documents the
-        # immutable-tables contract and the PLAN_CACHE_MAX bound).  No
-        # lock: individual dict ops are GIL-atomic, a double-compile of
-        # one key under ThreadingHTTPServer concurrency is last-write-
-        # wins on identical lineages, and an over-eager eviction race
-        # only drops a cache entry — all benign, and a request-wide
-        # lock would serialize the service.
+        # immutable-tables contract and the PLAN_CACHE_MAX bound).
+        # Concurrency: execute() guards its dict ops with
+        # _PLAN_CACHE_LOCK (round 12 — concurrent eviction could
+        # double-pop a key and next(iter()) can raise mid-resize; the
+        # races are NOT benign).  The lock covers dict ops only, never
+        # Spark work, so it does not serialize the service; a
+        # double-compile of one key remains last-write-wins on
+        # identical lineages.
         self._plan_cache: Dict = {}
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None

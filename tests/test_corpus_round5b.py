@@ -507,6 +507,62 @@ def test_incremental_verify_exchange_candidate_bounded(spark):
         )
 
 
+def test_dedup_increment_replay_after_later_batches(spark, tmp_path):
+    """Round-12 review finding: a replay that arrives AFTER later
+    batches committed (restart from an older checkpoint) must read the
+    store at the version the ORIGINAL increment read — commit-log time
+    travel via the batch's own txn manifest — not the head, or the
+    recompute flags batch-1 docs against batch-2 state and 'replayed
+    batch recomputes identically' silently breaks."""
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.ingest.dedup_lifecycle import (
+        dedup_increment,
+        open_signature_store,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    store = open_signature_store(spark, str(tmp_path / "store"))
+
+    incs = [
+        dedup_increment(
+            store, thirds[k], "doc_id", "text", batch_id=k,
+            num_hashes=16, bands=4, min_jaccard=0.1,
+        )
+        for k in range(3)
+    ]
+    assert [i.appended_version for i in incs] == [1, 2, 3]
+
+    # replay batch 1 with batches 2 (and 0) already in the store: no
+    # append, and the duplicates frame equals the ORIGINAL increment-1
+    # output (which never saw third-2's state)
+    replay = dedup_increment(
+        store, thirds[1], "doc_id", "text", batch_id=1,
+        num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    assert replay.appended_version is None
+    assert store.latest_version() == 3
+    assert sorted(map(tuple, replay.duplicates.collect())) == sorted(
+        map(tuple, incs[1].duplicates.collect())
+    )
+
+    # an unknown batch_id below the high-water mark with no matching
+    # txn manifest fails loudly instead of reading some snapshot
+    import pytest
+
+    store2 = open_signature_store(spark, str(tmp_path / "store2"))
+    dedup_increment(
+        store2, thirds[0], "doc_id", "text", batch_id=5,
+        num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    with pytest.raises(LookupError, match="txn"):
+        dedup_increment(
+            store2, thirds[1], "doc_id", "text", batch_id=2,
+            num_hashes=16, bands=4, min_jaccard=0.1,
+        )
+
+
 def test_minhash_dial_diagnostics_fallback_disclosure():
     """Round-12 ADVICE: minhash_route's non-prunable branch returns the
     planner's REFUSAL, not the fallback's recall — the honest figure

@@ -733,6 +733,63 @@ def test_ivfpq_cell_drift_trigger(spark, tmp_path):
         ivfpq_cell_drift(spark, idx)
 
 
+def test_maintain_ivfpq_index_rebuilds_on_drift(spark, tmp_path):
+    """Round 12: the automated maintainer turn — stationary deltas
+    APPEND (frozen model, baseline untouched); a drifted delta crosses
+    the trigger and REBUILDS in place, after which the drift baseline
+    reads 0 and the codes table covers the full corpus."""
+    import numpy as np
+
+    from chessmate_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_cell_drift,
+        load_ivfpq_index,
+        maintain_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 16)) * 6.0
+
+    def mixture(n, id0, seed, shift=0.0):
+        r = np.random.default_rng(seed)
+        labels = r.integers(0, len(centers), size=n)
+        x = centers[labels] + r.normal(size=(n, 16)) * 1.5 + shift
+        return spark.createDataFrame(
+            [(int(id0 + i), [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    base = mixture(600, 0, 1)
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(base, "vec_id", idx, nlist=8, m=8, ksub=16)
+
+    stationary = mixture(300, 10_000, 2)
+    corpus1 = base.unionByName(stationary)
+    turn1 = maintain_ivfpq_index(stationary, "vec_id", idx, corpus1)
+    assert turn1["action"] == "appended", turn1
+
+    # a 600-row drifted delta (~40% of the grown corpus): comfortably
+    # past the trigger — a 300-row one measured psi 0.098, right AT the
+    # 0.1 boundary, which is the trigger working as sized, not a test
+    # subject
+    drifted = mixture(600, 20_000, 3, shift=25.0)
+    corpus2 = corpus1.unionByName(drifted)
+    turn2 = maintain_ivfpq_index(drifted, "vec_id", idx, corpus2)
+    assert turn2["action"] == "rebuilt", turn2
+    assert turn2["psi"] > turn1["psi"]
+
+    # the rebuild retrained on the drifted distribution and reset the
+    # baseline: drift reads zero, codes cover the whole corpus, and the
+    # index GEOMETRY is preserved (nlist/m/ksub from the artifacts, not
+    # caller defaults)
+    psi_after, verdict_after = ivfpq_cell_drift(spark, idx)
+    assert psi_after == 0.0 and verdict_after == "stable"
+    centroids, codebooks, codes = load_ivfpq_index(spark, idx)
+    assert codes.count() == corpus2.count()
+    assert len(centroids) == 8
+    assert codebooks.shape[:2] == (8, 16)
+
+
 def test_ivfpq_append_rejects_mismatched_id_column(spark, emb, tmp_path):
     """Review regression: appending under a different id-column name
     would land a second schema in codes/ and silently corrupt the index
