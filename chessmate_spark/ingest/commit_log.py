@@ -453,7 +453,8 @@ class CommitLogTable:
         return txns.get(str(app_id))
 
     def append_idempotent(
-        self, df: DataFrame, app_id: str, version: int, max_retries: int = 20
+        self, df: DataFrame, app_id: str, version: int,
+        max_retries: int = 20, snapshot: Optional[int] = None,
     ) -> Optional[int]:
         """Exactly-once append under a writer-supplied monotonic
         ``(app_id, version)`` — the Delta txnAppId/txnVersion pattern
@@ -472,7 +473,16 @@ class CommitLogTable:
         staged files become vacuum()-reclaimable orphans.  Both checks
         are O(checkpoint_interval) via the folded checkpoint txn map,
         so a long-lived streaming sink's per-batch commit cost stays
-        flat across the run."""
+        flat across the run.
+
+        ``snapshot`` (optional): the table version the PRODUCER read
+        while computing ``df`` — recorded verbatim in the txn marker so
+        a later replay can recompute against exactly that snapshot.
+        Without it a replay can only GUESS the read version as the
+        commit's parent, which is wrong whenever a concurrent append
+        landed between the producer's read and its claim (the rebase
+        path) — the round-13 ADVICE hazard dedup_lifecycle pins
+        against."""
         # normalize BEFORE the fast-path check: manifests store the str
         # form, so a raw int app_id would never match here and every
         # replay would stage a full parquet write only to be skipped by
@@ -483,6 +493,8 @@ class CommitLogTable:
             return None  # replay detected before staging: no data write
         pending = self.begin_append(df)
         pending.txn = {"app_id": str(app_id), "version": int(version)}
+        if snapshot is not None:
+            pending.txn["snapshot"] = int(snapshot)
         return pending.commit(max_retries=max_retries)
 
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
@@ -1030,6 +1042,14 @@ class PendingCommit:
                     "app_id": str(self.txn["app_id"]),
                     "version": int(self.txn["version"]),
                 }
+                if self.txn.get("snapshot") is not None:
+                    # the producer's read version, for replay pinning —
+                    # carried even through a rebase (the whole point:
+                    # the commit's parent is NOT the read version when
+                    # a concurrent append won the race)
+                    manifest["txn"]["snapshot"] = int(
+                        self.txn["snapshot"]
+                    )
             if t._try_claim(head + 1, manifest):
                 self.committed_version = head + 1
                 t._maybe_checkpoint(head + 1)

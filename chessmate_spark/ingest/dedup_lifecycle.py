@@ -18,11 +18,14 @@ scripts/prune_pending_jobs.sh plus vector-id idempotency on re-ingest
 (SURVEY §2.9 Q6) — there the guarded resource is the jobs queue /
 vector store; here it is the dedup state itself.
 
-Scale shape: the increment shuffles O(batch + existing) BAND rows (a
-few small integers per document) and the exact-verify exchange is
-bloom-pruned to candidate ids (round 12); the state append writes
-O(batch) rows through one commit-log transaction.  Nothing
-corpus-sized moves per increment.
+Scale shape (round 13): the batch's band table is BROADCAST into the
+band-bucket join, so the store side streams map-side — no exchange
+carries existing-side band rows and nothing corpus-sized is persisted
+per increment; the exact-verify exchange is candidate-pruned
+(broadcast semi-join by default; bloom opt-in past broadcast size);
+the state append writes O(batch) rows through one commit-log
+transaction.  The only corpus-sized work per increment is two
+column-pruned scans of the store's parquet state.
 
 Dial stability contract: every increment must run the SAME
 ``(shingle_n, num_hashes)`` the store was built with — the store
@@ -64,6 +67,31 @@ def open_signature_store(
     return CommitLogTable(spark, path, checkpoint_interval)
 
 
+def bootstrap_store(
+    store: CommitLogTable,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    app_id: str = SIGNATURE_STORE_APP,
+    batch_id: int = 0,
+) -> Optional[int]:
+    """Seed a signature store with an already-curated corpus's state
+    WITHOUT a dedup pass — the backfill path (the corpus was deduped by
+    d2/d8 when it was assembled; re-verifying it against itself at
+    bootstrap would be a full-corpus job, not an increment).  One
+    corpus scan, one commit-log transaction, exactly-once under
+    ``(app_id, batch_id)`` like any increment — a replayed bootstrap
+    is skipped, not double-appended."""
+    state = minhash_signature_state(
+        corpus, id_col, text_col, shingle_n, num_hashes
+    )
+    return store.append_idempotent(
+        state, app_id, batch_id, snapshot=store.latest_version()
+    )
+
+
 @dataclass
 class DedupIncrement:
     """Result of one lifecycle increment.
@@ -83,12 +111,19 @@ def _version_before_txn(
     store: CommitLogTable, app_id: str, batch_id: int
 ) -> int:
     """The commit-log version the ORIGINAL increment for
-    ``(app_id, batch_id)`` read: the parent of the version whose
-    manifest carries that txn marker.  O(versions) manifest walk —
-    replays are the rare path; fails loudly when the original commit's
-    manifest has been expired (the snapshot needed to reproduce the
-    original output no longer exists, and a silent head-read would
-    produce DIFFERENT output for the same batch_id)."""
+    ``(app_id, batch_id)`` read.  Preferred source: the ``snapshot``
+    field the original increment recorded in its own txn marker (round
+    13, closing the ADVICE hazard) — exact even when a CONCURRENT
+    append landed between the original's ``latest_version()`` read and
+    its claim, because ``append_idempotent`` rebases on conflict and
+    the commit's parent then differs from the version actually read.
+    Fallback for pre-round-13 manifests (no ``snapshot`` field): the
+    commit's parent, correct under a single writer per store.
+    O(versions) manifest walk — replays are the rare path; fails
+    loudly when the original commit's manifest has been expired (the
+    snapshot needed to reproduce the original output no longer exists,
+    and a silent head-read would produce DIFFERENT output for the same
+    batch_id)."""
     app_id = str(app_id)
     for v in reversed(store.versions()):
         t = store.manifest(v).get("txn") or {}
@@ -96,7 +131,8 @@ def _version_before_txn(
             str(t.get("app_id")) == app_id
             and int(t.get("version", -1)) == int(batch_id)
         ):
-            return v - 1
+            snap = t.get("snapshot")
+            return int(snap) if snap is not None else v - 1
     raise LookupError(
         f"no committed manifest carries txn ({app_id}, {batch_id}) — "
         "the original increment's commit was expired or never landed; "
@@ -115,6 +151,8 @@ def dedup_increment(
     bands: int = 4,
     min_jaccard: float = 0.5,
     app_id: str = SIGNATURE_STORE_APP,
+    prune: str = "broadcast",
+    band_join: str = "broadcast",
 ) -> DedupIncrement:
     """ONE turn of the production loop: dedup ``batch`` against the
     store's current snapshot (plus within-batch, d1's min-id rule),
@@ -141,7 +179,13 @@ def dedup_increment(
 
     The batch's shingle scan is paid ONCE: its state frame is persisted,
     feeds the increment (``batch_state=``), and is the exact frame the
-    append stages to parquet."""
+    append stages to parquet.
+
+    ``prune``/``band_join`` forward to
+    :func:`incremental_minhash_dedup` — both default to the broadcast
+    postures (batch-bounded band join, candidate-bounded verify);
+    the shuffle/bloom alternates exist for a batch or candidate set
+    past broadcast size, at which point the job is a backfill."""
     b_state = minhash_signature_state(
         batch, id_col, text_col, shingle_n, num_hashes
     ).persist()
@@ -149,8 +193,9 @@ def dedup_increment(
         prior = store.txn_version(app_id)
         if prior is not None and prior >= batch_id:
             # REPLAY: pin the snapshot the original increment read —
-            # the parent of this batch's own commit — so the recompute
-            # is identical even though later batches have since landed
+            # recorded in the batch's own txn manifest (parent-of-commit
+            # fallback for pre-round-13 stores) — so the recompute is
+            # identical even though later batches have since landed
             snap = _version_before_txn(store, app_id, batch_id)
         else:
             snap = store.latest_version()
@@ -171,8 +216,17 @@ def dedup_increment(
             shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
             min_jaccard=min_jaccard,
             existing_state=existing_state, batch_state=b_state,
+            prune=prune, band_join=band_join,
         )
-        version = store.append_idempotent(b_state, app_id, batch_id)
+        # record the snapshot ACTUALLY read in the txn marker: a
+        # concurrent commit landing between latest_version() and the
+        # append's (rebasing) claim makes the commit's parent differ
+        # from the version this increment deduped against, and a replay
+        # pinned to the parent would recompute against the WRONG
+        # snapshot (round-13 ADVICE)
+        version = store.append_idempotent(
+            b_state, app_id, batch_id, snapshot=snap
+        )
     finally:
         b_state.unpersist()
     return DedupIncrement(

@@ -72,6 +72,66 @@ def files_read(df: DataFrame) -> int:
     return int(total)
 
 
+def shuffle_records_written(df: DataFrame) -> int:
+    """Total records written through shuffle exchanges while computing
+    ``df`` — the ground-truth "how much actually moved" number for
+    scale audits (the wall clock alone is action-scheduling-dominated
+    on small inputs and cannot see an O(existing)-vs-O(batch) exchange
+    difference; this can).
+
+    Runs a ``collect()`` to populate metrics, then walks the executed
+    plan summing each ShuffleExchange's ``shuffleRecordsWritten``
+    metric.  Persisted subtrees are followed through
+    ``InMemoryTableScan → relation.cachedPlan`` and AQE wrappers
+    through their materialized ``executedPlan``/``finalPlan``, so
+    exchanges feeding a cache populated during this very action are
+    counted too.  Broadcast exchanges have no shuffle-write metrics and
+    naturally count zero — exactly right: a broadcast is the thing the
+    batch-bounded band join buys."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    total = 0
+    # a cached relation referenced by several scans must be counted
+    # once; the cacheManager dedupes entries by plan equality, so the
+    # plan's structural hashCode is the right identity here (two scans
+    # with equal cached plans ARE the same cache entry)
+    seen_caches = set()
+
+    def walk(node):
+        nonlocal total
+        name = node.getClass().getSimpleName()
+        if name.startswith("ShuffleExchange"):
+            metrics = node.metrics()
+            if metrics.contains("shuffleRecordsWritten"):
+                total += metrics.apply("shuffleRecordsWritten").value()
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            # AQE wraps materialized exchanges in query stages whose
+            # wrapped plan is NOT in children()
+            walk(node.plan())
+        elif name.startswith("InMemoryTableScan"):
+            try:
+                cached = node.relation().cachedPlan()
+                h = cached.hashCode()
+                if h not in seen_caches:
+                    seen_caches.add(h)
+                    walk(cached)
+            except Exception:
+                pass
+        elif hasattr(node, "child") and children.size() == 0:
+            try:
+                walk(node.child())
+            except Exception:
+                pass
+
+    walk(plan)
+    return int(total)
+
+
 def partition_filters(df: DataFrame) -> str:
     """The PartitionFilters the scan will apply (empty string = no
     pruning).  Greppable verification for tests and plan audits."""

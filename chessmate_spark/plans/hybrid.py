@@ -199,9 +199,11 @@ def _plan_cache_key(tables: HybridTables, plan: QueryPlan, dim: int,
     different table snapshots now misses instead of silently serving
     stale lineages.  id() alone would be unsound — a GC'd snapshot's
     address can be reused by a NEW frame, colliding the key — so every
-    cache entry also holds a strong reference to its tables (see
-    ``execute``): while an entry exists its id triple cannot be
-    recycled, and once evicted there is no entry left to stale-hit."""
+    cache entry also holds a strong reference to the three FRAMES this
+    key hashes (see ``execute``; the HybridTables wrapper itself is
+    mutable, so pinning it would not pin the frames): while an entry
+    exists its id triple cannot be recycled, and once evicted there is
+    no entry left to stale-hit."""
     return (
         id(tables.games),
         id(tables.players),
@@ -334,13 +336,16 @@ def execute(
     request pays ONE Spark action (the page collect): cache hits skip
     both the ~0.7 s of driver-side Py4J plan construction and the
     count action.  The tables' identity lives in the key AND each entry
-    pins its snapshot objects (a snapshot swap misses instead of
-    serving stale lineages, and GC address reuse cannot recycle a live
-    entry's key), compiles that hit
-    the V7 transient-degradation branch are NOT cached (a retry may
-    compile healthy), dict ops run under a lock (safe under
-    ThreadingHTTPServer), and entries evict oldest-first past
-    PLAN_CACHE_MAX."""
+    pins the three snapshot FRAMES themselves — not the HybridTables
+    dataclass, which is mutable: a caller reassigning ``tables.games``
+    would free the old frame while the entry lived, and a new frame
+    allocated at the recycled address could stale-hit the old key
+    (round-13 ADVICE) — so a snapshot swap misses instead of serving
+    stale lineages and GC address reuse cannot recycle a live entry's
+    key.  Compiles that hit the V7 transient-degradation branch are
+    NOT cached (a retry may compile healthy), dict ops run under a
+    lock (safe under ThreadingHTTPServer), and entries evict
+    oldest-first past PLAN_CACHE_MAX."""
     import time as _time
 
     if timings is not None:
@@ -355,9 +360,12 @@ def execute(
             cached = plan_cache.get(key)
     total = None
     if cached is not None:
-        # entry = (tables_ref, summaries, results, warnings, total) —
-        # tables_ref pins the snapshot objects so the id()-based key
-        # cannot be recycled by GC address reuse while the entry lives
+        # entry = (frames_ref, summaries, results, warnings, total) —
+        # frames_ref pins the three snapshot FRAMES the key hashes (not
+        # the mutable HybridTables wrapper: reassigning tables.games
+        # would free the old frame while the entry lived — round-13
+        # ADVICE), so the id()-based key cannot be recycled by GC
+        # address reuse while the entry lives
         _, summaries, results, warnings, total = cached
         if timings is not None:
             timings["build_summaries_s"] = 0.0
@@ -370,7 +378,10 @@ def execute(
             with _PLAN_CACHE_LOCK:
                 while len(plan_cache) >= PLAN_CACHE_MAX:
                     plan_cache.pop(next(iter(plan_cache)), None)
-                plan_cache[key] = (tables, summaries, results, warnings, None)
+                plan_cache[key] = (
+                    (tables.games, tables.players, tables.position_vectors),
+                    summaries, results, warnings, None,
+                )
     if total is None:
         _t0 = _time.perf_counter()
         total = summaries.count()

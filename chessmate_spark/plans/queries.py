@@ -6665,9 +6665,11 @@ def d28_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (ingest/dedup_lifecycle.py): per increment the batch's
     shingle scan runs once (persisted state frame feeds both the dedup
-    and the append), band rows shuffle O(batch + store), the verify
-    exchange is bloom-pruned to candidate ids, and the append is one
-    commit-log transaction of O(batch) rows.  Reference analog: the
+    and the append), the batch's band table broadcasts into the band
+    join (the store side streams — no exchange carries store-side band
+    rows), the verify exchange is candidate-pruned (broadcast semi-join
+    by default; bloom opt-in), and the append is one commit-log
+    transaction of O(batch) rows.  Reference analog: the
     re-ingest hygiene of scripts/prune_pending_jobs.sh + vector-id
     idempotency (SURVEY §2.9 Q6) applied to dedup state."""
     import shutil

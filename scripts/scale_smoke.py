@@ -1987,32 +1987,84 @@ def measure_ann_drift(spark, out_path: str) -> "list[str]":
     return failures
 
 
-# The incremental-lifecycle probe (round 12, verdict #1/#2): a FIXED
+# The incremental-lifecycle probe (round 12 verdict #1/#2; round 13
+# adds the x100 decade rung and exchanged-row instrumentation): a FIXED
 # batch deduped against a commit-log signature store whose existing
-# side grows 1x -> 10x.  Increment cost must scale with the BATCH's
-# candidate volume, not the corpus: the band join's existing side grows
-# (narrow integer rows, linear scan), but the exact-verify exchange is
-# bloom-pruned to candidate ids, so candidate count must stay ~flat
-# (the replicated corpus decorrelates replica text — a replica-0 batch
-# only matches replica-0 docs) and wall growth far below 10x.
+# side grows 1x -> 10x -> 100x (~5k -> ~50k -> ~500k docs).  Increment
+# cost must scale with the BATCH's candidate volume, not the corpus:
+# the batch's band table BROADCASTS into the band join (round 13 — the
+# store side streams map-side, no exchange carries store-side band
+# rows) and the exact-verify exchange is candidate-pruned, so both the
+# candidate count AND the total shuffle records written must stay
+# ~flat (corpus decorrelation keeps the batch's match set fixed: the
+# replicated corpora only match the batch in replica 0) while wall
+# growth stays far below the corpus growth.  The exchanged-row count
+# is the metric the wall clock cannot see: the increment is
+# action-scheduling-dominated at these sizes, so an O(existing)
+# exchange would hide inside a flat-looking wall but reads ~Nx here.
 INC_BATCH_MOD = 5        # replica-0 docs with doc_id % 5 == 0 (~1/5)
 INC_ID_OFFSET = 900_000_000  # re-keyed batch ids, unique vs any replica
 INC_WALL_GATE = 4.0      # 10x existing -> <= 4x increment wall
 INC_CAND_GATE = 2.0      # candidate ids must track the batch, not corpus
+INC_X100_WALL_GATE = 8.0   # 100x existing -> two 100x column-pruned scans
+INC_SHUFFLE_GATE = 1.5   # exchanged rows must be FLAT at every rung
+INC_X100_DST = "/tmp/chessmate_inc_x100"
+INC_X100_REPLICAS = 100
+
+
+def _build_inc_x100(spark, dst: str = INC_X100_DST) -> None:
+    """Documents-only 100x corpus for the lifecycle decade rung:
+    replica 0 keeps the original text (the batch's match set); replicas
+    1..99 are sha-salted so they cannot band with anything — the
+    candidate set is pinned IDENTICAL across rungs by construction,
+    which is what makes the exchanged-row comparison meaningful."""
+    done = os.path.join(dst, "_DONE_v1")
+    if os.path.exists(done):
+        return
+    base = spark.read.parquet(f"{SRC}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = base.crossJoin(
+        spark.range(INC_X100_REPLICAS).toDF("_r")
+    ).select(
+        (F.col("doc_id") * INC_X100_REPLICAS + F.col("_r")).alias(
+            "doc_id"
+        ),
+        F.when(F.col("_r") == 0, F.col("text")).otherwise(
+            F.concat(
+                F.sha2(F.concat_ws("-", "doc_id", "_r"), 256),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 8),
+            )
+        ).alias("text"),
+    )
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+    open(done, "w").close()
 
 
 def measure_incremental_lifecycle(spark, out_path: str) -> "list[str]":
-    """Time one store-backed dedup increment at 1x and 10x existing
-    corpus; record wall clock and distinct candidate-id counts.
+    """Time one store-backed dedup increment at 1x / 10x / 100x
+    existing corpus; record wall clock, distinct candidate-id counts,
+    and TOTAL SHUFFLE RECORDS WRITTEN by the increment's dedup job.
     Updates SCALE_SMOKE.json's `incremental_lifecycle` block."""
     import shutil
     import tempfile
 
     from chessmate_spark.ingest.dedup_lifecycle import (
-        dedup_increment, open_signature_store,
+        bootstrap_store, dedup_increment, open_signature_store,
+    )
+    from chessmate_spark.ingest.partitioned import shuffle_records_written
+    from chessmate_spark.operators.dedup import (
+        _incremental_minhash_frames,
     )
 
+    _build_inc_x100(spark)
     base = spark.read.parquet(f"{SRC}/documents.parquet")
+    # x100 re-keys doc_id by *100, so the batch uses x100's replica-0
+    # ids re-keyed; for x1/x10 the plain ids.  Text is identical either
+    # way (replica 0 keeps original bytes), so the match SET is the
+    # same corpus rows at every rung.
     batch = (
         base.filter(F.col("doc_id") % INC_BATCH_MOD == 0)
         .withColumn("doc_id", F.col("doc_id") + F.lit(INC_ID_OFFSET))
@@ -2023,23 +2075,27 @@ def measure_incremental_lifecycle(spark, out_path: str) -> "list[str]":
         "batch_rows": batch_rows,
         "wall_gate": INC_WALL_GATE,
         "cand_gate": INC_CAND_GATE,
+        "x100_wall_gate": INC_X100_WALL_GATE,
+        "shuffle_gate": INC_SHUFFLE_GATE,
     }
     results = {}
-    for label, src in (("x1", SRC), ("x10", DST)):
-        existing = spark.read.parquet(f"{src}/documents.parquet").select(
-            "doc_id", "text"
-        )
+    rungs = (
+        ("x1", f"{SRC}/documents.parquet"),
+        ("x10", f"{DST}/documents.parquet"),
+        ("x100", f"{INC_X100_DST}/documents.parquet"),
+    )
+    for label, path in rungs:
+        existing = spark.read.parquet(path).select("doc_id", "text")
         n_exist = existing.count()
         tmp = tempfile.mkdtemp(prefix=f"inc_smoke_{label}_")
         try:
             store = open_signature_store(spark, tmp)
             # bootstrap: the existing corpus's state, paid once per
-            # document lifetime (NOT part of the per-increment cost)
-            boot = dedup_increment(
-                store, existing, "doc_id", "text", batch_id=0,
-                num_hashes=16, bands=4, min_jaccard=0.1,
-            )
-            assert boot.appended_version == 1
+            # document LIFETIME (the backfill path — not an increment,
+            # not timed)
+            assert bootstrap_store(
+                store, existing, "doc_id", "text", num_hashes=16
+            ) == 1
             t0 = time.perf_counter()
             inc = dedup_increment(
                 store, batch, "doc_id", "text", batch_id=1,
@@ -2047,61 +2103,85 @@ def measure_incremental_lifecycle(spark, out_path: str) -> "list[str]":
             )
             secs = time.perf_counter() - t0
             dup_rows = inc.duplicates.count()
-            # candidate-id volume: re-derive the candidate frame the
-            # increment's verify stage was bloom-bounded by
-            from chessmate_spark.operators.dedup import (
-                _incremental_minhash_frames,
-            )
-
-            shingled, banded, cand, _best = _incremental_minhash_frames(
+            # candidate-id volume + exchanged rows: re-derive the
+            # frames the increment ran, against the PRE-APPEND snapshot
+            # (round-13 ADVICE: the post-append head would self-pair
+            # every batch doc with its own stored state, compressing
+            # cand_ratio toward 1 and counting pairs the timed
+            # increment never verified)
+            pre_append = store.read(store.latest_version() - 1)
+            ex_side, b_side, cand, best = _incremental_minhash_frames(
                 None, batch, "doc_id", "text", 3, 16, 4, 0.1,
-                store.read(),
+                pre_append,
             )
             try:
+                shuffle_rows = shuffle_records_written(best)
                 cand_ids = (
-                    cand.select(F.col("_x").alias("i"))
-                    .union(cand.select(F.col("_m").alias("i")))
-                    .distinct()
-                    .count()
+                    cand.select(
+                        F.explode(F.array("_x", "_m")).alias("i")
+                    ).distinct().count()
                 )
             finally:
-                shingled.unpersist()
-                banded.unpersist()
+                ex_side.unpersist()
+                b_side.unpersist()
                 cand.unpersist()
             results[label] = {
                 "existing_rows": n_exist,
                 "secs": round(secs, 2),
                 "duplicates": dup_rows,
                 "candidate_ids": cand_ids,
+                "shuffle_records": shuffle_rows,
             }
             block[label] = results[label]
             print(
                 f"incremental {label}: existing={n_exist:,} "
                 f"batch={batch_rows:,} dup={dup_rows:,} "
-                f"cand_ids={cand_ids:,} {secs:.2f}s",
+                f"cand_ids={cand_ids:,} shuffle_rows={shuffle_rows:,} "
+                f"{secs:.2f}s",
                 flush=True,
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     wall_ratio = results["x10"]["secs"] / max(results["x1"]["secs"], 1e-9)
+    wall_ratio_100 = results["x100"]["secs"] / max(
+        results["x1"]["secs"], 1e-9
+    )
     cand_ratio = results["x10"]["candidate_ids"] / max(
         results["x1"]["candidate_ids"], 1
     )
+    cand_ratio_100 = results["x100"]["candidate_ids"] / max(
+        results["x1"]["candidate_ids"], 1
+    )
+    shuffle_ratio_100 = results["x100"]["shuffle_records"] / max(
+        results["x1"]["shuffle_records"], 1
+    )
     block["wall_ratio"] = round(wall_ratio, 2)
+    block["wall_ratio_x100"] = round(wall_ratio_100, 2)
     block["cand_ratio"] = round(cand_ratio, 2)
+    block["cand_ratio_x100"] = round(cand_ratio_100, 2)
+    block["shuffle_ratio_x100"] = round(shuffle_ratio_100, 2)
     failures = []
     if wall_ratio > INC_WALL_GATE:
         failures.append("incremental:wall")
+    if wall_ratio_100 > INC_X100_WALL_GATE:
+        failures.append("incremental:wall_x100")
     if cand_ratio > INC_CAND_GATE:
         failures.append("incremental:candidates")
+    if cand_ratio_100 > INC_CAND_GATE:
+        failures.append("incremental:candidates_x100")
+    if shuffle_ratio_100 > INC_SHUFFLE_GATE:
+        failures.append("incremental:shuffle_rows")
     # the probe is only meaningful if the batch actually HAS matches
     if results["x1"]["duplicates"] == 0:
         failures.append("incremental:no_duplicates")
     print(
         f"incremental_lifecycle: wall {results['x1']['secs']:.2f}s -> "
-        f"{results['x10']['secs']:.2f}s (ratio {wall_ratio:.2f}, gate "
-        f"{INC_WALL_GATE}); cand ratio {cand_ratio:.2f} (gate "
-        f"{INC_CAND_GATE})",
+        f"{results['x10']['secs']:.2f}s -> "
+        f"{results['x100']['secs']:.2f}s (x10 ratio {wall_ratio:.2f} "
+        f"gate {INC_WALL_GATE}; x100 ratio {wall_ratio_100:.2f} gate "
+        f"{INC_X100_WALL_GATE}); cand ratio {cand_ratio:.2f}/"
+        f"{cand_ratio_100:.2f} (gate {INC_CAND_GATE}); shuffle-row "
+        f"x100 ratio {shuffle_ratio_100:.2f} (gate {INC_SHUFFLE_GATE})",
         flush=True,
     )
     merge_smoke_block(
