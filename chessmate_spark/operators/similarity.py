@@ -643,8 +643,6 @@ def ivfpq_cell_drift(
     Indexes built before the histogram artifact existed raise loudly —
     rebuild (or write the baseline by hand) before trusting the
     signal."""
-    import math
-
     hist_path = os.path.join(index_dir, "cell_histogram.parquet")
     if not os.path.exists(hist_path):
         raise FileNotFoundError(
@@ -659,8 +657,24 @@ def ivfpq_cell_drift(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .collect()
     )
-    base = {r["cell"]: r["n"] for r in base_rows}
-    cur = {r["cell"]: r["n"] for r in cur_rows}
+    return _psi_verdict(
+        {r["cell"]: r["n"] for r in base_rows},
+        {r["cell"]: r["n"] for r in cur_rows},
+        epsilon,
+    )
+
+
+def _psi_verdict(
+    base: dict, cur: dict, epsilon: float = 1e-4
+) -> "tuple[float, str]":
+    """THE cell-occupancy PSI arithmetic (shared by the in-place
+    ``ivfpq_cell_drift`` and the snapshot-isolated
+    ``ann_snapshot.snapshot_drift`` so the two drift readings cannot
+    diverge): per-cell shares, a side's absent bucket takes
+    ``epsilon``, natural log, ``sum((cur - base) * ln(cur / base))``;
+    verdict uses a32's bands."""
+    import math
+
     tb = sum(base.values())
     tc = sum(cur.values())
     psi = 0.0
@@ -714,12 +728,13 @@ def maintain_ivfpq_index(
     concurrent reader of the same directory — a server's lazily-loaded
     codes frame re-lists parquet files per action, so a rebuild racing
     a query can fail the read or, worse, decode new codes with the
-    old loaded codebooks.  Production postures: serve from a snapshot
-    COPY of the artifacts, version the index directory and flip a
-    pointer after the rebuild, or route the codes table through
-    ``ingest.commit_log.CommitLogTable`` (snapshot-isolated readers).
-    The single-process build → maintain → reload loop (the smoke's and
-    tests') needs none of that."""
+    old loaded codebooks.  The single-process build → maintain →
+    reload loop (the smoke's and tests') needs none of that; anything
+    with concurrent readers should use the SNAPSHOT-ISOLATED form
+    (round 13): ``operators/ann_snapshot.py`` — immutable versioned
+    model dirs, a commit-log codes table, an atomic CURRENT pointer
+    flip — whose ``snapshot_maintain`` is this function's drop-in
+    with readers pinned row-identically through rebuilds."""
     append_to_ivfpq_index(new_rows, corpus_id, index_dir, corpus_vec)
     psi, verdict = ivfpq_cell_drift(new_rows.sparkSession, index_dir)
     if psi >= retrain_psi:

@@ -1,0 +1,223 @@
+"""Snapshot-isolated IVFPQ maintenance (round 13, verdict #2): readers
+pinned to a snapshot serve row-identical results THROUGH concurrent
+appends and rebuilds; the maintainer flips CURRENT atomically; vacuum
+is the only pin-invalidating operation.
+
+Reference analog: the snapshot journal the reference keeps for vector
+collections (S9, lib/vector/repo_qdrant.ml:262-343) applied to the ANN
+index lifecycle."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mixture(spark, centers, n, id0, seed, shift=0.0):
+    r = np.random.default_rng(seed)
+    labels = r.integers(0, len(centers), size=n)
+    x = centers[labels] + r.normal(size=(n, centers.shape[1])) * 1.5 + shift
+    return spark.createDataFrame(
+        [(int(id0 + i), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def centers():
+    return np.random.default_rng(5).normal(size=(8, 16)) * 6.0
+
+
+def _serve(spark, snap, queries, corpus, k=3, nprobe=4, overfetch=8):
+    from chessmate_spark.operators.similarity import ivfpq_topk
+
+    centroids, codebooks, codes = snap.load(spark)
+    return sorted(
+        (r["qid"], r["vec_id"], round(r["score"], 9))
+        for r in ivfpq_topk(
+            queries, corpus, k, "qid", "vec_id",
+            nprobe=nprobe, overfetch=overfetch,
+            centroids=centroids, codebooks=codebooks, codes=codes,
+        ).collect()
+    )
+
+
+def test_snapshot_build_matches_in_place_build(spark, centers, tmp_path):
+    """Same primitives, same determinism: snapshot-served output is
+    identical to serving from the in-place build_ivfpq_index artifacts
+    with the same parameters."""
+    from chessmate_spark.operators.ann_snapshot import (
+        snapshot_build, snapshot_pin,
+    )
+    from chessmate_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_topk, load_ivfpq_index,
+    )
+
+    corpus = _mixture(spark, centers, 400, 0, 1)
+    queries = _mixture(spark, centers, 3, 90_000, 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    root = str(tmp_path / "snap_index")
+    built = snapshot_build(
+        corpus, "vec_id", root, nlist=8, m=8, ksub=16, seed=42
+    )
+    assert snapshot_pin(root) == built
+
+    plain_dir = str(tmp_path / "plain_index")
+    build_ivfpq_index(
+        corpus, "vec_id", plain_dir, nlist=8, m=8, ksub=16, seed=42
+    )
+    cents, books, codes = load_ivfpq_index(spark, plain_dir)
+    plain = sorted(
+        (r["qid"], r["vec_id"], round(r["score"], 9))
+        for r in ivfpq_topk(
+            queries, corpus, 3, "qid", "vec_id",
+            nprobe=4, overfetch=8,
+            centroids=cents, codebooks=books, codes=codes,
+        ).collect()
+    )
+    assert _serve(spark, built, queries, corpus) == plain
+    assert plain  # non-degenerate
+
+
+def test_pinned_reader_identical_through_append_and_rebuild(
+    spark, centers, tmp_path
+):
+    """THE isolation contract (verdict #2's done-criterion): a reader
+    pinned to the pre-maintenance snapshot serves row-identical
+    results through an append AND through a full drift-triggered
+    REBUILD, while new pins see the flipped CURRENT."""
+    from chessmate_spark.operators.ann_snapshot import (
+        snapshot_build, snapshot_maintain, snapshot_pin,
+    )
+
+    corpus0 = _mixture(spark, centers, 400, 0, 1)
+    queries = _mixture(spark, centers, 3, 90_000, 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    root = str(tmp_path / "index")
+    pin0 = snapshot_build(
+        corpus0, "vec_id", root, nlist=8, m=8, ksub=16, seed=42
+    )
+    before = _serve(spark, pin0, queries, corpus0)
+    assert before
+
+    # stationary append: CURRENT flips codes_version, same model
+    delta_s = _mixture(spark, centers, 200, 10_000, 3)
+    corpus1 = corpus0.unionByName(delta_s)
+    r1 = snapshot_maintain(delta_s, "vec_id", root, corpus1)
+    assert r1["action"] == "appended"
+    pin1 = snapshot_pin(root)
+    assert pin1.model == pin0.model
+    assert pin1.codes_version > pin0.codes_version
+    # the pre-append reader is untouched
+    assert _serve(spark, pin0, queries, corpus0) == before
+
+    # drifted append: trigger fires, REBUILD lands as a new model dir
+    # + new codes version + pointer flip
+    delta_d = _mixture(spark, centers, 300, 20_000, 4, shift=25.0)
+    corpus2 = corpus1.unionByName(delta_d)
+    r2 = snapshot_maintain(delta_d, "vec_id", root, corpus2)
+    assert r2["action"] == "rebuilt", r2
+    pin2 = snapshot_pin(root)
+    assert pin2.model != pin0.model
+    assert os.path.isdir(pin0.model_dir)  # old model still on disk
+    # readers pinned BEFORE the rebuild: row-identical, both of them
+    assert _serve(spark, pin0, queries, corpus0) == before
+    assert _serve(spark, pin1, queries, corpus1) == _serve(
+        spark, pin1, queries, corpus1
+    )
+    # the rebuilt snapshot serves the full corpus and its drift
+    # baseline reads 0 (fresh build)
+    from chessmate_spark.operators.ann_snapshot import snapshot_drift
+
+    _, _, codes2 = pin2.load(spark)
+    assert codes2.count() == corpus2.count()
+    psi2, verdict2 = snapshot_drift(spark, pin2)
+    assert psi2 == 0.0 and verdict2 == "stable"
+
+
+def test_snapshot_drift_matches_in_place_reading(spark, centers, tmp_path):
+    """snapshot_drift shares _psi_verdict with ivfpq_cell_drift: the
+    same build + same stationary/drifted appends produce the same PSI
+    readings (same encode, same arithmetic)."""
+    from chessmate_spark.operators.ann_snapshot import (
+        snapshot_append, snapshot_build, snapshot_drift, snapshot_pin,
+    )
+    from chessmate_spark.operators.similarity import (
+        IVFPQ_RETRAIN_PSI,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_cell_drift,
+    )
+
+    base = _mixture(spark, centers, 600, 0, 1)
+    stat = _mixture(spark, centers, 300, 10_000, 2)
+    drift = _mixture(spark, centers, 300, 20_000, 3, shift=25.0)
+
+    root = str(tmp_path / "snap")
+    plain = str(tmp_path / "plain")
+    snapshot_build(base, "vec_id", root, nlist=8, m=8, ksub=16)
+    build_ivfpq_index(base, "vec_id", plain, nlist=8, m=8, ksub=16)
+
+    snapshot_append(stat, "vec_id", root)
+    append_to_ivfpq_index(stat, "vec_id", plain)
+    psi_s_snap, _ = snapshot_drift(spark, snapshot_pin(root))
+    psi_s_plain, _ = ivfpq_cell_drift(spark, plain)
+    assert abs(psi_s_snap - psi_s_plain) < 1e-12
+    assert psi_s_snap < IVFPQ_RETRAIN_PSI
+
+    snapshot_append(drift, "vec_id", root)
+    append_to_ivfpq_index(drift, "vec_id", plain)
+    psi_d_snap, _ = snapshot_drift(spark, snapshot_pin(root))
+    psi_d_plain, _ = ivfpq_cell_drift(spark, plain)
+    assert abs(psi_d_snap - psi_d_plain) < 1e-12
+    assert psi_d_snap >= IVFPQ_RETRAIN_PSI
+
+
+def test_snapshot_append_schema_guard_and_vacuum(spark, centers, tmp_path):
+    """The commit log's append-schema check covers the id-name/type
+    guard append_to_ivfpq_index hand-rolls; vacuum removes superseded
+    model dirs and expires old codes versions (explicitly invalidating
+    old pins — the documented contract)."""
+    from chessmate_spark.operators.ann_snapshot import (
+        snapshot_build, snapshot_maintain, snapshot_pin,
+        snapshot_vacuum,
+    )
+
+    corpus0 = _mixture(spark, centers, 300, 0, 1)
+    root = str(tmp_path / "index")
+    pin0 = snapshot_build(corpus0, "vec_id", root, nlist=8, m=8, ksub=16)
+
+    # wrong id name => schema mismatch at the commit boundary
+    bad = _mixture(spark, centers, 10, 5_000, 2).withColumnRenamed(
+        "vec_id", "other_id"
+    )
+    from chessmate_spark.operators.ann_snapshot import snapshot_append
+
+    with pytest.raises(Exception, match="[Ss]chema|other_id"):
+        snapshot_append(bad, "other_id", root)
+
+    # force a rebuild (retrain_psi=0) to supersede the first model
+    delta = _mixture(spark, centers, 100, 6_000, 3)
+    corpus1 = corpus0.unionByName(delta)
+    r = snapshot_maintain(
+        delta, "vec_id", root, corpus1, retrain_psi=0.0
+    )
+    assert r["action"] == "rebuilt"
+    pin2 = snapshot_pin(root)
+    assert pin2.model != pin0.model
+
+    removed = snapshot_vacuum(
+        spark, root, keep_codes_versions=1, retention_seconds=0.0
+    )
+    assert any(pin0.model in p for p in removed)
+    assert not os.path.isdir(pin0.model_dir)
+    # the CURRENT pin still serves
+    queries = _mixture(spark, centers, 2, 90_000, 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    assert _serve(spark, pin2, queries, corpus1)
