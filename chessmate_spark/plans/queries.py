@@ -9481,6 +9481,127 @@ def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "v15_ann_snapshot_lifecycle",
+    """
+    SELECT vec_id AS query_id, 3 AS k, true AS pinned_identical,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def v15_ann_snapshot_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SNAPSHOT-ISOLATED index maintenance (round 13, closing the
+    round-12 verdict's #2; operators/ann_snapshot.py): v14's
+    build → append lifecycle re-run under the versioned posture a
+    server with concurrent readers needs — immutable model dirs, a
+    commit-log codes table, an atomic CURRENT pointer flip.  The entry
+    drives the full loop and GATES the isolation contract inline:
+
+      1. snapshot_build on the older 80% of the corpus; pin it and
+         serve top-k (the long-running reader).
+      2. snapshot_maintain with the newest 20% FORCED to rebuild
+         (retrain_psi=0 — the trigger path is measured separately in
+         SCALE_SMOKE ann_drift; here the point is isolation) — new
+         model dir, new codes version, pointer flip.
+      3. the PRE-REBUILD pin serves again: must be ROW-IDENTICAL to
+         step 1 (``pinned_identical``) — the in-place maintainer
+         would have rebuilt under this reader.
+      4. the flipped CURRENT serves the grown corpus; per-query recall
+         vs exact kNN gates that the rebuilt index genuinely covers
+         the appended rows (``recall_ok``, v14's contract).
+
+    Reference analog: the snapshot journal S9
+    (lib/vector/repo_qdrant.ml:262-343) applied to the ANN index.  At
+    100 TB this is the zero-downtime reindex: rebuilds land as new
+    versions, serving flips atomically, old pins drain at their own
+    pace, snapshot_vacuum reclaims at the retention the longest reader
+    sets."""
+    import shutil
+    import tempfile
+
+    from ..operators.ann_snapshot import (
+        snapshot_build,
+        snapshot_maintain,
+        snapshot_pin,
+    )
+    from ..operators.similarity import cosine_knn_join, ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).filter(F.col("query_id") < 5)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    ).filter(F.col("neighbor_id") >= 5)
+    split = corpus.agg(
+        F.percentile_approx("neighbor_id", 0.8, 10000).alias("p")
+    ).first()["p"]
+    old = corpus.filter(F.col("neighbor_id") <= split)
+    new = corpus.filter(F.col("neighbor_id") > split)
+    root = tempfile.mkdtemp(prefix="cm_v15_snap_")
+    try:
+        pin0 = snapshot_build(
+            old, "neighbor_id", root, nlist=8, m=8, ksub=16
+        )
+
+        def serve(pin, crp):
+            cents, books, codes = pin.load(spark)
+            return ivfpq_topk(
+                queries, crp, k=3,
+                query_id="query_id", corpus_id="neighbor_id",
+                nprobe=7, overfetch=32,
+                centroids=cents, codebooks=books, codes=codes,
+            ).select("query_id", "neighbor_id")
+
+        before = sorted(map(tuple, serve(pin0, old).collect()))
+        turn = snapshot_maintain(
+            new, "neighbor_id", root, corpus, retrain_psi=0.0
+        )
+        assert turn["action"] == "rebuilt", turn
+        pin1 = snapshot_pin(root)
+        assert pin1.model != pin0.model, "rebuild did not flip CURRENT"
+        after = sorted(map(tuple, serve(pin0, old).collect()))
+        assert after == before, (
+            "pinned reader drifted through the rebuild — snapshot "
+            "isolation violated"
+        )
+        approx = serve(pin1, corpus)
+        exact = cosine_knn_join(
+            queries, corpus, k=3,
+            query_id="query_id", corpus_id="neighbor_id",
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        )
+        per_q = (
+            exact.groupBy("query_id")
+            .agg(F.count("*").alias("k"))
+            .join(
+                hits.groupBy("query_id").agg(
+                    F.count("*").alias("n_hit")
+                ),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                F.col("k").cast("int").alias("k"),
+                F.lit(True).alias("pinned_identical"),
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k")
+                    >= 0.6
+                ).alias("recall_ok"),
+            )
+            .orderBy("query_id")
+        )
+        out = per_q.localCheckpoint(eager=True)  # tmp root: s16 discipline
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _semantic_decontaminate_oracle() -> str:
     cos = _duck_cosine("t.embedding", "e.embedding")
     return f"""

@@ -37,6 +37,22 @@ def render(record: dict) -> str:
         f"{record['reference_baseline']['p50_ms']} ms p50, "
         f"{record['reference_baseline']['req_per_s_c50']} req/s)"
     )
+    cl = record.get("concurrency_ladder")
+    if cl:
+        rungs = ", ".join(
+            f"c={r['concurrency']}: {r['req_per_s']} req/s "
+            f"(p50 {r['p50_ms']} ms)"
+            for r in cl.get("ladder", [])
+        )
+        lines.append(
+            f"- under concurrency (thread-pool on the live socket, one "
+            f"plan-cache key): {rungs} — throughput rises past c=1 "
+            f"then saturates at ~{cl['peak_req_per_s']} req/s (the "
+            f"plan-cache lock does not serialize; the Python driver's "
+            f"GIL+Py4J path does), so per-request serving is an "
+            f"O(10-20) req/s surface and batch mode is the throughput "
+            f"path"
+        )
     bm = record.get("batch_mode")
     if bm:
         lines.append(

@@ -87,7 +87,7 @@ def render(record: dict) -> str:
         )
     inc = record.get("incremental_lifecycle")
     if inc:
-        lines.append(
+        line = (
             f"- incremental lifecycle (store-backed increment, batch "
             f"{inc['batch_rows']:,} rows): wall {inc['x1']['secs']}s -> "
             f"{inc['x10']['secs']}s (x{inc['wall_ratio']}, gate "
@@ -99,6 +99,20 @@ def render(record: dict) -> str:
             f"gate {inc['cand_gate']}) — increment cost tracks the "
             f"batch, not the corpus"
         )
+        x100 = inc.get("x100")
+        if x100:
+            line += (
+                f"; decade rung at existing "
+                f"{x100['existing_rows']:,}: wall {x100['secs']}s "
+                f"(x{inc['wall_ratio_x100']}, gate "
+                f"{inc['x100_wall_gate']}), SHUFFLE RECORDS "
+                f"{inc['x1']['shuffle_records']:,} -> "
+                f"{x100['shuffle_records']:,} "
+                f"(x{inc['shuffle_ratio_x100']}, gate "
+                f"{inc['shuffle_gate']}) — no exchange carries "
+                f"store-side band rows"
+            )
+        lines.append(line)
     ad = record.get("ann_drift")
     if ad:
         def curve(points):
@@ -107,7 +121,7 @@ def render(record: dict) -> str:
                 f"{p['psi']}" for p in points
             )
 
-        lines.append(
+        line = (
             f"- ann drift (appended IVFPQ, k={ad['k']}, nprobe "
             f"{ad['nprobe']}, base {ad['base_rows']:,} rows): stationary "
             f"[{curve(ad['stationary'])}] vs drifted "
@@ -115,6 +129,16 @@ def render(record: dict) -> str:
             f"{ad['retrain_psi']} fires at/before every materially "
             f"decayed step and never on stationary appends"
         )
+        rb = ad.get("drifted_rebuild")
+        if rb:
+            line += (
+                f"; one maintainer turn past the trigger "
+                f"(psi {rb['trigger_psi']}) {rb['action']} the index "
+                f"and recall recovers to {rb['recall_after_rebuild']} "
+                f"(floor {ad['stationary_floor']}) with the drift "
+                f"baseline reset (psi {rb['psi_after_rebuild']})"
+            )
+        lines.append(line)
     ann = record.get("ann_recall")
     if ann:
         rows = {k: v for k, v in ann.items() if isinstance(v, dict)}
