@@ -227,6 +227,9 @@ HEADLINE = [
     "d22_substring_dedup_resolve",
     "v14_ann_index_append",
     "d23_semantic_decontaminate",
+    # round 13: snapshot-isolated index lifecycle (build -> pinned
+    # reader -> forced rebuild -> isolation + recall gates)
+    "v15_ann_snapshot_lifecycle",
     # round 9: drift audits + schema-evolution read
     "a32_drift_psi",
     "s19_schema_evolution",

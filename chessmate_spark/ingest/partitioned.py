@@ -100,6 +100,10 @@ def shuffle_records_written(df: DataFrame) -> int:
     def walk(node):
         nonlocal total
         name = node.getClass().getSimpleName()
+        if name.startswith("ReusedExchange"):
+            # points AT an exchange that appears (and is counted)
+            # elsewhere in the tree — descending would double-count
+            return
         if name.startswith("ShuffleExchange"):
             metrics = node.metrics()
             if metrics.contains("shuffleRecordsWritten"):

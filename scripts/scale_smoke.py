@@ -140,9 +140,13 @@ DEFAULT_QUERIES = [
     # so its two-point ratio should sit well below d25's frozen-dial 6.0
     "d27_hyperplane_adaptive_neardup",
     # round 12: three store-backed increments (thirds of the corpus);
-    # each increment's verify exchange is bloom-pruned to candidates,
-    # so the ratio should track d12's banding shape
+    # each increment's verify exchange is candidate-pruned, so the
+    # ratio should track d12's banding shape
     "d28_incremental_lifecycle",
+    # round 13: the snapshot-isolated index lifecycle (two trains + two
+    # serves + exact kNN; action-dominated like v14, so the two-point
+    # ratio should sit near v14's)
+    "v15_ann_snapshot_lifecycle",
 ]
 
 # 10x data; a healthy plan lands at <= 10 (sublinear wall-clock as fixed
@@ -2131,6 +2135,23 @@ def measure_incremental_lifecycle(spark, out_path: str) -> "list[str]":
         "x100_wall_gate": INC_X100_WALL_GATE,
         "shuffle_gate": INC_SHUFFLE_GATE,
     }
+    # warm-up increment on a throwaway store: without it the x1 rung
+    # absorbs first-run costs (codegen, Arrow init, parquet footer
+    # caches) and every later ratio reads flatteringly below 1
+    warm_tmp = tempfile.mkdtemp(prefix="inc_smoke_warm_")
+    try:
+        warm_store = open_signature_store(spark, warm_tmp)
+        bootstrap_store(
+            warm_store, batch.limit(200), "doc_id", "text", num_hashes=16
+        )
+        dedup_increment(
+            warm_store, batch.limit(200).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1)
+            ), "doc_id", "text", batch_id=1,
+            num_hashes=16, bands=4, min_jaccard=0.1,
+        ).duplicates.count()
+    finally:
+        shutil.rmtree(warm_tmp, ignore_errors=True)
     results = {}
     rungs = (
         ("x1", f"{SRC}/documents.parquet"),

@@ -266,6 +266,47 @@ def test_plan_cache_snapshot_swap_misses(spark, tables):
     assert first["total"] == 1 and second["total"] == 0
 
 
+def test_plan_cache_entry_pins_frames_not_wrapper(spark, tables):
+    """Round-13 ADVICE: HybridTables is MUTABLE, so a cache entry that
+    pinned the wrapper would not pin the frames the id()-based key
+    hashes — reassigning ``tables.games`` could free the old frame
+    while its entry lived, and a new frame at the recycled address
+    could stale-hit.  The entry now pins the frame triple itself:
+    in-place mutation misses (fresh compile, fresh total), and the old
+    entry's key frames stay referenced by the cache for the entry's
+    whole lifetime."""
+    import gc
+
+    from chessmate_spark.plans.hybrid import HybridTables
+
+    snap = HybridTables(
+        games=tables.games.select("*"),
+        players=tables.players.select("*"),
+        position_vectors=tables.position_vectors.select("*"),
+    )
+    cache = {}
+    first = answer_question(
+        spark, snap, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert len(cache) == 1
+    old_games_id = id(snap.games)
+    # in-place mutation, the exact ADVICE hazard: the only external
+    # reference to the old frame dies here — the cache entry's pin is
+    # now what keeps its id from being recycled
+    snap.games = tables.games.filter("id <> 2")
+    gc.collect()
+    pinned = {id(f) for entry in cache.values() for f in entry[0]}
+    assert old_games_id in pinned, (
+        "entry pins the wrapper, not the frames — GC can recycle the "
+        "old frame's id while its key lives"
+    )
+    second = answer_question(
+        spark, snap, CANONICAL_QUESTION, dim=8, plan_cache=cache
+    )
+    assert len(cache) == 2  # the mutated snapshot MISSED
+    assert first["total"] == 1 and second["total"] == 0
+
+
 def test_plan_cache_degraded_compile_not_cached(spark, tables, monkeypatch):
     """Round 12 (verdict #3): a TRANSIENT vector_hits compile failure
     (the V7 degradation branch) must not freeze a degraded plan in the
