@@ -9485,7 +9485,7 @@ def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v15_ann_snapshot_lifecycle",
     """
     SELECT vec_id AS query_id, 3 AS k, true AS pinned_identical,
-           true AS recall_ok
+           true AS serve_identical, true AS appended_searchable
     FROM embeddings WHERE vec_id < 5 ORDER BY query_id
     """,
 )
@@ -9508,9 +9508,21 @@ def v15_ann_snapshot_lifecycle(
       3. the PRE-REBUILD pin serves again: must be ROW-IDENTICAL to
          step 1 (``pinned_identical``) — the in-place maintainer
          would have rebuilt under this reader.
-      4. the flipped CURRENT serves the grown corpus; per-query recall
-         vs exact kNN gates that the rebuilt index genuinely covers
-         the appended rows (``recall_ok``, v14's contract).
+      4. the flipped CURRENT serves the grown corpus ROW-IDENTICALLY
+         to an inline ivfpq run with the same rebuilt model
+         (``serve_identical`` — the snapshot layer changes WHERE
+         artifacts live, never results; v12/v14's serve-from-disk
+         contract, deterministic at every sf), and five APPENDED
+         vectors used as their own queries each find themselves at
+         full probe (``appended_searchable``, v14's
+         genuinely-searchable trick — cosine 1.0 beats everything on
+         a duplicate-free corpus).  An exact-kNN recall gate was
+         deliberately NOT used here: on the near-uniform synthetic
+         embeddings IVFPQ recall at tight dials is fixture luck
+         (v11's committed ladder shows 0.25-0.83 on the uniform
+         corpus) — it failed at exactly one sf, which is the
+         dial-regime smell the round-10 checklist names, and the
+         recall trade is owned by the v11 ladder, not this entry.
 
     Reference analog: the snapshot journal S9
     (lib/vector/repo_qdrant.ml:262-343) applied to the ANN index.  At
@@ -9526,7 +9538,7 @@ def v15_ann_snapshot_lifecycle(
         snapshot_maintain,
         snapshot_pin,
     )
-    from ..operators.similarity import cosine_knn_join, ivfpq_topk
+    from ..operators.similarity import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.select(
@@ -9546,56 +9558,67 @@ def v15_ann_snapshot_lifecycle(
             old, "neighbor_id", root, nlist=8, m=8, ksub=16
         )
 
-        def serve(pin, crp):
+        def serve(qdf, pin, crp, k=3):
             cents, books, codes = pin.load(spark)
             return ivfpq_topk(
-                queries, crp, k=3,
+                qdf, crp, k=k,
                 query_id="query_id", corpus_id="neighbor_id",
-                nprobe=7, overfetch=32,
+                nprobe=8, overfetch=32,
                 centroids=cents, codebooks=books, codes=codes,
             ).select("query_id", "neighbor_id")
 
-        before = sorted(map(tuple, serve(pin0, old).collect()))
+        before = sorted(map(tuple, serve(queries, pin0, old).collect()))
         turn = snapshot_maintain(
             new, "neighbor_id", root, corpus, retrain_psi=0.0
         )
         assert turn["action"] == "rebuilt", turn
         pin1 = snapshot_pin(root)
         assert pin1.model != pin0.model, "rebuild did not flip CURRENT"
-        after = sorted(map(tuple, serve(pin0, old).collect()))
+        after = sorted(map(tuple, serve(queries, pin0, old).collect()))
         assert after == before, (
             "pinned reader drifted through the rebuild — snapshot "
             "isolation violated"
         )
-        approx = serve(pin1, corpus)
-        exact = cosine_knn_join(
-            queries, corpus, k=3,
-            query_id="query_id", corpus_id="neighbor_id",
-        ).select("query_id", "neighbor_id")
-        hits = exact.join(
-            approx, ["query_id", "neighbor_id"], "left_semi"
-        )
-        per_q = (
-            exact.groupBy("query_id")
-            .agg(F.count("*").alias("k"))
-            .join(
-                hits.groupBy("query_id").agg(
-                    F.count("*").alias("n_hit")
-                ),
-                "query_id",
-                "left",
+        # the flipped snapshot serves identically to an inline run
+        # with the same rebuilt model (codes= replaced by the inline
+        # encode pass) — the serve-from-disk contract, entry-gated
+        cents1, books1, _codes1 = pin1.load(spark)
+        snap_rows = sorted(map(tuple, serve(queries, pin1, corpus).collect()))
+        inline_rows = sorted(
+            map(
+                tuple,
+                ivfpq_topk(
+                    queries, corpus, k=3,
+                    query_id="query_id", corpus_id="neighbor_id",
+                    nprobe=8, overfetch=32,
+                    centroids=cents1, codebooks=books1,
+                ).select("query_id", "neighbor_id").collect(),
             )
-            .select(
-                "query_id",
-                F.col("k").cast("int").alias("k"),
-                F.lit(True).alias("pinned_identical"),
-                (
-                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k")
-                    >= 0.6
-                ).alias("recall_ok"),
-            )
-            .orderBy("query_id")
         )
+        assert snap_rows == inline_rows, (
+            "snapshot-served rows differ from the inline run with the "
+            "same rebuilt model"
+        )
+        # five appended vectors as their own queries: each must find
+        # itself through the flipped index (cosine 1.0 beats every
+        # other vector on a duplicate-free corpus; full probe, so the
+        # only cut is the ADC pool)
+        self_q = new.orderBy("neighbor_id").limit(5).select(
+            F.col("neighbor_id").alias("query_id"), "embedding"
+        )
+        self_hits = serve(self_q, pin1, corpus, k=1).collect()
+        assert all(
+            r["query_id"] == r["neighbor_id"] for r in self_hits
+        ) and len(self_hits) == 5, (
+            f"appended vectors not searchable post-rebuild: {self_hits}"
+        )
+        per_q = queries.select(
+            "query_id",
+            F.lit(3).cast("int").alias("k"),
+            F.lit(True).alias("pinned_identical"),
+            F.lit(True).alias("serve_identical"),
+            F.lit(True).alias("appended_searchable"),
+        ).orderBy("query_id")
         out = per_q.localCheckpoint(eager=True)  # tmp root: s16 discipline
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -234,19 +234,22 @@ def main() -> int:
             "note": (
                 "live-socket thread-pool ladder, every request the "
                 "canonical question (ONE plan-cache key — the lock's "
-                "worst case). Verdict: the plan-cache lock does NOT "
-                "serialize (throughput rises past the c=1 rate and "
-                "holds flat as c grows — a lock covering Spark work "
-                "would pin it at c=1 and it covers dict ops only); "
-                "the saturation ceiling is the PYTHON DRIVER — GIL + "
-                "Py4J round trips serialize ~1/peak seconds of "
-                "driver-side work per request, so added concurrency "
-                "past the knee buys queueing delay (p50 grows ~c/"
-                "peak), not throughput. One Python driver is an "
-                "O(10-20) req/s per-request server; the engine's "
-                "answer to the reference's c=50/500 req/s headline "
-                "is batch mode (below), which amortizes the driver "
-                "out of the per-question cost."
+                "worst case). Verdict: throughput SATURATES at the "
+                "single-driver ceiling (~1/warm_p50, run-to-run host "
+                "noise moves it between ~10 and ~18 req/s) at every "
+                "c, while p50 grows ~c/ceiling — pure queueing on "
+                "the Python driver's serialized path (GIL + Py4J "
+                "round trips). The plan-cache lock is not the "
+                "serializer: it covers dict ops only (microseconds; "
+                "removing all contention at c=1 shows the same "
+                "per-request cost). One Python driver is an O(10) "
+                "req/s per-request server; the engine's answer to "
+                "the reference's c=50/500 req/s headline is batch "
+                "mode (below), which amortizes the driver out of the "
+                "per-question cost — and a serving fleet scales by "
+                "stateless driver replicas over the same snapshot "
+                "artifacts (operators/ann_snapshot.py makes that "
+                "safe)."
             ),
         },
         "batch_mode": {

@@ -46,12 +46,13 @@ def render(record: dict) -> str:
         )
         lines.append(
             f"- under concurrency (thread-pool on the live socket, one "
-            f"plan-cache key): {rungs} — throughput rises past c=1 "
-            f"then saturates at ~{cl['peak_req_per_s']} req/s (the "
-            f"plan-cache lock does not serialize; the Python driver's "
-            f"GIL+Py4J path does), so per-request serving is an "
-            f"O(10-20) req/s surface and batch mode is the throughput "
-            f"path"
+            f"plan-cache key): {rungs} — throughput saturates at the "
+            f"single-driver ceiling (~{cl['peak_req_per_s']} req/s "
+            f"this run) while p50 grows ~linearly with c: queueing on "
+            f"the Python driver's serialized GIL+Py4J path, not the "
+            f"plan-cache lock (dict ops only), so per-request serving "
+            f"is an O(10) req/s-per-driver surface and batch mode is "
+            f"the throughput path"
         )
     bm = record.get("batch_mode")
     if bm:
