@@ -37,6 +37,53 @@ def with_day_partition(
     return events.withColumn(day_col, F.to_date(F.col(ts_col)))
 
 
+def _walk_executed_plan(plan, visit) -> None:
+    """THE executed-plan walker (round-13 review: files_read and
+    shuffle_records_written had diverging hand-rolled copies — fixes
+    landed in one and not the other).  Calls ``visit(node, name)`` on
+    every physical node, following the links ``children()`` does not
+    expose:
+
+    * ``AdaptiveSparkPlanExec`` → its current ``executedPlan()``;
+    * AQE ``*QueryStageExec`` wrappers → their wrapped ``plan()``;
+    * ``InMemoryTableScan`` → the relation's ``cachedPlan()``, visited
+      ONCE per distinct cached plan (the cacheManager dedupes entries
+      by plan equality, so structural hashCode is the right identity —
+      two scans over equal cached plans ARE one cache entry);
+    * ``ReusedExchange`` is NOT descended: it points at an exchange
+      that appears (and is visited) elsewhere in the tree.
+
+    No blanket ``node.child()`` fallback: py4j's ``hasattr`` is
+    constant-true, so the old guard fired a throwing Py4J round trip
+    on every true leaf and its bare except could mask real traversal
+    failures as an undercounted metric."""
+    seen_caches = set()
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name.startswith("ReusedExchange"):
+            return
+        visit(node, name)
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            walk(node.plan())
+        elif name.startswith("InMemoryTableScan"):
+            try:
+                cached = node.relation().cachedPlan()
+            except Exception:
+                return
+            h = cached.hashCode()
+            if h not in seen_caches:
+                seen_caches.add(h)
+                walk(cached)
+
+    walk(plan)
+
+
 def files_read(df: DataFrame) -> int:
     """Number of data files the scan will actually READ after partition
     pruning — the ground-truth pruning verdict.
@@ -46,29 +93,16 @@ def files_read(df: DataFrame) -> int:
     only sees files that produced output rows, so it would report
     "pruned" even when a broken filter pushdown scanned every file."""
     df.collect()  # metrics are populated by execution
-    plan = df._jdf.queryExecution().executedPlan()
     total = 0
 
-    def walk(node):
+    def visit(node, name):
         nonlocal total
-        name = node.getClass().getSimpleName()
         if name.startswith("FileSourceScan"):
             metrics = node.metrics()
             if metrics.contains("numFiles"):
                 total += metrics.apply("numFiles").value()
-        children = node.children()
-        for i in range(children.size()):
-            walk(children.apply(i))
-        # AQE/leaf wrappers hide the scan behind non-children links
-        if name == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-        elif hasattr(node, "child") and children.size() == 0:
-            try:
-                walk(node.child())
-            except Exception:
-                pass
 
-    walk(plan)
+    _walk_executed_plan(df._jdf.queryExecution().executedPlan(), visit)
     return int(total)
 
 
@@ -80,59 +114,22 @@ def shuffle_records_written(df: DataFrame) -> int:
     difference; this can).
 
     Runs a ``collect()`` to populate metrics, then walks the executed
-    plan summing each ShuffleExchange's ``shuffleRecordsWritten``
-    metric.  Persisted subtrees are followed through
-    ``InMemoryTableScan → relation.cachedPlan`` and AQE wrappers
-    through their materialized ``executedPlan``/``finalPlan``, so
-    exchanges feeding a cache populated during this very action are
-    counted too.  Broadcast exchanges have no shuffle-write metrics and
-    naturally count zero — exactly right: a broadcast is the thing the
-    batch-bounded band join buys."""
+    plan (``_walk_executed_plan`` — AQE stages, cached subtrees once,
+    reused exchanges skipped) summing each ShuffleExchange's
+    ``shuffleRecordsWritten`` metric.  Broadcast exchanges have no
+    shuffle-write metrics and naturally count zero — exactly right: a
+    broadcast is the thing the batch-bounded band join buys."""
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
     total = 0
-    # a cached relation referenced by several scans must be counted
-    # once; the cacheManager dedupes entries by plan equality, so the
-    # plan's structural hashCode is the right identity here (two scans
-    # with equal cached plans ARE the same cache entry)
-    seen_caches = set()
 
-    def walk(node):
+    def visit(node, name):
         nonlocal total
-        name = node.getClass().getSimpleName()
-        if name.startswith("ReusedExchange"):
-            # points AT an exchange that appears (and is counted)
-            # elsewhere in the tree — descending would double-count
-            return
         if name.startswith("ShuffleExchange"):
             metrics = node.metrics()
             if metrics.contains("shuffleRecordsWritten"):
                 total += metrics.apply("shuffleRecordsWritten").value()
-        children = node.children()
-        for i in range(children.size()):
-            walk(children.apply(i))
-        if name == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-        elif name.endswith("QueryStageExec"):
-            # AQE wraps materialized exchanges in query stages whose
-            # wrapped plan is NOT in children()
-            walk(node.plan())
-        elif name.startswith("InMemoryTableScan"):
-            try:
-                cached = node.relation().cachedPlan()
-                h = cached.hashCode()
-                if h not in seen_caches:
-                    seen_caches.add(h)
-                    walk(cached)
-            except Exception:
-                pass
-        elif hasattr(node, "child") and children.size() == 0:
-            try:
-                walk(node.child())
-            except Exception:
-                pass
 
-    walk(plan)
+    _walk_executed_plan(df._jdf.queryExecution().executedPlan(), visit)
     return int(total)
 
 

@@ -31,15 +31,21 @@ the same contract to the ANN index across rebuilds, reusing the
 commit log's snapshot-isolated reads (ingest/commit_log.py) for the
 corpus-sized half of the index.
 
-Concurrency contract: any number of READERS, one MAINTAINER.  Codes
-appends serialize through the commit log (concurrent appends rebase,
-none lost); the rebuild's overwrite is compare-and-swap on the codes
-version it read (a racing maintainer loses with ``CommitConflict``
-instead of silently clobbering); the CURRENT flip is atomic, so a
-reader never observes a torn pointer — at worst a just-flipped one,
-which is a CONSISTENT newer snapshot.  Old snapshots accrue until
-:func:`snapshot_vacuum`, the retention dial a 100 TB deployment sizes
-to its longest-running query.
+Concurrency contract: any number of READERS, one MAINTAINER at a
+time — and the maintainer contract is ENFORCED, not assumed
+(round-13 review).  Codes appends serialize through the commit log
+(concurrent appends rebase, none lost) and the CURRENT flip is
+flock-guarded and monotonic, so interleaved appends cannot regress
+the pointer to an older codes version; the rebuild's overwrite is
+compare-and-swap on the codes version this maintainer's own append
+produced AND its corpus row count is checked against the codes log
+first, so a rebuild whose caller never saw another maintainer's
+landed delta raises ``CommitConflict`` instead of silently dropping
+those rows.  A reader never observes a torn pointer — at worst a
+just-flipped one, which is a CONSISTENT newer snapshot.  Old
+snapshots accrue until :func:`snapshot_vacuum`, the retention dials
+(codes versions AND model dirs) a 100 TB deployment sizes to its
+longest-running query.
 
 Scale shape: identical to build/append/maintain in similarity.py —
 the snapshot layer adds one tiny JSON read per pin and zero per-query
@@ -118,20 +124,46 @@ def _flip_current(root: str, model: str, codes_version: int) -> None:
     parent-dir fsync (the commit log's durable-create discipline): a
     reader sees the old pointer or the new one, never a torn file, and
     a power loss cannot surface a CURRENT naming artifacts whose
-    directory entries were dropped."""
-    tmp = os.path.join(root, f".current-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"model": model, "codes_version": int(codes_version)}, fh
-        )
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(root, _CURRENT))
-    dfd = os.open(root, os.O_RDONLY)
+    directory entries were dropped.
+
+    The read-check-replace runs under an exclusive flock (round-13
+    review): without it, two concurrent appends A (codes v2) and B
+    (rebased, v3) could flip out of order — B flips to v3, A's delayed
+    flip regresses CURRENT to v2 and B's committed rows vanish from
+    every new pin.  Under the lock the flip is MONOTONIC: a same-model
+    pointer never moves its codes version backwards (a model CHANGE —
+    a rebuild — always wins; the rebuild's overwrite already CAS'd the
+    codes log, so it cannot itself be stale)."""
+    import fcntl
+
+    lock_path = os.path.join(root, ".current.lock")
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
     try:
-        os.fsync(dfd)
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        cur_path = os.path.join(root, _CURRENT)
+        if os.path.exists(cur_path):
+            with open(cur_path) as fh:
+                cur = json.load(fh)
+            if (
+                str(cur.get("model")) == model
+                and int(cur.get("codes_version", -1)) >= int(codes_version)
+            ):
+                return  # a newer same-model flip already landed
+        tmp = os.path.join(root, f".current-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"model": model, "codes_version": int(codes_version)}, fh
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, cur_path)
+        dfd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     finally:
-        os.close(dfd)
+        os.close(lock_fd)  # closing releases the flock
 
 
 def snapshot_pin(root: str) -> IvfpqSnapshot:
@@ -287,10 +319,21 @@ def snapshot_maintain(
     Readers pinned to any earlier snapshot are untouched either way.
     The rebuild retrains with the index's own geometry (nlist/m/ksub
     read from the pinned model's artifacts, like the in-place
-    maintainer) and its codes overwrite is CAS'd on the codes version
-    the append produced: a RACING maintainer raises ``CommitConflict``
-    instead of silently clobbering the other's rebuild — the
-    single-maintainer contract, enforced rather than documented.
+    maintainer) and is double-guarded against a RACING maintainer
+    (round-13 review — the CAS alone was not enough):
+
+    * the codes overwrite is CAS'd on the version THIS maintainer's
+      append produced, so a turn whose append was overtaken raises
+      ``CommitConflict`` instead of clobbering the overtaker; and
+    * before overwriting, the caller's ``corpus`` row count is checked
+      against the codes log at the appended version — a rebuild whose
+      corpus is MISSING rows the log holds (another maintainer's delta
+      landed before ours, which the CAS alone cannot see because our
+      own append rebased on top of it) fails loudly rather than
+      silently dropping those rows from the index.
+
+    Both failures mean: re-run the turn against the current head with
+    a corpus that includes every landed delta.
 
     Returns ``{"action": "appended"|"rebuilt", "psi": ..., "verdict":
     ..., "snapshot": IvfpqSnapshot}`` — psi/verdict are the
@@ -313,6 +356,17 @@ def snapshot_maintain(
     m, ksub, _ = codebooks.shape
     corpus = corpus.select(corpus_id, corpus_vec)
     corpus_rows = corpus.count()
+    log = _codes_log(spark, root)
+    indexed_rows = log.read(appended.codes_version).count()
+    if corpus_rows != indexed_rows:
+        from ..ingest.commit_log import CommitConflict
+        raise CommitConflict(
+            f"rebuild corpus has {corpus_rows} rows but the codes log "
+            f"holds {indexed_rows} at v{appended.codes_version}: "
+            "another maintainer's delta is indexed but missing from "
+            "this caller's corpus — rebuilding would silently drop it; "
+            "re-run the turn with a corpus covering every landed delta"
+        )
     new_centroids = train_ivf_centroids(
         corpus, corpus_id, corpus_vec, nlist=len(centroids), seed=seed,
         corpus_rows=corpus_rows, normalize=True,
@@ -329,7 +383,7 @@ def snapshot_maintain(
     # CAS on the version OUR append produced: if another maintainer
     # committed meanwhile, this raises CommitConflict — re-run the
     # turn against the new head rather than clobber its work
-    version = _codes_log(spark, root).overwrite(
+    version = log.overwrite(
         codes, expected_version=appended.codes_version
     )
     _write_baseline(spark, root, model, version)
@@ -346,27 +400,43 @@ def snapshot_vacuum(
     spark: SparkSession,
     root: str,
     keep_codes_versions: int = 2,
-    retention_seconds: float = 0.0,
+    keep_models: int = 2,
+    retention_seconds: Optional[float] = None,
 ) -> "list[str]":
-    """Reclaim storage from superseded snapshots: model directories no
-    longer referenced by CURRENT are removed, the codes log's history
-    is expired to its newest ``keep_codes_versions``, and unreferenced
-    data files older than ``retention_seconds`` are vacuumed (the
-    commit log's own safety contracts).  This is the ONE operation
-    that can invalidate an old pin — which is why it is a separate,
-    explicit call and not part of the maintainer turn: size
-    ``keep_codes_versions``/``retention_seconds`` to the
-    longest-running pinned reader."""
+    """Reclaim storage from superseded snapshots: all but the newest
+    ``keep_models`` model directories (CURRENT's always among the kept
+    — it is the newest by construction) are removed, the codes log's
+    history is expired to its newest ``keep_codes_versions``, and
+    unreferenced data files older than ``retention_seconds`` are
+    vacuumed (``None`` = the commit log's own default window; pass 0
+    only when no writer can be mid-append — its contract).  This is
+    the ONE operation that can invalidate an old pin — which is why it
+    is a separate, explicit call and not part of the maintainer turn:
+    size BOTH retention dials to the longest-running pinned reader.
+    ``keep_models`` must cover the rebuilds inside that window
+    (round-13 review: keeping a codes version while deleting the model
+    that decodes it would fail the lagging reader's ``pin.load()`` on
+    the centroids read — the codes dial alone cannot protect a pin
+    taken before a rebuild)."""
     import shutil
 
     current = snapshot_pin(root)
     removed = []
     models_dir = os.path.join(root, _MODELS)
-    for name in sorted(os.listdir(models_dir)):
-        if name != current.model:
+    entries = sorted(
+        os.listdir(models_dir),
+        key=lambda n: os.path.getmtime(os.path.join(models_dir, n)),
+        reverse=True,
+    )
+    keep = set(entries[: max(1, int(keep_models))]) | {current.model}
+    for name in entries:
+        if name not in keep:
             shutil.rmtree(os.path.join(models_dir, name))
             removed.append(os.path.join(_MODELS, name))
     log = _codes_log(spark, root)
     removed.extend(log.expire_versions(keep_last=keep_codes_versions))
-    removed.extend(log.vacuum(retention_seconds=retention_seconds))
+    if retention_seconds is None:
+        removed.extend(log.vacuum())
+    else:
+        removed.extend(log.vacuum(retention_seconds=retention_seconds))
     return removed

