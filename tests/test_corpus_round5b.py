@@ -693,6 +693,58 @@ def test_dedup_increment_replay_after_later_batches(spark, tmp_path):
         )
 
 
+def test_bootstrap_store_equals_increment_seeding(spark, tmp_path):
+    """Round 13: ``bootstrap_store`` (the backfill path — seed a store
+    from an already-curated corpus WITHOUT a dedup pass) must leave the
+    store in exactly the state a batch-0 ``dedup_increment`` would
+    (same rows, same txn marker), be exactly-once under replay, and
+    feed later increments identically."""
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.ingest.dedup_lifecycle import (
+        bootstrap_store,
+        dedup_increment,
+        open_signature_store,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    boot = open_signature_store(spark, str(tmp_path / "boot"))
+    assert bootstrap_store(boot, seed, "doc_id", "text") == 1
+    # replay of the bootstrap: skipped, not double-appended
+    assert bootstrap_store(boot, seed, "doc_id", "text") is None
+    assert boot.latest_version() == 1
+
+    inc_store = open_signature_store(spark, str(tmp_path / "inc"))
+    dedup_increment(
+        inc_store, seed, "doc_id", "text", batch_id=0,
+        num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    # same store contents either way (dedup_increment appends the full
+    # batch state, duplicates included — the store contract)
+    def rows_of(store):
+        return sorted(
+            (r["_id"], tuple(r["_sig"])) for r in store.read().collect()
+        )
+
+    assert rows_of(boot) == rows_of(inc_store)
+
+    # and a later increment against the bootstrapped store equals the
+    # increment against the dedup_increment-seeded one
+    out_boot = sorted(map(tuple, dedup_increment(
+        boot, batch, "doc_id", "text", batch_id=1,
+        num_hashes=16, bands=4, min_jaccard=0.1,
+    ).duplicates.collect()))
+    out_inc = sorted(map(tuple, dedup_increment(
+        inc_store, batch, "doc_id", "text", batch_id=1,
+        num_hashes=16, bands=4, min_jaccard=0.1,
+    ).duplicates.collect()))
+    assert out_boot == out_inc
+    assert out_boot  # the fixture has cross-half duplicates
+
+
 def test_dedup_increment_replay_pins_recorded_snapshot(spark, tmp_path):
     """Round-13 ADVICE: append_idempotent REBASES on conflict, so a
     concurrent commit landing between an increment's
