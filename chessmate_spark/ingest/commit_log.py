@@ -404,9 +404,14 @@ class CommitLogTable:
         return True
 
     def _manifest_for(
-        self, action: str, add: List[str], parent: int, schema: StructType
+        self,
+        action: str,
+        add: List[str],
+        parent: int,
+        schema: StructType,
+        meta: Optional[dict] = None,
     ) -> dict:
-        return {
+        manifest = {
             "version": parent + 1,
             "parent": parent,
             "action": action,
@@ -417,6 +422,12 @@ class CommitLogTable:
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
         }
+        if meta:
+            # writer-supplied opaque metadata (e.g. the ANN snapshot
+            # layer's model epoch) — recorded verbatim, never interpreted
+            # by the log itself
+            manifest["meta"] = dict(meta)
+        return manifest
 
     def _maybe_checkpoint(self, version: int) -> None:
         if version % self.checkpoint_interval == 0:
@@ -497,24 +508,36 @@ class CommitLogTable:
             pending.txn["snapshot"] = int(snapshot)
         return pending.commit(max_retries=max_retries)
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        meta: Optional[dict] = None,
+    ) -> int:
         """Transactionally add ``df``'s rows; returns the committed
         version.  Concurrent appends REBASE on conflict: the staged
         files are reused against the new head, so no writer's rows are
         ever lost and the history is equivalent to some serial order of
         the appends (they commute)."""
-        return self.begin_append(df).commit(max_retries=max_retries)
+        return self.begin_append(df, meta=meta).commit(
+            max_retries=max_retries
+        )
 
-    def begin_append(self, df: DataFrame) -> "PendingCommit":
+    def begin_append(
+        self, df: DataFrame, meta: Optional[dict] = None
+    ) -> "PendingCommit":
         """Stage an append without committing — the two-phase form used
         to orchestrate/test interleavings explicitly.  The data files
         are written NOW (the expensive distributed part); ``commit()``
         later is metadata-only."""
         staged = self._stage(df)
-        return PendingCommit(self, "append", [staged], df.schema)
+        return PendingCommit(self, "append", [staged], df.schema, meta=meta)
 
     def overwrite(
-        self, df: DataFrame, expected_version: Optional[int] = None
+        self,
+        df: DataFrame,
+        expected_version: Optional[int] = None,
+        meta: Optional[dict] = None,
     ) -> int:
         """Replace the table contents (compare-and-swap).  Conflicts
         raise ``CommitConflict`` instead of retrying: an overwrite that
@@ -529,7 +552,9 @@ class CommitLogTable:
                 f"head is v{head}, caller expected v{expected_version}"
             )
         staged = self._stage(df)
-        manifest = self._manifest_for("overwrite", [staged], head, df.schema)
+        manifest = self._manifest_for(
+            "overwrite", [staged], head, df.schema, meta=meta
+        )
         if not self._try_claim(head + 1, manifest):
             raise CommitConflict(
                 f"version {head + 1} was claimed concurrently"
@@ -980,6 +1005,7 @@ class PendingCommit:
         action: str,
         staged: List[str],
         schema: StructType,
+        meta: Optional[dict] = None,
     ) -> None:
         assert action == "append", "only appends support deferred commit"
         self.table = table
@@ -990,6 +1016,16 @@ class PendingCommit:
         # exactly-once append marker, set by append_idempotent:
         # {"app_id": ..., "version": ...} recorded in the manifest
         self.txn: Optional[dict] = None
+        # writer-supplied manifest metadata, recorded verbatim
+        self.meta: Optional[dict] = meta
+        # optional precondition on the PARENT manifest (None for an
+        # empty table), re-evaluated inside the claim loop on every
+        # attempt — so a rebase cannot silently commit past a state
+        # the writer's correctness depends on (e.g. the ANN snapshot
+        # layer's model epoch: an append encoded with model M must not
+        # land on top of a rebuild's model-N overwrite).  Raise
+        # CommitConflict inside the callback to abort.
+        self.validate_parent = None
 
     def commit(self, max_retries: int = 20) -> Optional[int]:
         if self.committed_version is not None:
@@ -1020,6 +1056,7 @@ class PendingCommit:
                 if prior is not None and prior >= self.txn["version"]:
                     return None
             head = t.latest_version()
+            parent = None
             if head:
                 parent = t.manifest(head)
                 if parent["schema"] != self.schema.jsonValue():
@@ -1030,8 +1067,12 @@ class PendingCommit:
                         "append schema differs from table schema at "
                         f"v{head}; use overwrite() to change schemas"
                     )
+            if self.validate_parent is not None:
+                # re-checked on EVERY attempt: the rebase path means the
+                # parent can change between retries
+                self.validate_parent(parent)
             manifest = t._manifest_for(
-                self.action, self.staged, head, self.schema
+                self.action, self.staged, head, self.schema, meta=self.meta
             )
             if self.txn is not None:
                 # normalize at the WRITE boundary — the one place every

@@ -48,8 +48,12 @@ def _walk_executed_plan(plan, visit) -> None:
     * AQE ``*QueryStageExec`` wrappers → their wrapped ``plan()``;
     * ``InMemoryTableScan`` → the relation's ``cachedPlan()``, visited
       ONCE per distinct cached plan (the cacheManager dedupes entries
-      by plan equality, so structural hashCode is the right identity —
-      two scans over equal cached plans ARE one cache entry);
+      by plan equality; two scans over equal cached plans ARE one
+      cache entry).  Identity is confirmed with ``.equals()`` against
+      the already-visited plans — structural ``hashCode`` alone is a
+      first-pass filter, because a hash collision between two DISTINCT
+      cache entries would silently skip one subtree and undercount
+      (round-13 ADVICE);
     * ``ReusedExchange`` is NOT descended: it points at an exchange
       that appears (and is visited) elsewhere in the tree.
 
@@ -57,7 +61,11 @@ def _walk_executed_plan(plan, visit) -> None:
     constant-true, so the old guard fired a throwing Py4J round trip
     on every true leaf and its bare except could mask real traversal
     failures as an undercounted metric."""
-    seen_caches = set()
+    # hashCode -> list of visited cachedPlan JavaObjects with that hash:
+    # the hash is only a bucket key; equality is confirmed with
+    # .equals(), so a hash collision between two distinct cache entries
+    # cannot silently skip one subtree (round-13 ADVICE)
+    seen_caches: dict = {}
 
     def walk(node):
         name = node.getClass().getSimpleName()
@@ -76,9 +84,9 @@ def _walk_executed_plan(plan, visit) -> None:
                 cached = node.relation().cachedPlan()
             except Exception:
                 return
-            h = cached.hashCode()
-            if h not in seen_caches:
-                seen_caches.add(h)
+            bucket = seen_caches.setdefault(cached.hashCode(), [])
+            if not any(cached.equals(prev) for prev in bucket):
+                bucket.append(cached)
                 walk(cached)
 
     walk(plan)

@@ -36,7 +36,11 @@ time — and the maintainer contract is ENFORCED, not assumed
 (round-13 review).  Codes appends serialize through the commit log
 (concurrent appends rebase, none lost) and the CURRENT flip is
 flock-guarded and monotonic, so interleaved appends cannot regress
-the pointer to an older codes version; the rebuild's overwrite is
+the pointer to an older codes version; an append racing a REBUILD is
+refused on both sides (round-14, closing the round-13 ADVICE): every
+codes commit records its model epoch, the append's commit CASes on
+it (an M-encoded delta cannot rebase onto a model-N overwrite) and
+the append's flip requires CURRENT to still name the pinned model; the rebuild's overwrite is
 compare-and-swap on the codes version this maintainer's own append
 produced AND its corpus row count is checked against the codes log
 first, so a rebuild whose caller never saw another maintainer's
@@ -119,7 +123,12 @@ def _codes_log(spark: SparkSession, root: str) -> CommitLogTable:
     return CommitLogTable(spark, os.path.join(root, _CODES))
 
 
-def _flip_current(root: str, model: str, codes_version: int) -> None:
+def _flip_current(
+    root: str,
+    model: str,
+    codes_version: int,
+    expected_model: Optional[str] = None,
+) -> None:
     """Atomically repoint CURRENT — tmp write + fsync + os.replace +
     parent-dir fsync (the commit log's durable-create discipline): a
     reader sees the old pointer or the new one, never a torn file, and
@@ -131,10 +140,20 @@ def _flip_current(root: str, model: str, codes_version: int) -> None:
     (rebased, v3) could flip out of order — B flips to v3, A's delayed
     flip regresses CURRENT to v2 and B's committed rows vanish from
     every new pin.  Under the lock the flip is MONOTONIC: a same-model
-    pointer never moves its codes version backwards (a model CHANGE —
-    a rebuild — always wins; the rebuild's overwrite already CAS'd the
-    codes log, so it cannot itself be stale)."""
+    pointer never moves its codes version backwards.
+
+    ``expected_model`` (round-14, closing the round-13 ADVICE race):
+    the APPEND flip passes its pinned model here — if a rebuild flipped
+    CURRENT to a different model meanwhile, repointing it back would
+    resurrect superseded codebooks over rebuilt codes, so the stale
+    appender raises ``CommitConflict`` instead (its codes commit was
+    already refused by the model-epoch CAS; this guard makes the flip
+    side symmetric).  Flips WITHOUT an expectation (build, rebuild) may
+    change the model: the rebuild's overwrite already CAS'd the codes
+    log, so it cannot itself be stale."""
     import fcntl
+
+    from ..ingest.commit_log import CommitConflict
 
     lock_path = os.path.join(root, ".current.lock")
     lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
@@ -144,6 +163,16 @@ def _flip_current(root: str, model: str, codes_version: int) -> None:
         if os.path.exists(cur_path):
             with open(cur_path) as fh:
                 cur = json.load(fh)
+            if (
+                expected_model is not None
+                and str(cur.get("model")) != expected_model
+            ):
+                raise CommitConflict(
+                    f"CURRENT moved to model {cur.get('model')} while "
+                    f"this append was pinned to {expected_model}: a "
+                    "rebuild flipped concurrently — re-run the append "
+                    "against the new snapshot"
+                )
             if (
                 str(cur.get("model")) == model
                 and int(cur.get("codes_version", -1)) >= int(codes_version)
@@ -237,7 +266,9 @@ def snapshot_build(
     model = _write_model(root, centroids, codebooks)
     codes = _encode_codes(corpus, corpus_id, corpus_vec, centroids, codebooks)
     log = _codes_log(spark, root)
-    version = log.overwrite(codes)
+    # every codes commit records the model that encoded it — the epoch
+    # the append path CASes on and vacuum's orphan detection reads
+    version = log.overwrite(codes, meta={"model": model})
     _write_baseline(spark, root, model, version)
     _flip_current(root, model, version)
     return IvfpqSnapshot(root=root, model=model, codes_version=version)
@@ -256,7 +287,18 @@ def snapshot_append(
     pinned before the flip keep their exact file set.  A mismatched
     delta schema (id name or type) is refused by the commit log's
     append-schema check — the guard append_to_ivfpq_index hand-rolls
-    comes free here."""
+    comes free here.
+
+    Round-14 (closing the round-13 ADVICE race): the codes append is
+    CAS'd on the MODEL EPOCH — every codes commit records the model
+    that encoded it, and this append's precondition (re-checked inside
+    the commit loop, so a rebase cannot slip past it) requires the
+    head commit's model to still be the pinned one.  An append racing
+    a rebuild therefore raises ``CommitConflict`` instead of rebasing
+    M-encoded delta rows on top of the rebuild's N-encoded overwrite;
+    the flip is guarded symmetrically (``expected_model``)."""
+    from ..ingest.commit_log import CommitConflict
+
     snap = snapshot_pin(root)
     centroids = load_centroids(
         os.path.join(snap.model_dir, "centroids.parquet")
@@ -267,8 +309,22 @@ def snapshot_append(
     codes = _encode_codes(
         new_rows, corpus_id, corpus_vec, centroids, codebooks
     )
-    version = _codes_log(new_rows.sparkSession, root).append(codes)
-    _flip_current(root, snap.model, version)
+    pending = _codes_log(new_rows.sparkSession, root).begin_append(
+        codes, meta={"model": snap.model}
+    )
+
+    def _same_model_epoch(parent: "Optional[dict]") -> None:
+        head_model = ((parent or {}).get("meta") or {}).get("model")
+        if head_model is not None and str(head_model) != snap.model:
+            raise CommitConflict(
+                f"codes log moved to model {head_model} while this "
+                f"append encoded with {snap.model}: a rebuild landed "
+                "concurrently — re-pin and re-encode the delta"
+            )
+
+    pending.validate_parent = _same_model_epoch
+    version = pending.commit()
+    _flip_current(root, snap.model, version, expected_model=snap.model)
     return IvfpqSnapshot(
         root=root, model=snap.model, codes_version=version
     )
@@ -384,7 +440,8 @@ def snapshot_maintain(
     # committed meanwhile, this raises CommitConflict — re-run the
     # turn against the new head rather than clobber its work
     version = log.overwrite(
-        codes, expected_version=appended.codes_version
+        codes, expected_version=appended.codes_version,
+        meta={"model": model},
     )
     _write_baseline(spark, root, model, version)
     _flip_current(root, model, version)
@@ -417,24 +474,74 @@ def snapshot_vacuum(
     (round-13 review: keeping a codes version while deleting the model
     that decodes it would fail the lagging reader's ``pin.load()`` on
     the centroids read — the codes dial alone cannot protect a pin
-    taken before a rebuild)."""
+    taken before a rebuild).
+
+    Orphan handling (round-14, closing the round-13 ADVICE finding):
+    a model dir written by a FAILED rebuild — ``_write_model`` ran,
+    then the codes overwrite raised ``CommitConflict``, so the model
+    was never flipped into CURRENT nor recorded by any codes commit —
+    is the NEWEST entry by mtime, so ranking purely by mtime let it
+    consume a ``keep_models`` slot and evict a still-pinned older
+    model one dial early.  Every codes commit now records its model
+    (``meta.model``), so vacuum distinguishes: models referenced by
+    CURRENT or by any surviving codes version are RANKED and kept up
+    to the dial; unreferenced models are orphans, deleted without
+    consuming a slot.  (A legacy log whose manifests carry no
+    ``meta.model`` falls back to the old rank-everything behaviour —
+    orphan detection needs the recorded epochs.)  Crash-orphaned
+    ``.current-*`` temp files older than the retention window are
+    swept too."""
     import shutil
+    import time as _time
 
     current = snapshot_pin(root)
     removed = []
+    log = _codes_log(spark, root)
+    # expire FIRST: the surviving codes versions define which models a
+    # lagging reader could still legitimately pin.load()
+    removed.extend(log.expire_versions(keep_last=keep_codes_versions))
+    referenced = {current.model}
+    any_meta = False
+    for v in log.versions():
+        try:
+            mm = (log.manifest(v).get("meta") or {}).get("model")
+        except FileNotFoundError:
+            continue
+        if mm is not None:
+            any_meta = True
+            referenced.add(str(mm))
     models_dir = os.path.join(root, _MODELS)
     entries = sorted(
         os.listdir(models_dir),
         key=lambda n: os.path.getmtime(os.path.join(models_dir, n)),
         reverse=True,
     )
-    keep = set(entries[: max(1, int(keep_models))]) | {current.model}
-    for name in entries:
-        if name not in keep:
-            shutil.rmtree(os.path.join(models_dir, name))
-            removed.append(os.path.join(_MODELS, name))
-    log = _codes_log(spark, root)
-    removed.extend(log.expire_versions(keep_last=keep_codes_versions))
+    if any_meta:
+        ranked = [n for n in entries if n in referenced]
+        orphans = [n for n in entries if n not in referenced]
+    else:
+        ranked, orphans = entries, []
+    keep = set(ranked[: max(1, int(keep_models))]) | {current.model}
+    for name in orphans + [n for n in ranked if n not in keep]:
+        shutil.rmtree(os.path.join(models_dir, name))
+        removed.append(os.path.join(_MODELS, name))
+    window = (
+        retention_seconds if retention_seconds is not None else 600.0
+    )
+    now = _time.time()
+    for name in os.listdir(root):
+        # a crashed _flip_current leaves its fsynced-but-never-replaced
+        # temp pointer behind; anything past the retention window
+        # cannot belong to an in-flight flip (flips hold the lock for
+        # milliseconds)
+        if name.startswith(".current-"):
+            p = os.path.join(root, name)
+            try:
+                if now - os.path.getmtime(p) > window:
+                    os.unlink(p)
+                    removed.append(name)
+            except FileNotFoundError:
+                pass
     if retention_seconds is None:
         removed.extend(log.vacuum())
     else:

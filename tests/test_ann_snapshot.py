@@ -300,3 +300,134 @@ def test_flip_is_monotonic_and_racing_rebuild_refused(
     assert r["action"] == "rebuilt"
     got = r["snapshot"].load(spark)[2].count()
     assert got == full.count() + 1
+
+
+def test_append_racing_rebuild_is_refused_on_both_sides(
+    spark, centers, tmp_path
+):
+    """Round-13 ADVICE (medium), closed: a snapshot_append pinned to
+    model M that interleaves with a rebuild flipping CURRENT to model N
+    must NOT (a) rebase its M-encoded delta on top of the rebuild's
+    N-encoded overwrite, nor (b) repoint CURRENT back to M.  Both sides
+    now CAS on the model epoch recorded in every codes commit."""
+    from chessmate_spark.ingest.commit_log import CommitConflict
+    from chessmate_spark.operators.ann_snapshot import (
+        _codes_log,
+        _encode_codes,
+        _flip_current,
+        snapshot_build,
+        snapshot_maintain,
+        snapshot_pin,
+    )
+    from chessmate_spark.operators.similarity import (
+        load_centroids,
+        load_pq_codebooks,
+    )
+
+    base = _mixture(spark, centers, 300, 0, 1)
+    root = str(tmp_path / "index")
+    built = snapshot_build(base, "vec_id", root, nlist=8, m=8, ksub=16)
+
+    # stage the append's encode against the PRE-rebuild model (the
+    # interleave: pin + encode happen, then the rebuild lands before
+    # the append's commit)
+    delta = _mixture(spark, centers, 40, 10_000, 2)
+    pin = snapshot_pin(root)
+    centroids = load_centroids(
+        os.path.join(pin.model_dir, "centroids.parquet")
+    )
+    codebooks = load_pq_codebooks(
+        os.path.join(pin.model_dir, "codebooks.parquet")
+    )
+    codes = _encode_codes(delta, "vec_id", "embedding", centroids, codebooks)
+    log = _codes_log(spark, root)
+    pending = log.begin_append(codes, meta={"model": pin.model})
+
+    def _same_model(parent):
+        head_model = ((parent or {}).get("meta") or {}).get("model")
+        if head_model is not None and str(head_model) != pin.model:
+            raise CommitConflict(f"model moved to {head_model}")
+
+    pending.validate_parent = _same_model
+
+    # rebuild lands first: forced retrain flips CURRENT to a new model
+    turn = snapshot_maintain(
+        _mixture(spark, centers, 1, 20_000, 3), "vec_id", root,
+        base.unionByName(_mixture(spark, centers, 1, 20_000, 3)),
+        retrain_psi=0.0,
+    )
+    assert turn["action"] == "rebuilt"
+    new_model = turn["snapshot"].model
+    assert new_model != pin.model
+
+    # (a) the stale append's commit is refused by the epoch CAS
+    with pytest.raises(CommitConflict, match="model"):
+        pending.commit()
+
+    # (b) even a flip alone (as if the commit had slipped through)
+    # cannot repoint CURRENT back to the superseded model
+    with pytest.raises(CommitConflict, match="rebuild flipped"):
+        _flip_current(
+            root, pin.model, pin.codes_version + 1,
+            expected_model=pin.model,
+        )
+    # CURRENT still names the rebuild's snapshot
+    assert snapshot_pin(root).model == new_model
+
+
+def test_vacuum_orphan_model_does_not_consume_keep_slot(
+    spark, centers, tmp_path
+):
+    """Round-13 ADVICE (low), closed: a model dir orphaned by a failed
+    rebuild (written, never flipped, referenced by no codes commit) is
+    the newest entry by mtime; vacuum must delete it WITHOUT letting it
+    consume a keep_models slot, and must sweep stale .current-* temp
+    pointers."""
+    import time as _t
+
+    from chessmate_spark.operators.ann_snapshot import (
+        _MODELS,
+        snapshot_build,
+        snapshot_maintain,
+        snapshot_pin,
+        snapshot_vacuum,
+    )
+
+    base = _mixture(spark, centers, 300, 0, 1)
+    root = str(tmp_path / "index")
+    built = snapshot_build(base, "vec_id", root, nlist=8, m=8, ksub=16)
+    # a real rebuild: two legitimate models now exist (built + rebuilt)
+    extra = _mixture(spark, centers, 1, 20_000, 3)
+    turn = snapshot_maintain(
+        extra, "vec_id", root, base.unionByName(extra), retrain_psi=0.0
+    )
+    assert turn["action"] == "rebuilt"
+    # fake a failed rebuild's leftovers: a model dir never referenced by
+    # any codes commit (newest by mtime), plus a stale temp pointer
+    orphan = os.path.join(root, _MODELS, "m-deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "centroids.parquet"), "w") as fh:
+        fh.write("junk")
+    stale_tmp = os.path.join(root, ".current-deadbeef")
+    with open(stale_tmp, "w") as fh:
+        fh.write("{}")
+    old = _t.time() - 3600
+    os.utime(orphan, (old + 10, old + 10))
+    os.utime(stale_tmp, (old, old))
+    # make the orphan the NEWEST-looking entry (the failure mode: it
+    # outranks every legitimate model by mtime)
+    _t.sleep(0.01)
+    os.utime(orphan, None)
+
+    removed = snapshot_vacuum(
+        spark, root, keep_codes_versions=2, keep_models=2,
+        retention_seconds=120.0,
+    )
+    models_left = set(os.listdir(os.path.join(root, _MODELS)))
+    # the orphan is gone, BOTH legitimate models survive (the orphan
+    # did not consume a keep slot), and the stale temp pointer is swept
+    assert "m-deadbeef0000" not in models_left
+    assert built.model in models_left
+    assert snapshot_pin(root).model in models_left
+    assert not os.path.exists(stale_tmp)
+    assert any("m-deadbeef0000" in r for r in removed)
