@@ -466,6 +466,7 @@ class CommitLogTable:
     def append_idempotent(
         self, df: DataFrame, app_id: str, version: int,
         max_retries: int = 20, snapshot: Optional[int] = None,
+        meta: Optional[dict] = None,
     ) -> Optional[int]:
         """Exactly-once append under a writer-supplied monotonic
         ``(app_id, version)`` — the Delta txnAppId/txnVersion pattern
@@ -502,7 +503,7 @@ class CommitLogTable:
         prior = self.txn_version(app_id)
         if prior is not None and prior >= version:
             return None  # replay detected before staging: no data write
-        pending = self.begin_append(df)
+        pending = self.begin_append(df, meta=meta)
         pending.txn = {"app_id": str(app_id), "version": int(version)}
         if snapshot is not None:
             pending.txn["snapshot"] = int(snapshot)

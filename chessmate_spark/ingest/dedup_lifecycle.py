@@ -57,6 +57,28 @@ from .commit_log import CommitLogTable
 SIGNATURE_STORE_APP = "minhash-signature-store"
 
 
+def _dial_meta(shingle_n: int, num_hashes: int) -> dict:
+    """The store's dial as commit-manifest metadata — recorded on every
+    append so later increments can validate the dial with a driver-side
+    manifest read instead of a one-row Spark probe (round 14; the dial
+    columns in the state rows remain the fallback for stores written
+    before the metadata existed)."""
+    return {
+        "dial": {"shingle_n": int(shingle_n), "num_hashes": int(num_hashes)}
+    }
+
+
+def _manifest_dial(store: CommitLogTable, version: int) -> "Optional[dict]":
+    """The dial recorded in ``version``'s manifest metadata, or None
+    when the manifest is missing/pre-round-14 (no ``meta.dial``)."""
+    if version <= 0:
+        return None
+    try:
+        return (store.manifest(version).get("meta") or {}).get("dial")
+    except FileNotFoundError:
+        return None
+
+
 def open_signature_store(
     spark: SparkSession, path: str, checkpoint_interval: int = 10
 ) -> CommitLogTable:
@@ -88,7 +110,8 @@ def bootstrap_store(
         corpus, id_col, text_col, shingle_n, num_hashes
     )
     return store.append_idempotent(
-        state, app_id, batch_id, snapshot=store.latest_version()
+        state, app_id, batch_id, snapshot=store.latest_version(),
+        meta=_dial_meta(shingle_n, num_hashes),
     )
 
 
@@ -199,6 +222,22 @@ def dedup_increment(
             snap = _version_before_txn(store, app_id, batch_id)
         else:
             snap = store.latest_version()
+        # dial validation (round 14): the batch's state is built RIGHT
+        # HERE with the increment's own dial, so its one-row probe is a
+        # tautology; the store's dial is proven by the manifest
+        # metadata recorded at append time when available (a mismatch
+        # fails loudly without any Spark job), and only a pre-metadata
+        # store still pays the one-row probe.
+        dial = {"shingle_n": int(shingle_n), "num_hashes": int(num_hashes)}
+        stored_dial = _manifest_dial(store, snap)
+        if stored_dial is not None and stored_dial != dial:
+            raise AssertionError(
+                f"signature store at {store.path} was built with dial "
+                f"{stored_dial} but the increment runs {dial}: banding "
+                "mismatched signatures is meaningless — rebuild the "
+                "store or match the dial"
+            )
+        validate_dials = snap > 0 and stored_dial is None
         if snap == 0:
             existing_state = b_state.filter(F.lit(False))
         else:
@@ -217,6 +256,7 @@ def dedup_increment(
             min_jaccard=min_jaccard,
             existing_state=existing_state, batch_state=b_state,
             prune=prune, band_join=band_join,
+            validate_state_dials=validate_dials,
         )
         # record the snapshot ACTUALLY read in the txn marker: a
         # concurrent commit landing between latest_version() and the
@@ -225,7 +265,8 @@ def dedup_increment(
         # pinned to the parent would recompute against the WRONG
         # snapshot (round-13 ADVICE)
         version = store.append_idempotent(
-            b_state, app_id, batch_id, snapshot=snap
+            b_state, app_id, batch_id, snapshot=snap,
+            meta=_dial_meta(shingle_n, num_hashes),
         )
     finally:
         b_state.unpersist()

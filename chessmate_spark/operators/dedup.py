@@ -112,13 +112,11 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verify on candidates only: join each pair side to the
-    # exploded shingle table keyed on (id, shingle) — set intersection as a
-    # groupBy count, set union via |A| + |B| − |A∩B|.
-    sizes = shingled.select("_id", F.size("_shingles").alias("_sz"))
-    exploded = shingled.select("_id", F.explode("_shingles").alias("_sh"))
-    inter = _candidate_intersections(pairs, exploded)
-    out = _jaccard_from_inter(inter, sizes, min_jaccard)
+    # exact-Jaccard verify on candidates only: each pair joins both
+    # sides' shingle arrays off the persisted shingle table and the
+    # intersection/union are array expressions — two joins, no explode,
+    # no aggregate (round 14; see _pair_jaccard_arrays)
+    out = _pair_jaccard_arrays(pairs, shingled, min_jaccard)
     if materialize:
         try:
             out = out.localCheckpoint(eager=True)
@@ -126,6 +124,49 @@ def minhash_lsh_candidates(
             shingled.unpersist()
             banded.unpersist()
     return out
+
+
+def _pair_jaccard_arrays(
+    pairs: DataFrame, shingled: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verify of candidate ``(id_a, id_b)`` pairs
+    straight off the ``(_id, _shingles)`` table: each side's DISTINCT
+    shingle array (``word_shingles_expr`` guarantees distinctness)
+    joins onto the pair row and |A∩B| / |A∪B| is one array expression.
+
+    Round 14 (guide §2.4): this replaces the exploded ``(id, shingle)``
+    verify chain — prune, explode, compound-key intersection join,
+    groupBy count, two size joins — with TWO id-keyed joins and zero
+    aggregates.  The exchanged bytes are the same (a doc's shingles
+    move once per candidate pair either way: as one array row here, as
+    |shingles| narrow rows there), but three shuffles and a hash
+    aggregate disappear from the plan.  Output is identical to
+    ``_candidate_intersections`` + ``_jaccard_from_inter``:
+    ``array_intersect``/``array_union`` over distinct arrays ARE the
+    set sizes the exploded count computed (|A∪B| = |A| + |B| − |A∩B|),
+    and zero-overlap pairs are dropped explicitly (the inner
+    intersection join dropped them implicitly)."""
+    sh_a = shingled.select(
+        F.col("_id").alias("id_a"), F.col("_shingles").alias("_sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("_id").alias("id_b"), F.col("_shingles").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("_inter", inter)
+        .withColumn("_union", union)
+        .filter(F.col("_inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double") / F.col("_union").cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def _candidate_intersections(pairs: DataFrame, exploded: DataFrame) -> DataFrame:
@@ -986,6 +1027,7 @@ def incremental_minhash_dedup(
     batch_state: Optional[DataFrame] = None,
     prune: str = "broadcast",
     band_join: str = "broadcast",
+    validate_state_dials: bool = True,
 ) -> DataFrame:
     """Incremental near-dup detection: a NEW ingest batch against the
     ALREADY-INGESTED corpus (plus within-batch) — the form a 100 TB
@@ -1010,13 +1052,15 @@ def incremental_minhash_dedup(
     broadcast (at which point the job is a backfill, d2's regime).
     The exact verify runs on candidates, never all-pairs; the
     best-match pick is a per-x window over candidate matches —
-    partitioned by x, bounded by x's candidate count.  Round 12: the
-    verify corpus is PRUNED to candidate ids before the shingle
-    explode (a broadcast semi-join by default; ``prune="bloom"`` for
-    candidate-id sets past broadcast size — see
-    ``_incremental_minhash_frames``), so the intersection exchange
-    carries candidate documents' shingles only — O(candidates) per
-    increment, not O(existing corpus).  In the ``existing_state``
+    partitioned by x, bounded by x's candidate count.  Round 14: the
+    verify joins each candidate pair to BOTH sides' shingle arrays
+    straight off the state scans and computes |A∩B|/|A∪B| as one
+    array expression — the candidate pairs broadcast into the joins
+    by default, so the state scans stream map-side and the only
+    verify exchange is the candidate-bounded pair join
+    (``prune="bloom"`` keeps a bitmap pre-filter for candidate sets
+    past broadcast size — see ``_incremental_minhash_frames``); the
+    exchange still carries O(candidates), never O(existing corpus).  In the ``existing_state``
     form nothing corpus-sized is persisted either: the state is
     parquet-backed, so the band pass and the verify pass each run one
     COLUMN-PRUNED scan of the store ((_id, _sig) and (_id, _shingles)
@@ -1045,6 +1089,15 @@ def incremental_minhash_dedup(
     to the store, so the batch's shingle scan is paid once per lifetime
     too.  Validated against the dial like ``existing_state``.
 
+    ``validate_state_dials=False`` (round 14) skips the one-row dial
+    probes — two Spark actions per increment — when the CALLER has
+    already proven the dial by other means: the lifecycle wrapper
+    builds ``batch_state`` itself with the increment's own dial (the
+    probe would be a tautology) and checks the store's dial against
+    the commit-log manifest metadata recorded at append time (a
+    driver-side JSON read instead of a Spark job).  Leave True for
+    states of unproven provenance.
+
     Ids must be unique across both sides (true for any snapshot + delta
     of one corpus).
 
@@ -1057,6 +1110,7 @@ def incremental_minhash_dedup(
         existing, batch, id_col, text_col,
         shingle_n, num_hashes, bands, min_jaccard, existing_state,
         batch_state, prune, band_join,
+        validate_state_dials=validate_state_dials,
     )
     try:
         out = best.localCheckpoint(eager=True)
@@ -1098,6 +1152,7 @@ def _incremental_minhash_frames(
     batch_state: Optional[DataFrame] = None,
     prune: str = "broadcast",
     band_join: str = "broadcast",
+    validate_state_dials: bool = True,
 ):
     """Plan construction for :func:`incremental_minhash_dedup`, split
     out so tests can inspect the PRE-checkpoint plan (the public
@@ -1130,31 +1185,34 @@ def _incremental_minhash_frames(
     batch too large to broadcast — but a batch of that size is d2's
     backfill regime, not an increment.
 
-    The exact-verify stage is CANDIDATE-BOUNDED (round 12, closing the
-    round-11 verdict's one scale seam): the verify corpus — the frames
-    feeding shingle explode and size lookup — is pruned to ids that
-    appear in some candidate pair, so the intersection join's exchange
-    carries candidate documents' shingles only, O(candidates), instead
-    of re-exploding the full existing corpus every increment.  Output
-    is provably identical to the unpruned join either way (pruned-away
-    rows never match the inner joins on cand's ids).
+    The exact-verify stage is CANDIDATE-BOUNDED (round 12 closed the
+    round-11 scale seam with a semi-join prune + shingle explode;
+    round 14 collapsed it further): each candidate pair joins both
+    sides' shingle arrays off the state scans and |A∩B|/|A∪B| is one
+    array expression, so the only verify exchange carries candidate
+    pairs with their arrays — O(candidates), never O(existing) —
+    and no explode, count aggregate, or size join remains.  Output is
+    provably identical (distinct arrays; inner joins on cand's ids
+    admit exactly the candidate rows).
 
     ``prune`` picks the mechanism:
 
-    * ``"broadcast"`` (default) — a broadcast LEFT SEMI join of the
-      verify corpus against the distinct candidate ids.  Everything
-      stays inside the ONE final action (the broadcast subtree
-      executes as part of the job, populating the cand persist the
-      verify joins then reuse), JVM-only.  Right choice while the
-      candidate-id set fits a broadcast — bounded by the BATCH's
-      candidate volume, megabytes for any daily increment.
-    * ``"bloom"`` — d16's pattern: one m-bit bitmap built in a
-      separate first action, map-side pandas probe.  The extreme-scale
-      posture for candidate-id sets past broadcast size (~1e8 ids);
-      costs one extra Spark action + Python probe stages, measured
-      ~2.5x the broadcast form's wall on the d12 bench shape — pay it
-      only when the broadcast would not fit.  False positives only
-      admit rows the exact joins drop."""
+    * ``"broadcast"`` (default) — the candidate PAIRS broadcast as the
+      build side of both verify joins, so the state scans stream
+      map-side with no corpus-side exchange at all (round 14; the
+      round-12 form additionally paid a semi-join probing pass before
+      a shingle explode).  Everything stays inside the ONE final
+      action, JVM-only.  Right choice while the candidate set fits a
+      broadcast — bounded by the BATCH's candidate volume, megabytes
+      for any daily increment.
+    * ``"bloom"`` — d16's pattern: one m-bit bitmap over the candidate
+      ids built in a separate first action, map-side pandas probe
+      pre-filtering the verify rows to bloom suspects; the verify
+      joins then run unhinted over suspect-bounded sides.  The
+      extreme-scale posture for candidate sets past broadcast size
+      (~1e8 ids); costs one extra Spark action + Python probe stages —
+      pay it only when the broadcast would not fit.  False positives
+      only admit rows the exact joins drop."""
     if prune not in ("broadcast", "bloom"):
         # validated BEFORE any persist is created, so a bad mode cannot
         # leak cached frames
@@ -1173,7 +1231,8 @@ def _incremental_minhash_frames(
             f"existing_state lacks {sorted(missing)}: expected the "
             "(_id, _shingles, _sig) shape minhash_signature_state writes"
         )
-        _validate_state_dial(existing_state, shingle_n, num_hashes)
+        if validate_state_dials:
+            _validate_state_dial(existing_state, shingle_n, num_hashes)
         # NOT persisted: the store is parquet-backed, so the band pass
         # reads (_id, _sig) and the verify pass (_id, _shingles) as two
         # column-pruned scans — a persist here would cache O(existing)
@@ -1186,7 +1245,8 @@ def _incremental_minhash_frames(
             existing, id_col, text_col, shingle_n, num_hashes
         ).select("_id", "_shingles", "_sig").persist()
     if batch_state is not None:
-        _validate_state_dial(batch_state, shingle_n, num_hashes)
+        if validate_state_dials:
+            _validate_state_dial(batch_state, shingle_n, num_hashes)
         # NOT persisted: the caller owns batch_state's caching (the
         # lifecycle persists the parent frame it also appends to the
         # store) — persisting the identity projection here would hold
@@ -1234,23 +1294,40 @@ def _incremental_minhash_frames(
         .dropDuplicates(["_x", "_m"])
         .persist()
     )
-    # every id participating in a candidate pair (both sides: _x needs
-    # its shingles for the intersection too), out of ONE scan of `cand`
-    # (explode of a 2-array — a union of two selects would compute the
-    # candidate chain twice before the persist populates)
-    cand_ids = cand.select(
-        F.explode(F.array("_x", "_m")).alias("_id")
-    ).distinct()
+    # exact verify (round 14, guide §2.4): each candidate pair joins
+    # BOTH sides' shingle arrays straight off the column-pruned state
+    # scans and |A∩B| / |A∪B| is one array expression — the round-12/13
+    # chain (broadcast semi-join prune → shingle explode → compound-key
+    # intersection join → groupBy count → two size joins) collapsed to
+    # two id-keyed joins with zero aggregates and HALF the state scans
+    # (the old plan derived exploded/sizes from the unpersisted pruned
+    # frame twice each).  In the default broadcast mode the CANDIDATE
+    # PAIRS are the broadcast build side of both joins, so the state
+    # scans stream map-side — no corpus-side exchange at all, stronger
+    # than the semi-join form, which still paid a probing pass before
+    # the explode; the only exchange left is the candidate-bounded
+    # (_x, _m) pair join.  prune="bloom" keeps the bitmap probe for
+    # candidate sets past broadcast size: verify rows are pre-filtered
+    # to bloom suspects and the joins run unhinted (shuffle joins over
+    # suspect-bounded sides).  Output is provably identical: the
+    # arrays are distinct (word_shingles_expr), |A∪B| = |A|+|B|−|A∩B|,
+    # and zero-overlap pairs are dropped explicitly (the old inner
+    # intersection join dropped them implicitly).
     verify_base = ex_state.select("_id", "_shingles").unionByName(
         b_state.select("_id", "_shingles")
     )
     if prune == "broadcast":
-        verify_docs = verify_base.join(
-            F.broadcast(cand_ids), "_id", "left_semi"
-        )
+        verify_docs = verify_base
+        hint = F.broadcast
     elif prune == "bloom":
         from .bloom import bloom_build, bloom_might_contain
 
+        # every id participating in a candidate pair (both sides: _x
+        # needs its shingles for the intersection too), out of ONE scan
+        # of `cand`
+        cand_ids = cand.select(
+            F.explode(F.array("_x", "_m")).alias("_id")
+        ).distinct()
         # the mode already pays a separate build action, so the sizing
         # count is one more cheap job over the (persisted) cand chain
         n_ids = cand_ids.count()
@@ -1267,26 +1344,27 @@ def _incremental_minhash_frames(
         verify_docs = verify_base.filter(
             bloom_might_contain(F.col("_id"), bitmap, m_bits)
         )
-    sizes = verify_docs.select("_id", F.size("_shingles").alias("_sz"))
-    exploded = verify_docs.select("_id", F.explode("_shingles").alias("_sh"))
-    with_x = cand.join(exploded, cand["_x"] == exploded["_id"]).select(
-        "_x", "_m", "origin", "_sh"
+        hint = lambda df: df  # noqa: E731 — suspects shuffle unhinted
+    sh_x = verify_docs.select(
+        F.col("_id").alias("_x"), F.col("_shingles").alias("_shx")
     )
-    inter = (
-        with_x.join(
-            exploded.select(F.col("_id").alias("_mid"), F.col("_sh").alias("_shm")),
-            (F.col("_m") == F.col("_mid")) & (F.col("_sh") == F.col("_shm")),
-        )
-        .groupBy("_x", "_m", "origin")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    sh_m = verify_docs.select(
+        F.col("_id").alias("_m"), F.col("_shingles").alias("_shm")
     )
+    xm = sh_x.join(hint(cand), "_x").select("_x", "_m", "origin", "_shx")
+    mm = sh_m.join(hint(cand.select("_x", "_m")), "_m").select(
+        "_x", "_m", "_shm"
+    )
+    inter = F.size(F.array_intersect(F.col("_shx"), F.col("_shm")))
+    union = F.size(F.array_union(F.col("_shx"), F.col("_shm")))
     scored = (
-        inter.join(sizes.select(F.col("_id").alias("_x"), F.col("_sz").alias("_szx")), "_x")
-        .join(sizes.select(F.col("_id").alias("_m"), F.col("_sz").alias("_szm")), "_m")
+        xm.join(mm, ["_x", "_m"])
+        .withColumn("_inter", inter)
+        .withColumn("_union", union)
+        .filter(F.col("_inter") > 0)
         .withColumn(
             "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_szx") + F.col("_szm") - F.col("_inter")).cast("double"),
+            F.col("_inter").cast("double") / F.col("_union").cast("double"),
         )
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
     )
@@ -1592,11 +1670,13 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("_id").alias("id_a"), F.col("_idb").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verify on candidates — same helpers (and therefore the same
-    # jaccard DEFINITION) as the unfiltered join
-    ex = shingled.select("_id", F.explode("_shingles").alias("_sh"))
-    inter = _candidate_intersections(cand, ex)
-    out = _jaccard_from_inter(inter, sizes.select("_id", "_sz"), t)
+    # exact verify on candidates — the array-expression verify (round
+    # 14): candidates join both sides' shingle arrays off the persisted
+    # shingle table, |A∩B|/|A∪B| in one projection (identical values to
+    # the exploded-count form; see _pair_jaccard_arrays)
+    out = _pair_jaccard_arrays(
+        cand, shingled.select("_id", "_shingles"), t
+    )
     if materialize:
         try:
             out = out.localCheckpoint(eager=True)

@@ -7948,13 +7948,25 @@ def d17_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraphs are deterministic 8-token windows — the operator shape is
     identical for real newline-split paragraphs.
 
-    Plan: one posexplode scan; the first-occurrence resolution is a
-    groupBy(md5(para)).min(struct(doc_id, pos)) — partial+final with
-    map-side combine, so a hot boilerplate paragraph collapses to one
-    row per task BEFORE the exchange (the skew-safe alternative to a
-    per-hash window sort); the join back broadcasts nothing corpus-sized
-    (paragraph-hash keyed); per-doc reassembly is an in-group
-    array_sort, never a row sort."""
+    Plan (round 14): one posexplode scan; the first-occurrence
+    resolution is ONE groupBy(md5(para)).min(struct(doc_id, pos,
+    para)) — partial+final with map-side combine, so a hot boilerplate
+    paragraph collapses to one row per task BEFORE the exchange (the
+    skew-safe alternative to a per-hash window sort), and the kept
+    paragraph text RIDES the min struct ((doc_id, pos) is a unique
+    prefix, so the struct min IS the first occurrence; equal hashes
+    carry equal text).  This removes the round-8 shape's join-back of
+    the exploded paragraphs against the firsts table — one exchange
+    and a second paragraph-table derivation gone; per-doc reassembly
+    is an in-group array_sort, never a row sort.  The per-doc
+    paragraph count likewise derives from the ALREADY-EXPLODED rows
+    (one doc-keyed count over narrow rows) instead of a second
+    tokenize scan: the old meta side re-ran the whole normalize/chunk
+    chain, and because it fed a broadcast join the planner ran that
+    chain in the broadcast subtree's SINGLE scan task — 3.3 s
+    single-threaded at sf0.1, measured (the _spread parallelism was
+    silently lost under the broadcast).  A doc absent from the explode
+    has zero paragraphs; the final coalesce restores it."""
     from ..functions.text import norm_tokens_expr
 
     P = _PARA_TOKENS
@@ -7973,16 +7985,14 @@ def d17_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paras = base.select(
         "doc_id", F.posexplode("_chunks").alias("pos", "para")
     ).withColumn("_h", F.md5("para"))
-    firsts = paras.groupBy("_h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("_f")
-    )
     kept = (
-        paras.join(firsts, "_h")
-        .filter(
-            (F.col("doc_id") == F.col("_f.doc_id"))
-            & (F.col("pos") == F.col("_f.pos"))
+        paras.groupBy("_h")
+        .agg(F.min(F.struct("doc_id", "pos", "para")).alias("_f"))
+        .select(
+            F.col("_f.doc_id").alias("doc_id"),
+            F.col("_f.pos").alias("pos"),
+            F.col("_f.para").alias("para"),
         )
-        .select("doc_id", "pos", "para")
     )
     per_doc = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -7991,18 +8001,31 @@ def d17_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = F.concat_ws(
         " ", F.transform(F.col("_seq"), lambda s: s["para"])
     )
-    meta = base.select(
-        "doc_id", F.size("_chunks").cast("bigint").alias("n_paras")
+    meta_n = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras")
     )
+    ids = docs.select("doc_id")
+    # shuffle_hash hints: with broadcast joins the planner re-executes
+    # each aggregate's tokenize/chunk chain inside a broadcast subtree
+    # whose scan collapses to ONE task (the _spread repartition is
+    # eliminated under the broadcast — measured 2×2.9 s single-threaded
+    # at sf0.1); the hinted shuffle join keeps both chains on the
+    # 32-way layout, and doc_id-keyed exchanges of 5k aggregate rows
+    # are noise.
     return (
-        meta.join(
-            per_doc.select("doc_id", "n_kept", clean.alias("_clean")),
+        ids.join(meta_n.hint("shuffle_hash"), "doc_id", "left")
+        .join(
+            per_doc.select(
+                "doc_id", "n_kept", clean.alias("_clean")
+            ).hint("shuffle_hash"),
             "doc_id",
             "left",
         )
         .select(
             "doc_id",
-            "n_paras",
+            F.coalesce(F.col("n_paras"), F.lit(0).cast("bigint")).alias(
+                "n_paras"
+            ),
             F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias(
                 "n_kept"
             ),

@@ -441,15 +441,16 @@ def test_incremental_dedup_state_dial_validation(spark):
 
 
 def test_incremental_verify_exchange_candidate_bounded(spark):
-    """Round 12 (the round-11 verdict's one scale seam): the exact-
-    verify stage's input must be CANDIDATE-bounded — the shingle
-    explode reads a verify corpus pruned to candidate ids, not the full
-    existing corpus.  Asserted on the pre-checkpoint physical plan for
-    BOTH prune mechanisms: the default broadcast form shows the LEFT
-    SEMI broadcast join upstream of the intersection join (and zero
-    Python stages); the bloom form (the past-broadcast posture) shows
-    the Arrow-batched probe filter.  Both produce output identical to
-    the public entry's (which the d12 oracle pins independently)."""
+    """Round 12 closed the round-11 scale seam (semi-join prune before
+    the verify explode); round 14 collapsed the verify to array joins:
+    the candidate pairs BROADCAST into both shingle-array joins, so
+    the state scans stream map-side and no exchange carries corpus
+    rows.  Asserted on the pre-checkpoint physical plan for BOTH prune
+    mechanisms: the default broadcast form carries the verify through
+    BroadcastHashJoins (zero Python stages, no explode-side shuffle of
+    the corpus); the bloom form (the past-broadcast posture) shows the
+    Arrow-batched probe filter.  Both produce output identical to the
+    public entry's (which the d12 oracle pins independently)."""
     from pyspark.sql import functions as F
 
     from chessmate_spark.operators.dedup import (
@@ -469,8 +470,12 @@ def test_incremental_verify_exchange_candidate_bounded(spark):
         try:
             plan = best._jdf.queryExecution().executedPlan().toString()
             if mode == "broadcast":
-                assert "LeftSemi" in plan, plan
-                assert "Broadcast" in plan, plan
+                # the candidate pairs are the broadcast build side of
+                # the verify joins; the array verify has no explode and
+                # no (id, shingle) compound-key shuffle
+                assert "BroadcastHashJoin" in plan, plan
+                assert "array_intersect" in plan, plan
+                assert "Generate explode(_shingles" not in plan, plan
                 # the default path stays JVM-only
                 assert "ArrowEvalPython" not in plan, plan
                 assert "BatchEvalPython" not in plan, plan
@@ -841,3 +846,48 @@ def test_minhash_dial_diagnostics_fallback_disclosure():
     assert abs(
         agree.detection_at_threshold - plan2.detection_at_threshold
     ) < 1e-12
+
+
+def test_dedup_increment_manifest_dial_guard(spark, tmp_path):
+    """Round 14: the lifecycle records the store's (shingle_n,
+    num_hashes) dial in every commit's manifest metadata, so a later
+    increment validates the dial with a driver-side manifest read — a
+    MISMATCHED dial fails loudly before any Spark job runs, and the
+    recorded metadata is what future increments skip the one-row probe
+    on."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.ingest.dedup_lifecycle import (
+        _manifest_dial,
+        dedup_increment,
+        open_signature_store,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    store = open_signature_store(spark, str(tmp_path / "store"))
+    inc = dedup_increment(
+        store, docs.filter(F.col("doc_id") < 30), "doc_id", "text",
+        batch_id=1, shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    assert inc.appended_version == 1
+    # the dial landed in the manifest metadata
+    assert _manifest_dial(store, 1) == {"shingle_n": 3, "num_hashes": 16}
+    # a mismatched dial is refused from the MANIFEST (loudly, before
+    # any banding)
+    with pytest.raises(AssertionError, match="dial"):
+        dedup_increment(
+            store, docs.filter(F.col("doc_id") >= 30), "doc_id", "text",
+            batch_id=2, shingle_n=4, num_hashes=16, bands=4,
+            min_jaccard=0.1,
+        )
+    # the matched dial proceeds and appends
+    inc2 = dedup_increment(
+        store, docs.filter(F.col("doc_id") >= 30), "doc_id", "text",
+        batch_id=2, shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+    )
+    assert inc2.appended_version == 2
