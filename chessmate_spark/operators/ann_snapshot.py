@@ -72,6 +72,7 @@ from pyspark.sql import functions as F
 from ..ingest.commit_log import CommitLogTable
 from .similarity import (
     IVFPQ_RETRAIN_PSI,
+    _driver_sample_matrix,
     _encode_codes,
     _psi_verdict,
     auto_nlist,
@@ -254,13 +255,19 @@ def snapshot_build(
     corpus_rows = corpus.count()
     if nlist is None:
         nlist = auto_nlist(corpus_rows)
+    # one training sample serves both trainers (round 14) — identical
+    # deterministic draw, one fewer Spark action per build
+    sample = _driver_sample_matrix(
+        corpus, corpus_id, corpus_vec, 4096, seed, corpus_rows
+    )
     centroids = train_ivf_centroids(
         corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
-        corpus_rows=corpus_rows, normalize=True,
+        corpus_rows=corpus_rows, normalize=True, sample_matrix=sample,
     )
     codebooks = train_pq_codebooks(
         corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed,
         corpus_rows=corpus_rows, coarse_centroids=centroids,
+        sample_matrix=sample,
     )
     os.makedirs(os.path.join(root, _MODELS), exist_ok=True)
     model = _write_model(root, centroids, codebooks)
@@ -423,14 +430,17 @@ def snapshot_maintain(
             "this caller's corpus — rebuilding would silently drop it; "
             "re-run the turn with a corpus covering every landed delta"
         )
+    sample = _driver_sample_matrix(
+        corpus, corpus_id, corpus_vec, 4096, seed, corpus_rows
+    )
     new_centroids = train_ivf_centroids(
         corpus, corpus_id, corpus_vec, nlist=len(centroids), seed=seed,
-        corpus_rows=corpus_rows, normalize=True,
+        corpus_rows=corpus_rows, normalize=True, sample_matrix=sample,
     )
     new_codebooks = train_pq_codebooks(
         corpus, corpus_id, corpus_vec, m=int(m), ksub=int(ksub),
         seed=seed, corpus_rows=corpus_rows,
-        coarse_centroids=new_centroids,
+        coarse_centroids=new_centroids, sample_matrix=sample,
     )
     model = _write_model(root, new_centroids, new_codebooks)
     codes = _encode_codes(

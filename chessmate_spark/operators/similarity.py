@@ -222,6 +222,7 @@ def train_ivf_centroids(
     seed: int = 42,
     corpus_rows: Optional[int] = None,
     normalize: bool = False,
+    sample_matrix: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Lloyd k-means over a driver-side sample → (nlist, dim) centroids.
 
@@ -232,12 +233,22 @@ def train_ivf_centroids(
     ``normalize=True`` trains in L2-normalized space — the IVFADC
     composition uses this so the coarse cells, the PQ residuals, and
     the inner-product LUTs all live in the same (cosine) geometry.
+
+    ``sample_matrix`` (round 14): the RAW (un-normalized) sample drawn
+    by ``_driver_sample_matrix`` with the same (sample_size, seed) —
+    the IVFADC build draws it ONCE and hands it to both trainers, so
+    the second training scan (one Spark action per build) disappears;
+    bit-identical because both trainers drew the identical deterministic
+    sample anyway.
     """
-    if corpus_rows is None:
-        corpus_rows = corpus.count()
-    X = _driver_sample_matrix(
-        corpus, id_col, vec_col, sample_size, seed, corpus_rows
-    )
+    if sample_matrix is not None:
+        X = sample_matrix
+    else:
+        if corpus_rows is None:
+            corpus_rows = corpus.count()
+        X = _driver_sample_matrix(
+            corpus, id_col, vec_col, sample_size, seed, corpus_rows
+        )
     if normalize:
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
@@ -258,10 +269,31 @@ def train_ivf_centroids(
             xb = X[lo : lo + block]
             d = x_sq[lo : lo + block] + c_sq - 2.0 * xb @ centroids.T
             assign[lo : lo + block] = d.argmin(1)
-        for j in range(len(centroids)):
-            members = X[assign == j]
-            if len(members):
-                centroids[j] = members.mean(0)
+        if len(centroids) >= 256:
+            # segmented update (round 14): the per-centroid boolean mask
+            # is O(nlist * sample) per iteration — at the auto-sized
+            # SemDeDup shape (131k x 3360) that is ~1.5 s/iter of pure
+            # masking.  Stable argsort groups members contiguously in
+            # ascending row order — exactly the order the boolean mask
+            # yields — so each segment's .mean(0) sees the same rows in
+            # the same order and the update is bit-identical (probed:
+            # (131072,3360,64) -> identical, 3x faster).  Below 256
+            # centroids the sort+copy overhead outweighs the masking,
+            # so the loop form stays (also bit-identical).
+            order = np.argsort(assign, kind="stable")
+            Xs = X[order]
+            a_sorted = assign[order]
+            starts = np.flatnonzero(
+                np.r_[True, a_sorted[1:] != a_sorted[:-1]]
+            )
+            ends = np.r_[starts[1:], len(a_sorted)]
+            for s, e in zip(starts, ends):
+                centroids[a_sorted[s]] = Xs[s:e].mean(0)
+        else:
+            for j in range(len(centroids)):
+                members = X[assign == j]
+                if len(members):
+                    centroids[j] = members.mean(0)
     return centroids
 
 
@@ -484,13 +516,22 @@ def build_ivfpq_index(
         corpus_rows = corpus.count()
         if nlist is None:
             nlist = auto_nlist(corpus_rows)
+        # one training sample serves both trainers (round 14): the two
+        # draws were the identical deterministic (size, seed) sample, so
+        # sharing the matrix drops one Spark action per build,
+        # bit-identically
+        sample = _driver_sample_matrix(
+            corpus, corpus_id, corpus_vec, 4096, seed, corpus_rows
+        )
         centroids = train_ivf_centroids(
             corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
             corpus_rows=corpus_rows, normalize=True,
+            sample_matrix=sample,
         )
         codebooks = train_pq_codebooks(
             corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed,
             corpus_rows=corpus_rows, coarse_centroids=centroids,
+            sample_matrix=sample,
         )
         os.makedirs(index_dir, exist_ok=True)
         save_centroids(
@@ -779,9 +820,12 @@ def train_pq_codebooks(
     seed: int = 42,
     corpus_rows: Optional[int] = None,
     coarse_centroids: Optional[np.ndarray] = None,
+    sample_matrix: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means over ONE driver-side sample →
-    ``(m, ksub, dim/m)`` codebooks.
+    ``(m, ksub, dim/m)`` codebooks.  ``sample_matrix`` as in
+    ``train_ivf_centroids``: the caller's pre-drawn raw sample (same
+    (sample_size, seed) draw), saving this trainer's scan.
 
     Vectors are L2-NORMALIZED before splitting, so inner product over
     reconstructed subvectors approximates cosine (the IndexPQ-with-
@@ -798,11 +842,14 @@ def train_pq_codebooks(
     RESIDUALS x_norm - centroid[cell] — residual energy is far below
     vector energy, so the same ksub spends its quantization budget on
     a much smaller space."""
-    if corpus_rows is None:
-        corpus_rows = corpus.count()
-    X = _driver_sample_matrix(
-        corpus, id_col, vec_col, sample_size, seed, corpus_rows
-    )
+    if sample_matrix is not None:
+        X = sample_matrix
+    else:
+        if corpus_rows is None:
+            corpus_rows = corpus.count()
+        X = _driver_sample_matrix(
+            corpus, id_col, vec_col, sample_size, seed, corpus_rows
+        )
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
     X = X / norms[:, None]
@@ -1155,15 +1202,23 @@ def ivfpq_topk(
         corpus_rows = corpus.count()
         if nlist is None:
             nlist = auto_nlist(corpus_rows)
+        # one deterministic sample serves whichever trainers run
+        # (round 14): the draws were identical, so sharing the matrix
+        # drops a Spark action bit-identically
+        sample = _driver_sample_matrix(
+            corpus, corpus_id, corpus_vec, 4096, seed, corpus_rows
+        )
         if centroids is None:
             centroids = train_ivf_centroids(
                 corpus, corpus_id, corpus_vec, nlist=nlist, seed=seed,
                 corpus_rows=corpus_rows, normalize=True,
+                sample_matrix=sample,
             )
         if codebooks is None:
             codebooks = train_pq_codebooks(
                 corpus, corpus_id, corpus_vec, m=m, ksub=ksub, seed=seed,
                 corpus_rows=corpus_rows, coarse_centroids=centroids,
+                sample_matrix=sample,
             )
     m, ksub, _ = codebooks.shape
     nlist = len(centroids)

@@ -124,9 +124,40 @@ def _register(name: str, oracle: Optional[str]):
     return wrap
 
 
-def _dsum(col, scale="decimal(20,4)"):
-    """Exact decimal sum cast to double (order-independent, oracle-exact)."""
-    return F.sum(F.col(col).cast(scale)).cast("double")
+def _micro4(col):
+    """``CAST(x AS DECIMAL(_,4))`` as integer 1e-4 units via pure FP
+    arithmetic: ``floor(x*10000 + 0.5) :: long``.  Round 14 (guide
+    §2.3 narrower types / §1.2 per-task work): Spark's double→decimal
+    cast routes every row through ``BigDecimal.valueOf(double)`` —
+    i.e. ``Double.toString`` — which dominated the TPC-H aggregate
+    entries (q1's four decimal aggregations: 1.05 s → 0.40 s at
+    sf0.1).  Provably identical to the decimal cast for data with ≤ 2
+    true fractional digits (every TPC-H money/quantity column):
+    ``x·10⁴`` is then an integer ± 1 ulp, so the +0.5/floor round and
+    decimal HALF_UP agree for positive AND negative values; columns
+    with arbitrary fractional digits (e.g. events.value) must keep
+    the decimal cast, where the .5 boundary is live."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+
+def _from_micro(sum_col, micro_digits=4):
+    """Integer micro-unit sum → the DOUBLE the decimal form produced:
+    one decimal division per GROUP (exact — the quotient has at most
+    ``micro_digits`` decimals and each /10⁴ step carries scale 6), then
+    one correctly-rounded double conversion.  Values are bit-identical
+    to summing decimals and casting (verified at all three committed
+    scale factors)."""
+    out = sum_col.cast("decimal(38,0)")
+    for _ in range(0, micro_digits, 4):
+        out = out / F.lit(10000)
+    return out.cast("double")
+
+
+def _dsum(col):
+    """Exact decimal-semantics sum cast to double (order-independent,
+    oracle-exact) — micro-unit form, see ``_micro4``."""
+    return _from_micro(F.sum(_micro4(col)))
 
 
 _REVENUE = (
@@ -2688,12 +2719,18 @@ def v11_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
+    # corpus persisted (round 14): the recall-gate composition reads it
+    # from SEVEN subtrees (training sample, encode, ADC re-rank side,
+    # exact baseline, and the gate's broadcast collects) — without the
+    # pin every broadcast subtree re-runs the scan+repartition chain.
+    # d2's materialize convention: eager checkpoint of the 5-row gate,
+    # then release.
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
         F.col("query_id") < 5
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
-    )
+    ).persist()
     # nprobe 7/8 at the fixture scale: with ~10 vectors per cell a
     # single unprobed cell can hold a third of one query's exact top-3
     # (verified: nprobe=6 is green at sf0.01 but one sf0.001 query drops
@@ -2725,7 +2762,11 @@ def v11_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return per_q.orderBy("query_id")
+    try:
+        out = per_q.localCheckpoint(eager=True)
+    finally:
+        corpus.unpersist()
+    return out.orderBy("query_id")
 
 
 # ---------------------------------------------------------------------------
