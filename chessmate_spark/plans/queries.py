@@ -166,13 +166,27 @@ _REVENUE = (
 )
 
 
-def _revenue_expr():
+def _rev_term(disc=None):
+    """The micro-unit revenue TERM: ``extendedprice·(1-discount)`` as an
+    exact integer in 1e-8 units, summed as ``decimal(38,0)`` so the
+    grand-total row of a 10¹¹-row corpus cannot overflow a long (a pure
+    long sum caps at ~9.2e14 currency units).  Identical to
+    ``sum(cast(p as decimal(18,4)) * cast(1-d as decimal(8,4)))``: both
+    factors carry ≤ 2 true fractional digits, so ``floor(x·10⁴+0.5)``
+    reproduces each decimal cast exactly (see ``_micro4``) and the
+    integer product IS the decimal product ×10⁸.  The per-row win is the
+    same as ``_dsum``'s: no ``BigDecimal.valueOf(double)`` —
+    long→decimal is an integer conversion, double→decimal goes through
+    ``Double.toString``."""
+    if disc is None:
+        disc = F.lit(1.0) - F.col("l_discount")
     return (
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,4)")
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
-        )
-    ).cast("double")
+        _micro4("l_extendedprice") * _micro4(disc)
+    ).cast("decimal(38,0)")
+
+
+def _revenue_expr(disc=None):
+    return _from_micro(F.sum(_rev_term(disc)), micro_digits=8)
 
 
 # ---------------------------------------------------------------------------
@@ -2867,12 +2881,7 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * F.col("l_discount").cast("decimal(8,4)")
-            )
-            .cast("double")
-            .alias("revenue")
+            _revenue_expr(disc=F.col("l_discount")).alias("revenue")
         )
     )
 
@@ -3066,8 +3075,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("_q"))
-        .filter(F.col("_q") > 150)
+        .agg(F.sum(_micro4("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150 * 10000)
         .select("l_orderkey")
     )
     return (
@@ -3135,8 +3144,8 @@ def q18_bucketed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("_q"))
-        .filter(F.col("_q") > 150)
+        .agg(F.sum(_micro4("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150 * 10000)
         .select("l_orderkey")
     )
     out = (
@@ -3902,10 +3911,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     n1 = nat.alias("n1")
     n2 = nat.alias("n2")
-    volume = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
-    )
+    volume = _rev_term()
     vols = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -3920,11 +3926,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2.n_name").alias("supp_nation"),
         )
     )
-    share = F.sum(
-        F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
-            F.lit(0).cast("decimal(18,4)")
-        )
-    ).cast("double") / F.sum("volume").cast("double")
+    # both sides were cast to double BEFORE the division, so replacing
+    # each decimal sum with its micro-unit twin is value-identical
+    share = _from_micro(
+        F.sum(
+            F.when(
+                F.col("supp_nation") == "NATION_7", F.col("volume")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ),
+        micro_digits=8,
+    ) / _from_micro(F.sum("volume"), micro_digits=8)
     return (
         vols.groupBy("o_year")
         .agg(share.alias("mkt_share"))
@@ -3960,10 +3971,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
-    amount = (
+    # _micro4 of the double expression equals the decimal(18,4) cast
+    # exactly: the true value has <= 4 fractional digits (2+2 and
+    # 1+2+0), so x*1e4 sits within ~1e-7 of an integer and the .5
+    # rounding boundary is never live, positive or negative
+    amount = _micro4(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(18,4)")
+    )
     rows = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
@@ -3977,7 +3992,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rows.groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .agg(_from_micro(F.sum("amount")).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -4013,16 +4028,18 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value"))
+        .agg(F.sum(_micro4("l_extendedprice")).alias("_value_m"))
         .localCheckpoint(eager=False)
     )
     total = pv.agg(
-        (F.sum("value").cast("double") * F.lit(0.0008)).alias("_threshold")
+        (_from_micro(F.sum("_value_m")) * F.lit(0.0008)).alias("_threshold")
     )
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value").cast("double") > F.col("_threshold"))
-        .select("l_partkey", F.col("value").cast("double").alias("value"))
+        .filter(_from_micro(F.col("_value_m")) > F.col("_threshold"))
+        .select(
+            "l_partkey", _from_micro(F.col("_value_m")).alias("value")
+        )
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
@@ -4092,22 +4109,23 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     supp = _t(spark, sf_dir, "supplier")
-    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(8,4)")
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(disc).alias("total_revenue"))
+        .agg(F.sum(_rev_term()).alias("_total_m"))
         .localCheckpoint(eager=False)
     )
-    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    # max/equality over the exact integer micro sums is the same
+    # winner the exact decimal comparison picked
+    best = revenue.agg(F.max("_total_m").alias("_best"))
     return (
         supp.join(revenue, supp["s_suppkey"] == revenue["supplier_no"])
         .crossJoin(F.broadcast(best))
-        .filter(F.col("total_revenue") == F.col("_best"))
+        .filter(F.col("_total_m") == F.col("_best"))
         .select(
             "s_suppkey", "s_name",
-            F.col("total_revenue").cast("double").alias("total_revenue"),
+            _from_micro(F.col("_total_m"), micro_digits=8).alias(
+                "total_revenue"
+            ),
         )
         .orderBy("s_suppkey")
     )
@@ -4180,7 +4198,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avgq, li["l_partkey"] == avgq["a_partkey"])
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            (_from_micro(F.sum(_micro4("l_extendedprice")))
              / F.lit(7.0)).alias("avg_yearly")
         )
     )
@@ -4207,9 +4225,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and codegen keep it one stage."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(8,4)")
+    disc = _rev_term()
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -4230,7 +4246,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .filter(cond)
-        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .agg(_from_micro(F.sum(disc), micro_digits=8).alias("revenue"))
     )
 
 
@@ -4694,12 +4710,7 @@ def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            (
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
-                ).cast("double")
-            ).alias("revenue"),
+            _revenue_expr().alias("revenue"),
         )
         .orderBy("s_nationkey")
     )
@@ -4932,10 +4943,7 @@ def a13_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
-            ).cast("double").alias("revenue"),
+            _revenue_expr().alias("revenue"),
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
             .cast("int")
             .alias("grouping_id"),
@@ -4979,11 +4987,7 @@ def a14_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("s_suppkey"),
             F.col("l_shipdate").cast("date").alias("day"),
         )
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("day_qty")
-        )
+        .agg(_dsum("l_quantity").alias("day_qty"))
     )
     w = (
         Window.partitionBy("s_suppkey")
@@ -5132,18 +5136,21 @@ def a16_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional partial+final aggregates — no per-column scans; the
     oracle is the equivalent conditional aggregation."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
-    )
+    rev = _rev_term()
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.sum(rev))
         .select(
             "l_returnflag",
-            F.coalesce(F.col("F"), F.lit(0)).cast("double").alias("rev_F"),
-            F.coalesce(F.col("O"), F.lit(0)).cast("double").alias("rev_O"),
+            _from_micro(
+                F.coalesce(F.col("F"), F.lit(0).cast("decimal(38,0)")),
+                micro_digits=8,
+            ).alias("rev_F"),
+            _from_micro(
+                F.coalesce(F.col("O"), F.lit(0).cast("decimal(38,0)")),
+                micro_digits=8,
+            ).alias("rev_O"),
         )
         .orderBy("l_returnflag")
     )
@@ -5407,10 +5414,7 @@ def a19_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,4)")
-            ).cast("double").alias("revenue"),
+            _revenue_expr().alias("revenue"),
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
             .cast("int")
             .alias("grouping_id"),
