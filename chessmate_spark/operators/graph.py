@@ -85,11 +85,52 @@ def _fingerprint(e: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _components_driver(raw: DataFrame, rows) -> DataFrame:
+    """Union-find over a COLLECTED edge list — the small-graph route of
+    :func:`connected_components`.  Output-identical to the distributed
+    star rounds (component_id = min node id; self-loop-only nodes are
+    singleton components); only the plan differs.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id becomes the root, so the
+            # final root IS the component minimum without a second pass
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    labels = sorted((node, find(node)) for node in parent)
+    spark = raw.sparkSession
+    node_t = raw.schema["u"].dataType.simpleString()
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(
+        f"node {node_t}, component_id {node_t}"
+    )
+    return spark.createDataFrame(labels, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 25,
+    driver_edge_limit: int = 200_000,
 ) -> DataFrame:
     """(node, component_id) for every node in ``pairs``; component_id is
     the minimum node id of the component.
@@ -97,18 +138,38 @@ def connected_components(
     ``max_rounds`` is a safety valve: large-star/small-star provably
     converges in O(log n) rounds, so 25 covers any realistic graph
     (2^25 ≫ 10^9-node path diameters after the first contraction).
+
+    Small-graph route: when the MEASURED edge count is at most
+    ``driver_edge_limit``, the collected edge list is solved by driver
+    union-find and the labels return as one local relation — zero
+    shuffles, zero iteration rounds.  The dedup pair graphs this module
+    serves are candidate-bounded (pairs, never the corpus), so at bench
+    scale they are tens of rows while the distributed rounds cost ~8
+    scheduler jobs plus ~0.2 s of driver planning EACH (measured round
+    14; six converged rounds ≈ 3 s on a 25-edge graph).  The guard is a
+    measured count, not an estimate — past the limit (200k edges ≈ a
+    few MB collected; well under driver budgets) the star rounds run
+    unchanged, so the 100 TB posture is untouched.  Identity of the two
+    routes is pinned by tests and by the entries' recursive-CTE oracles
+    (d8/d10/d16/d18/d19 hash against the same closure either way).
+    ``driver_edge_limit=0`` forces the distributed path.
     """
-    # lazy localCheckpoint: the fingerprint aggregate is the round's one
-    # action and materializes the checkpoint as a side effect — one Spark
-    # job per round instead of two.  ``raw`` is checkpointed too (it is in
-    # edges' pre-truncation lineage, so it materializes alongside edges'
-    # first fingerprint) because ``nodes`` must derive from the pairs
-    # BEFORE self-loop filtering: a node appearing only in (x, x) pairs
-    # still belongs in the output — as a singleton component — not
-    # silently dropped.
+    # lazy localCheckpoint: the count/fingerprint aggregate is the
+    # round's one action and materializes the checkpoint as a side
+    # effect — one Spark job per round instead of two.  ``raw`` is
+    # checkpointed too (it is in edges' pre-truncation lineage, so it
+    # materializes alongside edges' first fingerprint) because ``nodes``
+    # must derive from the pairs BEFORE self-loop filtering: a node
+    # appearing only in (x, x) pairs still belongs in the output — as a
+    # singleton component — not silently dropped.
     raw = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=False)
+    if driver_edge_limit > 0:
+        # count() materializes the checkpoint; the collect below reads
+        # the checkpointed partitions, not the pair-producer lineage
+        if raw.count() <= driver_edge_limit:
+            return _components_driver(raw, raw.collect())
     edges = _canonical(raw).localCheckpoint(eager=False)
     nodes = (
         raw.select(F.col("u").alias("node"))

@@ -31,11 +31,17 @@ def _uf_components(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {
-        r["node"]: r["component_id"]
-        for r in connected_components(df).collect()
-    }
-    assert got == _uf_components(edges)
+    expected = _uf_components(edges)
+    # both routes: the size-guarded driver union-find (default at this
+    # scale) and the distributed star rounds (driver_edge_limit=0)
+    for limit in (200_000, 0):
+        got = {
+            r["node"]: r["component_id"]
+            for r in connected_components(
+                df, driver_edge_limit=limit
+            ).collect()
+        }
+        assert got == expected, f"route driver_edge_limit={limit}"
 
 
 def test_two_triangles_and_isolated_pair(spark):
@@ -131,3 +137,39 @@ def test_pagerank_empty_edges(spark):
 
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert pagerank(df).count() == 0
+
+
+def test_driver_and_distributed_routes_identical(spark):
+    """Round-14: the size-guarded driver union-find route must be
+    row-identical to the star rounds on graphs with self-loops,
+    duplicate edges, reversed orientation and string ids."""
+    rng = random.Random(99)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges += [(7, 7), (39, 39)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = sorted(
+        (r["node"], r["component_id"])
+        for r in connected_components(df).collect()
+    )
+    slow = sorted(
+        (r["node"], r["component_id"])
+        for r in connected_components(df, driver_edge_limit=0).collect()
+    )
+    assert fast == slow
+
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "x"), ("q", "z")],
+        "id_a string, id_b string",
+    )
+    fast_s = sorted(
+        (r["node"], r["component_id"])
+        for r in connected_components(sdf).collect()
+    )
+    slow_s = sorted(
+        (r["node"], r["component_id"])
+        for r in connected_components(sdf, driver_edge_limit=0).collect()
+    )
+    assert fast_s == slow_s == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("q", "q"), ("x", "x"),
+        ("z", "q"),
+    ]
