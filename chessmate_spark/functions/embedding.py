@@ -138,6 +138,18 @@ def v5_embedding_column(tokens: Column, dim: int = DEFAULT_DIM) -> Column:
     return v5_embedding_udf(dim)(tokens)
 
 
+@_lru_cache(maxsize=32)
+def v5_fen_embedding_column(dim: int = DEFAULT_DIM) -> Column:
+    """The drain/sink embedding column over the ``fen`` field, cached per
+    dim: building the dim-wide aggregate lambda costs O(dim) Py4J calls
+    (~0.3 s of pure driver time at dim=16), and the tree is an immutable
+    name-based unresolved expression, so one instance is safely shared by
+    every plan that selects it."""
+    from .text import tokenize_sources
+
+    return v5_embedding_column(tokenize_sources(F.col("fen")), dim)
+
+
 def duckdb_bucket_sql(a: int, b: int, base_sql: str = None) -> str:
     base = base_sql or (
         f"(('0x' || substring(md5('v5:' || t), 1, 15))::BIGINT % {_P})"

@@ -18,13 +18,13 @@ vector ids are content hashes (re-processing a job overwrites the same row).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.embedding import v5_embedding_column
-from ..functions.text import tokenize_sources
+from ..functions.embedding import v5_fen_embedding_column
 
 VECTOR_DIM_DEFAULT = 16
 
@@ -54,6 +54,52 @@ def claim_batch(jobs: DataFrame, batch_size: int) -> DataFrame:
     )
 
 
+# lookup-side projections, hoisted for the same reason as _payload_columns:
+# name-based immutable trees, rebuilt per drain iteration otherwise.
+# Built lazily (not at module scope) because Column construction needs an
+# active SparkContext.
+@lru_cache(maxsize=1)
+def _lookup_columns() -> Tuple:
+    pos = (
+        F.col("id").alias("position_id"), F.col("game_id"), F.col("ply"),
+        F.col("san"), F.col("side_to_move"), F.col("tags").alias("_pos_tags"),
+    )
+    gm = (
+        F.col("id").alias("game_id"), F.col("opening_slug"),
+        F.col("opening_name"), F.col("eco_code").alias("eco"), F.col("result"),
+        F.col("white_rating").alias("white_elo"),
+        F.col("black_rating").alias("black_elo"),
+        F.col("white_player_id"), F.col("black_player_id"),
+    )
+    white = (F.col("id").alias("_wid"), F.col("name").alias("white"))
+    black = (F.col("id").alias("_bid"), F.col("name").alias("black"))
+    return pos, gm, white, black
+
+
+@lru_cache(maxsize=8)
+def _payload_columns(dim: int) -> Tuple:
+    """The payload projection's Column trees, cached per dim: all are
+    name-based unresolved expressions (no frame reference), so one set is
+    shared across every drain iteration.  Rebuilding them each call cost
+    ~0.35 s of pure Py4J driver time per batch (the embedding lambda alone
+    is O(dim) calls) — measured round 14 on the fixture drain."""
+    tags_schema = "phases array<string>, themes array<string>, keywords array<string>"
+    parsed_tags = F.from_json(F.col("_pos_tags"), tags_schema)
+    arr = lambda field: F.coalesce(parsed_tags[field], F.array().cast("array<string>"))
+    return (
+        F.md5(F.col("fen")).alias("vector_id"),
+        v5_fen_embedding_column(dim).alias("embedding"),
+        F.col("game_id"), F.col("position_id"), F.col("ply"),
+        arr("phases").alias("phases"),
+        arr("themes").alias("themes"),
+        arr("keywords").alias("keywords"),
+        F.col("san"), F.col("side_to_move"), F.col("opening_slug"),
+        F.col("opening_name"), F.col("eco"), F.col("result"),
+        F.col("white_elo"), F.col("black_elo"), F.col("white"),
+        F.col("black"), F.col("fen"),
+    )
+
+
 def build_payload(
     claimed: DataFrame,
     positions: DataFrame,
@@ -67,24 +113,11 @@ def build_payload(
     whitespace tokens — reproducible without any external service
     (query_embedding_provider.ml:19-42 fallback path, promoted to default).
     """
-    pos = positions.select(
-        F.col("id").alias("position_id"), "game_id", "ply", "san",
-        "side_to_move", F.col("tags").alias("_pos_tags"),
-    )
-    gm = games.select(
-        F.col("id").alias("game_id"), "opening_slug", "opening_name",
-        F.col("eco_code").alias("eco"), "result",
-        F.col("white_rating").alias("white_elo"),
-        F.col("black_rating").alias("black_elo"),
-        "white_player_id", "black_player_id",
-    )
-    white = players.select(
-        F.col("id").alias("_wid"), F.col("name").alias("white")
-    )
-    black = players.select(
-        F.col("id").alias("_bid"), F.col("name").alias("black")
-    )
-    tags_schema = "phases array<string>, themes array<string>, keywords array<string>"
+    pos_cols, gm_cols, white_cols, black_cols = _lookup_columns()
+    pos = positions.select(*pos_cols)
+    gm = games.select(*gm_cols)
+    white = players.select(*white_cols)
+    black = players.select(*black_cols)
     joined = (
         claimed.select("position_id", "fen")
         .join(pos, "position_id")
@@ -93,20 +126,7 @@ def build_payload(
         .join(F.broadcast(black), F.col("black_player_id") == F.col("_bid"), "left")
         .drop("_wid", "_bid", "white_player_id", "black_player_id")
     )
-    parsed_tags = F.from_json(F.col("_pos_tags"), tags_schema)
-    arr = lambda field: F.coalesce(parsed_tags[field], F.array().cast("array<string>"))
-    return joined.select(
-        F.md5(F.col("fen")).alias("vector_id"),
-        v5_embedding_column(
-            tokenize_sources(F.col("fen")), dim
-        ).alias("embedding"),
-        "game_id", "position_id", "ply",
-        arr("phases").alias("phases"),
-        arr("themes").alias("themes"),
-        arr("keywords").alias("keywords"),
-        "san", "side_to_move", "opening_slug", "opening_name", "eco",
-        "result", "white_elo", "black_elo", "white", "black", "fen",
-    )
+    return joined.select(*_payload_columns(dim))
 
 
 def apply_transitions(
@@ -156,6 +176,15 @@ def drain_jobs(
     # materialization to the downstream consumers instead of paying a
     # blocking job here — fewer, later jobs, not literally one
     jobs = state.jobs.localCheckpoint(eager=False)
+    # the three payload lookup sides are re-joined EVERY iteration; without
+    # their own truncation each build_payload re-analyzes the full upstream
+    # lineage (for PGN ingest: the whole mapInPandas parse chain) once per
+    # batch — measured ~0.5 s of pure driver planning per iteration on the
+    # fixture drain (round 14).  Lazy checkpoints materialize on first use
+    # inside batch 1 and every later batch plans against a checkpoint leaf.
+    positions = positions.localCheckpoint(eager=False)
+    games = games.localCheckpoint(eager=False)
+    players = players.localCheckpoint(eager=False)
     vectors = state.position_vectors
     batches = state.batches_run
     while batches < max_batches:

@@ -37,8 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.embedding import v5_embedding_column
-from ..functions.text import tokenize_sources
+from ..functions.embedding import v5_fen_embedding_column
 
 POSITIONS_DDL = (
     "id long, game_id long, ply int, move_number int, side_to_move string,"
@@ -59,9 +58,7 @@ def embed_positions(batch: DataFrame, dim: int = 16) -> DataFrame:
     """
     return batch.select(
         F.md5(F.col("fen")).alias("vector_id"),
-        v5_embedding_column(tokenize_sources(F.col("fen")), dim).alias(
-            "embedding"
-        ),
+        v5_fen_embedding_column(dim).alias("embedding"),
         F.col("game_id"),
         F.col("id").alias("position_id"),
         "ply",
