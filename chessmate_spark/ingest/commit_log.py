@@ -370,9 +370,22 @@ class CommitLogTable:
     def _stage(self, df: DataFrame) -> str:
         """Write the data files under a unique staging dir; returns the
         table-relative path.  Staged files are immutable from here on —
-        a conflict retry re-links them, never rewrites them."""
+        a conflict retry re-links them, never rewrites them.
+
+        The write is AQE-REBALANCEd (guide §6: size output files from
+        the data, not from the writer's incidental partitioning): a
+        staged frame inherits its plan's parallelism — 32 shuffle
+        partitions stage 32 files no matter how few rows they hold, and
+        every later ``read()`` of the version pays the per-file open
+        cost forever.  REBALANCE targets
+        ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` at runtime:
+        tiny commits coalesce to one file, large commits split to
+        advisory-size files — scale-adaptive in both directions, at the
+        cost of one exchange of exactly the rows being written."""
         rel = os.path.join(_DATA, uuid.uuid4().hex)
-        df.write.mode("error").parquet(os.path.join(self.path, rel))
+        df.hint("rebalance").write.mode("error").parquet(
+            os.path.join(self.path, rel)
+        )
         return rel
 
     def _try_claim(self, version: int, manifest: dict) -> bool:

@@ -543,7 +543,14 @@ def build_ivfpq_index(
         codes = _encode_codes(
             corpus, corpus_id, corpus_vec, centroids, codebooks
         )
-        codes.write.mode("overwrite").parquet(
+        # REBALANCE before the write (guide §6): the encode pass runs at
+        # the corpus's parallelism, but the ~17-byte code rows are 2-3
+        # orders of magnitude narrower than the vectors — without a
+        # rebalance the codes land as one tiny file per encode task and
+        # every serve scan pays per-file open cost.  AQE sizes the
+        # output from the actual bytes (one file here; advisory-size
+        # files at corpus scale).
+        codes.hint("rebalance").write.mode("overwrite").parquet(
             os.path.join(index_dir, "codes")
         )
         # build-time cell-occupancy baseline (round 12): the reference
