@@ -232,12 +232,53 @@ def dup_clusters(
     )
 
 
+def _pagerank_driver(
+    raw: DataFrame, rows, iterations: int, damping: float
+) -> DataFrame:
+    """Power iteration over a COLLECTED pair list — the small-graph
+    route of :func:`pagerank`.  Same update, same fixed round count,
+    float64 throughout; contributions per node are summed in sorted
+    neighbor order (a deterministic order the distributed partial
+    aggregation is free to differ from by ulps — the entries round to
+    8 digits and the dual-route test pins equality there)."""
+    edges = set()
+    for r in rows:
+        u, v = r[0], r[1]
+        edges.add((u, v))
+        edges.add((v, u))
+    nodes = sorted({u for u, _ in edges})
+    spark = raw.sparkSession
+    node_t = raw.schema["u"].dataType.simpleString()
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(f"node {node_t}, rank double")
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    deg: dict = {}
+    in_nbrs: dict = {u: [] for u in nodes}
+    for u, v in sorted(edges):
+        deg[u] = deg.get(u, 0) + 1
+        in_nbrs[v].append(u)
+    base = (1.0 - damping) / n
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(iterations):
+        rank = {
+            v: base + damping * sum(rank[u] / deg[u] for u in in_nbrs[v])
+            for v in nodes
+        }
+    return spark.createDataFrame(
+        [(u, rank[u]) for u in nodes], schema
+    )
+
+
 def pagerank(
     pairs: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
     src: str = "id_a",
     dst: str = "id_b",
+    driver_edge_limit: int = 200_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair list — the
     web-graph quality signal pretraining pipelines weight documents by,
@@ -253,9 +294,20 @@ def pagerank(
     lazy localCheckpoint), with a FIXED round count instead of a
     convergence test, which keeps the oracle expressible as unrolled SQL.
     """
-    both = pairs.select(
+    raw = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    ).localCheckpoint(eager=False)
+    if driver_edge_limit > 0:
+        # same small-graph route as connected_components (round 14):
+        # dup-pair graphs are candidate-bounded, and ten distributed
+        # rounds cost ~10 scheduler jobs + ~0.1 s driver planning each
+        # even on a 25-edge graph.  The guard is a measured count; past
+        # it the star-shaped rounds below run unchanged, so the 100 TB
+        # posture is untouched.  ``driver_edge_limit=0`` forces the
+        # distributed path (the dual-route tests use it).
+        if raw.count() <= driver_edge_limit:
+            return _pagerank_driver(raw, raw.collect(), iterations, damping)
+    both = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # loop-invariant work hoisted out of the rounds: degree is joined onto
     # the edge list ONCE, and the result is hash-partitioned by u so the
     # per-round join against ranks reuses the partitioning (only the

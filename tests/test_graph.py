@@ -173,3 +173,31 @@ def test_driver_and_distributed_routes_identical(spark):
         ("a", "a"), ("b", "a"), ("c", "a"), ("q", "q"), ("x", "x"),
         ("z", "q"),
     ]
+
+
+def test_pagerank_driver_and_distributed_routes_identical(spark):
+    """Round-14: the size-guarded driver power-iteration route must match
+    the distributed rounds at the entries' 8-digit rounding (d11's
+    contract) on graphs with self-loops and duplicate/reversed edges."""
+    import math
+
+    from chessmate_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(45)]
+    edges += [(4, 4), (2, 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()
+    }
+    slow = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=10, driver_edge_limit=0).collect()
+    }
+    assert set(fast) == set(slow)
+    for v in fast:
+        f8 = math.floor(fast[v] * 1e8 + 0.5) / 1e8
+        s8 = math.floor(slow[v] * 1e8 + 0.5) / 1e8
+        assert f8 == s8, (v, fast[v], slow[v])
+    # both routes conserve total rank mass
+    assert abs(sum(fast.values()) - 1.0) < 1e-9
