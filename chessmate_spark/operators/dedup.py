@@ -797,6 +797,15 @@ def lsh_candidate_pairs(
     )
 
 
+# Verify-matrix broadcast budget (float64 ELEMENTS, not rows — the row
+# gate must shrink as vectors widen): 2^24 elements = 128 MiB, i.e.
+# ~262k vectors at dim 64 or ~10k at the 1536-d production width.
+# Within budget the exact-cosine verify gathers rows from one broadcast
+# matrix and candidate pairs cross the Python boundary as two ids;
+# past it the two-join attach runs unchanged.
+_VERIFY_MATRIX_MAX_ELEMS = 1 << 24
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str,
@@ -844,6 +853,63 @@ def embedding_neardup_lsh(
         df, id_col, vec_col, dim=dim, n_planes=n_planes,
         n_tables=n_tables, seed=seed,
     )
+    # Verify route (round 14, guide §8: decide with small rows, move big
+    # rows once — here, move the big rows ZERO times): attaching vectors
+    # to candidate pairs by two joins ships 2·dim doubles per candidate
+    # through the exchange and the Arrow boundary (~1 KB/pair at dim 64;
+    # ~hundreds of MB at bench candidate volumes) when the per-pair
+    # decision needs only the two ids.  When the whole (id, vector)
+    # projection fits a driver broadcast — the probe-collect doubles as
+    # the gate, so the measured size decides, not an estimate — the
+    # pairs stream ONLY (id_a, id_b) into an Arrow pass that gathers
+    # both rows from the broadcast matrix and computes the identical
+    # numpy expressions pandas_cosine runs (same float64 values, same
+    # (A*B).sum(1) reduction: bit-identical scores).  Past the gate the
+    # two-join plan below runs unchanged — the 10^9-row posture, where
+    # the vector projection outgrows any broadcast.
+    max_rows = _VERIFY_MATRIX_MAX_ELEMS // max(int(dim), 1)
+    probe = (
+        df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(probe) <= max_rows:
+        import numpy as np
+        import pandas as pd
+
+        ids_list = [r["_vid"] for r in probe]
+        matrix = (
+            np.stack([np.asarray(r["_v"], dtype=np.float64) for r in probe])
+            if probe
+            else np.zeros((0, 1))
+        )
+        bc = df.sparkSession.sparkContext.broadcast((ids_list, matrix))
+
+        def _verify(batches):
+            ids_l, M = bc.value
+            idx = {v: i for i, v in enumerate(ids_l)}
+            for pdf in batches:
+                ia = pdf["id_a"].map(idx).to_numpy(dtype=np.int64)
+                ib = pdf["id_b"].map(idx).to_numpy(dtype=np.int64)
+                A, B = M[ia], M[ib]
+                dots = (A * B).sum(1)
+                denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                out = np.where(
+                    denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom)
+                )
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "score": out}
+                )
+
+        id_t = dict(df.dtypes)[id_col]
+        raw = pairs.select("id_a", "id_b").mapInPandas(
+            _verify, f"id_a {id_t}, id_b {id_t}, score double"
+        )
+        scored = raw.select(
+            "id_a", "id_b",
+            portable_round(F.col("score"), round_digits).alias("score"),
+        )
+        return scored.filter(F.col("score") >= F.lit(threshold))
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     # no forced broadcast: AQE broadcasts the (id, vector) projection when
     # it fits and falls back to a key-partitioned join when it doesn't

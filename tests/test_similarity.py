@@ -929,3 +929,40 @@ def test_portable_hyperplane_neardup_pruning_regime(spark, emb):
     assert cand < 0.2 * n * (n - 1) / 2, (
         f"candidate stage did not prune: {cand} of {n*(n-1)//2} pairs"
     )
+
+
+def test_lsh_verify_routes_bit_identical(spark, monkeypatch):
+    """Round-14: the broadcast-matrix exact-cosine verify (pairs cross
+    the Python boundary as two ids) must be BIT-identical to the
+    two-join pandas_cosine attach it replaces — same float64 gathers,
+    same (A*B).sum(1) reduction, same portable rounding."""
+    import random
+
+    from chessmate_spark.operators import dedup as dd
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    rows.append((300, [0.0] * 16))  # zero-norm guard parity
+    rows.append((301, rows[5][1]))  # an exact duplicate pair
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+
+    fast = sorted(
+        map(
+            tuple,
+            dd.embedding_neardup_lsh(
+                df, "id", "v", 0.2, dim=16, n_planes=3, n_tables=8
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(dd, "_VERIFY_MATRIX_MAX_ELEMS", 0)
+    slow = sorted(
+        map(
+            tuple,
+            dd.embedding_neardup_lsh(
+                df, "id", "v", 0.2, dim=16, n_planes=3, n_tables=8
+            ).collect(),
+        )
+    )
+    assert fast == slow and len(fast) > 0
