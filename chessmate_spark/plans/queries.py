@@ -6043,7 +6043,14 @@ def j12_fuzzy_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("blk") == F.col("b_blk"))
             & (F.col("ln") == F.col("ln_k"))
             & (F.col("p_partkey") != F.col("b_key"))
-            & (F.levenshtein(F.col("p_name"), F.col("b_name")) <= 1),
+            # thresholded form (Spark 3.5+): the banded algorithm
+            # early-exits past distance 1 — O(k·len) per pair instead of
+            # the full O(len²) DP table; returns -1 iff distance > 1, so
+            # `BETWEEN 0 AND 1` is boolean-identical to `lev(a,b) <= 1`
+            & (
+                F.levenshtein(F.col("p_name"), F.col("b_name"), 1)
+                .between(0, 1)
+            ),
         )
         .groupBy("p_partkey", "p_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_matches"))
