@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_frame
+
 
 def _canonical(e: DataFrame) -> DataFrame:
     """Undirected edge set, oriented min→max, self-loops dropped."""
@@ -122,7 +124,7 @@ def _components_driver(raw: DataFrame, rows) -> DataFrame:
     schema = _parse_datatype_string(
         f"node {node_t}, component_id {node_t}"
     )
-    return spark.createDataFrame(labels, schema)
+    return local_frame(spark, labels, schema)
 
 
 def connected_components(
@@ -267,9 +269,7 @@ def _pagerank_driver(
             v: base + damping * sum(rank[u] / deg[u] for u in in_nbrs[v])
             for v in nodes
         }
-    return spark.createDataFrame(
-        [(u, rank[u]) for u in nodes], schema
-    )
+    return local_frame(spark, [(u, rank[u]) for u in nodes], schema)
 
 
 def pagerank(

@@ -28,6 +28,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import local_frame
+
 from ..functions.vector import cosine_similarity, query_vector_lit
 from .topk import topk, topk_per_group
 
@@ -1083,8 +1085,9 @@ def pq_topk(
         )
     spark = queries.sparkSession
     q_type = dict(queries.dtypes)[query_id]
-    luts = spark.createDataFrame(
-        lut_rows, f"_q_id {q_type}, _lut array<double>, _q_vec array<double>"
+    luts = local_frame(
+        spark, lut_rows,
+        f"_q_id {q_type}, _lut array<double>, _q_vec array<double>",
     )
     # ADC: sum over subspaces of LUT[sub*ksub + code[sub]] — pure
     # expression over the broadcast LUT (see _adc_sum)
@@ -1278,12 +1281,12 @@ def ivfpq_topk(
         qvec_rows.append((r[query_id], [float(x) for x in r[query_vec]]))
     spark = queries.sparkSession
     q_type = dict(queries.dtypes)[query_id]
-    luts = spark.createDataFrame(
-        lut_rows,
+    luts = local_frame(
+        spark, lut_rows,
         f"_q_id {q_type}, _cell int, _lut array<double>, _qc double",
     )
-    qvecs = spark.createDataFrame(
-        qvec_rows, f"_q_id {q_type}, _q_vec array<double>"
+    qvecs = local_frame(
+        spark, qvec_rows, f"_q_id {q_type}, _q_vec array<double>"
     )
 
     # cell-pruned ADC: equi-join on _cell (broadcast), never a cross join
