@@ -305,6 +305,51 @@ def vocabulary(
     )
 
 
+# Word-TYPE gate for the driver BPE route: 1M types x ~30 bytes is tens
+# of MB of driver memory — the footprint reference BPE trainers assume.
+_BPE_DRIVER_TYPES_LIMIT = 1_000_000
+
+
+def _bpe_merges_driver(types, n_merges: int) -> "list[tuple[str, str, int]]":
+    """The merge loop over a COLLECTED (word, freq) type table — exact
+    integer pair counts, (cnt desc, l asc, r asc) argmax, left-to-right
+    non-overlapping pair merge: the same semantics as the distributed
+    rounds (dual-route test + the pure-Python reference pin)."""
+    vocab = [(list(r["word"]), int(r["freq"])) for r in types]
+    merges: list = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, cnt))
+        merged = l + r
+        for k, (syms, freq) in enumerate(vocab):
+            if len(syms) < 2:
+                continue
+            out = []
+            i = 0
+            n = len(syms)
+            changed = False
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                vocab[k] = (out, freq)
+    return merges
+
+
 def learn_bpe_merges(
     df: DataFrame,
     id_col: str,
@@ -333,6 +378,20 @@ def learn_bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # Small-types route (round 14, the union-find/pagerank gate pattern):
+    # after the one corpus-scale aggregate the loop runs on the WORD-TYPE
+    # table, which is what reference BPE trainers hold in memory outright
+    # — when the measured type count fits the gate, the merge rounds run
+    # as driver dict arithmetic (exact integer counts, the same
+    # (cnt desc, l asc, r asc) tie-break: UTF-8 byte order and Python
+    # code-point order agree) instead of n_merges aggregate+collect
+    # Spark jobs (~2 jobs + ~0.15 s driver planning per round).  Past
+    # the gate the distributed rounds below run unchanged — types grow
+    # with vocabulary, not corpus bytes, so even the 100 TB posture
+    # rarely exceeds it, but the fallback keeps the bound honest.
+    types = words.limit(_BPE_DRIVER_TYPES_LIMIT + 1).collect()
+    if len(types) <= _BPE_DRIVER_TYPES_LIMIT:
+        return _bpe_merges_driver(types, n_merges)
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.concat(F.lit("<"), F.col("word").substr(i, F.lit(1)), F.lit(">")),

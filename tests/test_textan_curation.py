@@ -164,3 +164,24 @@ def test_bpe_merges_match_python_reference(spark):
                     i += 1
             vocab[w] = out
     assert got == expect, (got, expect)
+
+
+def test_bpe_driver_and_distributed_routes_identical(spark, monkeypatch):
+    """Round-14: the size-gated driver merge loop must equal the
+    distributed rounds merge-for-merge on a real corpus, for both the
+    ascii and unicode tokenizers."""
+    from chessmate_spark.operators import textan as tx
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    for tok in ("ascii", "unicode"):
+        fast = tx.learn_bpe_merges(
+            docs, "doc_id", "text", n_merges=5, tokenizer=tok
+        )
+        monkeypatch.setattr(tx, "_BPE_DRIVER_TYPES_LIMIT", 0)
+        slow = tx.learn_bpe_merges(
+            docs, "doc_id", "text", n_merges=5, tokenizer=tok
+        )
+        monkeypatch.undo()
+        assert fast == slow and len(fast) == 5, (tok, fast, slow)
