@@ -107,17 +107,25 @@ def heavy_hitters_sketch(
 # convention), so the sketch is bit-deterministic and oracle-checkable.
 
 
-def _cm_bucket(key, j: int, width: int):
-    # one md5-prefix-to-bigint convention in the codebase: reuse
-    # hashing._hash60 so the bucket derivation can't drift from the
-    # oracle SQL that mirrors it
+def _cm_bucket(key, j: int, width: int, family: str = "md5"):
+    # "md5": the one md5-prefix-to-bigint convention in the codebase
+    # (hashing._hash60) so the bucket derivation can't drift from the
+    # oracle SQL that mirrors it (a29 exposes these estimates).
+    # "xxhash64": the JVM-native family for consumers whose OUTPUT is
+    # invariant to the hash family — countmin_prefilter's gate is
+    # lossless for ANY upper-bound sketch, and four md5(string)+conv
+    # per row per pass dominated t26's task time (round 14).  pmod:
+    # xxhash64 is signed.
+    if family == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(j), key), F.lit(width))
     from ..functions.hashing import _hash60
 
     return _hash60(F.lit(f"cm{j}"), key.cast("string")) % width
 
 
 def countmin_table(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512,
+    family: str = "md5",
 ) -> DataFrame:
     """The CMS as a (depth, bucket, cnt) DataFrame — depth*width rows
     total regardless of corpus size.
@@ -131,7 +139,7 @@ def countmin_table(
         *[
             F.struct(
                 F.lit(j).alias("depth"),
-                _cm_bucket(F.col(key_col), j, width).alias("bucket"),
+                _cm_bucket(F.col(key_col), j, width, family).alias("bucket"),
             )
             for j in range(depth)
         ]
@@ -265,7 +273,8 @@ def countmin_prefilter(
             f"input columns {clash} collide with countmin_prefilter's "
             f"reserved working prefix {_pfx!r}; rename them first"
         )
-    cms = countmin_table(df, key_col, depth=depth, width=width)
+    cms = countmin_table(df, key_col, depth=depth, width=width,
+                         family="xxhash64")
     est_cols = []
     out = df
     for j in range(depth):
@@ -274,7 +283,8 @@ def countmin_prefilter(
             F.col("cnt").alias(f"{_pfx}cnt{j}"),
         )
         out = out.withColumn(
-            f"{_pfx}b{j}", _cm_bucket(F.col(key_col), j, width)
+            f"{_pfx}b{j}",
+            _cm_bucket(F.col(key_col), j, width, family="xxhash64"),
         ).join(F.broadcast(slice_j), f"{_pfx}b{j}", "left")
         # empty buckets estimate 0 (sketch stores non-zero cells only)
         est_cols.append(
