@@ -138,16 +138,35 @@ def v5_embedding_column(tokens: Column, dim: int = DEFAULT_DIM) -> Column:
     return v5_embedding_udf(dim)(tokens)
 
 
+def active_context_key() -> int:
+    """Cache key tying a Py4J-backed Column tree to the JVM that built
+    it (round-14 ADVICE): a cached unresolved Column references gateway
+    objects of ONE SparkContext — after a stop/relaunch in the same
+    process (long-lived services, test harnesses) the old tree points
+    at a dead gateway and every use fails opaquely.  Keying the cache
+    on the active context's identity makes a restarted context rebuild
+    its trees; the old entries age out of the LRU."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc) if sc is not None else 0
+
+
 @_lru_cache(maxsize=32)
-def v5_fen_embedding_column(dim: int = DEFAULT_DIM) -> Column:
-    """The drain/sink embedding column over the ``fen`` field, cached per
-    dim: building the dim-wide aggregate lambda costs O(dim) Py4J calls
-    (~0.3 s of pure driver time at dim=16), and the tree is an immutable
-    name-based unresolved expression, so one instance is safely shared by
-    every plan that selects it."""
+def _v5_fen_embedding_column(dim: int, ctx_key: int) -> Column:
     from .text import tokenize_sources
 
     return v5_embedding_column(tokenize_sources(F.col("fen")), dim)
+
+
+def v5_fen_embedding_column(dim: int = DEFAULT_DIM) -> Column:
+    """The drain/sink embedding column over the ``fen`` field, cached per
+    (dim, active SparkContext): building the dim-wide aggregate lambda
+    costs O(dim) Py4J calls (~0.3 s of pure driver time at dim=16), and
+    the tree is an immutable name-based unresolved expression, so one
+    instance is safely shared by every plan that selects it — within
+    the JVM that built it (see ``active_context_key``)."""
+    return _v5_fen_embedding_column(dim, active_context_key())
 
 
 def duckdb_bucket_sql(a: int, b: int, base_sql: str = None) -> str:

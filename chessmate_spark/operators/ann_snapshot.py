@@ -531,14 +531,31 @@ def snapshot_vacuum(
         orphans = [n for n in entries if n not in referenced]
     else:
         ranked, orphans = entries, []
-    keep = set(ranked[: max(1, int(keep_models))]) | {current.model}
-    for name in orphans + [n for n in ranked if n not in keep]:
-        shutil.rmtree(os.path.join(models_dir, name))
-        removed.append(os.path.join(_MODELS, name))
     window = (
         retention_seconds if retention_seconds is not None else 600.0
     )
     now = _time.time()
+    keep = set(ranked[: max(1, int(keep_models))]) | {current.model}
+    # orphans get the same retention window the .current-* sweep below
+    # applies (round-15, closing the round-14 ADVICE race): a model dir
+    # written by an IN-FLIGHT build/rebuild — _write_model done, codes
+    # commit (which spans the distributed encode) not yet landed — is
+    # indistinguishable from a failed rebuild's leftover; deleting it
+    # unconditionally would let the rebuild flip CURRENT to a removed
+    # dir and break every later pin.load().  Superseded RANKED models
+    # are deleted regardless of age: they are referenced by expired
+    # history only, never by an in-flight commit.
+    doomed = [n for n in ranked if n not in keep]
+    for name in orphans:
+        p = os.path.join(models_dir, name)
+        try:
+            if now - os.path.getmtime(p) > window:
+                doomed.append(name)
+        except FileNotFoundError:
+            continue
+    for name in doomed:
+        shutil.rmtree(os.path.join(models_dir, name))
+        removed.append(os.path.join(_MODELS, name))
     for name in os.listdir(root):
         # a crashed _flip_current leaves its fsynced-but-never-replaced
         # temp pointer behind; anything past the retention window

@@ -806,6 +806,29 @@ def lsh_candidate_pairs(
 _VERIFY_MATRIX_MAX_ELEMS = 1 << 24
 
 
+# Broadcast (id, vector) matrices handed to in-flight verify plans, per
+# SparkContext id.  Each new broadcast-path call UNPERSISTS (not
+# destroys) the earlier ones: executor-resident copies are reclaimed —
+# a long-lived session holds at most one matrix's executor footprint —
+# while an older, still-lazy verify plan stays executable (an
+# unpersisted broadcast is re-shipped from the driver on next use; a
+# destroyed one would fail).  Driver-side copies live until the
+# SparkContext stops; at the 128 MiB gate that bound is explicit.
+_VERIFY_BROADCASTS: dict = {}
+
+
+def _register_verify_broadcast(sc, bc) -> None:
+    key = id(sc)
+    stale = _VERIFY_BROADCASTS.setdefault(key, [])
+    for old in stale:
+        try:
+            old.unpersist(False)
+        except Exception:  # noqa: BLE001 — a stopped context is fine
+            pass
+    stale.clear()
+    stale.append(bc)
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str,
@@ -817,6 +840,7 @@ def embedding_neardup_lsh(
     seed: int = 42,
     round_digits: int = 6,
     candidates: Optional[DataFrame] = None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Approximate near-dup pairs at scale: candidates are LSH bucket
     collisions (both sides shuffle only on (table, signature) — never
@@ -839,6 +863,12 @@ def embedding_neardup_lsh(
     dials produced it (the scale-smoke planner probe counts candidates
     from the same frame it then verifies; a stale frame with different
     dials would be verified without error).
+
+    ``n_rows``: the corpus row count, when the caller already measured
+    it (round-14 ADVICE) — gates the broadcast-matrix verify route
+    WITHOUT the up-to-128 MiB probe collect, which otherwise runs (and
+    is discarded) even when the corpus exceeds the gate and the
+    two-join path must run anyway.
     """
     from ..functions.scoring import portable_round
     from ..functions.vector_pandas import pandas_cosine
@@ -868,12 +898,18 @@ def embedding_neardup_lsh(
     # two-join plan below runs unchanged — the 10^9-row posture, where
     # the vector projection outgrows any broadcast.
     max_rows = _VERIFY_MATRIX_MAX_ELEMS // max(int(dim), 1)
-    probe = (
-        df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-        .limit(max_rows + 1)
-        .collect()
-    )
-    if len(probe) <= max_rows:
+    if n_rows is not None and n_rows > max_rows:
+        # caller-measured count says the matrix cannot fit: skip the
+        # probe collect entirely (round-14 ADVICE — the probe used to
+        # pull up to 128 MiB of vectors only to discard them here)
+        probe = None
+    else:
+        probe = (
+            df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+            .limit(max_rows + 1)
+            .collect()
+        )
+    if probe is not None and len(probe) <= max_rows:
         import numpy as np
         import pandas as pd
 
@@ -883,7 +919,9 @@ def embedding_neardup_lsh(
             if probe
             else np.zeros((0, 1))
         )
-        bc = df.sparkSession.sparkContext.broadcast((ids_list, matrix))
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast((ids_list, matrix))
+        _register_verify_broadcast(sc, bc)
 
         def _verify(batches):
             ids_l, M = bc.value
@@ -984,20 +1022,23 @@ def portable_hyperplane_neardup(
     n_tables: int,
     quant: int = 1_000_000,
     round_digits: int = 6,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Planned-banding near-dup detection in the PRUNING regime with a
     fully portable candidate stage: ``portable_lsh_candidate_pairs``
     buckets, then the standard exact-cosine verification tail.  Callers
     size (n_planes, n_tables) with ``lsh_plan_for`` at their threshold;
     the d25 entry freezes the gate-corpus plan so a static SQL oracle
-    can mirror the banding (the d24 convention)."""
+    can mirror the banding (the d24 convention).  ``n_rows`` forwards
+    the caller's measured corpus count to the verify-route gate (see
+    ``embedding_neardup_lsh``)."""
     cands = portable_lsh_candidate_pairs(
         df, id_col, vec_col, dim=dim, n_planes=n_planes,
         n_tables=n_tables, quant=quant,
     )
     return embedding_neardup_lsh(
         df, id_col, vec_col, threshold, dim=dim, round_digits=round_digits,
-        candidates=cands,
+        candidates=cands, n_rows=n_rows,
     )
 
 

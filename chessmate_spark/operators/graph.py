@@ -164,9 +164,19 @@ def connected_components(
     # must derive from the pairs BEFORE self-loop filtering: a node
     # appearing only in (x, x) pairs still belongs in the output — as a
     # singleton component — not silently dropped.
-    raw = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=False)
+    # null-endpoint pairs are dropped WHOLESALE before either route
+    # (round-14 ADVICE): the distributed star rounds shed them through
+    # their equi-joins anyway (a null key matches nothing), while the
+    # driver union-find would raise TypeError sorting None against
+    # real ids — one explicit filter gives both routes the same,
+    # documented semantics on dirty input.  Dedup pair frames never
+    # carry nulls (ids are non-null by construction), so declared
+    # entries are unaffected.
+    raw = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     if driver_edge_limit > 0:
         # count() materializes the checkpoint; the collect below reads
         # the checkpointed partitions, not the pair-producer lineage
@@ -294,9 +304,13 @@ def pagerank(
     lazy localCheckpoint), with a FIXED round count instead of a
     convergence test, which keeps the oracle expressible as unrolled SQL.
     """
-    raw = pairs.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=False)
+    # null-endpoint pairs dropped before either route — see
+    # connected_components (round-14 ADVICE; same rationale)
+    raw = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     if driver_edge_limit > 0:
         # same small-graph route as connected_components (round 14):
         # dup-pair graphs are candidate-bounded, and ten distributed

@@ -154,10 +154,23 @@ def _from_micro(sum_col, micro_digits=4):
     return out.cast("double")
 
 
+def _msum(micro_col):
+    """Sum of a micro-unit term with GRAND-TOTAL headroom: the long
+    term is cast to ``decimal(38,0)`` before the sum (round-14 ADVICE —
+    a plain long sum overflows at ~9.2e14 currency units, i.e. below
+    the repo's 10¹¹-row posture for q1's grand totals; ANSI on would
+    hard-error at scale, ANSI off would wrap silently).  The long→
+    decimal cast is an integer conversion, so the round-14 win over
+    ``BigDecimal.valueOf(double)`` is kept; ``_rev_term`` already used
+    exactly this shape.  Per-group sums with a PROVABLE bound (q18's
+    per-order quantity: ≤ 5e5 micro-units per line) may stay long."""
+    return F.sum(micro_col.cast("decimal(38,0)"))
+
+
 def _dsum(col):
     """Exact decimal-semantics sum cast to double (order-independent,
-    oracle-exact) — micro-unit form, see ``_micro4``."""
-    return _from_micro(F.sum(_micro4(col)))
+    oracle-exact) — micro-unit form, see ``_micro4``/``_msum``."""
+    return _from_micro(_msum(_micro4(col)))
 
 
 _REVENUE = (
@@ -1337,6 +1350,7 @@ def d27_hyperplane_adaptive_neardup(spark: SparkSession, sf_dir: str) -> DataFra
     out = portable_hyperplane_neardup(
         aug, "id", "v", _D25_THRESHOLD, dim=_EMBED_DIM,
         n_planes=plan.n_planes, n_tables=plan.n_tables, quant=_D25_QUANT,
+        n_rows=n,
     )
     return out.orderBy("id_a", "id_b")
 
@@ -2555,7 +2569,7 @@ def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes, tables = lsh_banding_for(n)
         out = embedding_neardup_lsh(
             emb, "vec_id", "embedding", _NEARDUP_THRESHOLD, dim=_EMBED_DIM,
-            n_planes=planes, n_tables=tables,
+            n_planes=planes, n_tables=tables, n_rows=n,
         )
     else:
         out = embedding_neardup_pairs(
@@ -3992,7 +4006,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rows.groupBy("nation", "o_year")
-        .agg(_from_micro(F.sum("amount")).alias("sum_profit"))
+        .agg(_from_micro(_msum(F.col("amount"))).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -4032,7 +4046,9 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     total = pv.agg(
-        (_from_micro(F.sum("_value_m")) * F.lit(0.0008)).alias("_threshold")
+        (_from_micro(_msum(F.col("_value_m"))) * F.lit(0.0008)).alias(
+            "_threshold"
+        )
     )
     return (
         pv.crossJoin(F.broadcast(total))
@@ -4198,7 +4214,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avgq, li["l_partkey"] == avgq["a_partkey"])
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(
-            (_from_micro(F.sum(_micro4("l_extendedprice")))
+            (_from_micro(_msum(_micro4("l_extendedprice")))
              / F.lit(7.0)).alias("avg_yearly")
         )
     )

@@ -57,9 +57,11 @@ def claim_batch(jobs: DataFrame, batch_size: int) -> DataFrame:
 # lookup-side projections, hoisted for the same reason as _payload_columns:
 # name-based immutable trees, rebuilt per drain iteration otherwise.
 # Built lazily (not at module scope) because Column construction needs an
-# active SparkContext.
-@lru_cache(maxsize=1)
-def _lookup_columns() -> Tuple:
+# active SparkContext; keyed on the active context's identity so a
+# stopped-and-relaunched JVM rebuilds the trees instead of serving dead
+# gateway references (round-14 ADVICE — see embedding.active_context_key).
+@lru_cache(maxsize=2)
+def _lookup_columns_for(ctx_key: int) -> Tuple:
     pos = (
         F.col("id").alias("position_id"), F.col("game_id"), F.col("ply"),
         F.col("san"), F.col("side_to_move"), F.col("tags").alias("_pos_tags"),
@@ -76,13 +78,22 @@ def _lookup_columns() -> Tuple:
     return pos, gm, white, black
 
 
+def _lookup_columns() -> Tuple:
+    from ..functions.embedding import active_context_key
+
+    return _lookup_columns_for(active_context_key())
+
+
 @lru_cache(maxsize=8)
-def _payload_columns(dim: int) -> Tuple:
-    """The payload projection's Column trees, cached per dim: all are
-    name-based unresolved expressions (no frame reference), so one set is
-    shared across every drain iteration.  Rebuilding them each call cost
-    ~0.35 s of pure Py4J driver time per batch (the embedding lambda alone
-    is O(dim) calls) — measured round 14 on the fixture drain."""
+def _payload_columns_for(dim: int, ctx_key: int) -> Tuple:
+    """The payload projection's Column trees, cached per (dim, active
+    SparkContext): all are name-based unresolved expressions (no frame
+    reference), so one set is shared across every drain iteration within
+    the JVM that built it (round-14 ADVICE — a restarted context must
+    rebuild, see embedding.active_context_key).  Rebuilding them each
+    call cost ~0.35 s of pure Py4J driver time per batch (the embedding
+    lambda alone is O(dim) calls) — measured round 14 on the fixture
+    drain."""
     tags_schema = "phases array<string>, themes array<string>, keywords array<string>"
     parsed_tags = F.from_json(F.col("_pos_tags"), tags_schema)
     arr = lambda field: F.coalesce(parsed_tags[field], F.array().cast("array<string>"))
@@ -126,7 +137,9 @@ def build_payload(
         .join(F.broadcast(black), F.col("black_player_id") == F.col("_bid"), "left")
         .drop("_wid", "_bid", "white_player_id", "black_player_id")
     )
-    return joined.select(*_payload_columns(dim))
+    from ..functions.embedding import active_context_key
+
+    return joined.select(*_payload_columns_for(dim, active_context_key()))
 
 
 def apply_transitions(

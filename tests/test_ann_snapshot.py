@@ -379,10 +379,13 @@ def test_vacuum_orphan_model_does_not_consume_keep_slot(
     spark, centers, tmp_path
 ):
     """Round-13 ADVICE (low), closed: a model dir orphaned by a failed
-    rebuild (written, never flipped, referenced by no codes commit) is
-    the newest entry by mtime; vacuum must delete it WITHOUT letting it
-    consume a keep_models slot, and must sweep stale .current-* temp
-    pointers."""
+    rebuild (written, never flipped, referenced by no codes commit)
+    must be deleted WITHOUT consuming a keep_models slot, and stale
+    .current-* temp pointers must be swept.  Round-14 ADVICE (medium),
+    closed on top: orphan deletion honors the retention window — a
+    model dir YOUNGER than the window may belong to an IN-FLIGHT
+    build/rebuild (written before its codes commit, a window that
+    spans the distributed encode) and must survive the vacuum."""
     import time as _t
 
     from chessmate_spark.operators.ann_snapshot import (
@@ -414,20 +417,26 @@ def test_vacuum_orphan_model_does_not_consume_keep_slot(
     old = _t.time() - 3600
     os.utime(orphan, (old + 10, old + 10))
     os.utime(stale_tmp, (old, old))
-    # make the orphan the NEWEST-looking entry (the failure mode: it
-    # outranks every legitimate model by mtime)
-    _t.sleep(0.01)
-    os.utime(orphan, None)
+    # an IN-FLIGHT writer's model dir: fresh mtime, not yet referenced
+    # by any codes commit (its overwrite/append has not landed)
+    inflight = os.path.join(root, _MODELS, "m-feedface0000")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "centroids.parquet"), "w") as fh:
+        fh.write("junk")
 
     removed = snapshot_vacuum(
         spark, root, keep_codes_versions=2, keep_models=2,
         retention_seconds=120.0,
     )
     models_left = set(os.listdir(os.path.join(root, _MODELS)))
-    # the orphan is gone, BOTH legitimate models survive (the orphan
-    # did not consume a keep slot), and the stale temp pointer is swept
+    # the STALE orphan is gone, BOTH legitimate models survive (the
+    # orphan did not consume a keep slot), the FRESH orphan survives
+    # (retention window: it may be an in-flight rebuild's model), and
+    # the stale temp pointer is swept
     assert "m-deadbeef0000" not in models_left
+    assert "m-feedface0000" in models_left
     assert built.model in models_left
     assert snapshot_pin(root).model in models_left
     assert not os.path.exists(stale_tmp)
     assert any("m-deadbeef0000" in r for r in removed)
+    assert not any("m-feedface0000" in r for r in removed)

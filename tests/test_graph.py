@@ -201,3 +201,46 @@ def test_pagerank_driver_and_distributed_routes_identical(spark):
         assert f8 == s8, (v, fast[v], slow[v])
     # both routes conserve total rank mass
     assert abs(sum(fast.values()) - 1.0) < 1e-9
+
+
+def test_null_endpoint_pairs_dropped_on_both_routes(spark):
+    """Round-14 ADVICE: a null id in the pair list must not crash the
+    driver union-find / power-iteration routes (Python sorted() cannot
+    order None against ids).  Both routes now drop null-endpoint pairs
+    wholesale before solving — identical, documented dirty-input
+    semantics."""
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    from chessmate_spark.operators.graph import pagerank
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType(), True),
+            StructField("id_b", LongType(), True),
+        ]
+    )
+    rows = [(1, 2), (2, 3), (None, 4), (5, None), (None, None), (7, 7)]
+    df = spark.createDataFrame(rows, schema)
+    clean = [(a, b) for a, b in rows if a is not None and b is not None]
+    expected = _uf_components(clean)
+    for limit in (200_000, 0):
+        got = {
+            r["node"]: r["component_id"]
+            for r in connected_components(
+                df, driver_edge_limit=limit
+            ).collect()
+        }
+        assert got == expected, f"route driver_edge_limit={limit}"
+    ranks_driver = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3).collect()
+    }
+    ranks_dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3, driver_edge_limit=0).collect()
+    }
+    assert set(ranks_driver) == set(ranks_dist) == {1, 2, 3, 7}
+    for k in ranks_driver:
+        assert abs(ranks_driver[k] - ranks_dist[k]) < 1e-9

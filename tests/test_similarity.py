@@ -966,3 +966,46 @@ def test_lsh_verify_routes_bit_identical(spark, monkeypatch):
         )
     )
     assert fast == slow and len(fast) > 0
+
+
+def test_verify_gate_skips_probe_with_caller_count(spark, monkeypatch):
+    """Round-14 ADVICE: when the caller passes a measured n_rows ABOVE
+    the matrix gate, the probe collect (up to 128 MiB of vectors) must
+    be skipped entirely and the two-join path taken — identical rows,
+    zero driver collect."""
+    import random
+
+    from chessmate_spark.operators import dedup as dd
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(4)
+
+    via_matrix = sorted(
+        map(
+            tuple,
+            dd.embedding_neardup_lsh(
+                df, "id", "v", 0.2, dim=16, n_planes=3, n_tables=8,
+                n_rows=120,
+            ).collect(),
+        )
+    )
+    # n_rows past the gate: the probe collect must not run at all
+    calls = {"n": 0}
+    orig = dd.DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(dd.DataFrame, "collect", counting_collect)
+    routed = dd.embedding_neardup_lsh(
+        df, "id", "v", 0.2, dim=16, n_planes=3, n_tables=8,
+        n_rows=dd._VERIFY_MATRIX_MAX_ELEMS,  # far past the gate
+    )
+    assert calls["n"] == 0, "probe collect ran despite a past-gate n_rows"
+    monkeypatch.setattr(dd.DataFrame, "collect", orig)
+    via_joins = sorted(map(tuple, routed.collect()))
+    assert via_matrix == via_joins and len(via_matrix) > 0
