@@ -41,8 +41,28 @@ Entry = Tuple[SparkBuilder, Optional[str]]
 QUERIES: Dict[str, Entry] = {}
 
 
+# Inferred parquet schemas per (SparkContext, path) — METADATA caching,
+# not data caching (round 15, guide §1.2/§7.3 plan-build cost): every
+# bare ``spark.read.parquet(path)`` runs a 1-task footer-inference job
+# before the query proper, and the suite re-reads the same immutable
+# tables hundreds of times (2-3 ``_t`` calls per entry).  Passing the
+# once-inferred schema back via ``.schema(...)`` skips exactly that job;
+# the data is re-scanned from parquet on every action as before.  Keyed
+# on the active context so a relaunched JVM re-infers.
+_SCHEMA_CACHE: Dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..functions.embedding import active_context_key
+
+    path = f"{sf_dir}/{name}.parquet"
+    key = (active_context_key(), path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _sf_token(sf_dir: str) -> str:
@@ -114,6 +134,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN entries' 5-row query frame off the RAW embeddings scan
+    (round 15, guide §6 predicate pushdown): every serve collects the
+    query vectors once, and routing that collect through ``_emb``'s
+    corpus-wide ``_spread`` repartition made each one a full-table
+    shuffle + 32 tiny tasks — the filter now pushes down to the parquet
+    scan (PushedFilters: vec_id < 5) and the collect is one single-task
+    job.  Row-identical to filtering the spread frame; ``_spread``
+    stays on the corpus side, where the per-row compute is."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .filter(F.col("query_id") < 5)
+    )
 
 
 def _register(name: str, oracle: Optional[str]):
@@ -696,9 +732,7 @@ def _knn_oracle() -> str:
 
 def _v2_knn_join_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
-        F.col("query_id") < 5
-    )
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
@@ -2449,9 +2483,7 @@ def v6_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_bucketed_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
-        F.col("query_id") < 5
-    )
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
@@ -2600,9 +2632,7 @@ def v7_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_knn_join, ivf_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
-        F.col("query_id") < 5
-    )
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
@@ -2675,9 +2705,7 @@ def v10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
-        F.col("query_id") < 5
-    )
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
@@ -2753,9 +2781,7 @@ def v11_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin every broadcast subtree re-runs the scan+repartition chain.
     # d2's materialize convention: eager checkpoint of the 5-row gate,
     # then release.
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
-        F.col("query_id") < 5
-    )
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     ).persist()
@@ -8852,9 +8878,7 @@ def v12_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
-        F.col("query_id") < 5
-    )
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
@@ -9520,9 +9544,7 @@ def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
-        F.col("query_id") < 5
-    )
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
         F.col("neighbor_id") >= 5
     )
@@ -9632,9 +9654,7 @@ def v15_ann_snapshot_lifecycle(
     from ..operators.similarity import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    ).filter(F.col("query_id") < 5)
+    queries = _emb_queries(spark, sf_dir)
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), "embedding"
     ).filter(F.col("neighbor_id") >= 5)

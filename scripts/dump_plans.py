@@ -1,9 +1,10 @@
-"""Dump ``.explain("formatted")`` for declared queries to plans/r14/.
+"""Dump ``.explain("formatted")`` for declared queries to plans/<round>/.
 
 Usage:
     python scripts/dump_plans.py TAG entry [entry ...]
 
-Writes plans/r14/<entry>_<TAG>.txt for each entry (TAG = before|after).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<entry>_<TAG>.txt (default round
+r15) for each entry (TAG = before|after).
 The plan is built at $SPARK_GRAFT_SF_DIR (default sf0.1) on the bench
 session config, WITHOUT executing the query — explain is plan-time.
 Entries whose builders run driver-side work (multi-action lifecycles)
@@ -27,7 +28,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(root, "plans", "r14")
+    out_dir = os.path.join(
+        root, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")
     spark.sparkContext.setLogLevel("ERROR")
