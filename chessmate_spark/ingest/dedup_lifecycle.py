@@ -56,16 +56,40 @@ from .commit_log import CommitLogTable
 # versions, so the commit log's replay check is the exactly-once gate.
 SIGNATURE_STORE_APP = "minhash-signature-store"
 
+# Verify-scan pruning pays one extra Spark action per increment (the
+# candidate-bucket collect that builds the IN filter), so it engages
+# only when the store is big enough for skipped row groups to buy more
+# than that action costs.  The gate is MEASURED, not assumed — parquet
+# footer row counts, a driver-side metadata read (the graph/BPE
+# driver-route convention).  256k rows ≈ tens of MB of shingle arrays;
+# below that the whole store scans in a couple of tasks either way.
+_VERIFY_PRUNE_MIN_ROWS = 1 << 18
 
-def _dial_meta(shingle_n: int, num_hashes: int) -> dict:
+
+def _dial_meta(
+    shingle_n: int,
+    num_hashes: int,
+    bands: "Optional[int]" = None,
+    bucket_count: "Optional[int]" = None,
+) -> dict:
     """The store's dial as commit-manifest metadata — recorded on every
     append so later increments can validate the dial with a driver-side
     manifest read instead of a one-row Spark probe (round 14; the dial
     columns in the state rows remain the fallback for stores written
-    before the metadata existed)."""
-    return {
-        "dial": {"shingle_n": int(shingle_n), "num_hashes": int(num_hashes)}
-    }
+    before the metadata existed).
+
+    Round 15 adds the LAYOUT dials: ``bands`` (the banding the rows'
+    precomputed ``_bands`` keys were built with — recorded only while
+    EVERY append so far used the same value, so a re-banded increment
+    poisons it to None and later increments fall back to expression
+    banding from ``_sig``) and ``bucket_count`` (the id-hash modulus of
+    the ``_bucket`` clustering column — fixed at store creation)."""
+    dial = {"shingle_n": int(shingle_n), "num_hashes": int(num_hashes)}
+    if bands is not None:
+        dial["bands"] = int(bands)
+    if bucket_count is not None:
+        dial["bucket_count"] = int(bucket_count)
+    return {"dial": dial}
 
 
 def _manifest_dial(store: CommitLogTable, version: int) -> "Optional[dict]":
@@ -79,14 +103,70 @@ def _manifest_dial(store: CommitLogTable, version: int) -> "Optional[dict]":
         return None
 
 
+def _store_layout(
+    store: CommitLogTable, version: int, bands: int
+) -> "tuple[Optional[int], Optional[int], Optional[int]]":
+    """(state_bands, state_buckets, meta_bands) describing how the next
+    batch's state must be built against the store at ``version`` — all
+    driver-side manifest reads, zero Spark jobs.
+
+    * EMPTY store: full round-15 layout — precomputed ``_bands`` for
+      the increment's banding, ``_bucket`` at the env-sized modulus.
+    * Store whose schema carries the layout columns: match them (the
+      append schema must equal the table schema); ``_bands`` is built
+      with the increment's ``bands``, and ``meta_bands`` says whether
+      EVERY prior append used that same banding (the induction
+      ``_dial_meta`` documents) — when it differs, the recorded value
+      poisons to None so no later increment trusts mixed keys.
+    * LEGACY store (no layout columns): build the legacy shape — a
+      widened append would be refused by the commit log's schema
+      equality check.
+    """
+    from ..operators.dedup import sig_store_buckets
+
+    if version <= 0:
+        return int(bands), sig_store_buckets(), None
+    try:
+        fields = {
+            f["name"]
+            for f in store.manifest(version)["schema"].get("fields", [])
+        }
+    except FileNotFoundError:
+        fields = set()
+    dial = _manifest_dial(store, version) or {}
+    state_bands = int(bands) if "_bands" in fields else None
+    state_buckets = (
+        int(dial["bucket_count"])
+        if "_bucket" in fields and dial.get("bucket_count") is not None
+        else None
+    )
+    meta_bands = dial.get("bands")
+    return state_bands, state_buckets, meta_bands
+
+
+def _store_bucket_count(
+    store: CommitLogTable, version: int
+) -> "Optional[int]":
+    """The ``_bucket`` modulus for appends against the store at
+    ``version`` — env-sized for a fresh store, the recorded value for
+    a round-15 store, None for a legacy layout."""
+    _, buckets, _ = _store_layout(store, version, bands=4)
+    return buckets
+
+
 def open_signature_store(
     spark: SparkSession, path: str, checkpoint_interval: int = 10
 ) -> CommitLogTable:
     """The signature store as a commit-log table at ``path`` — creates
     the directory layout on first open; any number of writers across
     processes may hold instances (the commit log's multi-writer
-    contract)."""
-    return CommitLogTable(spark, path, checkpoint_interval)
+    contract).  Staged state is range-clustered by the ``_bucket``
+    id-hash column (round 15) so an increment's verify scan prunes to
+    candidate row groups; stores whose state predates the column stage
+    exactly as before (``cluster_by`` is a no-op without the column)."""
+    return CommitLogTable(
+        spark, path, checkpoint_interval, cluster_by="_bucket"
+    )
 
 
 def bootstrap_store(
@@ -98,6 +178,7 @@ def bootstrap_store(
     num_hashes: int = 16,
     app_id: str = SIGNATURE_STORE_APP,
     batch_id: int = 0,
+    bands: int = 4,
 ) -> Optional[int]:
     """Seed a signature store with an already-curated corpus's state
     WITHOUT a dedup pass — the backfill path (the corpus was deduped by
@@ -105,13 +186,25 @@ def bootstrap_store(
     bootstrap would be a full-corpus job, not an increment).  One
     corpus scan, one commit-log transaction, exactly-once under
     ``(app_id, batch_id)`` like any increment — a replayed bootstrap
-    is skipped, not double-appended."""
+    is skipped, not double-appended.  ``bands`` sizes the precomputed
+    ``_bands`` keys (round 15) — pass the banding the increments will
+    run, or they fall back to re-banding from ``_sig``."""
+    head = store.latest_version()
+    state_bands, bucket_count, meta_bands = _store_layout(
+        store, head, bands
+    )
+    rec_bands = (
+        state_bands
+        if head == 0 or meta_bands == state_bands
+        else None
+    )
     state = minhash_signature_state(
-        corpus, id_col, text_col, shingle_n, num_hashes
+        corpus, id_col, text_col, shingle_n, num_hashes,
+        bands=state_bands, bucket_count=bucket_count,
     )
     return store.append_idempotent(
-        state, app_id, batch_id, snapshot=store.latest_version(),
-        meta=_dial_meta(shingle_n, num_hashes),
+        state, app_id, batch_id, snapshot=head,
+        meta=_dial_meta(shingle_n, num_hashes, rec_bands, bucket_count),
     )
 
 
@@ -209,19 +302,28 @@ def dedup_increment(
     postures (batch-bounded band join, candidate-bounded verify);
     the shuffle/bloom alternates exist for a batch or candidate set
     past broadcast size, at which point the job is a backfill."""
+    prior = store.txn_version(app_id)
+    if prior is not None and prior >= batch_id:
+        # REPLAY: pin the snapshot the original increment read —
+        # recorded in the batch's own txn manifest (parent-of-commit
+        # fallback for pre-round-13 stores) — so the recompute is
+        # identical even though later batches have since landed
+        snap = _version_before_txn(store, app_id, batch_id)
+    else:
+        snap = store.latest_version()
+    # layout decision BEFORE the batch state is built (round 15): the
+    # append schema must equal the store's, so a legacy store keeps
+    # the legacy shape while a round-15 store carries precomputed
+    # ``_bands`` (this increment's banding) and the ``_bucket``
+    # clustering column at the store's recorded modulus
+    state_bands, bucket_count, meta_bands = _store_layout(
+        store, snap, bands
+    )
     b_state = minhash_signature_state(
-        batch, id_col, text_col, shingle_n, num_hashes
+        batch, id_col, text_col, shingle_n, num_hashes,
+        bands=state_bands, bucket_count=bucket_count,
     ).persist()
     try:
-        prior = store.txn_version(app_id)
-        if prior is not None and prior >= batch_id:
-            # REPLAY: pin the snapshot the original increment read —
-            # recorded in the batch's own txn manifest (parent-of-commit
-            # fallback for pre-round-13 stores) — so the recompute is
-            # identical even though later batches have since landed
-            snap = _version_before_txn(store, app_id, batch_id)
-        else:
-            snap = store.latest_version()
         # dial validation (round 14): the batch's state is built RIGHT
         # HERE with the increment's own dial, so its one-row probe is a
         # tautology; the store's dial is proven by the manifest
@@ -230,10 +332,15 @@ def dedup_increment(
         # store still pays the one-row probe.
         dial = {"shingle_n": int(shingle_n), "num_hashes": int(num_hashes)}
         stored_dial = _manifest_dial(store, snap)
-        if stored_dial is not None and stored_dial != dial:
+        stored_core = (
+            {k: stored_dial.get(k) for k in ("shingle_n", "num_hashes")}
+            if stored_dial is not None
+            else None
+        )
+        if stored_core is not None and stored_core != dial:
             raise AssertionError(
                 f"signature store at {store.path} was built with dial "
-                f"{stored_dial} but the increment runs {dial}: banding "
+                f"{stored_core} but the increment runs {dial}: banding "
                 "mismatched signatures is meaningless — rebuild the "
                 "store or match the dial"
             )
@@ -250,6 +357,20 @@ def dedup_increment(
             existing_state = store.read(snap).join(
                 F.broadcast(b_state.select("_id")), "_id", "left_anti"
             )
+        # the store's precomputed band keys are only trusted when EVERY
+        # prior append recorded this increment's banding (the
+        # _dial_meta induction); the _bucket pruning needs the store's
+        # recorded modulus.  Both fall back losslessly.
+        use_stored_bands = (
+            snap == 0 and state_bands is not None
+        ) or (snap > 0 and meta_bands == int(bands))
+        prune_buckets = (
+            bucket_count
+            if snap > 0
+            and bucket_count is not None
+            and store.count_rows(snap) >= _VERIFY_PRUNE_MIN_ROWS
+            else None
+        )
         dupes = incremental_minhash_dedup(
             None, batch, id_col, text_col,
             shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
@@ -257,6 +378,8 @@ def dedup_increment(
             existing_state=existing_state, batch_state=b_state,
             prune=prune, band_join=band_join,
             validate_state_dials=validate_dials,
+            stored_bands=use_stored_bands,
+            store_bucket_count=prune_buckets,
         )
         # record the snapshot ACTUALLY read in the txn marker: a
         # concurrent commit landing between latest_version() and the
@@ -264,9 +387,16 @@ def dedup_increment(
         # from the version this increment deduped against, and a replay
         # pinned to the parent would recompute against the WRONG
         # snapshot (round-13 ADVICE)
+        rec_bands = (
+            state_bands
+            if snap == 0 or meta_bands == state_bands
+            else None
+        )
         version = store.append_idempotent(
             b_state, app_id, batch_id, snapshot=snap,
-            meta=_dial_meta(shingle_n, num_hashes),
+            meta=_dial_meta(
+                shingle_n, num_hashes, rec_bands, bucket_count
+            ),
         )
     finally:
         b_state.unpersist()

@@ -420,7 +420,10 @@ def snapshot_maintain(
     corpus = corpus.select(corpus_id, corpus_vec)
     corpus_rows = corpus.count()
     log = _codes_log(spark, root)
-    indexed_rows = log.read(appended.codes_version).count()
+    # footer-based count (round 15, guide §1.2): the codes files are
+    # immutable once committed, so their parquet metadata answers the
+    # row-count guard without a Spark job
+    indexed_rows = log.count_rows(appended.codes_version)
     if corpus_rows != indexed_rows:
         from ..ingest.commit_log import CommitConflict
         raise CommitConflict(

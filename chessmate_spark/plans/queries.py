@@ -6808,8 +6808,16 @@ def d28_incremental_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"replay appended (version={replay}, "
             f"head={store.latest_version()}): exactly-once violated"
         )
-        n_store = store.read().count()
-        n_docs = docs.count()
+        # footer-based counts (round 15, guide §1.2): both sides of the
+        # store-mirrors-corpus assert are properties the immutable
+        # parquet files' own metadata records — two driver-side footer
+        # reads replace two full Spark count jobs, same exact numbers
+        import pyarrow.parquet as _pq
+
+        n_store = store.count_rows()
+        n_docs = _pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
         assert n_store == n_docs, (
             f"store holds {n_store} rows for a {n_docs}-doc corpus: "
             "state was dropped or double-appended"

@@ -787,8 +787,14 @@ def test_dedup_increment_replay_pins_recorded_snapshot(spark, tmp_path):
     # append claims — the append rebases and lands as v3 with parent 2
     snap_read = store.latest_version()
     assert snap_read == 1
+    # hand-rolled states match the store's round-15 layout (precomputed
+    # _bands + _bucket clustering column), as any correct concurrent
+    # writer's would — the commit log refuses mismatched append schemas
+    from chessmate_spark.operators.dedup import sig_store_buckets
+
     b1_state = minhash_signature_state(
-        batch1, "doc_id", "text", shingle_n=3, num_hashes=16
+        batch1, "doc_id", "text", shingle_n=3, num_hashes=16,
+        bands=4, bucket_count=sig_store_buckets(),
     )
     original = sorted(map(tuple, incremental_minhash_dedup(
         None, batch1, "doc_id", "text",
@@ -800,6 +806,7 @@ def test_dedup_increment_replay_pins_recorded_snapshot(spark, tmp_path):
             (F.col("doc_id") - F.lit(10_000_000)).alias("doc_id"), "text"
         ),
         "doc_id", "text", shingle_n=3, num_hashes=16,
+        bands=4, bucket_count=sig_store_buckets(),
     )
     assert store.append(interloper) == 2  # the concurrent commit
     assert store.append_idempotent(
@@ -875,8 +882,11 @@ def test_dedup_increment_manifest_dial_guard(spark, tmp_path):
         batch_id=1, shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
     )
     assert inc.appended_version == 1
-    # the dial landed in the manifest metadata
-    assert _manifest_dial(store, 1) == {"shingle_n": 3, "num_hashes": 16}
+    # the dial landed in the manifest metadata (round 15 adds the
+    # layout dials: the recorded banding and the _bucket modulus)
+    dial = _manifest_dial(store, 1)
+    assert dial["shingle_n"] == 3 and dial["num_hashes"] == 16
+    assert dial["bands"] == 4 and dial["bucket_count"] >= 1
     # a mismatched dial is refused from the MANIFEST (loudly, before
     # any banding)
     with pytest.raises(AssertionError, match="dial"):
@@ -891,3 +901,112 @@ def test_dedup_increment_manifest_dial_guard(spark, tmp_path):
         batch_id=2, shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
     )
     assert inc2.appended_version == 2
+
+
+def test_store_layout_routes_identical_and_pruned(spark, tmp_path):
+    """Round 15 (VERDICT r14 #1): the signature store's per-lifetime
+    layout — precomputed ``_bands`` keys and the ``_bucket`` clustering
+    column — must change PLANS only, never results.  Three increments
+    through a round-15 store are compared row-for-row against the same
+    increments run with the layout disabled (expression banding from
+    ``_sig``, unpruned verify scan); the verify plan must carry the
+    ``_bucket`` IN-filter down to the store scan."""
+    from pyspark.sql import functions as F
+
+    from chessmate_spark.ingest.dedup_lifecycle import (
+        dedup_increment,
+        open_signature_store,
+    )
+    from chessmate_spark.operators.dedup import (
+        _incremental_minhash_frames,
+        sig_store_buckets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 240)
+    )
+
+    def run(root, **kw):
+        store = open_signature_store(spark, str(tmp_path / root))
+        outs = []
+        for k in range(3):
+            inc = dedup_increment(
+                store, docs.filter(F.col("doc_id") % 3 == k),
+                "doc_id", "text", batch_id=k,
+                shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.1,
+                **kw,
+            )
+            outs.extend(
+                sorted(map(tuple, inc.duplicates.collect()))
+            )
+        return store, outs
+
+    # force the prune gate OPEN at fixture scale (it is row-count-gated
+    # in production — pruning pays only past ~256k stored rows)
+    import chessmate_spark.ingest.dedup_lifecycle as dl
+
+    orig_gate = dl._VERIFY_PRUNE_MIN_ROWS
+    dl._VERIFY_PRUNE_MIN_ROWS = 0
+    try:
+        store_a, with_layout = run("layout")
+    finally:
+        dl._VERIFY_PRUNE_MIN_ROWS = orig_gate
+    # the disabled route: same store machinery, but the increment is
+    # forced onto the legacy read path (expression bands, no pruning)
+    orig = dl._store_layout
+
+    def no_layout(store, version, bands):
+        sb, bc, mb = orig(store, version, bands)
+        return sb, bc, None  # meta_bands None => stored bands untrusted
+
+    dl._store_layout = no_layout
+    try:
+        # monkey-route: bucket pruning off via store_bucket_count=None
+        import chessmate_spark.operators.dedup as dd
+
+        orig_frames = dd._incremental_minhash_frames
+
+        def frames_no_prune(*a, **kw):
+            kw["stored_bands"] = False
+            kw["store_bucket_count"] = None
+            return orig_frames(*a, **kw)
+
+        dd._incremental_minhash_frames = frames_no_prune
+        dl.incremental_minhash_dedup.__globals__[
+            "_incremental_minhash_frames"
+        ] = frames_no_prune
+        _, without_layout = run("legacy")
+    finally:
+        dl._store_layout = orig
+        dd._incremental_minhash_frames = orig_frames
+        dl.incremental_minhash_dedup.__globals__[
+            "_incremental_minhash_frames"
+        ] = orig_frames
+
+    assert with_layout == without_layout and len(with_layout) > 0
+
+    # plan evidence: the verify pass's store scan carries the _bucket
+    # IN-filter as a pushed data filter (the clustered layout's stats
+    # make it a row-group skip at scale)
+    batch3 = docs.filter(F.col("doc_id") % 3 == 0).limit(20)
+    ex_state = store_a.read()
+    from chessmate_spark.operators.dedup import (
+        minhash_signature_state,
+    )
+
+    b_state = minhash_signature_state(
+        batch3, "doc_id", "text", 3, 16,
+        bands=4, bucket_count=sig_store_buckets(),
+    )
+    _, _, _, best = _incremental_minhash_frames(
+        None, batch3, "doc_id", "text", 3, 16, 4, 0.1,
+        ex_state, b_state,
+        stored_bands=True, store_bucket_count=sig_store_buckets(),
+    )
+    plan = best._sc._jvm.PythonSQLUtils.explainString(
+        best._jdf.queryExecution(), "formatted"
+    )
+    assert "_bucket" in plan and "PushedFilters" in plan
+    assert "_bands" in plan  # stored band keys, not re-hashed slices
