@@ -136,6 +136,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(_t(spark, sf_dir, "embeddings"))
 
 
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one of the driver's immutable parquet tables
+    from its footer metadata (round 15, guide §1.2): a ``df.count()``
+    launches a Spark job (and, through ``_spread``, a full repartition
+    exchange) to count rows the file's own metadata records.  Identical
+    number — both read the same footer."""
+    import pyarrow.parquet as _pq
+
+    return _pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+
+
 def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN entries' 5-row query frame off the RAW embeddings scan
     (round 15, guide §6 predicate pushdown): every serve collects the
@@ -2704,38 +2715,50 @@ def v10_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
     )
 
-    emb = _emb(spark, sf_dir)
     queries = _emb_queries(spark, sf_dir)
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
-        F.col("neighbor_id") >= 5
+    # in-entry corpus pin off the RAW scan (round 15 — the v15
+    # rationale): the encode pass, the ADC scan's shortlist re-rank,
+    # and the exact baseline all read one materialization; released
+    # after the eager checkpoint of the 5-row gate (v11's convention)
+    corpus = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .filter(F.col("neighbor_id") >= 5)
+        .persist()
     )
-    ksub, overfetch = pq_operating_point(emb.count() - 5, k=3)
-    approx = pq_topk(
-        queries, corpus, k=3,
-        query_id="query_id", corpus_id="neighbor_id",
-        m=8, ksub=ksub, overfetch=overfetch,
-    ).select("query_id", "neighbor_id")
-    exact = cosine_knn_join(
-        queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
-    ).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    per_q = (
-        exact.groupBy("query_id")
-        .agg(F.count("*").alias("k"))
-        .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
-            "query_id",
-            "left",
-        )
-        .select(
-            "query_id",
-            F.col("k").cast("int").alias("k"),
-            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k") >= 0.6).alias(
-                "recall_ok"
-            ),
-        )
+    ksub, overfetch = pq_operating_point(
+        _table_rows(sf_dir, "embeddings") - 5, k=3
     )
-    return per_q.orderBy("query_id")
+    try:
+        approx = pq_topk(
+            queries, corpus, k=3,
+            query_id="query_id", corpus_id="neighbor_id",
+            m=8, ksub=ksub, overfetch=overfetch,
+        ).select("query_id", "neighbor_id")
+        exact = cosine_knn_join(
+            queries, corpus, k=3, query_id="query_id", corpus_id="neighbor_id"
+        ).select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_q = (
+            exact.groupBy("query_id")
+            .agg(F.count("*").alias("k"))
+            .join(
+                hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                F.col("k").cast("int").alias("k"),
+                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k") >= 0.6).alias(
+                    "recall_ok"
+                ),
+            )
+        )
+        out = per_q.orderBy("query_id").localCheckpoint(eager=True)
+    finally:
+        corpus.unpersist()
+    return out
 
 
 @_register(
@@ -8885,22 +8908,30 @@ def v12_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_operating_point,
     )
 
-    emb = _emb(spark, sf_dir)
     queries = _emb_queries(spark, sf_dir)
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
-        F.col("neighbor_id") >= 5
+    # in-entry corpus pin off the RAW scan (round 15 — the v15
+    # rationale): one materialization serves the build's four corpus
+    # touches, the serve's re-rank join, AND the exact baseline, on the
+    # table's natural partitioning instead of re-running the _spread
+    # repartition per broadcast subtree.  Released in the finally.
+    corpus = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .filter(F.col("neighbor_id") >= 5)
+        .persist()
     )
     # same corpus-scaled operating point as v11 (see pq_operating_point):
     # the BUILD bakes ksub into the codebooks, the SERVE call scales its
     # shortlist — keeping the persisted path bit-identical to the inline
-    # run at every committed scale factor
-    ksub, overfetch = pq_operating_point(emb.count() - 5, k=3)
+    # run at every committed scale factor.  Footer-count: same number a
+    # Spark count() returns, zero jobs.
+    ksub, overfetch = pq_operating_point(_table_rows(sf_dir, "embeddings") - 5, k=3)
     index_dir = tempfile.mkdtemp(prefix="cm_v12_index_")
     try:
         build_ivfpq_index(
             corpus, "neighbor_id", index_dir, nlist=8, m=8, ksub=ksub,
-            persist_corpus=True,  # deterministic parquet source; the
-            # pin saves three of the build's four corpus scans
+            # the entry's persist above owns the pin now; a second
+            # persist inside the build would double-cache the frame
         )
         centroids, codebooks, codes = load_ivfpq_index(spark, index_dir)
         approx = ivfpq_topk(
@@ -8935,6 +8966,7 @@ def v12_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # leaks an encoded corpus copy into /tmp)
         out = per_q.localCheckpoint(eager=True)
     finally:
+        corpus.unpersist()
         shutil.rmtree(index_dir, ignore_errors=True)
     return out
 
@@ -9551,10 +9583,14 @@ def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_ivfpq_index,
     )
 
-    emb = _emb(spark, sf_dir)
     queries = _emb_queries(spark, sf_dir)
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
-        F.col("neighbor_id") >= 5
+    # in-entry corpus pin off the RAW scan (round 15 — the v15
+    # rationale; released in the finally)
+    corpus = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .filter(F.col("neighbor_id") >= 5)
+        .persist()
     )
     split = corpus.agg(
         F.percentile_approx("neighbor_id", 0.8, 10000).alias("p")
@@ -9565,7 +9601,7 @@ def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         build_ivfpq_index(
             old, "neighbor_id", index_dir, nlist=8, m=8, ksub=16,
-            persist_corpus=True,  # deterministic parquet source
+            # the entry's persist above owns the pin
         )
         append_to_ivfpq_index(new, "neighbor_id", index_dir)
         centroids, codebooks, codes = load_ivfpq_index(spark, index_dir)
@@ -9598,6 +9634,7 @@ def v14_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = per_q.localCheckpoint(eager=True)  # tmp index: s16 discipline
     finally:
+        corpus.unpersist()
         shutil.rmtree(index_dir, ignore_errors=True)
     return out
 
@@ -9661,11 +9698,24 @@ def v15_ann_snapshot_lifecycle(
     )
     from ..operators.similarity import ivfpq_topk
 
-    emb = _emb(spark, sf_dir)
     queries = _emb_queries(spark, sf_dir)
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
-    ).filter(F.col("neighbor_id") >= 5)
+    # in-entry corpus pin off the RAW scan (round 15; v11's round-14
+    # persist convention): the lifecycle touches the corpus from ~15
+    # subtrees (five serves' re-rank joins, two training samples, two
+    # encode passes, the split percentile) and every broadcast subtree
+    # re-ran the scan + _spread repartition chain without it — ~33
+    # tiny tasks each.  The raw scan keeps the table's natural
+    # partitioning (pushdown filter, 1-2 splits at bench scale, real
+    # splits at corpus scale), the persist pins ONE materialization,
+    # and the finally releases it after the eager checkpoint of the
+    # 5-row gate — nothing survives the entry, so no cross-run
+    # caching.  Measured: 79 -> 57 jobs, 10.8 -> 7.6 s same-window.
+    corpus = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .filter(F.col("neighbor_id") >= 5)
+        .persist()
+    )
     split = corpus.agg(
         F.percentile_approx("neighbor_id", 0.8, 10000).alias("p")
     ).first()["p"]
@@ -9740,6 +9790,7 @@ def v15_ann_snapshot_lifecycle(
         ).orderBy("query_id")
         out = per_q.localCheckpoint(eager=True)  # tmp root: s16 discipline
     finally:
+        corpus.unpersist()
         shutil.rmtree(root, ignore_errors=True)
     return out
 
