@@ -2081,8 +2081,13 @@ def chess_hybrid_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # lazy checkpoints (round 15): the hybrid execution references the
+    # games/players frames from several broadcast subtrees, and each
+    # one re-analyzed and re-ran the PGN-parse lineage without a
+    # truncation point (drain_jobs checkpoints only its OWN copies)
     tables = HybridTables(
-        games=ingest.games, players=ingest.players,
+        games=ingest.games.localCheckpoint(eager=False),
+        players=ingest.players.localCheckpoint(eager=False),
         position_vectors=state.position_vectors,
     )
     execution = execute(tables, plan, dim=8)
@@ -2130,8 +2135,13 @@ def serve_query_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest.positions, ingest.games, ingest.players,
         batch_size=8, dim=8,
     )
+    # lazy checkpoints (round 15): the hybrid execution references the
+    # games/players frames from several broadcast subtrees, and each
+    # one re-analyzed and re-ran the PGN-parse lineage without a
+    # truncation point (drain_jobs checkpoints only its OWN copies)
     tables = HybridTables(
-        games=ingest.games, players=ingest.players,
+        games=ingest.games.localCheckpoint(eager=False),
+        players=ingest.players.localCheckpoint(eager=False),
         position_vectors=state.position_vectors,
     )
     payload = answer_question(
@@ -2222,8 +2232,13 @@ def serve_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest.positions, ingest.games, ingest.players,
         batch_size=8, dim=8,
     )
+    # lazy checkpoints (round 15): the hybrid execution references the
+    # games/players frames from several broadcast subtrees, and each
+    # one re-analyzed and re-ran the PGN-parse lineage without a
+    # truncation point (drain_jobs checkpoints only its OWN copies)
     tables = HybridTables(
-        games=ingest.games, players=ingest.players,
+        games=ingest.games.localCheckpoint(eager=False),
+        players=ingest.players.localCheckpoint(eager=False),
         position_vectors=state.position_vectors,
     )
     questions = [
