@@ -123,6 +123,48 @@ def minhash_expr(shingles: Column, num_hashes: int) -> Column:
     ).otherwise(folded)
 
 
+def minhash_sql(shingles_sql: str, num_hashes: int) -> str:
+    """``minhash_expr`` as ONE Spark-SQL string — the same fold tree,
+    built in a single gateway call (round 15, guide §1.2 driver work):
+    the Column-API form issues ~8 Py4J roundtrips per hash constant per
+    call (measured 3.6 s of pure driver time building d26's 156-hash
+    signature), where ``F.expr`` hands the JVM one string to parse in
+    milliseconds.  The parsed tree is node-for-node the expression
+    ``minhash_expr`` builds (same functions, same literals, same
+    typing), so plans and results are identical — pinned by
+    tests/test_hashing_edge.py's dual-form equality.
+
+    ``shingles_sql`` must be a resolvable SQL expression (usually a
+    named column); callers with a complex Column input alias it first.
+    """
+    P = MINHASH_PRIME
+    consts = minhash_constants(num_hashes)
+    base = (
+        "CAST(conv(substring(md5(concat('mh:', s)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {P}"
+    )
+    hashed = f"transform({shingles_sql}, s -> {base})"
+    init = ", ".join(f"CAST({P} AS BIGINT)" for _ in consts)
+    steps = ", ".join(
+        f"least(element_at(acc, {i + 1}), ({a} * h + {b}) % {P})"
+        for i, (a, b) in enumerate(consts)
+    )
+    folded = f"aggregate({hashed}, array({init}), (acc, h) -> array({steps}))"
+    nulls = ", ".join("CAST(NULL AS BIGINT)" for _ in consts)
+    return (
+        f"CASE WHEN {shingles_sql} IS NULL OR size({shingles_sql}) <= 0"
+        f" OR NOT exists({shingles_sql}, x -> x IS NOT NULL)"
+        f" THEN array({nulls}) ELSE {folded} END"
+    )
+
+
+def minhash_expr_named(col_name: str, num_hashes: int) -> Column:
+    """``minhash_expr`` over a NAMED column via the one-call SQL form —
+    use at call sites that already alias their shingles; identical
+    semantics (see ``minhash_sql``)."""
+    return F.expr(minhash_sql(col_name, num_hashes))
+
+
 def band_keys_expr(signature: Column, bands: int, rows: int) -> Column:
     """LSH band bucket keys: array of ``bands`` strings 'band_i:md5(slice)'."""
     def one_band(b: Column) -> Column:
@@ -131,6 +173,23 @@ def band_keys_expr(signature: Column, bands: int, rows: int) -> Column:
         return F.concat(b.cast("string"), F.lit(":"), F.md5(joined))
 
     return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), one_band)
+
+
+def band_keys_sql(signature_sql: str, bands: int, rows: int) -> str:
+    """``band_keys_expr`` as one SQL string (same rationale and
+    same-tree contract as ``minhash_sql``)."""
+    joined = (
+        f"concat_ws(',', transform(slice({signature_sql},"
+        " b * {rows} + 1, {rows}), x -> CAST(x AS STRING)))"
+    ).format(rows=rows)
+    return (
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> concat(CAST(b AS STRING), ':', md5({joined})))"
+    )
+
+
+def band_keys_expr_named(col_name: str, bands: int, rows: int) -> Column:
+    return F.expr(band_keys_sql(col_name, bands, rows))
 
 
 def simhash_expr(tokens: Column, bits: int = 32) -> Column:

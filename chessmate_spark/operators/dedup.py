@@ -21,9 +21,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
-    band_keys_expr,
+    band_keys_expr_named,
     md5_expr,
-    minhash_expr,
+    minhash_expr_named,
     simhash_expr,
     word_shingles_expr,
 )
@@ -98,12 +98,15 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("_id"),
         word_shingles_expr(_norm_tokens(F.col(text_col)), shingle_n).alias("_shingles"),
     ).persist()
-    sig = shingled.withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+    sig = shingled.withColumn(
+        "_sig", minhash_expr_named("_shingles", num_hashes)
+    )
     # candidates carry ONLY (id, band) — never the shingle arrays.  The
     # band self-join therefore shuffles a few bytes per row; this is what
     # keeps the operator viable when the corpus is 10^9 documents.
     banded = sig.select(
-        "_id", F.explode(band_keys_expr(F.col("_sig"), bands, rows)).alias("_band")
+        "_id",
+        F.explode(band_keys_expr_named("_sig", bands, rows)).alias("_band"),
     ).persist()
     pairs = (
         banded.select(F.col("_id").alias("id_a"), "_band")
@@ -1124,7 +1127,7 @@ def minhash_signature_state(
     )
     out = (
         df.select(F.col(id_col).alias("_id"), shingles.alias("_shingles"))
-        .withColumn("_sig", minhash_expr(F.col("_shingles"), num_hashes))
+        .withColumn("_sig", minhash_expr_named("_shingles", num_hashes))
         .withColumn("_shingle_n", F.lit(int(shingle_n)))
         .withColumn("_num_hashes", F.lit(int(num_hashes)))
     )
@@ -1132,8 +1135,8 @@ def minhash_signature_state(
         assert num_hashes % int(bands) == 0, "bands must divide num_hashes"
         out = out.withColumn(
             "_bands",
-            band_keys_expr(
-                F.col("_sig"), int(bands), num_hashes // int(bands)
+            band_keys_expr_named(
+                "_sig", int(bands), num_hashes // int(bands)
             ),
         )
     if bucket_count is not None:
@@ -1470,7 +1473,7 @@ def _incremental_minhash_frames(
     def _bands_of(frame: DataFrame, has_stored: bool):
         if has_stored:
             return F.explode(F.col("_bands"))
-        return F.explode(band_keys_expr(F.col("_sig"), bands, rows))
+        return F.explode(band_keys_expr_named("_sig", bands, rows))
 
     b_band = b_state.select(
         "_id", _bands_of(b_state, b_has_bands).alias("_band")
