@@ -1056,7 +1056,12 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # than drift from its (16, 4) mirror.  The prunable-regime
         # counterpart entries are d24 (frozen planned dial) and d26
         # (corpus-adaptive planned dial, bracket-mirrored oracle).
-        hashes, bands, plan = minhash_route(docs.count(), 0.1)
+        # footer row count (round 15): identical to docs.count() on the
+        # immutable driver table, zero Spark jobs (vs a full scan +
+        # _spread exchange per cache miss)
+        hashes, bands, plan = minhash_route(
+            _table_rows(sf_dir, "documents"), 0.1
+        )
         assert not plan.prunes and (hashes, bands) == (16, 4), (
             f"minhash_route returned ({hashes}, {bands}, prunes="
             f"{plan.prunes}) but d2/d8/d10/d11's oracle mirrors (16, 4)"
@@ -1374,7 +1379,9 @@ def d27_hyperplane_adaptive_neardup(spark: SparkSession, sf_dir: str) -> DataFra
     # corpus actually carries the 50 twin sources, or the two engines
     # would sit at different corpus counts and could pick different
     # bracket dials (round-12 ADVICE)
-    counts = _emb(spark, sf_dir).agg(
+    # round 15: aggregate over the RAW scan — the count doesn't need
+    # _spread's 32-way exchange (identical numbers, one scan-only job)
+    counts = _t(spark, sf_dir, "embeddings").agg(
         F.count(F.lit(1)).alias("_n_base"),
         F.sum(
             F.when(F.col("vec_id") < _D25_TWINS, 1).otherwise(0)
@@ -1513,7 +1520,8 @@ def d26_minhash_adaptive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_candidates, minhash_planned_dial
 
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    # footer row count (round 15): identical to docs.count(), zero jobs
+    n = _table_rows(sf_dir, "documents")
     assert n < _D26_BRACKET_CAP, (
         f"corpus of {n} docs is past the oracle's bracket table — "
         "extend _minhash_adaptive_brackets before trusting the mirror"
@@ -2601,7 +2609,8 @@ def d7_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    n = emb.count()
+    # footer row count (round 15): identical to emb.count(), zero jobs
+    n = _table_rows(sf_dir, "embeddings")
     plan = lsh_plan_for(n, _NEARDUP_THRESHOLD, target_recall=0.9999)
     if plan.prunes:
         # NOT oracle-exact: this arm would run recall-0.9999 LSH against
@@ -2812,23 +2821,30 @@ def v11_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_operating_point,
     )
 
-    emb = _emb(spark, sf_dir)
     # corpus persisted (round 14): the recall-gate composition reads it
     # from SEVEN subtrees (training sample, encode, ADC re-rank side,
     # exact baseline, and the gate's broadcast collects) — without the
     # pin every broadcast subtree re-runs the scan+repartition chain.
     # d2's materialize convention: eager checkpoint of the 5-row gate,
-    # then release.
+    # then release.  Round 15: pin the RAW scan (v10/v15's convention —
+    # the table's natural partitioning, not the 32-way _spread) and take
+    # the corpus size from the parquet footer (identical to the old
+    # emb.count(), zero jobs).
     queries = _emb_queries(spark, sf_dir)
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").filter(
-        F.col("neighbor_id") >= 5
-    ).persist()
+    corpus = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .filter(F.col("neighbor_id") >= 5)
+        .persist()
+    )
     # nprobe 7/8 at the fixture scale: with ~10 vectors per cell a
     # single unprobed cell can hold a third of one query's exact top-3
     # (verified: nprobe=6 is green at sf0.01 but one sf0.001 query drops
     # to 1/3); at real scale auto_nlist ~ sqrt(N) makes nprobe/nlist a
     # small fraction and the smoke grid records the dial honestly
-    ksub, overfetch = pq_operating_point(emb.count() - 5, k=3)
+    ksub, overfetch = pq_operating_point(
+        _table_rows(sf_dir, "embeddings") - 5, k=3
+    )
     approx = ivfpq_topk(
         queries, corpus, k=3,
         query_id="query_id", corpus_id="neighbor_id",
@@ -6724,7 +6740,8 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    hashes, bands, plan = minhash_route(docs.count(), 0.1)
+    # footer row count (round 15): identical to docs.count(), zero jobs
+    hashes, bands, plan = minhash_route(_table_rows(sf_dir, "documents"), 0.1)
     assert not plan.prunes and (hashes, bands) == (16, 4), (
         f"minhash_route returned ({hashes}, {bands}, prunes="
         f"{plan.prunes}) but d12's oracle mirrors (16, 4)"
